@@ -1,0 +1,62 @@
+"""Safe-cast column functions.
+
+Replicate the reference's defensive scalar casts as pure Catalyst column
+expressions (JVM-side, codegen-able — no Python UDFs):
+
+- ``safe_bool``  ← ``fetch_clickup_data.py:783-791``
+- ``safe_int``   ← ``fetch_clickup_data.py:793-801`` (truncates toward zero)
+- ``safe_float`` ← ``fetch_clickup_data.py:560-580,716-725`` (default-able)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TRUTHY_STRINGS = ("true", "1", "yes", "on")
+
+
+def safe_bool(col: Column | str) -> Column:
+    """Lenient boolean parse; never null.
+
+    Semantics (fetch_clickup_data.py:783-791): real bools pass through;
+    strings in {'true','1','yes','on'} (case-insensitive) → True; numeric
+    values → value != 0; everything else (incl. null) → False.
+
+    Accepts a string-typed column (the mixed-type wire form).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(F.trim(c.cast("string")))
+    as_num = s.try_cast("double")
+    return (
+        F.when(c.isNull(), F.lit(False))
+        .when(s.isin(*_TRUTHY_STRINGS), F.lit(True))
+        .when(as_num.isNotNull() & ~F.isnan(as_num), as_num != 0.0)
+        .otherwise(F.lit(False))
+    )
+
+
+def safe_int(col: Column | str) -> Column:
+    """``int(float(v))`` — truncation toward zero; null on failure/NaN.
+
+    (fetch_clickup_data.py:793-801.) Spark's double→long cast also
+    truncates toward zero; ``try_cast`` maps unparseable input to null,
+    and NaN is guarded explicitly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("string").try_cast("double")
+    return F.when(d.isNotNull() & ~F.isnan(d), d.cast("long"))
+
+
+def safe_float(col: Column | str, default: float | None = None) -> Column:
+    """Lenient float parse with an optional default.
+
+    default=0.0 reproduces the hours_discount path
+    (fetch_clickup_data.py:560-569); default=None the arr path
+    (fetch_clickup_data.py:571-580).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("string").try_cast("double")
+    if default is None:
+        return d
+    return F.coalesce(d, F.lit(float(default)))

@@ -1,0 +1,650 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 as a
+named (Spark callable, DuckDB oracle SQL) pair over the driver's
+synthetic tables (TESTDATA.md).
+
+Determinism rules (so the order-insensitive value-hash matches DuckDB):
+- Money/fractional sums go through DECIMAL casts (exact, order-independent)
+  and are cast to DOUBLE only once at the end. A double .005 boundary is
+  never exactly representable, so double→decimal rounding agrees across
+  engines.
+- Timezone math uses session-TZ-independent forms on both engines
+  (from_utc_timestamp ↔ timezone('Europe/Oslo', timezone('UTC', ts))).
+- Every computed column is aliased identically in Spark and SQL.
+
+Scale notes are attached per query: these run at sf0.01 for correctness
+and sf0.1 for bench, but each plan is written for the 100 TB shape
+(broadcast dims, key-partitioned windows, no driver-side collection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.functions.casts import safe_bool, safe_float, safe_int
+from hours_api_clickup_spark.functions.datetime_fns import oslo_date
+from hours_api_clickup_spark.operators.dedupe import dedupe_latest
+from hours_api_clickup_spark.operators.explode import split_tokens_with_empty
+from hours_api_clickup_spark.operators.merge import merge_full_reindex, merge_refresh
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's parquet reader
+# rejects by default. We read them as long (legacy conf) and truncate
+# ns → µs with integer division (`div`, not `/` — ns-since-epoch exceeds
+# 2^53 so double division would lose precision). DuckDB truncates the
+# same way when reading nanos into its µs timestamps.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+    survey_ids: str = ""  # SURVEY.md §2 operator ids this query covers
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, survey_ids: str = "", doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, survey_ids=survey_ids, doc=doc)
+        return fn
+
+    return deco
+
+
+def _dec(c: Column | str, spec: str = "decimal(12,2)") -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(spec)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: hours per user per Oslo civil date (the reference's namesake
+# query — epoch timestamps → Europe/Oslo dating → grouped hour totals;
+# P4/P6 + A2 over the events stream table).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_hours_by_user_day",
+    """
+    SELECT user_id,
+           CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) AS day_oslo,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hours,
+           COUNT(*) AS n_entries
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids="P4,P6,A2",
+    doc="Hours per user per Europe/Oslo civil date. Scale: single hash "
+    "shuffle on (user_id, day); partial aggregation map-side.",
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", oslo_date(F.col("ts")).alias("day_oslo")
+        ).agg(
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("hours"),
+            F.count("*").alias("n_entries"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide flattening projection (P1-P11 composite): one declarative select
+# covering id stringify, epoch-ms round trip, Oslo dating, SHA-256 PII
+# hashing, scaling + rounding, and JSON field extraction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transform_projection",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           epoch_ms(ts) AS epoch_ms,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts_ms,
+           CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) AS day_oslo,
+           sha256(CAST(user_id AS VARCHAR)) AS user_sha256,
+           floor(value / 3.6 * 100 + 0.5) / 100 AS value_scaled,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           event_type
+    FROM events
+    """,
+    survey_ids="P1,P2,P4,P6,P7,P11,P15",
+    doc="Flagship-style wide projection; whole-stage-codegen single pass, "
+    "no shuffle, column-pruned scan.",
+)
+def q_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    return events.select(
+        F.col("event_id").cast("string").alias("id"),
+        ms.alias("epoch_ms"),
+        F.timestamp_millis(ms).alias("ts_ms"),
+        oslo_date(F.col("ts")).alias("day_oslo"),
+        F.sha2(F.col("user_id").cast("string"), 256).alias("user_sha256"),
+        # round-half-up via floor: pure IEEE double ops, so Spark and the
+        # DuckDB oracle agree bit-for-bit (F.round rounds the decimal
+        # string repr of the double and can differ at .xx5 boundaries)
+        (F.floor(F.col("value") / F.lit(3.6) * 100 + 0.5) / F.lit(100.0)).alias(
+            "value_scaled"
+        ),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-latest-per-key dedup (D1) — latest event per (user, event_type),
+# null-ts-wins tiebreak per the reference's pandas semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedupe_keep_latest",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC NULLS FIRST, event_id DESC
+    ) = 1
+    """,
+    survey_ids="D1",
+    doc="Ranking window partitioned by key: one shuffle on the key, "
+    "no global sort. null-wins via desc_nulls_first "
+    "(fetch_clickup_data.py:1774-1777).",
+)
+def q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return dedupe_latest(
+        events,
+        key=["user_id", "event_type"],
+        ts="ts",
+        tiebreak=[F.col("event_id").desc()],
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# MERGE upserts (M1/M2): fact = orders; staging simulates a re-fetch where
+# prices changed (×2) and every 3rd entry disappeared. Window = orderdate
+# ≥ 1997-01-01. merge_refresh must update/insert/delete inside the window
+# and preserve history outside it (the BUG_FIX_SUMMARY.md regression).
+# ---------------------------------------------------------------------------
+
+_ORDER_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+_MERGE_WINDOW_START = "1997-01-01"
+
+
+def _staging_orders(orders: DataFrame) -> DataFrame:
+    return orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "merge_refresh_window",
+    f"""
+    WITH stg_w AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 3 <> 0
+          AND o_orderdate >= TIMESTAMP '{_MERGE_WINDOW_START} 00:00:00'
+    )
+    SELECT * FROM stg_w
+    UNION ALL
+    SELECT f.*
+    FROM orders f ANTI JOIN stg_w s ON f.o_orderkey = s.o_orderkey
+    WHERE f.o_orderdate < TIMESTAMP '{_MERGE_WINDOW_START} 00:00:00'
+    """,
+    survey_ids="M1,J1",
+    doc="Windowed-refresh MERGE via SURVEY §4.3 algebra: "
+    "fact' = S_w ∪ (fact ▷ S_w).filter(¬W). Scale: W prunes fact "
+    "partitions before the anti-join; S_w broadcasts.",
+)
+def q_merge_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    staging = _staging_orders(orders)
+    w = F.col("o_orderdate") >= F.lit(_MERGE_WINDOW_START).cast("timestamp")
+    return merge_refresh(orders, staging, w, key="o_orderkey")
+
+
+@register(
+    "merge_full_reindex",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    """,
+    survey_ids="M2",
+    doc="Full-reindex MERGE ≡ staging overwrite (SURVEY §4.3; "
+    "fetch_clickup_data.py:1335-1399).",
+)
+def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    return merge_full_reindex(orders, _staging_orders(orders))
+
+
+# ---------------------------------------------------------------------------
+# Joins + aggregations (J2-J4, A1-A6) — the doc-SQL analytical surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_revenue_by_priority",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ids="J2,J3,A2",
+    doc="fact ⟕ dim + grouped multi-agg (docs/LISTS_SYNC_FEATURE.md:155-166 "
+    "analog). orders is broadcast — no shuffle on the fact side.",
+)
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "pricing_summary_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                         AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                         AS DECIMAL(20,4))
+                    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+                AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ids="A2,A3",
+    doc="TPC-H Q1-shaped pricing summary: partial aggregation map-side, "
+    "one shuffle on the tiny group key; ship-date filter pushed to scan.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    disc_price = (_dec("l_extendedprice") * (one - _dec("l_discount"))).cast(
+        "decimal(20,4)"
+    )
+    charge = disc_price * (one + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_minmax_distinct",
+    """
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events
+    """,
+    survey_ids="A1,A4,A5",
+    doc="Verification aggregates (docs/setup.md:93-101 analog). At 100 TB "
+    "COUNT DISTINCT would switch to approx_count_distinct; exact here "
+    "for oracle parity.",
+)
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@register(
+    "pivot_conditional_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS pct_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ids="A3",
+    doc="Pivot-style conditional aggregation "
+    "(docs/TASKS_SYNC_FEATURE.md:176-177 analog).",
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    n_open = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        n_open.alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        (n_open.cast("double") / F.count("*")).alias("pct_open"),
+    )
+
+
+@register(
+    "rollup_having_variance",
+    """
+    SELECT l.l_orderkey, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150
+    """,
+    survey_ids="J4,A6",
+    doc="Estimate-vs-actual rollup with HAVING "
+    "(docs/TASKS_SYNC_FEATURE.md:230-245 analog): join → groupBy → "
+    "agg → post-agg filter.",
+)
+def q_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-multiplying ops (E1-E4) and set ops.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_explode_bridge",
+    """
+    WITH base AS (
+        SELECT p_partkey,
+               CASE WHEN p_size % 5 = 0 THEN '' ELSE p_type END AS src
+        FROM part
+    ), toks AS (
+        SELECT p_partkey,
+               list_filter(list_transform(string_split(src, ' '), x -> trim(x)),
+                           x -> x <> '') AS tokens
+        FROM base
+    )
+    SELECT p_partkey,
+           unnest(CASE WHEN len(tokens) > 0 THEN tokens ELSE [''] END) AS token
+    FROM toks
+    """,
+    survey_ids="E1",
+    doc="Accounts-bridge fan-out semantics (fetch_clickup_data.py:552-558,"
+    "600-611): one row per trimmed token; empty input emits exactly one "
+    "''-row (not null). explode is per-partition — no shuffle.",
+)
+def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    src = F.when(F.col("p_size") % 5 == 0, F.lit("")).otherwise(F.col("p_type"))
+    return part.select(
+        "p_partkey",
+        F.explode(split_tokens_with_empty(src, " ")).alias("token"),
+    )
+
+
+@register(
+    "array_join_group",
+    """
+    SELECT n.n_name,
+           string_agg(c.c_name, ', ' ORDER BY c.c_name) AS customer_names,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    survey_ids="E2,E3",
+    doc="', '-joined denormalized string per group "
+    "(fetch_clickup_data.py:596-598,742-748 analog). sort_array makes "
+    "collect_list order-deterministic.",
+)
+def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ", ").alias(
+                "customer_names"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "hierarchy_flatten",
+    """
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           c.c_custkey,
+           c.c_name,
+           COALESCE(s.s_name, '') AS supplier_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN supplier s
+      ON c.c_custkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    """,
+    survey_ids="E4",
+    doc="Tree → one flat row per leaf with ancestors as columns; missing "
+    "level → '' fill (fetch_clickup_data.py:245-272,268-269). All dims "
+    "broadcast.",
+)
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (c.c_custkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+            "left",
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("s_name"), F.lit("")).alias("supplier_name"),
+        )
+    )
+
+
+@register(
+    "union_two_passes",
+    """
+    SELECT o_orderkey, 'active' AS pass_name, o_orderstatus FROM orders
+    WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, 'archived' AS pass_name, o_orderstatus FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    survey_ids="S5,§2.8",
+    doc="Two-pass archived scan → UNION ALL "
+    "(fetch_clickup_data.py:326-401,344).",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit("active").alias("pass_name"), "o_orderstatus"
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("archived").alias("pass_name"), "o_orderstatus"
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Safe-cast scalar surface (P8/P9/P10) on synthesized mixed-type strings.
+# ---------------------------------------------------------------------------
+
+_SAFE_SRC_SQL = """CASE event_id % 5
+        WHEN 0 THEN 'true' WHEN 1 THEN '3.7' WHEN 2 THEN 'x'
+        WHEN 3 THEN '' ELSE '-2.9' END"""
+
+
+@register(
+    "safe_cast_surface",
+    f"""
+    WITH base AS (SELECT event_id, {_SAFE_SRC_SQL} AS src FROM events)
+    SELECT event_id, src,
+           CASE WHEN src IS NULL THEN FALSE
+                WHEN lower(trim(src)) IN ('true','1','yes','on') THEN TRUE
+                WHEN TRY_CAST(src AS DOUBLE) IS NOT NULL
+                     AND NOT isnan(TRY_CAST(src AS DOUBLE))
+                    THEN TRY_CAST(src AS DOUBLE) <> 0
+                ELSE FALSE END AS as_bool,
+           CASE WHEN TRY_CAST(src AS DOUBLE) IS NOT NULL
+                     AND NOT isnan(TRY_CAST(src AS DOUBLE))
+                THEN CAST(trunc(TRY_CAST(src AS DOUBLE)) AS BIGINT) END AS as_int,
+           COALESCE(TRY_CAST(src AS DOUBLE), 0.0) AS as_float_default,
+           TRY_CAST(src AS DOUBLE) AS as_float_null
+    FROM base
+    """,
+    survey_ids="P8,P9,P10",
+    doc="safe_bool/safe_int/safe_float semantics "
+    "(fetch_clickup_data.py:783-801,560-580) incl. truncation toward "
+    "zero and the truthy-string set.",
+)
+def q_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    src = (
+        F.when(m == 0, "true")
+        .when(m == 1, "3.7")
+        .when(m == 2, "x")
+        .when(m == 3, "")
+        .otherwise("-2.9")
+    )
+    return events.select(
+        "event_id",
+        src.alias("src"),
+        safe_bool(src).alias("as_bool"),
+        safe_int(src).alias("as_int"),
+        safe_float(src, default=0.0).alias("as_float_default"),
+        safe_float(src).alias("as_float_null"),
+    )
+
+
+@register(
+    "scalar_string_surface",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           string_split(p_type, ' ')[1] AS type_head,
+           sha256(p_brand) AS brand_sha256,
+           md5(p_name) AS name_md5,
+           floor(p_retailprice / 100 * 100 + 0.5) / 100 AS price_scaled,
+           length(p_name) AS name_len,
+           concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           substring(p_name, 1, 5) AS name_head
+    FROM part
+    """,
+    survey_ids="§2.10",
+    doc="Consolidated scalar-function surface: split/lower/substr/concat/"
+    "sha2/md5/round/length (SURVEY §2.10).",
+)
+def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.sha2(F.col("p_brand"), 256).alias("brand_sha256"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        (F.floor(F.col("p_retailprice") / 100 * 100 + 0.5) / F.lit(100.0)).alias(
+            "price_scaled"
+        ),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.substring("p_name", 1, 5).alias("name_head"),
+    )
