@@ -1,0 +1,309 @@
+"""Deduplication families for corpus curation at scale.
+
+- exact: hash-groupBy (one shuffle on the content hash)
+- n-gram Jaccard: char-shingle set similarity; the exact pairwise form is
+  O(n²) and only for bounded inputs / candidate verification — the scale
+  path is MinHash+LSH
+- MinHash+LSH: shingles → K minhashes → B bands → bucket join →
+  candidate pairs → exact-Jaccard verification. Shuffle cost is the
+  band-bucket groupBy (K·B small constants), never n².
+- SimHash: 64-bit near-dup signature; candidates via 16-bit chunk
+  blocking (pairs with hamming ≤ 3 must share ≥ 1 of 4 chunks).
+
+All deterministic: hashing is Spark's xxhash64 with seeds baked into the
+plan as literals, so reruns produce identical candidate sets. No UDFs —
+everything is higher-order Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_K = 5
+DEFAULT_NUM_HASHES = 64
+DEFAULT_BANDS = 16  # 16 bands × 4 rows each
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: one surviving (min-id) row per distinct
+    content, with the duplicate count. Single hash shuffle on the digest."""
+    return df.groupBy(F.md5(_c(content_col)).alias("content_md5")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(col: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct character k-grams (empty array when the text is shorter
+    than k). Dynamic-offset substring inside a higher-order transform."""
+    c = _c(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length(c) - k),
+        lambda i: F.substring(c, i + 1, F.lit(k)),
+    )
+    return F.when(F.length(c) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_sim(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array columns (set semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard above ``threshold`` (id_a < id_b).
+
+    O(n²) — correct but only for bounded inputs (verification, small
+    corpora). At scale use ``minhash_lsh_pairs``, which verifies its
+    candidates with this same jaccard_sim and therefore returns a subset
+    of this result with LSH-bounded recall.
+    """
+    sh = df.select(
+        _c(id_col).alias("did"), char_shingles(text_col, k).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    j = jaccard_sim(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.did") < F.col("b.did"))
+        .select(
+            F.col("a.did").alias("id_a"),
+            F.col("b.did").alias("id_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """K-permutation MinHash signature: per seed s, min over shingles of
+    xxhash64(shingle, s). Empty shingle sets get a per-seed sentinel so
+    they only ever collide with other empties."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.coalesce(
+            F.array_min(
+                F.transform(shingles, lambda sh: F.xxhash64(sh, s))
+            ),
+            F.lit(2**62) + s,
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs via MinHash+LSH, verified with exact Jaccard.
+
+    Plan shape (scale path):
+      1. scan → shingles → signature (projection, no shuffle)
+      2. explode B bands → groupBy-join on (band, band_hash): shuffle
+         keyed on the bucket, so cost is Σ bucket² not n²
+      3. candidate pairs → exact jaccard verification (projection)
+
+    Precision is exact (verified); recall is the LSH S-curve
+    1-(1-j^r)^b with r = num_hashes/bands.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        _c(id_col).alias("did"),
+        char_shingles(text_col, k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = sh.select(
+        "did",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("did", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(
+            F.col("a.did").alias("id_a"),
+            F.col("b.did").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            jaccard_sim(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(toks: Column) -> Column:
+    """64-bit SimHash over a token array: bit i of the signature is the
+    sign of Σ_tokens (±1 per bit i of xxhash64(token)).
+
+    The per-bit loop is unrolled in Python (shift amounts must be plan
+    literals); the result is one wide codegen'd expression — a single
+    pass over the tokens, no shuffle."""
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+        bit = F.when(bit_sum > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def simhash_signatures(df: DataFrame, id_col: str, toks_col: Column) -> DataFrame:
+    """SimHash via explode + groupBy — the scale path for long documents.
+
+    One shuffle keyed on the doc id; 64 conditional-sum aggregates run
+    map-side (partial aggregation), so the shuffle carries 64 longs per
+    doc, not the tokens. Token-less docs get signature 0 via the
+    left join back."""
+    ids = df.select(_c(id_col).alias("did"))
+    tok = df.select(
+        _c(id_col).alias("did"), F.explode(toks_col).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("did").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    signed = sums.select("did", sig.alias("sig"))
+    return ids.join(signed, "did", "left").select(
+        "did", F.coalesce(F.col("sig"), F.lit(0).cast("long")).alias("sig")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    toks_col: Column,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit chunks; by
+    pigeonhole, any pair within hamming ≤ 3 shares at least one exact
+    chunk → join on (chunk_idx, chunk_value) instead of n². Verified by
+    exact popcount on the full signature. (For max_hamming > 3 the chunk
+    block is a recall-lossy prefilter — near-dups still share chunks
+    with high probability.)
+    """
+    sig = simhash_signatures(df, id_col, toks_col)
+    chunked = sig.select(
+        "did",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(
+        "did",
+        "sig",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_val").alias("chunk_val"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(
+            F.col("a.did").alias("id_a"),
+            F.col("b.did").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,132 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting. All pure Catalyst expressions (JVM-side,
+whole-stage codegen) — a 100 TB corpus pass is scan + project with zero
+shuffles and zero Python.
+
+Formulas are deliberately engine-portable (see plans/registry.py) so the
+DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.functions.hashing import rolling_fingerprint
+
+# Marker stopwords per language for the n-gram/stopword-heuristic
+# language identifier. Order = tie-break priority.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+PUNCT_CLASS = r"[.!?,;:]"
+NON_ALPHA_CLASS = r"[^a-zA-Z]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty array for blank text)."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (regex extraction, JVM-side)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0))
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    removed = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return removed.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    kept = F.length(F.regexp_replace(c, NON_ALPHA_CLASS, ""))
+    return kept.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length documents with
+    alphabetic content, a sane stopword rate, and low punctuation noise.
+    Pure double arithmetic — deterministic and oracle-portable."""
+    c = _c(col)
+    toks = tokens(c)
+    len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.25) * len_score
+        + F.lit(0.25) * alpha_ratio(c)
+        + F.lit(0.25) * F.least(stopword_ratio(toks) * 4.0, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio(c) * 10.0, F.lit(1.0)))
+    )
+
+
+def language_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def predict_language(col: Column | str) -> Column:
+    """Stopword-marker language ID. Highest hit count wins; ties resolve
+    in LANG_MARKERS order; zero hits everywhere → 'und'."""
+    toks = tokens(_c(col))
+    hits = {lang: language_hits(toks, lang) for lang in LANG_MARKERS}
+    langs = list(LANG_MARKERS)
+    expr = F.lit("und")
+    # build CASE from lowest priority upward so earlier langs win ties
+    for lang in reversed(langs):
+        cond = hits[lang] > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the full text-analysis column family in one projection."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    return df.select(
+        "*",
+        F.length(c).alias("prof_n_chars"),
+        F.size(toks).alias("prof_n_tokens"),
+        bpe_token_count(c).alias("prof_n_bpe_tokens"),
+        avg_token_len(toks).alias("prof_avg_token_len"),
+        stopword_ratio(toks).alias("prof_stopword_ratio"),
+        punct_ratio(c).alias("prof_punct_ratio"),
+        alpha_ratio(c).alias("prof_alpha_ratio"),
+        quality_score(c).alias("prof_quality"),
+        predict_language(c).alias("prof_lang"),
+        rolling_fingerprint(c).alias("prof_fingerprint"),
+        F.md5(c).alias("prof_md5"),
+    )

@@ -648,3 +648,313 @@ def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring("p_name", 1, 5).alias("name_head"),
     )
+
+
+# ===========================================================================
+# Beyond-reference: training-data-pipeline operators (SURVEY §7 step 8 /
+# BASELINE.json north star) over documents + embeddings.
+# ===========================================================================
+
+from hours_api_clickup_spark.datapipe.dedup import (  # noqa: E402
+    char_shingles,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hours_api_clickup_spark.datapipe.multimodal import (  # noqa: E402
+    extract_features,
+    synthesize_media,
+)
+from hours_api_clickup_spark.datapipe.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from hours_api_clickup_spark.datapipe.textstats import (  # noqa: E402
+    LANG_MARKERS,
+    avg_token_len,
+    alpha_ratio,
+    bpe_token_count,
+    punct_ratio,
+    predict_language,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from hours_api_clickup_spark.functions.hashing import (  # noqa: E402
+    rolling_fingerprint,
+)
+
+
+@register(
+    "doc_text_stats",
+    r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(trim(text), '\s+')
+                    ELSE [] END AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+           CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+               / greatest(len(toks), 1) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio
+    FROM t
+    """,
+    survey_ids="datapipe:text-analysis",
+    doc="Token counting (whitespace + BPE-ish regex) and quality ratios. "
+    "Pure projection: zero shuffles at any scale.",
+)
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    g1 = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        avg_token_len(toks).alias("avg_token_len"),
+        stopword_ratio(toks).alias("stopword_ratio"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        alpha_ratio(F.col("text")).alias("alpha_ratio"),
+    )
+
+
+_LANG_CASE_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(trim(text), '\s+')
+                    ELSE [] END AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, lang,
+           len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS h_en,
+           len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS h_de,
+           len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS h_fr,
+           len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una'], x))) AS h_es
+        FROM t
+    )
+    SELECT doc_id, lang AS true_lang,
+           CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
+                WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM h
+"""
+
+
+@register(
+    "doc_langid",
+    _LANG_CASE_SQL,
+    survey_ids="datapipe:lang-id",
+    doc="Stopword-marker language-ID heuristic; deterministic CASE "
+    "priority on tie. Projection-only.",
+)
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        predict_language(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    survey_ids="datapipe:fingerprint",
+    doc="Polynomial rolling hash (mod 1e9+7) + md5 content digest; both "
+    "reproduced exactly by the DuckDB oracle.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    survey_ids="datapipe:dedup-exact",
+    doc="Exact dedup: hash-groupBy on content digest, min-id survivor. "
+    "One shuffle keyed on the digest — uniform by construction, no skew.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 5
+                    THEN list_distinct(list_transform(range(0, length(text) - 4),
+                                                      i -> substring(text, i + 1, 5)))
+                    ELSE [] END AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.3
+    """,
+    survey_ids="datapipe:dedup-jaccard",
+    doc="Exact all-pairs char-5-gram Jaccard ≥ 0.3. O(n²) verifier form — "
+    "the scale path is dedup_minhash_lsh, which verifies candidates with "
+    "this same measure.",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.3)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # LSH recall is probabilistic-by-construction; verified in tests
+    survey_ids="datapipe:dedup-minhash",
+    doc="MinHash(64)+LSH(16 bands) candidate generation, exact-Jaccard "
+    "verified at 0.7. Deterministic (fixed xxhash64 seeds). Scale path: "
+    "bucket-join shuffle, never n². Recall vs exact checked in tests/.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
+    ).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    None,  # signature blocking layout is Spark-hash-specific; tested in tests/
+    survey_ids="datapipe:dedup-simhash",
+    doc="64-bit SimHash near-dup candidates, hamming ≤ 12, via 16-bit "
+    "chunk blocking (pigeonhole: hamming ≤ 3 shares a chunk; wider "
+    "radius still blocks well on near-dups). Tested vs exact jaccard.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", tokens(F.col("text")), max_hamming=12)
+
+
+@register(
+    "embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    survey_ids="datapipe:dedup-embedding",
+    doc="Embedding-cosine near-dup pairs ≥ 0.45 (ids only — score floats "
+    "stay internal). Bounded O(n²) verifier; LSH buckets are the scale "
+    "path.",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45).select(
+        "id_a", "id_b"
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "knn_brute_force",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS nbr_id
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
+    LIMIT 10
+    """,
+    survey_ids="datapipe:similarity-knn",
+    doc="Exact cosine top-10 for query vec_id=0. TakeOrderedAndProject: "
+    "per-partition heap top-k + tiny driver merge, no global sort.",
+)
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return brute_force_topk(
+        emb, "embedding", "vec_id", qv, k=10, exclude_id=0
+    ).select("nbr_id")
+
+
+@register(
+    "knn_lsh_bucketed",
+    None,  # approximate by construction; recall vs brute force in tests/
+    survey_ids="datapipe:similarity-ann",
+    doc="Random-hyperplane LSH ANN (16 planes × 4 tables, deterministic "
+    "hash-derived hyperplanes), exact re-rank of bucket candidates. "
+    "Scale path: signatures persisted at ingest + bucketed table → "
+    "bucket pruning before any vector math.",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return lsh_bucketed_topk(
+        emb, "embedding", "vec_id", qv, k=10, exclude_id=0
+    ).select("nbr_id", "score")
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           length(text) + 4 AS n_bytes,
+           sha256('IMG0' || text) AS content_sha256
+    FROM documents
+    """,
+    survey_ids="datapipe:multimodal",
+    doc="Opaque-binary media column + Arrow-batched mapInPandas feature "
+    "extraction (decode step stubbed; sha256/byte-count path is real and "
+    "oracle-checked end-to-end through the Python worker).",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "content_sha256"
+    )

@@ -1,0 +1,121 @@
+"""Quality gates for the approximate (rows-only) datapipe operators:
+deterministic output + recall/precision against their exact baselines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.datapipe.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hours_api_clickup_spark.datapipe.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from hours_api_clickup_spark.datapipe.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from hours_api_clickup_spark.datapipe.textstats import tokens
+from hours_api_clickup_spark.plans.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_minhash_lsh_matches_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.7).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 5, 64, 16, 0.7
+        ).collect()
+    }
+    assert lsh <= exact, "LSH output must be exact-verified (precision 1.0)"
+    assert exact, "test corpus should contain true near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_minhash_deterministic(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_simhash_finds_near_dups(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.9).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            docs, "doc_id", tokens(F.col("text")), max_hamming=12
+        ).collect()
+    }
+    # very-high-jaccard pairs should land within the hamming radius
+    found = exact & sim
+    assert not exact or len(found) / len(exact) >= 0.5, (
+        f"simhash missed too many j≥0.9 pairs: {len(found)}/{len(exact)}"
+    )
+
+
+def test_knn_lsh_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    exact = [
+        r.nbr_id
+        for r in brute_force_topk(
+            emb, "embedding", "vec_id", qv, k=10, exclude_id=0
+        ).collect()
+    ]
+    approx = [
+        r.nbr_id
+        for r in lsh_bucketed_topk(
+            emb, "embedding", "vec_id", qv, k=10, exclude_id=0
+        ).collect()
+    ]
+    # random-hyperplane LSH on near-uniform vectors: expect meaningful
+    # overlap with the exact top-10, and deterministic output
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+
+
+def test_multimodal_features_shape(spark):
+    docs = _docs(spark).limit(50)
+    media = synthesize_media(docs, "doc_id", "text")
+    feats = extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.features) == 8
+        assert all(0.0 <= x < 1.0 for x in r.features)
+        assert r.n_bytes >= 4
+        assert len(r.content_sha256) == 64
+    # deterministic across runs
+    again = extract_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_frame_sample_plan(spark):
+    docs = _docs(spark).limit(30)
+    media = synthesize_media(docs, "doc_id", "text")
+    frames = frame_sample_plan(media, every_n=10)
+    rows = frames.collect()
+    assert rows, "expected some video rows"
+    assert {r.frame_idx % 10 for r in rows} == {0}
