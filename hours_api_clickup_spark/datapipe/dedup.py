@@ -29,6 +29,16 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition to all cores. Small parquet inputs arrive
+    as one partition; CPU-heavy per-row work (shingling, hashing,
+    signatures) must be fanned out or it runs single-threaded. On a real
+    cluster the scan already yields many partitions and this is a cheap
+    near-no-op rebalance."""
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -82,7 +92,7 @@ def ngram_jaccard_pairs(
     candidates with this same jaccard_sim and therefore returns a subset
     of this result with LSH-bounded recall.
     """
-    sh = df.select(
+    sh = spread(df).select(
         _c(id_col).alias("did"), char_shingles(text_col, k).alias("sh")
     )
     a = sh.alias("a")
@@ -107,15 +117,19 @@ def ngram_jaccard_pairs(
 def minhash_signature(
     shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> Column:
-    """K-permutation MinHash signature: per seed s, min over shingles of
-    xxhash64(shingle, s). Empty shingle sets get a per-seed sentinel so
-    they only ever collide with other empties."""
+    """K-permutation MinHash signature as a single column expression:
+    per seed s, min over shingles of xxhash64(xxhash64(shingle), s).
+    Empty shingle sets get a per-seed sentinel so they only ever collide
+    with other empties.
+
+    Note: higher-order functions evaluate interpreted (outside codegen);
+    fine for per-row use, but the bulk path in minhash_lsh_pairs uses the
+    explode+groupBy form below, which stays in whole-stage codegen."""
+    base = F.transform(shingles, lambda sh: F.xxhash64(sh))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.coalesce(
-            F.array_min(
-                F.transform(shingles, lambda sh: F.xxhash64(sh, s))
-            ),
+            F.array_min(F.transform(base, lambda h: F.xxhash64(h, s))),
             F.lit(2**62) + s,
         ),
     )
@@ -132,36 +146,51 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH, verified with exact Jaccard.
 
-    Plan shape (scale path):
-      1. scan → shingles → signature (projection, no shuffle)
-      2. explode B bands → groupBy-join on (band, band_hash): shuffle
-         keyed on the bucket, so cost is Σ bucket² not n²
-      3. candidate pairs → exact jaccard verification (projection)
+    Plan shape (the scale path — every stage codegen'd, no interpreted
+    higher-order functions in the bulk flow):
+      1. scan → shingles → explode → one xxhash64 per shingle
+      2. groupBy(doc) with K min-aggregates (map-side partial agg: the
+         shuffle carries K longs per doc, not the shingles)
+      3. B band-bucket hashes → explode → self-join on (band, bucket):
+         shuffle keyed on the bucket, so cost is Σ bucket² not n²
+      4. candidate pairs → join shingle sets back by id → exact-Jaccard
+         verification (precision 1.0 by construction)
 
-    Precision is exact (verified); recall is the LSH S-curve
-    1-(1-j^r)^b with r = num_hashes/bands.
+    Recall follows the LSH S-curve 1-(1-j^r)^b, r = num_hashes/bands.
+    Docs with no shingles (len < k) never band — they have no near-dups
+    above any sane threshold; exact dedup handles identical empties.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        _c(id_col).alias("did"),
-        char_shingles(text_col, k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
 
-    banded = sh.select(
-        "did",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("did", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # Gram stream without materializing shingle arrays: explode the
+    # offset sequence, substring, hash — stays in whole-stage codegen
+    # (array-lambda HOFs run interpreted and were ~5× slower here).
+    # Duplicate grams are fine: min() over a multiset == min() over its
+    # set, so MinHash needs no distinct.
+    grams = (
+        texts.filter(F.length("txt") >= k)
+        .select("did", "txt", F.explode(F.sequence(F.lit(0), F.length("txt") - k)).alias("i"))
+        .select("did", F.xxhash64(F.substring(F.col("txt"), F.col("i") + 1, F.lit(k))).alias("h"))
+    )
+    min_aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+    sig = grams.groupBy("did").agg(*min_aggs)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "did", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("did", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -172,16 +201,22 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.did") < F.col("b.did")),
         )
-        .select(
-            F.col("a.did").alias("id_a"),
-            F.col("b.did").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # exact-Jaccard verification only touches candidate rows, so the
+    # interpreted shingle-array construction runs on a handful of docs
+    sh_a = texts.select(
+        F.col("did").alias("id_a"), char_shingles("txt", k).alias("sh_a")
+    )
+    sh_b = texts.select(
+        F.col("did").alias("id_b"), char_shingles("txt", k).alias("sh_b")
+    )
     return (
-        cand.select(
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
             "id_a",
             "id_b",
             jaccard_sim(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
@@ -228,7 +263,7 @@ def simhash_signatures(df: DataFrame, id_col: str, toks_col: Column) -> DataFram
     doc, not the tokens. Token-less docs get signature 0 via the
     left join back."""
     ids = df.select(_c(id_col).alias("did"))
-    tok = df.select(
+    tok = spread(df).select(
         _c(id_col).alias("did"), F.explode(toks_col).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     aggs = [

@@ -115,7 +115,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    # decode work is per-row CPU in Python workers — fan out the scan so
+    # every core runs a worker instead of one giant batch stream
+    return spread(media).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -16,8 +16,11 @@ Vector math is higher-order Catalyst (zip_with + aggregate over doubles)
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 DEFAULT_PLANES = 8  # bits per signature table
 DEFAULT_TABLES = 6  # signature tables (OR across tables)
@@ -57,17 +60,37 @@ def brute_force_topk(
     query_vec: list[float],
     k: int = 10,
     exclude_id=None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.
 
-    orderBy+limit compiles to TakeOrderedAndProject: per-partition heap
-    top-k then a k·num_partitions driver merge — no global sort shuffle.
+    Scoring is an Arrow-batched pandas UDF by default — one numpy
+    matrix-vector product per batch, the right shape for a full-corpus
+    scan (the pure-expression path evaluates array lambdas interpreted,
+    per element). orderBy+limit compiles to TakeOrderedAndProject:
+    per-partition heap top-k then a k·num_partitions driver merge — no
+    global sort shuffle.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        _c(id_col).alias("nbr_id"),
-        cosine_sim(_c(vec_col), q).alias("score"),
-    )
+    if vectorized:
+        qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+
+        @pandas_udf("double")
+        def _score(v: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+            return pd.Series((m @ qv) / (np.linalg.norm(m, axis=1) * qn))
+
+        from hours_api_clickup_spark.datapipe.dedup import spread
+
+        scored = spread(df).select(
+            _c(id_col).alias("nbr_id"), _score(_c(vec_col)).alias("score")
+        )
+    else:
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = df.select(
+            _c(id_col).alias("nbr_id"),
+            cosine_sim(_c(vec_col), q).alias("score"),
+        )
     if exclude_id is not None:
         scored = scored.filter(F.col("nbr_id") != exclude_id)
     return scored.orderBy(F.col("score").desc(), F.col("nbr_id").asc()).limit(k)
@@ -107,16 +130,52 @@ def lsh_signature(vec: Column, table: int, planes: int = DEFAULT_PLANES) -> Colu
 def add_lsh_signatures(
     df: DataFrame,
     vec_col: str,
+    id_col: str,
     planes: int = DEFAULT_PLANES,
     tables: int = DEFAULT_TABLES,
 ) -> DataFrame:
     """Append one signature column per table (sig_0 .. sig_{T-1}).
-    At 100 TB, persist these with the corpus (computed once at ingest)
-    and bucket/partition the table by sig_0 for locality."""
-    out = df
+
+    Bulk path: posexplode the vector → tables·planes conditional-sum
+    aggregates (whole-stage codegen, map-side partial agg) → recombine
+    bits → join back by id. The per-row lambda form (lsh_signature) is
+    kept for single-vector use; it runs interpreted and is ~10× slower
+    in bulk. At 100 TB, persist signatures with the corpus (computed
+    once at ingest) and bucket/partition the table by sig_0.
+    """
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    src = spread(df)
+    dims = src.select(
+        _c(id_col).alias("__did"),
+        F.posexplode(_c(vec_col)).alias("d", "x"),
+    )
+    aggs = []
     for t in range(tables):
-        out = out.withColumn(f"sig_{t}", lsh_signature(_c(vec_col), t, planes))
-    return out
+        for p in range(planes):
+            sign = F.when(
+                F.xxhash64(F.lit(t), F.lit(p), F.col("d")).bitwiseAND(F.lit(1))
+                == 1,
+                1.0,
+            ).otherwise(-1.0)
+            aggs.append(
+                F.sum(F.col("x").cast("double") * sign).alias(f"s_{t}_{p}")
+            )
+    sums = dims.groupBy("__did").agg(*aggs)
+    sig_cols = []
+    for t in range(tables):
+        sig = F.lit(0).cast("long")
+        for p in range(planes):
+            bit = (
+                F.when(F.col(f"s_{t}_{p}") >= 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            sig = sig.bitwiseOR(F.shiftleft(bit, p))
+        sig_cols.append(sig.alias(f"sig_{t}"))
+    sigs = sums.select("__did", *sig_cols)
+    return src.join(
+        sigs, _c(id_col) == F.col("__did"), "left"
+    ).drop("__did")
 
 
 def lsh_bucketed_topk(
@@ -140,7 +199,7 @@ def lsh_bucketed_topk(
     handful of point lookups, not a scan. The popcount filter below is
     the same predicate in scan form.
     """
-    sigs = add_lsh_signatures(df, vec_col, planes, tables)
+    sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     q_sig_rows = (
         sigs.sparkSession.range(1)
@@ -174,18 +233,76 @@ def embedding_near_dup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (id_a < id_b). Bounded O(n²) form;
-    the scale path buckets by LSH signature first (same verification)."""
-    base = df.select(_c(id_col).alias("did"), _c(vec_col).alias("v"))
-    a = base.alias("a")
-    b = base.alias("b")
-    return (
-        a.join(b, F.col("a.did") < F.col("b.did"))
-        .select(
-            F.col("a.did").alias("id_a"),
-            F.col("b.did").alias("id_b"),
-            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    """All-pairs cosine ≥ threshold (id_a < id_b) via blocked GEMM.
+
+    A row-level self-join would ship both vectors per pair (O(n²·d)
+    bytes through the shuffle) and evaluate cosine per pair in
+    interpreted expressions. Instead:
+
+      1. L2-normalize JVM-side (projection) and hash-assign each vector
+         to one of n_blocks blocks (skewless for any id distribution)
+      2. collect_list each block into one row
+      3. join block rows pairwise with blk_a ≤ blk_b — B(B+1)/2 pairs,
+         shuffling each block B/2 times instead of each vector n/2 times
+      4. mapInPandas: one numpy matrix multiply per block pair, emit
+         only the pairs above threshold
+
+    This is the standard dense-scoring layout (vectorized C inner loop,
+    Arrow-batched transfer); at corpus scale an LSH/IVF prefilter bounds
+    which block pairs are scored at all — see lsh_bucketed_topk.
+    """
+    base = df.select(
+        _c(id_col).cast("long").alias("did"),
+        _c(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", l2_norm(F.col("v")))
+    normed = base.select(
+        "did",
+        F.transform("v", lambda x: x / F.col("n")).alias("v"),
+        F.pmod(F.xxhash64("did"), F.lit(n_blocks)).alias("blk"),
     )
+
+    packed = normed.groupBy("blk").agg(
+        F.collect_list(F.struct("did", "v")).alias("items")
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("items").alias("items_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("items").alias("items_b")
+    )
+    # one GEMM per block-pair row: repartition so each lands on its own
+    # core instead of AQE coalescing the tiny join output to one task
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
+
+    thr = float(threshold)
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for _, row in pdf.iterrows():
+                ia = [it["did"] for it in row["items_a"]]
+                ib = [it["did"] for it in row["items_b"]]
+                ma = np.stack([np.asarray(it["v"]) for it in row["items_a"]])
+                mb = np.stack([np.asarray(it["v"]) for it in row["items_b"]])
+                sims = ma @ mb.T
+                same = row["blk_a"] == row["blk_b"]
+                for i, j in zip(*np.nonzero(sims >= thr)):
+                    x, y = ia[int(i)], ib[int(j)]
+                    if x == y:
+                        continue
+                    lo, hi = (x, y) if x < y else (y, x)
+                    if same and x > y:
+                        continue  # same-block pairs appear twice
+                    out_a.append(lo)
+                    out_b.append(hi)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    # each unordered pair is scored in exactly one block-pair row, so no
+    # dedup shuffle is needed afterwards
+    return pairs.mapInPandas(score, schema="id_a long, id_b long")
