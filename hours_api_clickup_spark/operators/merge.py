@@ -50,6 +50,20 @@ def merge_refresh(
     return s_w.unionByName(kept)
 
 
+def merge_upsert(fact: DataFrame, staging: DataFrame, key: str = "id") -> DataFrame:
+    """Update-or-insert with NO delete branch: fact' = staging ∪ (fact ▷ staging).
+
+    This is the correct per-micro-batch merge for streaming: a
+    micro-batch is an incremental slice, not a complete window snapshot,
+    so the windowed delete of merge_refresh (which asserts 'anything in
+    the window missing from source was deleted upstream') must not run.
+    Deletions reconcile on the next scheduled batch refresh / full
+    reindex — the same two-tier design as the reference's 6-hourly
+    refresh + quarterly reindex (deploy.sh:68-88)."""
+    kept = fact.join(staging.select(key).distinct(), on=key, how="left_anti")
+    return staging.select(*fact.columns).unionByName(kept)
+
+
 def merge_full_reindex(fact: DataFrame, staging: DataFrame) -> DataFrame:
     """Full-reindex MERGE (M2, fetch_clickup_data.py:1335-1399).
 

@@ -1,0 +1,164 @@
+"""Sync orchestration — the reference's 7-endpoint surface as functions.
+
+Each ``sync_*`` mirrors one Flask route / CLI mode
+(``/root/reference/main.py:22-207``, ``fetch_clickup_data.py:1679-1735``):
+
+    sync_refresh        POST /sync/refresh       (--mode refresh --days N)
+    sync_full_reindex   POST /sync/full_reindex  (--mode full_reindex)
+    sync_lists          POST /sync/lists
+    sync_tasks          POST /sync/tasks
+    sync_accounts       POST /sync/accounts
+    sync_apps           POST /sync/apps
+    health              GET  /health
+
+Inputs are DataFrames (fixture JSON or REST-fed), outputs are written
+tables; ``today_oslo`` is an explicit parameter everywhere the reference
+uses CURRENT_DATE('Europe/Oslo') (fetch_clickup_data.py:1281) so runs
+are deterministic and testable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.operators.dedupe import dedupe_latest
+from hours_api_clickup_spark.operators.hierarchy import (
+    build_dim_accounts,
+    build_dim_apps,
+    build_dim_lists,
+    build_dim_tasks,
+)
+from hours_api_clickup_spark.operators.merge import (
+    merge_full_reindex,
+    merge_refresh,
+)
+from hours_api_clickup_spark.operators.transform import transform_time_entries
+from hours_api_clickup_spark.sinks.writers import (
+    csv_backup,
+    write_table_overwrite,
+)
+
+DEFAULT_REFRESH_DAYS = 60  # deploy.sh:70 (REFRESH_DAYS=60, 6-hourly job)
+
+
+@dataclass
+class SyncResult:
+    table: str
+    rows: int
+    mode: str
+
+
+def _stage_entries(raw_entries: DataFrame) -> DataFrame:
+    """Shared staging path: flatten + keep-latest dedup (the reference's
+    transform → dedup → upload_to_staging sequence,
+    fetch_clickup_data.py:1769-1791)."""
+    flat = transform_time_entries(raw_entries)
+    return dedupe_latest(flat, key="id", ts="at")
+
+
+def refresh_window_pred(today_oslo: dt.date, days: int):
+    """start_date_oslo BETWEEN today−days AND today
+    (fetch_clickup_data.py:1280-1282)."""
+    lo = today_oslo - dt.timedelta(days=days)
+    return F.col("start_date_oslo").between(F.lit(lo), F.lit(today_oslo))
+
+
+def sync_refresh(
+    spark: SparkSession,
+    raw_entries: DataFrame,
+    fact_path: str,
+    today_oslo: dt.date,
+    days: int = DEFAULT_REFRESH_DAYS,
+    backup_path: str | None = None,
+) -> SyncResult:
+    """Windowed refresh: stage → windowed MERGE into the fact table."""
+    staging = _stage_entries(raw_entries)
+    if backup_path:
+        csv_backup(staging, backup_path)
+    try:
+        fact = spark.read.parquet(fact_path)
+    except Exception:  # first run: empty fact with staging schema
+        fact = staging.limit(0)
+    merged = merge_refresh(
+        fact, staging, refresh_window_pred(today_oslo, days), key="id"
+    )
+    # self-overwrite safety: materialize before truncating the source
+    rows = _overwrite_via_checkpoint(merged, fact_path)
+    return SyncResult(table=fact_path, rows=rows, mode="refresh")
+
+
+def sync_full_reindex(
+    spark: SparkSession,
+    raw_entries: DataFrame,
+    fact_path: str,
+    backup_path: str | None = None,
+) -> SyncResult:
+    staging = _stage_entries(raw_entries)
+    if backup_path:
+        csv_backup(staging, backup_path)
+    try:
+        fact = spark.read.parquet(fact_path)
+    except Exception:
+        fact = staging.limit(0)
+    merged = merge_full_reindex(fact, staging)
+    rows = _overwrite_via_checkpoint(merged, fact_path)
+    return SyncResult(table=fact_path, rows=rows, mode="full_reindex")
+
+
+def _overwrite_via_checkpoint(df: DataFrame, path: str) -> int:
+    """Overwrite ``path`` with ``df`` even when ``df`` reads from it.
+
+    Parquet overwrite truncates before write, so a plan that scans the
+    target must be cut first. localCheckpoint materializes the result
+    (lineage cut); at warehouse scale this is a staging-dir write +
+    atomic swap, or a Delta MERGE — same contract.
+    """
+    materialized = df.localCheckpoint(eager=True)
+    materialized.write.mode("overwrite").parquet(path)
+    return materialized.count()
+
+
+def _snapshot_sync(
+    build,
+    raw: DataFrame,
+    path: str,
+    mode: str,
+    backup_path: str | None = None,
+) -> SyncResult:
+    dim = build(raw)
+    if backup_path:
+        csv_backup(dim, backup_path)
+    write_table_overwrite(dim, path)
+    return SyncResult(table=path, rows=dim.count(), mode=mode)
+
+
+def sync_lists(raw_lists: DataFrame, path: str, backup_path: str | None = None):
+    """Full-replace snapshot (fetch_clickup_data.py:1449-1501)."""
+    return _snapshot_sync(build_dim_lists, raw_lists, path, "lists", backup_path)
+
+
+def sync_tasks(raw_tasks: DataFrame, path: str, backup_path: str | None = None):
+    return _snapshot_sync(build_dim_tasks, raw_tasks, path, "tasks", backup_path)
+
+
+def sync_accounts(raw_accounts: DataFrame, path: str, backup_path: str | None = None):
+    return _snapshot_sync(
+        build_dim_accounts, raw_accounts, path, "accounts", backup_path
+    )
+
+
+def sync_apps(raw_tasks: DataFrame, path: str, backup_path: str | None = None):
+    return _snapshot_sync(build_dim_apps, raw_tasks, path, "apps", backup_path)
+
+
+def health(spark: SparkSession) -> dict:
+    """GET /health analog (main.py:210-222)."""
+    return {
+        "status": "healthy",
+        "spark_version": spark.version,
+        "app": spark.sparkContext.appName,
+    }

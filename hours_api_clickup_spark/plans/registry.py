@@ -958,3 +958,63 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "media_type", "n_bytes", "content_sha256"
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming surface (§2.11 idiomatic extension): the flagship
+# aggregate as a watermarked event-time stream, replayed bounded via
+# availableNow — which must equal the batch answer exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hours_by_user_day",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hours,
+           COUNT(*) AS n_entries
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids="§2.11,streaming",
+    doc="Watermarked 1-day event-time window over a file stream of the "
+    "events table, availableNow trigger, memory sink. Late data beyond "
+    "the watermark is dropped with bounded state; a bounded replay "
+    "equals the batch aggregate (decimal-exact sums).",
+)
+def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from hours_api_clickup_spark.streaming.refresh import (
+        streaming_hours_by_user_day,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source needs a directory; stage the (read-only)
+    # table into one via symlink
+    stage_dir = tempfile.mkdtemp(prefix="stream_events_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    out = streaming_hours_by_user_day(stream)
+    sink = f"stream_hours_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

@@ -1,0 +1,105 @@
+"""Structured Streaming refresh — the idiomatic form of the reference's
+scheduler loop.
+
+The reference has no stream processing: Cloud Scheduler re-runs batch
+jobs every 6 h, and late edits are handled by a hand-rolled 60-day
+lookback MERGE (``fetch_clickup_data.py:1273-1333``; ``deploy.sh:66-76``).
+The Spark-native equivalent:
+
+- a file/REST stream of raw entries (``readStream``)
+- ``withWatermark("at", "60 days")`` — the refresh window becomes a real
+  watermark: late rows inside it are applied, older ones dropped, state
+  is bounded
+- ``foreachBatch`` applying the SAME merge_refresh algebra per
+  micro-batch, so batch and streaming share one upsert implementation
+  (and one test suite)
+
+``trigger(availableNow=True)`` drains whatever is pending and stops —
+which is exactly the scheduled-batch cadence, expressed as a stream.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.operators.dedupe import dedupe_latest
+from hours_api_clickup_spark.operators.merge import merge_upsert
+from hours_api_clickup_spark.operators.transform import transform_time_entries
+from hours_api_clickup_spark.pipelines import refresh_window_pred
+from hours_api_clickup_spark.schemas import RAW_TIME_ENTRY_SCHEMA
+
+WATERMARK = "60 days"
+
+
+def streaming_refresh(
+    spark: SparkSession,
+    source_dir: str,
+    fact_path: str,
+    checkpoint_dir: str,
+    today_oslo: dt.date,
+    days: int = 60,
+):
+    """Stream raw-entry JSON files into the fact table via per-batch
+    windowed merge. Returns the StreamingQuery (availableNow trigger)."""
+    raw = (
+        spark.readStream.schema(RAW_TIME_ENTRY_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(source_dir)
+    )
+    flat = transform_time_entries(raw).withWatermark("at", WATERMARK)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # reject edits outside the refresh window (the reference's MERGE
+        # source prefilter, fetch_clickup_data.py:1280-1282 — entries
+        # outside the window are locked history)
+        windowed = batch_df.filter(refresh_window_pred(today_oslo, days))
+        staging = dedupe_latest(windowed, key="id", ts="at")
+        try:
+            fact = spark.read.parquet(fact_path)
+        except Exception:
+            fact = staging.limit(0)
+        # upsert WITHOUT the delete branch: a micro-batch is an
+        # incremental slice, not a window snapshot — deletes reconcile
+        # in the scheduled batch refresh (see merge_upsert docstring)
+        merged = merge_upsert(fact, staging, key="id")
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            fact_path
+        )
+
+    return (
+        flat.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_hours_by_user_day(events_stream: DataFrame) -> DataFrame:
+    """Watermarked windowed aggregate on an event stream: hours per user
+    per day with 1-day-late tolerance — the flagship query in streaming
+    form (event-time window + watermark instead of scheduled re-runs)."""
+    return (
+        events_stream.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("day_window"),
+            F.col("user_id"),
+        )
+        .agg(
+            # decimal-exact sum (order-independent) → double once at the
+            # end, same as the batch flagship — a bounded availableNow
+            # replay therefore equals the batch result bit-for-bit
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "hours"
+            ),
+            F.count("*").alias("n_entries"),
+        )
+        .select(
+            F.col("day_window.start").alias("day_start"),
+            "user_id",
+            "hours",
+            "n_entries",
+        )
+    )

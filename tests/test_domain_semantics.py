@@ -1,0 +1,238 @@
+"""Reference-domain fidelity tests on ClickUp-shaped fixtures
+(FIXTURES.md): flatten/transform semantics, DST dating, null-wins dedup,
+''-explode fan-out, merge invariants — the edge cases SURVEY.md §4.2
+calls out as non-obvious."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.operators.dedupe import dedupe_latest
+from hours_api_clickup_spark.operators.explode import split_explode_with_empty
+from hours_api_clickup_spark.operators.merge import merge_full_reindex, merge_refresh
+from hours_api_clickup_spark.operators.transform import transform_time_entries
+from hours_api_clickup_spark.schemas import (
+    FACT_TIME_ENTRIES_SCHEMA,
+    RAW_TIME_ENTRY_SCHEMA,
+)
+from hours_api_clickup_spark.sources.readers import read_raw_time_entries
+
+
+def _entry(eid, start_ms=None, at_ms=None, **kw):
+    base = {
+        "id": eid,
+        "start": str(start_ms) if start_ms is not None else None,
+        "end": None,
+        "duration": kw.get("duration"),
+        "at": str(at_ms) if at_ms is not None else None,
+        "billable": kw.get("billable"),
+        "is_locked": kw.get("is_locked"),
+        "description": kw.get("description", "d"),
+        "source": "api",
+        "approval_id": kw.get("approval_id"),
+        "task_url": "http://x",
+        "task": kw.get(
+            "task",
+            {
+                "id": "t1",
+                "name": "Task One",
+                "custom_type": None,
+                "custom_id": None,
+                "status": {
+                    "status": "open",
+                    "color": "#fff",
+                    "type": "open",
+                    "orderindex": kw.get("orderindex", "3"),
+                },
+            },
+        ),
+        "user": kw.get(
+            "user",
+            {
+                "id": "u1",
+                "username": "ada",
+                "email": kw.get("email", "ada@example.com"),
+                "color": "#123",
+                "initials": "AL",
+                "profilePicture": None,
+            },
+        ),
+        "task_location": {"list_id": "l1", "folder_id": "f1", "space_id": "s1"},
+    }
+    return base
+
+
+@pytest.fixture(scope="module")
+def raw_fixture_path(tmp_path_factory):
+    """NDJSON fixture with the FIXTURES.md §A1 edge rows."""
+    p = tmp_path_factory.mktemp("fixtures") / "raw_entries.json"
+    # 2024-03-31 is the Europe/Oslo spring-forward (CET→CEST) date
+    rows = [
+        # plain row; 2h duration
+        _entry("e1", start_ms=1700000000000, at_ms=1700000100000,
+               duration="7200000", billable="true", is_locked="0"),
+        # UTC 23:30 → Oslo next day (UTC+1 in winter)
+        _entry("e2", start_ms=1706311800000, at_ms=1706311800000),  # 2024-01-26T23:30Z
+        # DST spring-forward morning: 2024-03-31T00:30Z = 01:30 CET... +1h → 02:30? (gap)
+        _entry("e3", start_ms=1711845000000, at_ms=1711845000000),  # 2024-03-31T00:30Z
+        # just after spring-forward: 2024-03-31T01:30Z → CEST (+2) 03:30
+        _entry("e4", start_ms=1711848600000, at_ms=1711848600000),
+        # duplicate id: e5 has newer at...
+        _entry("e5", start_ms=1700000000000, at_ms=1700005000000, duration="60000"),
+        _entry("e5", start_ms=1700000000000, at_ms=1700009000000, duration="120000"),
+        # duplicate id where one copy has NULL at → null wins (FIXTURES.md A1 edge 1)
+        _entry("e6", start_ms=1700000000000, at_ms=1700009000000, duration="1"),
+        _entry("e6", start_ms=1700000000000, at_ms=None, duration="2"),
+        # unparseable numerics + empty email → nulls, not failures
+        _entry("e7", start_ms=None, at_ms=None, duration="not-a-number",
+               email="", orderindex="junk", billable="maybe"),
+        # start == 0 → null timestamp (the `ms > 0` guard)
+        _entry("e8", start_ms=0, at_ms=1700000000000, duration="0"),
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def flat(spark, raw_fixture_path):
+    raw = read_raw_time_entries(spark, raw_fixture_path)
+    return transform_time_entries(raw)
+
+
+def test_flat_schema_matches_fact(flat):
+    assert [f.name for f in flat.schema.fields] == [
+        f.name for f in FACT_TIME_ENTRIES_SCHEMA.fields
+    ]
+    got = {f.name: f.dataType.simpleString() for f in flat.schema.fields}
+    want = {
+        f.name: f.dataType.simpleString() for f in FACT_TIME_ENTRIES_SCHEMA.fields
+    }
+    assert got == want
+
+
+def test_transform_values(flat):
+    rows = {r["id"]: r for r in flat.collect()}
+    e1 = rows["e1"]
+    assert e1["duration_hours"] == 2.0
+    assert e1["billable"] is True
+    assert e1["is_locked"] is False
+    assert e1["task_status_orderindex"] == 3
+    assert e1["user_email_sha256"] is not None and len(e1["user_email_sha256"]) == 64
+    # e7: all-garbage row survives with nulls (per-row tolerance P3)
+    e7 = rows["e7"]
+    assert e7["start_utc"] is None
+    assert e7["duration_ms"] is None
+    assert e7["duration_hours"] == 0.0  # falsy → 0.0, not null
+    assert e7["user_email_sha256"] is None  # empty email → null hash
+    assert e7["task_status_orderindex"] is None
+    assert e7["billable"] is False
+    # e8: epoch 0 → null start (the ms > 0 guard)
+    assert rows["e8"]["start_utc"] is None
+    assert rows["e8"]["start_date_oslo"] is None
+
+
+def test_oslo_dates_dst(flat):
+    rows = {r["id"]: r for r in flat.collect()}
+    # winter: UTC 2024-01-26 23:30 → Oslo (CET, +1) 2024-01-27
+    assert rows["e2"]["start_date_oslo"] == dt.date(2024, 1, 27)
+    # spring-forward day, both sides of the 02:00 CET gap stay 2024-03-31
+    assert rows["e3"]["start_date_oslo"] == dt.date(2024, 3, 31)
+    assert rows["e4"]["start_date_oslo"] == dt.date(2024, 3, 31)
+
+
+def test_dedupe_null_wins(flat):
+    deduped = dedupe_latest(flat, key="id", ts="at")
+    rows = {r["id"]: r for r in deduped.collect()}
+    assert len(rows) == flat.select("id").distinct().count()
+    # e5: larger `at` wins
+    assert rows["e5"]["duration_ms"] == 120000
+    # e6: the null-at copy wins (pandas keep='last', na_position='last')
+    assert rows["e6"]["at"] is None
+    assert rows["e6"]["duration_ms"] == 2
+
+
+def test_split_explode_empty_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", "x, y ,,z"), ("b", ""), ("c", None), ("d", " , ")],
+        ["k", "csv"],
+    )
+    out = split_explode_with_empty(df, "csv", "item")
+    got = sorted((r["k"], r["item"]) for r in out.collect())
+    # a fans out to 3 trimmed tokens; b/c/d each emit exactly one ''-row
+    assert got == [
+        ("a", "x"), ("a", "y"), ("a", "z"),
+        ("b", ""), ("c", ""), ("d", ""),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Merge invariants (SURVEY §4.3 + BUG_FIX_SUMMARY.md regression, automated)
+# ---------------------------------------------------------------------------
+
+
+def _fact_staging(spark):
+    mk = lambda i, d, v: (f"id{i}", dt.date(2024, d[0], d[1]), float(v))
+    fact = spark.createDataFrame(
+        [
+            mk(1, (1, 10), 1),   # outside window, untouched
+            mk(2, (6, 1), 1),    # inside window, also in staging → updated
+            mk(3, (6, 2), 1),    # inside window, NOT in staging → deleted
+            mk(4, (1, 11), 1),   # outside window, id also in staging-window? no
+        ],
+        ["id", "start_date_oslo", "v"],
+    )
+    staging = spark.createDataFrame(
+        [
+            mk(2, (6, 1), 2),    # update
+            mk(5, (6, 3), 9),    # insert (new in window)
+            mk(6, (1, 12), 9),   # outside window → ignored by refresh
+        ],
+        ["id", "start_date_oslo", "v"],
+    )
+    return fact, staging
+
+
+def _window_pred():
+    return F.col("start_date_oslo").between(
+        F.lit(dt.date(2024, 5, 1)), F.lit(dt.date(2024, 6, 30))
+    )
+
+
+def test_merge_refresh_case_analysis(spark):
+    fact, staging = _fact_staging(spark)
+    out = merge_refresh(fact, staging, _window_pred(), key="id")
+    got = {(r["id"], float(r["v"])) for r in out.collect()}
+    assert got == {
+        ("id1", 1.0),  # history preserved (the BUG_FIX regression)
+        ("id4", 1.0),
+        ("id2", 2.0),  # updated
+        ("id5", 9.0),  # inserted
+        # id3 deleted; id6 (staging outside window) not applied
+    }
+
+
+def test_merge_refresh_idempotent(spark):
+    fact, staging = _fact_staging(spark)
+    once = merge_refresh(fact, staging, _window_pred(), key="id")
+    twice = merge_refresh(once, staging, _window_pred(), key="id")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_full_reindex_is_staging(spark):
+    fact, staging = _fact_staging(spark)
+    out = merge_full_reindex(fact, staging)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, staging.collect())
+    )
+
+
+def test_merge_full_reindex_schema_guard(spark):
+    fact, staging = _fact_staging(spark)
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_full_reindex(fact, staging.drop("v"))

@@ -1,0 +1,350 @@
+"""End-to-end sync pipelines on ClickUp-shaped fixtures: dim builders,
+refresh/full_reindex against a parquet fact table, CSV backup, sources
+(chunks/pagination/retry), and the streaming refresh."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.operators.hierarchy import (
+    build_dim_accounts,
+    build_dim_apps,
+    build_dim_lists,
+    build_dim_tasks,
+)
+from hours_api_clickup_spark.pipelines import (
+    health,
+    sync_full_reindex,
+    sync_refresh,
+)
+from hours_api_clickup_spark.schemas import (
+    DIM_ACCOUNTS_SCHEMA,
+    DIM_APPS_SCHEMA,
+    DIM_LISTS_SCHEMA,
+    DIM_TASKS_SCHEMA,
+    RAW_TASK_SCHEMA,
+)
+from hours_api_clickup_spark.sources.chunks import window_chunks
+from hours_api_clickup_spark.sources.pagination import (
+    PagePolicy,
+    collect_all_pages,
+)
+from hours_api_clickup_spark.sources.readers import (
+    read_raw_tasks,
+    read_raw_time_entries,
+)
+from hours_api_clickup_spark.sources.rest import (
+    RetryableHTTPError,
+    RetryPolicy,
+    fetch_with_retry,
+)
+from tests.test_domain_semantics import _entry
+
+
+def _task(tid, **kw):
+    return {
+        "id": tid,
+        "name": kw.get("name", f"Task {tid}"),
+        "status": {"status": kw.get("status", "open"), "type": kw.get("type", "open")},
+        "time_estimate": kw.get("time_estimate"),
+        "url": f"http://t/{tid}",
+        "archived": kw.get("archived", False),
+        "custom_item_id": kw.get("custom_item_id", 0),
+        "custom_fields": kw.get("custom_fields", []),
+        "assignees": kw.get("assignees", []),
+        "date_created": kw.get("date_created", "1700000000000"),
+        "list_id": kw.get("list_id", "l1"),
+        "list_name": "List One",
+        "folder_id": kw.get("folder_id"),
+        "folder_name": kw.get("folder_name"),
+        "space_id": "s1",
+        "space_name": "Space",
+    }
+
+
+@pytest.fixture(scope="module")
+def raw_tasks(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("fix") / "tasks.json"
+    rows = [
+        _task("t1", time_estimate=9000000, type="closed", status="done"),
+        _task("t2", folder_id="f1", folder_name="Folder", archived=True),
+        # an app task with linked accounts + arr + maintenance checkbox
+        _task(
+            "t3",
+            custom_item_id=1005,
+            custom_fields=[
+                {"id": "arr", "value": "1200.5"},
+                {"id": "maintenance", "value": "true"},
+                {
+                    "id": "linked_accounts",
+                    "value_links": [{"id": "a1"}, {"id": "a2"}],
+                },
+            ],
+        ),
+        # an account task with connected lists CSV + discount + assignees
+        _task(
+            "t4",
+            custom_item_id=1001,
+            custom_fields=[
+                {"id": "connected_lists", "value": "l1, l2 ,"},
+                {"id": "hours_discount", "value": "oops"},
+                {"id": "arr", "value": "77"},
+            ],
+            assignees=[{"username": "ada"}, {"username": "bob"}],
+        ),
+        # account with NO connected lists → exactly one ''-row
+        _task("t5", custom_item_id=1001),
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return read_raw_tasks(spark, str(p))
+
+
+def test_dim_lists(raw_tasks):
+    dim = build_dim_lists(
+        raw_tasks.select(
+            "space_id", "space_name", "folder_id", "folder_name", "list_id", "list_name"
+        ).distinct()
+    )
+    assert [f.name for f in dim.schema.fields] == [
+        f.name for f in DIM_LISTS_SCHEMA.fields
+    ]
+    rows = dim.collect()
+    assert all(r["folder_id"] is not None for r in rows)  # '' not null
+
+
+def test_dim_tasks(raw_tasks):
+    dim = build_dim_tasks(raw_tasks)
+    assert [f.name for f in dim.schema.fields] == [
+        f.name for f in DIM_TASKS_SCHEMA.fields
+    ]
+    rows = {r["task_id"]: r for r in dim.collect()}
+    assert rows["t1"]["time_estimate_hrs"] == 2.5
+    assert rows["t1"]["closed"] is True
+    assert rows["t2"]["archived"] is True
+    assert rows["t2"]["folder_id"] == "f1"
+    assert rows["t3"]["time_estimate_hrs"] is None
+    assert rows["t3"]["folder_id"] == ""  # blank backfill
+
+
+def test_dim_accounts_bridge(raw_tasks):
+    accounts = raw_tasks.filter(F.col("custom_item_id") == 1001)
+    dim = build_dim_accounts(accounts)
+    assert [f.name for f in dim.schema.fields] == [
+        f.name for f in DIM_ACCOUNTS_SCHEMA.fields
+    ]
+    rows = dim.collect()
+    t4 = sorted(r["connected_list_id"] for r in rows if r["account_task_id"] == "t4")
+    assert t4 == ["l1", "l2"]  # trimmed, empty-dropped fan-out
+    t5 = [r for r in rows if r["account_task_id"] == "t5"]
+    assert len(t5) == 1 and t5[0]["connected_list_id"] == ""  # ''-row
+    any4 = next(r for r in rows if r["account_task_id"] == "t4")
+    assert any4["hours_discount"] == 0.0  # 'oops' → default 0.0
+    assert any4["arr"] == 77.0
+    assert any4["assignees"] == "ada, bob"
+
+
+def test_dim_apps(raw_tasks):
+    dim = build_dim_apps(raw_tasks)
+    assert [f.name for f in dim.schema.fields] == [
+        f.name for f in DIM_APPS_SCHEMA.fields
+    ]
+    rows = dim.collect()
+    assert len(rows) == 1  # only custom_item_id == 1005
+    app = rows[0]
+    assert app["task_id"] == "t3"
+    assert app["account_task_ids"] == "a1, a2"
+    assert app["arr"] == 1200.5
+    assert app["maintenance"] is True
+
+
+# ---------------------------------------------------------------------------
+# Sync pipelines end-to-end on a parquet fact table
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def entries_path(tmp_path):
+    def write(rows, name):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return str(p)
+
+    return write
+
+
+def test_refresh_then_full_reindex(spark, tmp_path, entries_path):
+    fact_path = str(tmp_path / "fact")
+    today = dt.date(2023, 11, 20)
+    # initial full backfill: 3 entries across history
+    t0 = 1700000000000  # 2023-11-14T22:13Z → Oslo 2023-11-14 23:13
+    old = 1690000000000  # 2023-07-22 (outside a 60-day refresh window)
+    p1 = entries_path(
+        [
+            _entry("a", start_ms=old, at_ms=old),
+            _entry("b", start_ms=t0, at_ms=t0),
+            _entry("c", start_ms=t0, at_ms=t0),
+        ],
+        "backfill.json",
+    )
+    r1 = sync_full_reindex(spark, read_raw_time_entries(spark, p1), fact_path)
+    assert r1.rows == 3
+
+    # refresh: 'b' edited, 'c' gone (deleted in window), 'd' new;
+    # 'a' is outside the window and must survive untouched
+    p2 = entries_path(
+        [
+            _entry("b", start_ms=t0, at_ms=t0 + 500, duration="3600000"),
+            _entry("d", start_ms=t0 + 1000, at_ms=t0 + 1000),
+        ],
+        "refresh.json",
+    )
+    r2 = sync_refresh(
+        spark,
+        read_raw_time_entries(spark, p2),
+        fact_path,
+        today_oslo=today,
+        days=60,
+    )
+    assert r2.rows == 3  # a (history) + b (updated) + d (new)
+    fact = spark.read.parquet(fact_path)
+    rows = {r["id"]: r for r in fact.collect()}
+    assert set(rows) == {"a", "b", "d"}
+    assert rows["b"]["duration_hours"] == 1.0
+
+
+def test_csv_backup_written(spark, tmp_path, entries_path):
+    p = entries_path([_entry("x", start_ms=1700000000000, at_ms=1)], "one.json")
+    backup = str(tmp_path / "backup_csv")
+    sync_full_reindex(
+        spark,
+        read_raw_time_entries(spark, p),
+        str(tmp_path / "fact2"),
+        backup_path=backup,
+    )
+    files = glob.glob(f"{backup}/*.csv")
+    assert len(files) == 1  # single headered file
+    with open(files[0]) as f:
+        header = f.readline()
+    assert header.startswith("id,")
+
+
+def test_health(spark):
+    h = health(spark)
+    assert h["status"] == "healthy" and h["spark_version"]
+
+
+# ---------------------------------------------------------------------------
+# Sources: chunk planner, pagination policies, retry
+# ---------------------------------------------------------------------------
+
+
+def test_window_chunks(spark):
+    chunks = window_chunks(
+        spark,
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 3, 5),
+        chunk_days=30,
+    ).collect()
+    assert len(chunks) == 3
+    assert chunks[0]["chunk_start"] == dt.datetime(2024, 1, 1)
+    assert chunks[-1]["chunk_end"] == dt.datetime(2024, 3, 5)  # short tail
+    # contiguous, non-overlapping
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["chunk_end"] == b["chunk_start"]
+
+
+def test_pagination_policies():
+    pages = {0: list(range(100)), 1: list(range(100)), 2: list(range(40)), 3: []}
+    fetch = lambda i: pages.get(i, [])
+    assert len(collect_all_pages(fetch, PagePolicy.EMPTY_PAGE)) == 240
+    # SHORT_PAGE stops after the 40-row page without probing page 3
+    calls = []
+
+    def fetch_counting(i):
+        calls.append(i)
+        return pages.get(i, [])
+
+    assert len(collect_all_pages(fetch_counting, PagePolicy.SHORT_PAGE)) == 240
+    assert calls == [0, 1, 2]
+
+
+def test_retry_backoff():
+    sleeps = []
+    policy = RetryPolicy(max_retries=3, sleep=sleeps.append)
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RetryableHTTPError(429)
+        return {"ok": True}
+
+    assert fetch_with_retry(flaky, policy) == {"ok": True}
+    assert sleeps == [1.0, 2.0]  # 2^0, 2^1
+
+    def always_404():
+        raise RetryableHTTPError(404)
+
+    with pytest.raises(RetryableHTTPError):
+        fetch_with_retry(always_404, policy)  # non-retryable → immediate
+
+
+# ---------------------------------------------------------------------------
+# Streaming refresh
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_refresh(spark, tmp_path, entries_path):
+    from hours_api_clickup_spark.streaming.refresh import streaming_refresh
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    fact_path = str(tmp_path / "stream_fact")
+    t0 = 1700000000000
+    with open(src / "batch1.json", "w") as f:
+        for r in [
+            _entry("s1", start_ms=t0, at_ms=t0),
+            _entry("s2", start_ms=t0, at_ms=t0),
+        ]:
+            f.write(json.dumps(r) + "\n")
+
+    q = streaming_refresh(
+        spark,
+        str(src),
+        fact_path,
+        str(tmp_path / "ckpt"),
+        today_oslo=dt.date(2023, 11, 20),
+        days=60,
+    )
+    q.awaitTermination(120)
+    ids = {r["id"] for r in spark.read.parquet(fact_path).collect()}
+    assert ids == {"s1", "s2"}
+
+    # late file: s2 edited + s3 arrives; restart stream (availableNow)
+    with open(src / "batch2.json", "w") as f:
+        for r in [
+            _entry("s2", start_ms=t0, at_ms=t0 + 99, duration="3600000"),
+            _entry("s3", start_ms=t0 + 5, at_ms=t0 + 5),
+        ]:
+            f.write(json.dumps(r) + "\n")
+    q2 = streaming_refresh(
+        spark,
+        str(src),
+        fact_path,
+        str(tmp_path / "ckpt"),
+        today_oslo=dt.date(2023, 11, 20),
+        days=60,
+    )
+    q2.awaitTermination(120)
+    rows = {r["id"]: r for r in spark.read.parquet(fact_path).collect()}
+    assert set(rows) == {"s1", "s2", "s3"}
+    assert rows["s2"]["duration_hours"] == 1.0
