@@ -1,0 +1,77 @@
+"""CLI parity with the reference (§2.13).
+
+Mirrors ``fetch_clickup_data.py:1679-1719``:
+    --mode refresh|full_reindex --days N
+plus the dimension snapshot modes that the reference exposes as HTTP
+endpoints (lists/tasks/accounts/apps). Input is a raw-entry/task NDJSON
+path (the REST fetch feeds the same readers in production).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hours_api_clickup_spark")
+    p.add_argument(
+        "--mode",
+        required=True,
+        choices=["refresh", "full_reindex", "lists", "tasks", "accounts", "apps"],
+    )
+    p.add_argument("--days", type=int, default=60)
+    p.add_argument("--entries", help="raw time-entry NDJSON path")
+    p.add_argument("--tasks", help="raw task NDJSON path")
+    p.add_argument("--fact", help="fact table path", default="./fact_time_entries")
+    p.add_argument("--out", help="dim table output path")
+    p.add_argument("--backup", help="CSV backup path")
+    p.add_argument(
+        "--today-oslo",
+        help="civil date anchor (YYYY-MM-DD); defaults to today in Europe/Oslo",
+    )
+    args = p.parse_args(argv)
+
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.session import get_spark
+    from hours_api_clickup_spark.sources.readers import (
+        read_raw_tasks,
+        read_raw_time_entries,
+    )
+
+    spark = get_spark(app_name=f"sync-{args.mode}")
+    try:
+        if args.mode in ("refresh", "full_reindex"):
+            if not args.entries:
+                p.error("--entries is required for refresh/full_reindex")
+            raw = read_raw_time_entries(spark, args.entries)
+            if args.mode == "refresh":
+                today = (
+                    dt.date.fromisoformat(args.today_oslo)
+                    if args.today_oslo
+                    else dt.datetime.now(dt.timezone.utc).astimezone().date()
+                )
+                res = pipelines.sync_refresh(
+                    spark, raw, args.fact, today, args.days, args.backup
+                )
+            else:
+                res = pipelines.sync_full_reindex(
+                    spark, raw, args.fact, args.backup
+                )
+        else:
+            if not args.tasks:
+                p.error("--tasks is required for dimension syncs")
+            raw = read_raw_tasks(spark, args.tasks)
+            out = args.out or f"./dim_{args.mode}"
+            sync = getattr(pipelines, f"sync_{args.mode}")
+            res = sync(raw, out, args.backup)
+        print(json.dumps({"table": res.table, "rows": res.rows, "mode": res.mode}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

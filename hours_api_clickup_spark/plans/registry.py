@@ -1018,3 +1018,77 @@ def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Scan chunk planning (S2) and custom-field map probing (P17) as queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_chunk_plan",
+    """
+    SELECT CAST(i AS BIGINT) AS chunk_id,
+           TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 30 DAY) AS chunk_start,
+           least(TIMESTAMP '2024-01-01 00:00:00' + (i + 1) * (INTERVAL 30 DAY),
+                 TIMESTAMP '2024-12-15 06:30:00') AS chunk_end
+    FROM generate_series(0, 11) t(i)
+    """,
+    survey_ids="S1,S2",
+    doc="30-day scan-window chunk plan as data (fetch_clickup_data.py:"
+    "124-147): chunk bounds become a DataFrame that a REST source fans "
+    "out across executors; the short tail chunk is clamped to the range "
+    "end.",
+)
+def q_scan_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from hours_api_clickup_spark.sources.chunks import window_chunks
+
+    return window_chunks(
+        spark,
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 12, 15, 6, 30),
+        chunk_days=30,
+    )
+
+
+@register(
+    "custom_field_probe",
+    """
+    WITH base AS (
+        SELECT p_partkey,
+               [{'id': 'arr', 'value': CAST(p_retailprice AS VARCHAR)},
+                {'id': 'size', 'value': CAST(p_size AS VARCHAR)},
+                {'id': 'brand', 'value': p_brand}] AS custom_fields
+        FROM part
+    )
+    SELECT p_partkey,
+           list_filter(custom_fields, f -> f.id = 'arr')[1].value AS arr_raw,
+           TRY_CAST(list_filter(custom_fields, f -> f.id = 'arr')[1].value AS DOUBLE) AS arr,
+           list_filter(custom_fields, f -> f.id = 'brand')[1].value AS brand,
+           list_filter(custom_fields, f -> f.id = 'missing')[1].value AS absent
+    FROM base
+    """,
+    survey_ids="P10,P17",
+    doc="Custom-field array → map → probe-by-id (fetch_clickup_data.py:"
+    "546-549): map_from_entries + key lookup, null for absent ids, with "
+    "the safe-float parse on top. Array synthesized from part columns.",
+)
+def q_custom_field_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.functions.casts import safe_float
+
+    part = load_table(spark, sf_dir, "part")
+    cf = F.array(
+        F.struct(F.lit("arr").alias("id"), F.col("p_retailprice").cast("string").alias("value")),
+        F.struct(F.lit("size").alias("id"), F.col("p_size").cast("string").alias("value")),
+        F.struct(F.lit("brand").alias("id"), F.col("p_brand").alias("value")),
+    )
+    m = F.map_from_entries(cf)
+    return part.select(
+        "p_partkey",
+        m["arr"].alias("arr_raw"),
+        safe_float(m["arr"]).alias("arr"),
+        m["brand"].alias("brand"),
+        m["missing"].alias("absent"),
+    )

@@ -1,0 +1,83 @@
+"""Physical-plan regression gates: the plans that make these queries
+scale must not silently regress. Checks explain output for broadcast
+joins on dims, filter pushdown to the parquet scan, column pruning,
+partial (map-side) aggregation, and whole-stage codegen."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from hours_api_clickup_spark.plans.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str, mode: str = "simple") -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        if mode == "simple":
+            df.explain()
+        else:
+            df.explain(mode)
+    return buf.getvalue()
+
+
+def test_join_revenue_broadcasts_dim(spark):
+    plan = _plan(spark, "join_revenue_by_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hierarchy_flatten_all_broadcast(spark):
+    plan = _plan(spark, "hierarchy_flatten")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_filter_pushdown(spark):
+    plan = _plan(spark, "pricing_summary_q1", "formatted")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_flagship_column_pruning(spark):
+    plan = _plan(spark, "flagship_hours_by_user_day", "formatted")
+    # scan must read only the needed columns, not props/event_type
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in read_schema and "event_type" not in read_schema
+    assert "user_id" in read_schema and "value" in read_schema
+
+
+def test_flagship_partial_aggregation(spark):
+    plan = _plan(spark, "flagship_hours_by_user_day")
+    # two HashAggregates (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_dedupe_single_shuffle(spark):
+    plan = _plan(spark, "dedupe_keep_latest")
+    # one hash exchange on the key; no global sort (rangepartitioning)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_merge_refresh_no_cartesian(spark):
+    plan = _plan(spark, "merge_refresh_window")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transform_whole_stage_codegen(spark):
+    # codegen stages show as `*(n)` operator prefixes in simple mode
+    plan = _plan(spark, "transform_projection")
+    assert "*(1)" in plan, plan
+
+
+def test_knn_topk_no_global_sort_shuffle(spark):
+    plan = _plan(spark, "knn_brute_force")
+    # TakeOrderedAndProject = per-partition heap + driver merge,
+    # not a rangepartitioning sort shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
