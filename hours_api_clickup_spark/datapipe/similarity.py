@@ -96,35 +96,31 @@ def brute_force_topk(
     return scored.orderBy(F.col("score").desc(), F.col("nbr_id").asc()).limit(k)
 
 
-def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
-    """sign(Σ_d vec[d] · h(table, plane, d)) with h ∈ {−1, +1} derived from
-    xxhash64 — a deterministic pseudo-random hyperplane with no stored
-    model, reproducible on every executor from plan literals."""
-    proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, d: x.cast("double")
-            * F.when(
-                F.xxhash64(F.lit(table), F.lit(plane), d).bitwiseAND(F.lit(1)) == 1,
-                1.0,
-            ).otherwise(-1.0),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+def hyperplanes(dim: int, planes: int = DEFAULT_PLANES, tables: int = DEFAULT_TABLES) -> np.ndarray:
+    """Deterministic ±1 hyperplanes, shape (tables, planes, dim).
 
-
-def lsh_signature(vec: Column, table: int, planes: int = DEFAULT_PLANES) -> Column:
-    """``planes``-bit random-hyperplane signature for one table."""
-    bits = [
-        F.shiftleft(_hyperplane_sign(vec, table, p), p) for p in range(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
+    Seeded per (table, plane) so the matrix is identical on the driver
+    (query signatures) and every executor (corpus signatures) with no
+    stored model — the broadcast constant is ~tables·planes·dim bytes.
+    """
+    out = np.empty((tables, planes, dim), dtype=np.float64)
+    for t in range(tables):
+        for p in range(planes):
+            rs = np.random.RandomState(seed=1_000_003 * t + 7919 * p + 17)
+            out[t, p] = rs.choice([-1.0, 1.0], size=dim)
     return out
+
+
+def signature_of(vec, planes_mat: np.ndarray) -> list[int]:
+    """Signatures of one vector for every table — pure numpy, used
+    driver-side for query vectors (no Spark job)."""
+    v = np.asarray(vec, dtype=np.float64)
+    sigs = []
+    weights = 1 << np.arange(planes_mat.shape[1])
+    for t in range(planes_mat.shape[0]):
+        bits = (planes_mat[t] @ v) >= 0
+        sigs.append(int((bits * weights).sum()))
+    return sigs
 
 
 def add_lsh_signatures(
@@ -133,49 +129,45 @@ def add_lsh_signatures(
     id_col: str,
     planes: int = DEFAULT_PLANES,
     tables: int = DEFAULT_TABLES,
+    dim: int | None = None,
 ) -> DataFrame:
     """Append one signature column per table (sig_0 .. sig_{T-1}).
 
-    Bulk path: posexplode the vector → tables·planes conditional-sum
-    aggregates (whole-stage codegen, map-side partial agg) → recombine
-    bits → join back by id. The per-row lambda form (lsh_signature) is
-    kept for single-vector use; it runs interpreted and is ~10× slower
-    in bulk. At 100 TB, persist signatures with the corpus (computed
-    once at ingest) and bucket/partition the table by sig_0.
+    One Arrow-batched mapInPandas pass: signature bits for a whole batch
+    are a single GEMM against the deterministic hyperplane tensor
+    (executors rebuild it from seeds — nothing is shipped). At 100 TB,
+    persist signatures with the corpus (computed once at ingest) and
+    bucket/partition the table by sig_0 so queries become point lookups.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from hours_api_clickup_spark.datapipe.dedup import spread
 
-    src = spread(df)
-    dims = src.select(
-        _c(id_col).alias("__did"),
-        F.posexplode(_c(vec_col)).alias("d", "x"),
+    if dim is None:
+        probe = df.select(F.size(_c(vec_col)).alias("d")).head()
+        dim = int(probe["d"])
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"sig_{t}", LongType()) for t in range(tables)]
     )
-    aggs = []
-    for t in range(tables):
-        for p in range(planes):
-            sign = F.when(
-                F.xxhash64(F.lit(t), F.lit(p), F.col("d")).bitwiseAND(F.lit(1))
-                == 1,
-                1.0,
-            ).otherwise(-1.0)
-            aggs.append(
-                F.sum(F.col("x").cast("double") * sign).alias(f"s_{t}_{p}")
+    n_planes, n_tables, vdim = planes, tables, dim
+
+    def sign_batches(batches):
+        pl = hyperplanes(vdim, n_planes, n_tables)
+        weights = 1 << np.arange(n_planes)
+        vc = None
+        for pdf in batches:
+            if vc is None:
+                vc = vec_col
+            m = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vc].values]
             )
-    sums = dims.groupBy("__did").agg(*aggs)
-    sig_cols = []
-    for t in range(tables):
-        sig = F.lit(0).cast("long")
-        for p in range(planes):
-            bit = (
-                F.when(F.col(f"s_{t}_{p}") >= 0, F.lit(1).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            sig = sig.bitwiseOR(F.shiftleft(bit, p))
-        sig_cols.append(sig.alias(f"sig_{t}"))
-    sigs = sums.select("__did", *sig_cols)
-    return src.join(
-        sigs, _c(id_col) == F.col("__did"), "left"
-    ).drop("__did")
+            for t in range(n_tables):
+                bits = (m @ pl[t].T) >= 0  # (n, planes)
+                pdf[f"sig_{t}"] = (bits * weights).sum(axis=1).astype("int64")
+            yield pdf
+
+    return spread(df).mapInPandas(sign_batches, schema=out_schema)
 
 
 def lsh_bucketed_topk(
@@ -199,26 +191,17 @@ def lsh_bucketed_topk(
     handful of point lookups, not a scan. The popcount filter below is
     the same predicate in scan form.
     """
-    sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    q_sig_rows = (
-        sigs.sparkSession.range(1)
-        .select(
-            *[
-                lsh_signature(q, t, planes).alias(f"qsig_{t}")
-                for t in range(tables)
-            ]
-        )
-        .collect()[0]
-    )
+    dim = len(query_vec)
+    sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables, dim=dim)
+    q_sigs = signature_of(query_vec, hyperplanes(dim, planes, tables))
     cond = F.lit(False)
     for t in range(tables):
-        qsig = int(q_sig_rows[f"qsig_{t}"])
         cond = cond | (
-            F.bit_count(F.col(f"sig_{t}").bitwiseXOR(F.lit(qsig)))
+            F.bit_count(F.col(f"sig_{t}").bitwiseXOR(F.lit(q_sigs[t])))
             <= probe_radius
         )
     cand = sigs.filter(cond)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         _c(id_col).alias("nbr_id"),
         cosine_sim(_c(vec_col), q).alias("score"),

@@ -44,3 +44,22 @@ def write_fact_partitioned(
         .partitionBy("month")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table for co-located joins/aggregations.
+
+    Two tables bucketed by the same key and count join with ZERO
+    exchanges — at 100 TB this turns the fact↔staging merge anti-join
+    and repeated fact↔dim joins into shuffle-free map-side joins.
+    Bucketing requires the session catalog (saveAsTable)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
