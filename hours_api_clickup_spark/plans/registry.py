@@ -1092,3 +1092,160 @@ def q_custom_field_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["brand"].alias("brand"),
         m["missing"].alias("absent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics, sessionization, as-of join, rollup — the analytical
+# surface beyond the reference's doc-SQL, still oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_analytics",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id)
+                AS BIGINT) AS value_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    survey_ids="§2.7",
+    doc="Ranking + analytic + frame-spec windows (lag, running decimal "
+    "sum, row_number, rank) sharing one key partitioning — a single "
+    "shuffle serves all four.",
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rank = Window.partitionBy("user_id").orderBy(
+        _dec("value", "decimal(18,2)").desc(), F.col("event_id")
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(_dec("value", "decimal(18,2)")).over(w_run).cast("double").alias(
+            "running_total"
+        ),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.rank().over(w_rank).cast("long").alias("value_rank"),
+    )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 30 * 60 * 1000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
+    FROM g
+    """,
+    survey_ids="datapipe:sessionize",
+    doc="Gap-based sessionization (30-min inactivity): lag → flag → "
+    "running sum, both windows share one key shuffle. The batch analog "
+    "of Structured Streaming session windows.",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, "user_id", "ts", gap_minutes=30.0).select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+
+
+@register(
+    "asof_join_signup",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           s.signup_event_id, s.signup_ts
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+        FROM events WHERE event_type = 'signup'
+    ) s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+    """,
+    survey_ids="datapipe:asof-join",
+    doc="As-of join: each event → the user's latest signup at-or-before "
+    "it. Union+window trick: ONE shuffle on the key; never the O(n*m) "
+    "range theta-join.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    return as_of_join(
+        events.select("event_id", "user_id", "ts"),
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_cols=["signup_event_id", "signup_ts"],
+    )
+
+
+@register(
+    "agg_rollup_hierarchy",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    survey_ids="§2.6-rollup",
+    doc="ROLLUP grouping sets (subtotals + grand total). Spark expands "
+    "to one Expand + single aggregation — one shuffle for all levels.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "knn_ivf",
+    None,  # approximate by construction; recall vs brute force in tests/
+    survey_ids="datapipe:similarity-ivf",
+    doc="IVF ANN: coarse k-means quantizer (trained on a deterministic "
+    "sample driver-side), GEMM cluster assignment, nprobe-cluster exact "
+    "re-rank. Scale path: corpus partitioned by cluster_id → probes are "
+    "partition-pruned scans.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk(
+        emb, "embedding", "vec_id", qv, k=10, n_clusters=16, nprobe=6,
+        exclude_id=0,
+    ).select("nbr_id", "score")

@@ -119,3 +119,35 @@ def test_frame_sample_plan(spark):
     rows = frames.collect()
     assert rows, "expected some video rows"
     assert {r.frame_idx % 10 for r in rows} == {0}
+
+
+def test_knn_ivf_recall(spark):
+    from hours_api_clickup_spark.datapipe.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [
+        r.nbr_id
+        for r in brute_force_topk(
+            emb, "embedding", "vec_id", qv, k=10, exclude_id=0
+        ).collect()
+    ]
+    approx = [
+        r.nbr_id
+        for r in ivf_topk(
+            emb, "embedding", "vec_id", qv, k=10, n_clusters=16, nprobe=6,
+            exclude_id=0,
+        ).collect()
+    ]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # full probe == exact brute force
+    full = [
+        r.nbr_id
+        for r in ivf_topk(
+            emb, "embedding", "vec_id", qv, k=10, n_clusters=8, nprobe=8,
+            exclude_id=0,
+        ).collect()
+    ]
+    assert full == exact
