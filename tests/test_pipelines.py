@@ -348,3 +348,16 @@ def test_streaming_refresh(spark, tmp_path, entries_path):
     rows = {r["id"]: r for r in spark.read.parquet(fact_path).collect()}
     assert set(rows) == {"s1", "s2", "s3"}
     assert rows["s2"]["duration_hours"] == 1.0
+
+
+def test_ensure_star_schema(spark):
+    from hours_api_clickup_spark.sinks.catalog import ensure_star_schema
+
+    tables = ensure_star_schema(spark, namespace="hours_test")
+    assert len(tables) == 6
+    cols = [f.name for f in spark.table("hours_test.fact_time_entries").schema]
+    assert cols[0] == "id" and "start_date_oslo" in cols
+    # idempotent: second call leaves tables in place
+    again = ensure_star_schema(spark, namespace="hours_test")
+    assert again == tables
+    spark.table("hours_test.dim_accounts")  # resolvable
