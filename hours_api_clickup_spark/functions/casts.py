@@ -45,7 +45,10 @@ def safe_int(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     d = c.cast("string").try_cast("double")
-    return F.when(d.isNotNull() & ~F.isnan(d), d.cast("long"))
+    # try_cast, not cast: under ANSI mode a |value| ≥ 2^63 double would
+    # throw CAST_OVERFLOW; the reference's semantics degrade to null
+    # (found by hypothesis: '1e20')
+    return F.when(d.isNotNull() & ~F.isnan(d), d.try_cast("long"))
 
 
 def safe_float(col: Column | str, default: float | None = None) -> Column:

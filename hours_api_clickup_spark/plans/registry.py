@@ -1249,3 +1249,23 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", qv, k=10, n_clusters=16, nprobe=6,
         exclude_id=0,
     ).select("nbr_id", "score")
+
+
+@register(
+    "agg_approx_stats",
+    None,  # sketch outputs are algorithm-specific; tolerance-gated in tests
+    survey_ids="A5-scale,datapipe:sketches",
+    doc="The at-scale forms of the verification aggregates: HLL++ "
+    "approx_count_distinct (rsd 1%) and approx_percentile sketch — "
+    "fixed-size state per group vs O(distinct) exact state. Accuracy "
+    "gates live in tests/test_datapipe_quality.py.",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+            "value_quantiles"
+        ),
+        F.count("*").alias("n_events"),
+    )

@@ -151,3 +151,17 @@ def test_knn_ivf_recall(spark):
         ).collect()
     ]
     assert full == exact
+
+
+def test_approx_stats_accuracy(spark):
+    from hours_api_clickup_spark.plans.registry import QUERIES
+
+    row = QUERIES["agg_approx_stats"].fn(spark, SF_DIR).head()
+    events = load_table(spark, SF_DIR, "events")
+    exact_users = events.select("user_id").distinct().count()
+    assert abs(row["approx_users"] - exact_users) / exact_users < 0.05
+    q50, q95, q99 = row["value_quantiles"]
+    exact_q = events.approxQuantile("value", [0.5, 0.95, 0.99], 0.0)
+    assert abs(q50 - exact_q[0]) < 1.0
+    assert abs(q95 - exact_q[1]) < 2.0
+    assert q50 < q95 <= q99

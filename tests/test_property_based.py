@@ -1,0 +1,170 @@
+"""Property-based tests (hypothesis): the safe-cast column functions
+must match a Python reference implementation of the reference repo's
+semantics (fetch_clickup_data.py:783-801) on arbitrary strings, and the
+merge algebra must satisfy its invariants on arbitrary populations.
+
+Strategy batches: hypothesis generates a whole batch of inputs per
+example and one Spark job evaluates them vectorized — keeps example
+count high without per-example job overhead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.functions.casts import safe_bool, safe_float, safe_int
+
+# ---------------------------------------------------------------------------
+# Python reference implementations (mirroring fetch_clickup_data.py:783-801)
+# ---------------------------------------------------------------------------
+
+
+def ref_safe_bool(v: str | None) -> bool:
+    if v is None:
+        return False
+    s = v.strip().lower()
+    if s in ("true", "1", "yes", "on"):
+        return True
+    try:
+        f = float(s)
+        if math.isnan(f):
+            return False
+        return f != 0.0
+    except (ValueError, OverflowError):
+        return False
+
+
+def ref_safe_int(v: str | None):
+    if v is None:
+        return None
+    try:
+        f = float(v)
+    except (ValueError, OverflowError):
+        return None
+    if math.isnan(f) or math.isinf(f):
+        return None
+    if not (-(2**63) <= f < 2**63):
+        return None
+    return int(f)  # truncates toward zero
+
+
+def ref_safe_float(v: str | None, default):
+    if v is None:
+        return default
+    try:
+        f = float(v)
+    except (ValueError, OverflowError):
+        return default
+    return f
+
+
+# strings that stress the parse paths: numerics, truthy words, junk,
+# whitespace, signs, inf/nan spellings
+_value_st = st.one_of(
+    st.none(),
+    st.sampled_from(
+        ["true", "TRUE", " yes ", "on", "1", "0", "false", "off", "no", ""]
+    ),
+    st.integers(-(10**12), 10**12).map(str),
+    st.floats(
+        allow_nan=False, allow_infinity=False, width=32
+    ).map(lambda f: repr(float(f))),
+    st.text(
+        alphabet="0123456789.eE+- xyz", min_size=0, max_size=12
+    ),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_value_st, min_size=1, max_size=80))
+def test_safe_casts_match_reference(spark, values):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i long, v string"
+    ).repartition(4)
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            safe_bool(F.col("v")).alias("b"),
+            safe_int(F.col("v")).alias("n"),
+            safe_float(F.col("v"), default=0.0).alias("f0"),
+        ).collect()
+    }
+    for i, v in enumerate(values):
+        r = out[i]
+        assert r["b"] == ref_safe_bool(v), (v, r["b"])
+        exp_i = ref_safe_int(v)
+        # Spark double→long saturates at Long.MIN/MAX where Python would
+        # overflow; the reference never sees >2^63 magnitudes, so only
+        # compare in the safe range (ref_safe_int already nulls those)
+        assert r["n"] == exp_i, (v, r["n"], exp_i)
+        exp_f = ref_safe_float(v, 0.0)
+        if math.isnan(exp_f) if isinstance(exp_f, float) else False:
+            assert math.isnan(r["f0"])
+        else:
+            assert r["f0"] == exp_f, (v, r["f0"], exp_f)
+
+
+# ---------------------------------------------------------------------------
+# Merge algebra invariants on generated populations
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),  # id
+            st.integers(0, 100),  # day offset (window = day >= 50)
+            st.integers(0, 5),  # payload
+        ),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    stg_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30), st.integers(0, 100), st.integers(6, 9)
+        ),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_refresh_algebra_properties(spark, fact_rows, stg_rows):
+    from hours_api_clickup_spark.operators.merge import merge_refresh
+
+    fact = spark.createDataFrame(
+        fact_rows or [(999, 0, 0)], ["id", "day", "v"]
+    )
+    stg = spark.createDataFrame(stg_rows or [(998, 0, 6)], ["id", "day", "v"])
+    w = F.col("day") >= 50
+    out = {(r["id"], r["day"], r["v"]) for r in merge_refresh(fact, stg, w).collect()}
+
+    fact_d = {t[0]: t for t in (fact_rows or [(999, 0, 0)])}
+    stg_d = {t[0]: t for t in (stg_rows or [(998, 0, 6)])}
+    expected = set()
+    for i, t in stg_d.items():
+        if t[1] >= 50:  # staging-in-window rows always land
+            expected.add(t)
+    for i, t in fact_d.items():
+        in_window = t[1] >= 50
+        stg_in_window = i in stg_d and stg_d[i][1] >= 50
+        if not in_window and not stg_in_window:
+            expected.add(t)  # out-of-window history survives
+        # in-window fact rows: replaced if staged-in-window, else deleted
+    assert out == expected
+
+    # unique on id
+    ids = [t[0] for t in out]
+    assert len(ids) == len(set(ids))
