@@ -48,10 +48,15 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--entries is required for refresh/full_reindex")
             raw = read_raw_time_entries(spark, args.entries)
             if args.mode == "refresh":
+                from zoneinfo import ZoneInfo
+
+                # the Europe/Oslo date, NOT the host timezone's — a UTC
+                # host between 22:00Z and midnight is already on the
+                # next Oslo day (CURRENT_DATE('Europe/Oslo') parity)
                 today = (
                     dt.date.fromisoformat(args.today_oslo)
                     if args.today_oslo
-                    else dt.datetime.now(dt.timezone.utc).astimezone().date()
+                    else dt.datetime.now(ZoneInfo("Europe/Oslo")).date()
                 )
                 res = pipelines.sync_refresh(
                     spark, raw, args.fact, today, args.days, args.backup

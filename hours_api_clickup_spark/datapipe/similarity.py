@@ -220,6 +220,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (id_a < id_b) via blocked GEMM.
 
+    ``id_col`` must be numeric (ids are cast to long for the ordered
+    pair convention; under ANSI mode a non-numeric id fails fast at the
+    cast rather than silently nulling).
+
     A row-level self-join would ship both vectors per pair (O(n²·d)
     bytes through the shuffle) and evaluate cosine per pair in
     interpreted expressions. Instead:

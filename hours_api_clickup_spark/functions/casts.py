@@ -23,7 +23,13 @@ def safe_bool(col: Column | str) -> Column:
     strings in {'true','1','yes','on'} (case-insensitive) → True; numeric
     values → value != 0; everything else (incl. null) → False.
 
-    Accepts a string-typed column (the mixed-type wire form).
+    Accepts a string-typed column (the mixed-type wire form). Documented
+    deviation: after JSON ingestion the original type is gone, so a
+    numeric-looking string is treated as the NUMBER branch (``"2"`` →
+    True, like JSON ``2``), whereas the reference distinguishes str
+    ``"2"`` (False) from int ``2`` (True). Real payloads carry booleans
+    or 'true'/'false' words here, never digit strings, so the number
+    reading is the faithful one for unquoted JSON values.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.lower(F.trim(c.cast("string")))

@@ -25,7 +25,10 @@ def epoch_ms_to_ts(col: Column | str) -> Column:
     ``if ms and ms > 0`` guard + try/except (fetch_clickup_data.py:588-594).
     """
     c = F.col(col) if isinstance(col, str) else col
-    ms = c.cast("string").try_cast("double").cast("long")
+    # try_cast on BOTH steps: under ANSI mode a NaN/±inf/≥2^63 double
+    # would throw CAST_OVERFLOW in the long cast and kill the job; the
+    # contract is malformed-input → null
+    ms = c.cast("string").try_cast("double").try_cast("long")
     return F.when(ms > 0, F.timestamp_millis(ms))
 
 

@@ -32,14 +32,18 @@ CF_HOURS_DISCOUNT = "hours_discount"
 CF_ARR = "arr"
 CF_MAINTENANCE = "maintenance"
 CF_LINKED_ACCOUNTS = "linked_accounts"
+CF_LAST_UPDATED = "last_updated"  # fetch_clickup_data.py:728-733
 
 
 def _blank_if_null(col) -> F.Column:
     return F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
 
 
-def custom_field_map(df: DataFrame, value_col: str = "value") -> F.Column:
-    """custom_fields array → map field_id → value (P17).
+def custom_field_map(
+    value_col: str = "value", fields_col: str = "custom_fields"
+) -> F.Column:
+    """custom_fields array → map field_id → value (P17). Pure column
+    expression — binds to whatever DataFrame it is selected from.
 
     The reference builds a ``{field['id']: field}`` dict and probes known
     UUIDs (fetch_clickup_data.py:546-549). ``map_from_entries`` is the
@@ -47,7 +51,7 @@ def custom_field_map(df: DataFrame, value_col: str = "value") -> F.Column:
     """
     return F.map_from_entries(
         F.transform(
-            F.coalesce(F.col("custom_fields"), F.array()),
+            F.coalesce(F.col(fields_col), F.array()),
             lambda f: F.struct(f["id"].alias("key"), f[value_col].alias("value")),
         )
     )
@@ -115,7 +119,7 @@ def build_dim_tasks(raw_tasks: DataFrame) -> DataFrame:
 def build_dim_accounts(raw_accounts: DataFrame) -> DataFrame:
     """Accounts bridge: one row per connected list id; '' row when none
     (E1 fan-out, fetch_clickup_data.py:552-558,600-611)."""
-    cf = custom_field_map(raw_accounts)
+    cf = custom_field_map()
     base = raw_accounts.select(
         F.col("id").cast("string").alias("account_task_id"),
         F.col("name").cast("string").alias("account_name"),
@@ -143,8 +147,8 @@ def build_dim_accounts(raw_accounts: DataFrame) -> DataFrame:
 def build_dim_apps(raw_tasks: DataFrame) -> DataFrame:
     """Apps dim: team-wide scan filtered to custom_item_id == 1005, with
     linked-account ids joined to CSV text (fetch_clickup_data.py:677-776)."""
-    cf_scalar = custom_field_map(raw_tasks)
-    cf_links = custom_field_map(raw_tasks, value_col="value_links")
+    cf_scalar = custom_field_map()
+    cf_links = custom_field_map(value_col="value_links")
     return raw_tasks.filter(
         F.col("custom_item_id") == APPS_CUSTOM_ITEM_ID  # P12
     ).select(
@@ -154,7 +158,9 @@ def build_dim_apps(raw_tasks: DataFrame) -> DataFrame:
             "account_task_ids"
         ),
         safe_float(cf_scalar[CF_ARR], default=None).alias("arr"),
-        epoch_ms_to_ts("date_created").alias("last_updated"),
+        # sourced from the 'Last Updated' custom field, NOT the task's
+        # date_created (fetch_clickup_data.py:727-735)
+        epoch_ms_to_ts(cf_scalar[CF_LAST_UPDATED]).alias("last_updated"),
         F.col("status.status").cast("string").alias("status"),
         # checkbox parse: string equality with 'true' (fetch_clickup_data.py:737-740)
         F.coalesce(cf_scalar[CF_MAINTENANCE] == "true", F.lit(False)).alias(

@@ -44,7 +44,11 @@ def merge_refresh(
     kept = (
         # filter-before-anti-join: rows inside W never survive from fact,
         # so pruning them first enables partition pruning on the scan.
-        fact.filter(~window_pred)
+        # NULL window predicate (e.g. null start_date_oslo) must KEEP the
+        # row: the reference's delete branch fires only when the BETWEEN
+        # is true, and NULL BETWEEN is not true — a bare ~window_pred
+        # would silently purge null-dated history on every refresh.
+        fact.filter(~F.coalesce(window_pred, F.lit(False)))
         .join(s_w.select(key).distinct(), on=key, how="left_anti")
     )
     return s_w.unionByName(kept)

@@ -7,10 +7,11 @@ skew; these helpers cover the cases AQE can't re-plan:
   aggregates on (key, salt) — the hot key's rows spread over S
   reducers — phase 2 combines the S partials. Works for any algebraic
   aggregate (sum/count/min/max); avg = sum/count at phase 2.
-- ``salted_broadcast_left``: replicate-broadcast join for a skewed
-  probe side joining a small build side — salt is only needed when the
-  build side is too big to broadcast whole; with broadcast there is no
-  shuffle to skew, which is why the engine broadcasts dims everywhere.
+
+Skewed JOINS need no helper here: small build sides broadcast (no
+shuffle to skew — the engine broadcasts dims everywhere), and large
+skewed shuffle joins are re-planned by AQE skew-join splitting, which
+session.py enables.
 
 At 100 TB: a single ClickUp workspace/user with millions of time
 entries (or one near-duplicate document cluster) is exactly the hot-key

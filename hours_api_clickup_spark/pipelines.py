@@ -79,10 +79,7 @@ def sync_refresh(
     staging = _stage_entries(raw_entries)
     if backup_path:
         csv_backup(staging, backup_path)
-    try:
-        fact = spark.read.parquet(fact_path)
-    except Exception:  # first run: empty fact with staging schema
-        fact = staging.limit(0)
+    fact = read_fact_or_empty(spark, fact_path, staging)
     merged = merge_refresh(
         fact, staging, refresh_window_pred(today_oslo, days), key="id"
     )
@@ -100,13 +97,31 @@ def sync_full_reindex(
     staging = _stage_entries(raw_entries)
     if backup_path:
         csv_backup(staging, backup_path)
-    try:
-        fact = spark.read.parquet(fact_path)
-    except Exception:
-        fact = staging.limit(0)
+    fact = read_fact_or_empty(spark, fact_path, staging)
     merged = merge_full_reindex(fact, staging)
     rows = _overwrite_via_checkpoint(merged, fact_path)
     return SyncResult(table=fact_path, rows=rows, mode="full_reindex")
+
+
+def read_fact_or_empty(
+    spark: SparkSession, fact_path: str, staging: DataFrame
+) -> DataFrame:
+    """Read the fact table, or return an empty staging-shaped frame ONLY
+    when the path genuinely doesn't exist yet (first run).
+
+    Any other read failure (corrupt footer, permissions, storage hiccup)
+    must propagate: swallowing it would make the subsequent merge treat
+    years of history as empty and the overwrite would truncate the fact
+    table to the staging window.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(fact_path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return staging.limit(0)
+        raise
 
 
 def _overwrite_via_checkpoint(df: DataFrame, path: str) -> int:
@@ -133,7 +148,10 @@ def _snapshot_sync(
     if backup_path:
         csv_backup(dim, backup_path)
     write_table_overwrite(dim, path)
-    return SyncResult(table=path, rows=dim.count(), mode=mode)
+    # count the materialized output — re-counting `dim` would re-run the
+    # whole build (and raw scan) a second time
+    rows = dim.sparkSession.read.parquet(path).count()
+    return SyncResult(table=path, rows=rows, mode=mode)
 
 
 def sync_lists(raw_lists: DataFrame, path: str, backup_path: str | None = None):

@@ -52,15 +52,14 @@ def streaming_refresh(
     flat = transform_time_entries(raw).withWatermark("at", WATERMARK)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from hours_api_clickup_spark.pipelines import read_fact_or_empty
+
         # reject edits outside the refresh window (the reference's MERGE
         # source prefilter, fetch_clickup_data.py:1280-1282 — entries
         # outside the window are locked history)
         windowed = batch_df.filter(refresh_window_pred(today_oslo, days))
         staging = dedupe_latest(windowed, key="id", ts="at")
-        try:
-            fact = spark.read.parquet(fact_path)
-        except Exception:
-            fact = staging.limit(0)
+        fact = read_fact_or_empty(spark, fact_path, staging)
         # upsert WITHOUT the delete branch: a micro-batch is an
         # incremental slice, not a window snapshot — deletes reconcile
         # in the scheduled batch refresh (see merge_upsert docstring)

@@ -81,6 +81,12 @@ def raw_fixture_path(tmp_path_factory):
         _entry("e3", start_ms=1711845000000, at_ms=1711845000000),  # 2024-03-31T00:30Z
         # just after spring-forward: 2024-03-31T01:30Z → CEST (+2) 03:30
         _entry("e4", start_ms=1711848600000, at_ms=1711848600000),
+        # autumn fall-back 2024-10-27: 00:30Z is 02:30 CEST (before the
+        # repeated hour), 01:30Z is 02:30 CET (after) — same civil date
+        _entry("e9", start_ms=1729989000000, at_ms=1729989000000),  # 00:30Z
+        _entry("e10", start_ms=1729992600000, at_ms=1729992600000),  # 01:30Z
+        # 23:30Z on the 26th → 01:30 CEST on the 27th (crosses midnight)
+        _entry("e11", start_ms=1729985400000, at_ms=1729985400000),
         # duplicate id: e5 has newer at...
         _entry("e5", start_ms=1700000000000, at_ms=1700005000000, duration="60000"),
         _entry("e5", start_ms=1700000000000, at_ms=1700009000000, duration="120000"),
@@ -90,6 +96,9 @@ def raw_fixture_path(tmp_path_factory):
         # unparseable numerics + empty email → nulls, not failures
         _entry("e7", start_ms=None, at_ms=None, duration="not-a-number",
                email="", orderindex="junk", billable="maybe"),
+        # overflow-magnitude epoch + NaN duration: must null, not throw
+        # under ANSI mode (CAST_OVERFLOW regression)
+        _entry("e12", start_ms="1e20", at_ms=1700000000000, duration="nan"),
         # start == 0 → null timestamp (the `ms > 0` guard)
         _entry("e8", start_ms=0, at_ms=1700000000000, duration="0"),
     ]
@@ -135,6 +144,10 @@ def test_transform_values(flat):
     # e8: epoch 0 → null start (the ms > 0 guard)
     assert rows["e8"]["start_utc"] is None
     assert rows["e8"]["start_date_oslo"] is None
+    # e12: 1e20 epoch and NaN duration null out instead of CAST_OVERFLOW
+    assert rows["e12"]["start_utc"] is None
+    assert rows["e12"]["duration_ms"] is None
+    assert rows["e12"]["duration_hours"] == 0.0
 
 
 def test_oslo_dates_dst(flat):
@@ -144,6 +157,11 @@ def test_oslo_dates_dst(flat):
     # spring-forward day, both sides of the 02:00 CET gap stay 2024-03-31
     assert rows["e3"]["start_date_oslo"] == dt.date(2024, 3, 31)
     assert rows["e4"]["start_date_oslo"] == dt.date(2024, 3, 31)
+    # autumn fall-back: both instants of the repeated 02:30 → 2024-10-27
+    assert rows["e9"]["start_date_oslo"] == dt.date(2024, 10, 27)
+    assert rows["e10"]["start_date_oslo"] == dt.date(2024, 10, 27)
+    # late-evening UTC on the 26th lands on the 27th in Oslo (CEST +2)
+    assert rows["e11"]["start_date_oslo"] == dt.date(2024, 10, 27)
 
 
 def test_dedupe_null_wins(flat):
@@ -184,8 +202,9 @@ def _fact_staging(spark):
             mk(2, (6, 1), 1),    # inside window, also in staging → updated
             mk(3, (6, 2), 1),    # inside window, NOT in staging → deleted
             mk(4, (1, 11), 1),   # outside window, id also in staging-window? no
+            ("id7", None, 1.0),  # NULL date: BETWEEN is not true → kept
         ],
-        ["id", "start_date_oslo", "v"],
+        "id string, start_date_oslo date, v double",
     )
     staging = spark.createDataFrame(
         [
@@ -213,6 +232,7 @@ def test_merge_refresh_case_analysis(spark):
         ("id4", 1.0),
         ("id2", 2.0),  # updated
         ("id5", 9.0),  # inserted
+        ("id7", 1.0),  # NULL-date row survives (delete fires only on TRUE)
         # id3 deleted; id6 (staging outside window) not applied
     }
 

@@ -80,6 +80,7 @@ def raw_tasks(spark, tmp_path_factory):
             custom_fields=[
                 {"id": "arr", "value": "1200.5"},
                 {"id": "maintenance", "value": "true"},
+                {"id": "last_updated", "value": "1705000000000"},
                 {
                     "id": "linked_accounts",
                     "value_links": [{"id": "a1"}, {"id": "a2"}],
@@ -162,6 +163,9 @@ def test_dim_apps(raw_tasks):
     assert app["account_task_ids"] == "a1, a2"
     assert app["arr"] == 1200.5
     assert app["maintenance"] is True
+    # last_updated comes from the 'Last Updated' custom field, not the
+    # task's date_created (fetch_clickup_data.py:727-735)
+    assert app["last_updated"] == dt.datetime(2024, 1, 11, 19, 6, 40)
 
 
 # ---------------------------------------------------------------------------
