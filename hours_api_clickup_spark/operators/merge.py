@@ -54,6 +54,80 @@ def merge_refresh(
     return s_w.unionByName(kept)
 
 
+def merge_refresh_partitioned(
+    spark,
+    fact_path: str,
+    staging: DataFrame,
+    window_lo,
+    window_hi,
+    key: str = "id",
+    date_col: str = "start_date_oslo",
+) -> list[str]:
+    """The 100 TB form of the windowed refresh: rewrite ONLY the month
+    partitions the window touches.
+
+    The plain ``merge_refresh`` rebuilds the whole fact output — fine
+    for a correctness oracle, ruinous at scale (every 6-hour refresh
+    would rewrite years of parquet). With the fact stored partitioned by
+    ``month`` (sinks.write_fact_partitioned):
+
+      1. scan ONLY the window months (PartitionFilters prunes the rest)
+      2. apply the same §4.3 algebra inside that slice — rows in those
+         months but outside the window dates (month boundaries), or with
+         null dates, are preserved
+      3. dynamic partition overwrite rewrites just those months;
+         untouched history partitions are never read OR written
+
+    Returns the list of rewritten months. Null-dated rows never fall in
+    a window month's date range, so they live in their own
+    ``month=__HIVE_DEFAULT_PARTITION__`` partition and are untouched.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    months = []
+    cur = dt.date(window_lo.year, window_lo.month, 1)
+    while cur <= window_hi:
+        months.append(f"{cur.year:04d}-{cur.month:02d}")
+        cur = (
+            dt.date(cur.year + 1, 1, 1)
+            if cur.month == 12
+            else dt.date(cur.year, cur.month + 1, 1)
+        )
+
+    fact_slice = spark.read.parquet(fact_path).filter(
+        F2.col("month").isin(months)
+    )
+    w = F2.col(date_col).between(F2.lit(window_lo), F2.lit(window_hi))
+    s_w = staging.filter(w).withColumn(
+        "month", F2.date_format(F2.col(date_col), "yyyy-MM")
+    )
+    merged_slice = merge_refresh(
+        fact_slice, s_w.select(*fact_slice.columns), w, key=key
+    ).localCheckpoint(eager=True)
+    (
+        merged_slice.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(fact_path)
+    )
+    # dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a window month whose rows were all deleted writes nothing and the
+    # stale partition would survive — drop those explicitly
+    out_months = {
+        r["month"] for r in merged_slice.select("month").distinct().collect()
+    }
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration()
+    )
+    for m in months:
+        if m not in out_months:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{fact_path}/month={m}"), True)
+    return months
+
+
 def merge_upsert(fact: DataFrame, staging: DataFrame, key: str = "id") -> DataFrame:
     """Update-or-insert with NO delete branch: fact' = staging ∪ (fact ▷ staging).
 

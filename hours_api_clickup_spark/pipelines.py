@@ -88,6 +88,41 @@ def sync_refresh(
     return SyncResult(table=fact_path, rows=rows, mode="refresh")
 
 
+def sync_refresh_partitioned(
+    spark: SparkSession,
+    raw_entries: DataFrame,
+    fact_path: str,
+    today_oslo: dt.date,
+    days: int = DEFAULT_REFRESH_DAYS,
+    backup_path: str | None = None,
+) -> SyncResult:
+    """Windowed refresh against a month-partitioned fact table — the
+    at-scale form: only the window's month partitions are read and
+    rewritten (operators.merge.merge_refresh_partitioned); history
+    partitions are never touched."""
+    import os
+
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh_partitioned,
+    )
+    from hours_api_clickup_spark.sinks.writers import write_fact_partitioned
+
+    staging = _stage_entries(raw_entries)
+    if backup_path:
+        csv_backup(staging, backup_path)
+    lo = today_oslo - dt.timedelta(days=days)
+    if not os.path.exists(fact_path):  # first run: bootstrap the layout
+        write_fact_partitioned(
+            staging.filter(refresh_window_pred(today_oslo, days)), fact_path
+        )
+    else:
+        merge_refresh_partitioned(
+            spark, fact_path, staging, lo, today_oslo, key="id"
+        )
+    rows = spark.read.parquet(fact_path).count()
+    return SyncResult(table=fact_path, rows=rows, mode="refresh_partitioned")
+
+
 def sync_full_reindex(
     spark: SparkSession,
     raw_entries: DataFrame,

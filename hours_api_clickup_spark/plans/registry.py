@@ -1269,3 +1269,35 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "time_bucket_rollup",
+    """
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_6h,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids="datapipe:hypertable-rollup",
+    doc="Hypertable-style time-bucket rollup (6-hour buckets × type): "
+    "window-less event-time bucketing via timestamp arithmetic, one "
+    "hash shuffle. The continuous-aggregate analog of the reference's "
+    "6-hourly refresh cadence (deploy.sh:68-76).",
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket_s = 6 * 3600
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(bucket_s)))
+    )
+    return events.groupBy(
+        bucket.alias("bucket_6h"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

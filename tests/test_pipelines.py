@@ -365,3 +365,40 @@ def test_ensure_star_schema(spark):
     again = ensure_star_schema(spark, namespace="hours_test")
     assert again == tables
     spark.table("hours_test.dim_accounts")  # resolvable
+
+
+def test_sync_refresh_partitioned(spark, tmp_path, entries_path):
+    from hours_api_clickup_spark.pipelines import sync_refresh_partitioned
+
+    fact_path = str(tmp_path / "fact_part_sync")
+    today = dt.date(2023, 11, 20)
+    t0 = 1700000000000  # 2023-11-14 (in window)
+    old = 1690000000000  # 2023-07-22 (outside 60-day window)
+    p1 = entries_path(
+        [
+            _entry("h1", start_ms=old, at_ms=old),
+            _entry("w1", start_ms=t0, at_ms=t0),
+        ],
+        "boot.json",
+    )
+    # bootstrap writes only in-window entries (h1 is outside and there
+    # is no history yet to preserve)
+    r1 = sync_refresh_partitioned(
+        spark, read_raw_time_entries(spark, p1), fact_path, today
+    )
+    assert r1.rows == 1
+
+    p2 = entries_path(
+        [
+            _entry("w1", start_ms=t0, at_ms=t0 + 9, duration="3600000"),
+            _entry("w2", start_ms=t0 + 50, at_ms=t0 + 50),
+        ],
+        "next.json",
+    )
+    r2 = sync_refresh_partitioned(
+        spark, read_raw_time_entries(spark, p2), fact_path, today
+    )
+    assert r2.rows == 2
+    rows = {r["id"]: r for r in spark.read.parquet(fact_path).collect()}
+    assert set(rows) == {"w1", "w2"}
+    assert rows["w1"]["duration_hours"] == 1.0

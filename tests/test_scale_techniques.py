@@ -81,3 +81,112 @@ def test_bucketed_join_no_shuffle(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert joined.count() == li.count()
+
+
+def test_partitioned_fact_merge_prunes(spark, tmp_path):
+    """merge_refresh_partitioned must (a) scan only window-month
+    partitions (PartitionFilters), (b) rewrite only those partitions —
+    untouched history files keep their identity, (c) apply the full
+    update/insert/delete semantics inside the window, and (d) drop a
+    window month whose rows were all deleted."""
+    import datetime as dt
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh_partitioned,
+    )
+    from hours_api_clickup_spark.sinks.writers import write_fact_partitioned
+
+    # fact: one row per month of 2024 (ids id1..id12), months 11-12 in window
+    fact = spark.createDataFrame(
+        [(f"id{m}", dt.date(2024, m, 5), float(m)) for m in range(1, 13)],
+        "id string, start_date_oslo date, v double",
+    )
+    path = str(tmp_path / "fact_part")
+    write_fact_partitioned(fact, path)
+    history_files = set(glob.glob(f"{path}/month=2024-0*/**/*.parquet"))
+
+    # plan check: the fact slice scan is partition-pruned
+    pruned = spark.read.parquet(path).filter(
+        F.col("month").isin(["2024-11", "2024-12"])
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "month" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
+
+    # staging: id11 updated; id13 new (Nov); December row absent → the
+    # whole 2024-12 partition must disappear (full-month delete)
+    staging = spark.createDataFrame(
+        [
+            ("id11", dt.date(2024, 11, 10), 99.0),
+            ("id13", dt.date(2024, 11, 20), 77.0),
+        ],
+        "id string, start_date_oslo date, v double",
+    )
+    months = merge_refresh_partitioned(
+        spark,
+        path,
+        staging,
+        window_lo=dt.date(2024, 11, 1),
+        window_hi=dt.date(2024, 12, 31),
+        key="id",
+    )
+    assert months == ["2024-11", "2024-12"]
+
+    after = spark.read.parquet(path)
+    rows = {r["id"]: r for r in after.collect()}
+    assert set(rows) == {f"id{m}" for m in range(1, 11)} | {"id11", "id13"}
+    assert rows["id11"]["v"] == 99.0
+    assert rows["id13"]["v"] == 77.0
+    # history partitions were not rewritten (same physical files)
+    assert set(glob.glob(f"{path}/month=2024-0*/**/*.parquet")) == history_files
+    # the fully-deleted December partition is gone
+    assert not glob.glob(f"{path}/month=2024-12*")
+
+
+def test_distributed_chunk_fetch(spark):
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from hours_api_clickup_spark.sources.chunks import window_chunks
+    from hours_api_clickup_spark.sources.distributed_fetch import (
+        fetch_chunks_distributed,
+    )
+
+    chunks = window_chunks(
+        spark, dt.datetime(2024, 1, 1), dt.datetime(2024, 7, 1), chunk_days=30
+    )
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("fetched_at", TimestampType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fake_fetch(start, end):
+        if start.month == 3:  # a failing chunk must be skipped, not fatal
+            raise RuntimeError("boom")
+        return [
+            {"id": f"{start:%Y%m%d}-{i}", "fetched_at": start, "n": i}
+            for i in range(5)
+        ]
+
+    out = fetch_chunks_distributed(chunks, fake_fetch, schema).collect()
+    months = {r["fetched_at"].month for r in out}
+    assert 3 not in months  # failing chunks skipped, not fatal
+    n_ok = sum(1 for c in chunks.collect() if c["chunk_start"].month != 3)
+    assert len(out) == n_ok * 5
