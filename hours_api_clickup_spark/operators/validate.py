@@ -1,0 +1,90 @@
+"""Data-quality validation — the reference's manual verification SQL
+(``docs/setup.md:93-101``, ``docs/DEPLOYMENT_SUCCESS.md:120-128``: row
+counts, date ranges, distinct users, checked by hand after each deploy)
+turned into declarative, engine-run expectations.
+
+Each check compiles to ONE aggregate expression; ``run_expectations``
+evaluates the whole suite in a single pass over the table (one job, one
+scan — no per-check scans), returning a tidy report DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Expectation:
+    name: str
+    # aggregate Column counting VIOLATIONS (0 ⇒ pass)
+    violations: Column
+
+
+def expect_not_null(col: str) -> Expectation:
+    return Expectation(
+        f"not_null[{col}]", F.count_if(F.col(col).isNull())
+    )
+
+
+def expect_unique(col: str) -> Expectation:
+    # n_rows − n_distinct = number of surplus duplicate rows
+    return Expectation(
+        f"unique[{col}]", F.count(col) - F.countDistinct(col)
+    )
+
+
+def expect_range(col: str, lo, hi) -> Expectation:
+    return Expectation(
+        f"range[{col}]",
+        F.count_if(~F.col(col).between(F.lit(lo), F.lit(hi))),
+    )
+
+
+def expect_in_set(col: str, allowed: list) -> Expectation:
+    return Expectation(
+        f"in_set[{col}]",
+        F.count_if(F.col(col).isNotNull() & ~F.col(col).isin(allowed)),
+    )
+
+
+def expect_condition(name: str, pred: Column) -> Expectation:
+    """Violations = rows where ``pred`` is NOT true (null counts as a
+    violation — unknowns fail loudly)."""
+    return Expectation(
+        f"condition[{name}]",
+        F.count_if(~F.coalesce(pred, F.lit(False))),
+    )
+
+
+def run_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """One aggregation pass → report(check, n_violations, passed)."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n_rows"),
+        *[e.violations.cast("long").alias(e.name) for e in expectations],
+    )
+    spark = df.sparkSession
+    row = agg.head()
+    report = [
+        (e.name, int(row[e.name]), row[e.name] == 0) for e in expectations
+    ]
+    return spark.createDataFrame(
+        report, "check string, n_violations long, passed boolean"
+    ).withColumn("n_rows_scanned", F.lit(int(row["__n_rows"])))
+
+
+def fact_expectations() -> list[Expectation]:
+    """The reference's post-sync checklist for the fact table."""
+    return [
+        expect_not_null("id"),
+        expect_unique("id"),
+        expect_condition("duration_non_negative", F.col("duration_hours") >= 0),
+        expect_condition(
+            "end_after_start",
+            F.col("end_utc").isNull()
+            | F.col("start_utc").isNull()
+            | (F.col("end_utc") >= F.col("start_utc")),
+        ),
+    ]

@@ -1301,3 +1301,50 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "data_quality_report",
+    """
+    WITH v AS (
+        SELECT CAST(count_if(o_orderkey IS NULL) AS BIGINT) AS nn,
+               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq,
+               CAST(count_if(NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT) AS pos,
+               CAST(count_if(o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS st,
+               COUNT(*) AS n
+        FROM orders
+    )
+    SELECT 'not_null[o_orderkey]' AS check, nn AS n_violations, nn = 0 AS passed, n AS n_rows_scanned FROM v
+    UNION ALL
+    SELECT 'unique[o_orderkey]', uq, uq = 0, n FROM v
+    UNION ALL
+    SELECT 'condition[positive_price]', pos, pos = 0, n FROM v
+    UNION ALL
+    SELECT 'in_set[o_orderstatus]', st, st = 0, n FROM v
+    """,
+    survey_ids="§5-verification",
+    doc="The reference's manual verification SQL as a declarative "
+    "expectation suite — whole suite in ONE aggregate pass over the "
+    "table (docs/setup.md:93-101 automated).",
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.validate import (
+        expect_condition,
+        expect_in_set,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    report = run_expectations(
+        orders,
+        [
+            expect_not_null("o_orderkey"),
+            expect_unique("o_orderkey"),
+            expect_condition("positive_price", F.col("o_totalprice") > 0),
+            expect_in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+    )
+    return report

@@ -256,3 +256,21 @@ def test_merge_full_reindex_schema_guard(spark):
     fact, staging = _fact_staging(spark)
     with pytest.raises(ValueError, match="schemas differ"):
         merge_full_reindex(fact, staging.drop("v"))
+
+
+def test_fact_expectations_on_fixture(spark, flat):
+    from hours_api_clickup_spark.operators.dedupe import dedupe_latest
+    from hours_api_clickup_spark.operators.validate import (
+        fact_expectations,
+        run_expectations,
+    )
+
+    deduped = dedupe_latest(flat, key="id", ts="at")
+    report = {r["check"]: r for r in run_expectations(deduped, fact_expectations()).collect()}
+    assert report["not_null[id]"]["passed"]
+    assert report["unique[id]"]["passed"]
+    assert report["condition[duration_non_negative]"]["passed"]
+    # pre-dedup, id uniqueness must FAIL (fixture has duplicate ids)
+    report2 = {r["check"]: r for r in run_expectations(flat, fact_expectations()).collect()}
+    assert not report2["unique[id]"]["passed"]
+    assert report2["unique[id]"]["n_violations"] == 2
