@@ -173,11 +173,18 @@ def minhash_lsh_pairs(
         .select("did", "txt", F.explode(F.sequence(F.lit(0), F.length("txt") - k)).alias("i"))
         .select("did", F.xxhash64(F.substring(F.col("txt"), F.col("i") + 1, F.lit(k))).alias("h"))
     )
+    # ONE shuffle computes both the K-minhash signature and the distinct
+    # gram-hash set. The set serves exact-Jaccard verification later:
+    # Jaccard over 64-bit gram hashes equals Jaccard over the grams
+    # themselves up to a ~n²/2⁶⁴ collision probability, and compares
+    # long arrays JVM-side instead of rebuilding string shingles.
     min_aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
         for s in range(num_hashes)
     ]
-    sig = grams.groupBy("did").agg(*min_aggs)
+    sig = grams.groupBy("did").agg(
+        *min_aggs, F.collect_set("h").alias("gset")
+    ).localCheckpoint(eager=False)
 
     band_structs = [
         F.struct(
@@ -205,21 +212,39 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # exact-Jaccard verification only touches candidate rows, so the
-    # interpreted shingle-array construction runs on a handful of docs
-    sh_a = texts.select(
-        F.col("did").alias("id_a"), char_shingles("txt", k).alias("sh_a")
+    # Sketch prefilter before the (heavier) exact verification: the
+    # fraction of matching minhash components is an unbiased Jaccard
+    # estimator; a generous margin keeps true-positives. With K=64 and
+    # j ≥ 0.7, P(estimate < 0.5) < 3e-4 — while the mass of low-j bucket
+    # collisions is discarded without ever shipping their gram sets.
+    est_margin = 0.2
+    sig_arr = sig.select(
+        "did", F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa")
     )
-    sh_b = texts.select(
-        F.col("did").alias("id_b"), char_shingles("txt", k).alias("sh_b")
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sa_a"), F.col("sa_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    cand_est = (
+        cand.join(sig_arr.select(F.col("did").alias("id_a"), F.col("sa").alias("sa_a")), "id_a")
+        .join(sig_arr.select(F.col("did").alias("id_b"), F.col("sa").alias("sa_b")), "id_b")
+        .filter(est >= threshold - est_margin)
+        .select("id_a", "id_b")
     )
+
+    gs_a = sig.select(F.col("did").alias("id_a"), F.col("gset").alias("gs_a"))
+    gs_b = sig.select(F.col("did").alias("id_b"), F.col("gset").alias("gs_b"))
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        cand_est.join(gs_a, "id_a")
+        .join(gs_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            jaccard_sim(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            jaccard_sim(F.col("gs_a"), F.col("gs_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
