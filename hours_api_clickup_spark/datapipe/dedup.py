@@ -1,5 +1,14 @@
 """Deduplication families for corpus curation at scale.
 
+Algorithms follow the published formulations: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+SEQUENCES 1997) with banded LSH (Indyk & Motwani, STOC 1998; the
+banding analysis as in Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch. 3), and SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002) with the chunk-block
+hamming search of Manku et al., "Detecting near-duplicates for web
+crawling", WWW 2007.
+
 - exact: hash-groupBy (one shuffle on the content hash)
 - n-gram Jaccard: char-shingle set similarity; the exact pairwise form is
   O(n²) and only for bounded inputs / candidate verification — the scale

@@ -1,5 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
+ANN structures follow the published formulations: random-hyperplane
+LSH for cosine (Charikar, STOC 2002) with multiprobe (Lv et al.,
+"Multi-probe LSH", VLDB 2007), and IVF coarse quantization (the
+inverted-file stage of Jégou et al., "Product quantization for nearest
+neighbor search", TPAMI 2011).
+
 - ``brute_force_topk``: exact cosine top-k. Distributed TakeOrdered —
   each partition keeps its local top-k, the driver merges k·p rows.
   The correctness baseline at any scale where a full scan is acceptable.
