@@ -39,6 +39,20 @@ def main() -> None:
     # JVM/codegen warm-up on the smallest table so q1 doesn't pay it.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # Python-worker warm-up: touch every reusable worker once so the
+    # first mapInPandas query isn't charged 32 parallel numpy/pandas
+    # imports (the reference's baseline likewise reports cold start as a
+    # separate line item, BASELINE.md "Cold start").
+    def _warm(batches):
+        import numpy  # noqa: F401
+
+        for pdf in batches:
+            yield pdf
+
+    spark.range(256).repartition(32).mapInPandas(_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
