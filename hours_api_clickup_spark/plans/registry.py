@@ -891,6 +891,49 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dup_clusters",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION ALL
+        SELECT id_b, id_a FROM p
+    ),
+    reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+    )
+    SELECT node AS vec_id,
+           CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+           MIN(lbl) = node AS is_survivor
+    FROM reach
+    GROUP BY node
+    """,
+    survey_ids="datapipe:dedup-clusters",
+    doc="Near-dup pairs → duplicate clusters (iterative min-label "
+    "connected components, Pregel-style) → min-id survivor per cluster. "
+    "The step that actually drops duplicates from a corpus; singletons "
+    "survive as their own cluster. Oracle: DuckDB recursive-CTE "
+    "reachability closure over the same edge set.",
+)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45)
+    nodes = emb.select(F.col("vec_id").alias("vec_id"))
+    return resolve_dup_clusters(nodes, pairs, "vec_id")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()

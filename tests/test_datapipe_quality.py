@@ -165,3 +165,45 @@ def test_approx_stats_accuracy(spark):
     assert abs(q50 - exact_q[0]) < 1.0
     assert abs(q95 - exact_q[1]) < 2.0
     assert q50 < q95 <= q99
+
+
+def test_connected_components_basic(spark):
+    from hours_api_clickup_spark.datapipe.clusters import (
+        connected_components,
+        resolve_dup_clusters,
+    )
+
+    # chain 1-2-3, pair 10-11, singleton 20
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (20,)], "node long"
+    )
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    res = resolve_dup_clusters(nodes, edges, "node").collect()
+    survivors = {r.node for r in res if r.is_survivor}
+    assert survivors == {1, 10, 20}
+    assert all(r.cluster_id == comp[r.node] for r in res)
+
+
+def test_connected_components_long_chain_converges(spark):
+    from hours_api_clickup_spark.datapipe.clusters import connected_components
+
+    # a 12-node path exercises multi-round propagation (diameter 11;
+    # min-label needs O(diameter) rounds, still < max_iter)
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
