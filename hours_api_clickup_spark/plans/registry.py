@@ -1063,6 +1063,85 @@ def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "streaming_event_sessions",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 30 * 60 * 1000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        FROM g
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    survey_ids="§2.11,datapipe:sessionize-streaming",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "gap-based sessions with O(active-users) state, event-time timeout "
+    "flush in production, per-user sentinel flush for the bounded "
+    "availableNow replay — which makes the emission deterministic and "
+    "equal to the batch sessionizer (DuckDB-oracled).",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from hours_api_clickup_spark.streaming.sessions import (
+        SENTINEL_TYPE,
+        streaming_sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # per-user far-future sentinel: closes every open session at the end
+    # of the bounded replay (see streaming/sessions.py docstring)
+    max_ts = events.agg(F.max("ts")).head()[0]
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            F.col("user_id"),
+            F.lit(SENTINEL_TYPE).alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    stage_dir = tempfile.mkdtemp(prefix="stream_sessions_")
+    events.unionByName(sentinels).write.mode("overwrite").parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema).format("parquet").load(stage_dir)
+    ).withWatermark("ts", "30 minutes")
+    out = streaming_sessionize(stream, gap_minutes=30.0)
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Scan chunk planning (S2) and custom-field map probing (P17) as queries.
 # ---------------------------------------------------------------------------

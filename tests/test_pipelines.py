@@ -402,3 +402,99 @@ def test_sync_refresh_partitioned(spark, tmp_path, entries_path):
     rows = {r["id"]: r for r in spark.read.parquet(fact_path).collect()}
     assert set(rows) == {"w1", "w2"}
     assert rows["w1"]["duration_hours"] == 1.0
+
+
+def test_streaming_sessionize_state_spans_batches(spark, tmp_path):
+    """A session whose events straddle a micro-batch boundary must be
+    stitched together from state, not split."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hours_api_clickup_spark.streaming.sessions import (
+        SENTINEL_TYPE,
+        streaming_sessionize,
+    )
+
+    t0 = pd.Timestamp("2025-01-01 08:00:00")
+
+    def mk(rows):
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "ts": pd.Series(
+                        [t0 + pd.Timedelta(minutes=r[1]) for r in rows],
+                        dtype="datetime64[us]",
+                    ).dt.tz_localize("UTC"),
+                    "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "event_type": pd.Series(
+                        [r[3] for r in rows], dtype="object"
+                    ),
+                    "value": pd.Series([0.0] * len(rows), dtype="float64"),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    # batch 1: user 1 opens a session (2 events, 10 min apart)
+    f1 = str(stream_dir / "f1.parquet")
+    pq.write_table(mk([(1, 0, 1, "click"), (2, 10, 1, "click")]), f1)
+    # batch 2: +20 min extends the SAME session across the boundary;
+    # +90 min opens a second one; user 2 appears; sentinels flush all
+    f2 = str(stream_dir / "f2.parquet")
+    pq.write_table(
+        mk(
+            [
+                (3, 20, 1, "click"),
+                (4, 90, 1, "click"),
+                (5, 95, 2, "click"),
+                (-1, 10000, 1, SENTINEL_TYPE),
+                (-1, 10000, 2, SENTINEL_TYPE),
+            ]
+        ),
+        f2,
+    )
+    now = time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(stream_dir))
+        .withWatermark("ts", "30 minutes")
+    )
+    q = (
+        streaming_sessionize(stream, gap_minutes=30.0)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_test").collect()
+    }
+    assert got == {
+        (1, 0): (t0, t0 + pd.Timedelta(minutes=20), 3),
+        (1, 1): (
+            t0 + pd.Timedelta(minutes=90),
+            t0 + pd.Timedelta(minutes=90),
+            1,
+        ),
+        (2, 0): (
+            t0 + pd.Timedelta(minutes=95),
+            t0 + pd.Timedelta(minutes=95),
+            1,
+        ),
+    }
