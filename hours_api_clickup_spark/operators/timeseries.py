@@ -99,3 +99,52 @@ def sessionize(
     return df.withColumn(
         "session_id", F.sum(new_session).over(w_run) - F.lit(1)
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """Range join: each point row × every interval containing it
+    (``start <= ts < end``), as a bucketized EQUI-join.
+
+    A naive ``p.ts >= i.start AND p.ts < i.end`` theta-join plans a
+    broadcast nested loop — O(|points|·|intervals|) comparisons, which
+    at 100k × 20k is already 2×10⁹ and at cluster scale is unrunnable.
+    Instead both sides land on a time-bucket key:
+
+    - each point belongs to exactly ONE bucket (``floor(ts/g)``)
+    - each interval explodes to the buckets it overlaps (≤ len/g + 1)
+
+    so the join is a hash shuffle on the bucket id, cost Σ per-bucket
+    (points × intervals), then the exact range predicate refines. A
+    (point, interval) pair can only meet in the point's single bucket —
+    no duplicate elimination needed. Pick ``bucket_seconds`` ≈ typical
+    interval length: shorter buckets multiply the interval fan-out,
+    longer ones inflate per-bucket cross products. Skewed hot buckets
+    (flash events) take the standard salting treatment
+    (``operators/skew.py``). Column names must be disjoint.
+    """
+    g = F.lit(int(bucket_seconds))
+    p = points.withColumn(
+        "__b", (F.unix_timestamp(F.col(point_ts)) / g).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bs",
+        F.sequence(
+            (F.unix_timestamp(F.col(start_ts)) / g).cast("long"),
+            (F.unix_timestamp(F.col(end_ts)) / g).cast("long"),
+        ),
+    ).withColumn("__b", F.explode("__bs")).drop("__bs")
+    return (
+        p.join(i, "__b")
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("__b")
+    )

@@ -1333,6 +1333,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_signup_window",
+    """
+    SELECT s.event_id AS signup_event_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 6 HOUR
+    GROUP BY s.event_id
+    """,
+    survey_ids="datapipe:range-join",
+    doc="Range join (point-in-interval): site-wide events landing in each "
+    "signup's 6-hour onboarding window. Bucketized equi-join on "
+    "floor(ts/6h) — one hash shuffle, Σ per-bucket cross products — "
+    "never the O(n·m) broadcast nested loop a raw theta-join plans. "
+    "Inner join suffices: every window contains its own signup event.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
+    )
+    points = events.select("event_id", "ts")
+    joined = interval_join(
+        points, windows, "ts", "win_start", "win_end", bucket_seconds=21600
+    )
+    return joined.groupBy("signup_event_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register(
     "agg_rollup_hierarchy",
     """
     SELECT l_returnflag, l_linestatus,

@@ -81,3 +81,15 @@ def test_knn_topk_no_global_sort_shuffle(spark):
     # not a rangepartitioning sort shuffle
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the bucketized form must plan a hash/sort-merge equi-join on the
+    # bucket id; a raw theta-join would fall back to nested loop
+    plan = _plan(spark, "range_join_signup_window")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
