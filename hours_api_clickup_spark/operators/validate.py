@@ -60,19 +60,31 @@ def expect_condition(name: str, pred: Column) -> Expectation:
 
 
 def run_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
-    """One aggregation pass → report(check, n_violations, passed)."""
+    """One aggregation pass → report(check, n_violations, passed).
+
+    Fully lazy: the suite compiles to a single global aggregate (one scan,
+    one job) whose 1-row result is unpivoted into one report row per check
+    with ``stack`` — no driver-side collect, so composing the report into a
+    larger plan or sink costs exactly one pass over the table.
+    """
     agg = df.agg(
         F.count(F.lit(1)).alias("__n_rows"),
         *[e.violations.cast("long").alias(e.name) for e in expectations],
     )
-    spark = df.sparkSession
-    row = agg.head()
-    report = [
-        (e.name, int(row[e.name]), row[e.name] == 0) for e in expectations
-    ]
-    return spark.createDataFrame(
-        report, "check string, n_violations long, passed boolean"
-    ).withColumn("n_rows_scanned", F.lit(int(row["__n_rows"])))
+    stack_args = ", ".join(
+        f"'{e.name}', `{e.name}`" for e in expectations
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(expectations)}, {stack_args}) AS (check, n_violations)"
+        ),
+        F.col("__n_rows"),
+    ).select(
+        "check",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+        F.col("__n_rows").alias("n_rows_scanned"),
+    )
 
 
 def fact_expectations() -> list[Expectation]:
