@@ -1505,3 +1505,78 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report
+
+
+@register(
+    "set_ops_surface",
+    """
+    SELECT o_custkey, 'intersect' AS set_op FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT o_custkey, 'except' AS set_op FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    """,
+    survey_ids="§2.8",
+    doc="INTERSECT / EXCEPT set operations (absent from the reference, "
+    "SURVEY §2.8 — provided because any engine user expects them): "
+    "customers active in both 1995 and 1996 vs 1995-only. Catalyst "
+    "compiles both to aggregate + left-semi/anti hash joins, so each "
+    "branch is one shuffle keyed on the (already-distinct) key — no "
+    "global sort, broadcast-able when one side is small.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).select(
+        "o_custkey", F.lit("intersect").alias("set_op")
+    )
+    only95 = y95.subtract(y96).select(
+        "o_custkey", F.lit("except").alias("set_op")
+    )
+    return both.unionByName(only95)
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+    survey_ids="§2.7,D2",
+    doc="Top-k per group (3 highest-value orders per priority) — the "
+    "grouped form of D2's global ordering, deterministic via the "
+    "o_orderkey tiebreak. At scale Spark's WindowGroupLimit rule "
+    "(rank-filter pushdown) keeps a per-partition k-heap BEFORE the "
+    "shuffle, so the exchange carries ≤ k rows per group per input "
+    "partition, never the full table sort.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
