@@ -93,3 +93,21 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_topk_per_group_partial_window_limit(spark):
+    # Rank-filter pushdown: a Partial WindowGroupLimit must run BEFORE
+    # the exchange so each input partition ships at most k rows per
+    # group, never the whole table sort.
+    plan = _plan(spark, "topk_per_group", "formatted")
+    # both the map-side (Partial) and reduce-side (Final) group limits
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "row_number(), 3, Partial" in plan, plan
+
+
+def test_set_ops_no_global_sort(spark):
+    # INTERSECT/EXCEPT compile to aggregate + semi/anti hash joins —
+    # never a sort-based set difference or a cartesian product.
+    plan = _plan(spark, "set_ops_surface")
+    assert "CartesianProduct" not in plan
+    assert "Join LeftSemi" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
