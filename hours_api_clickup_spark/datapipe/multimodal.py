@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -120,6 +121,65 @@ def extract_features(media: DataFrame) -> DataFrame:
     # decode work is per-row CPU in Python workers — fan out the scan so
     # every core runs a worker instead of one giant batch stream
     return spread(media).mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_width: int = 224, target_height: int = 224
+) -> DataFrame:
+    """Resize stage: binary in → binary out, so stages compose into a
+    decode→resize→featurize pipeline without schema breaks.
+
+    The pixel resample is the stubbed codec step (``decode_media``); the
+    deterministic fake scales the byte payload to a length proportional
+    to the target area — preserving the real contract: output rows keep
+    (media_id, media_type), carry new typed dimensions, and the content
+    column stays opaque binary. Arrow-batched mapInPandas, one Python
+    crossing per batch; image-only rows pass through the resampler,
+    audio/video pass through untouched (their "resize" is
+    ``frame_sample_plan`` / re-chunking).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        area = target_width * target_height
+        for pdf in batches:
+            is_img = pdf["media_type"].eq("image/png")
+            src_area = (pdf["width"] * pdf["height"]).clip(lower=1)
+            scale = (area / src_area) ** 0.5
+
+            def _rescale(b, s):
+                # fake resample: repeat/truncate bytes to the scaled size
+                raw = bytes(b)
+                n = max(4, int(len(raw) * s))
+                return (raw * (n // max(len(raw), 1) + 1))[:n]
+
+            content = [
+                _rescale(b, s) if img else bytes(b)
+                for b, s, img in zip(pdf["content"], scale, is_img)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": content,
+                    "width": pdf["width"].where(~is_img, target_width).astype("int64"),
+                    "height": pdf["height"].where(~is_img, target_height).astype("int64"),
+                }
+            )
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    return spread(media).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

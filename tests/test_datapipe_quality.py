@@ -13,6 +13,7 @@ from hours_api_clickup_spark.datapipe.dedup import (
 from hours_api_clickup_spark.datapipe.multimodal import (
     extract_features,
     frame_sample_plan,
+    resize_media,
     synthesize_media,
 )
 from hours_api_clickup_spark.datapipe.similarity import (
@@ -119,6 +120,25 @@ def test_frame_sample_plan(spark):
     rows = frames.collect()
     assert rows, "expected some video rows"
     assert {r.frame_idx % 10 for r in rows} == {0}
+
+
+def test_resize_media_composes(spark):
+    docs = _docs(spark).limit(30)
+    media = synthesize_media(docs, "doc_id", "text")
+    resized = resize_media(media, target_width=64, target_height=48)
+    rows = {r.media_id: r for r in resized.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    assert rows.keys() == orig.keys()
+    for mid, r in rows.items():
+        assert isinstance(r.content, (bytes, bytearray))
+        if r.media_type == "image/png":
+            assert (r.width, r.height) == (64, 48)
+        else:  # non-images pass through untouched
+            assert (r.width, r.height) == (orig[mid].width, orig[mid].height)
+            assert bytes(r.content) == bytes(orig[mid].content)
+    # binary-in/binary-out: featurizer runs on the resized table unchanged
+    feats = extract_features(resized).collect()
+    assert len(feats) == 30
 
 
 def test_knn_ivf_recall(spark):
