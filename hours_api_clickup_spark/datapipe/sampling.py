@@ -1,0 +1,100 @@
+"""Deterministic sampling & split assignment for dataset curation.
+
+Seeded-random sampling (``df.sample`` / ``sampleBy``) is engine- and
+partitioning-dependent: the drawn subset changes under repartition, AQE
+re-planning, or an engine swap. Curation pipelines need sampling that is
+(a) reproducible across runs AND engines, (b) stable under
+repartitioning, and (c) joinable — the same document must land in the
+same split everywhere it appears. The standard construction is
+multiplicative hashing on the stable id (Knuth, TAOCP vol. 3 §6.4, with
+the golden-ratio multiplier 2654435761 = ⌊2³²/φ⌋), thresholded on
+cumulative split weights:
+
+    frac(id) = ((id mod 2³¹) · 2654435761) mod 2³² ∈ [0, 2³²)
+
+Pure int64 arithmetic — no overflow under ANSI mode (the product is
+bounded by 2³¹·2³² < 2⁶³), and expressible identically in any SQL
+engine, so splits computed here agree bit-for-bit with the warehouse.
+Thresholds are compared as integers (⌊weight·2³²⌋), never as floats.
+
+The ``mod 2³¹`` pre-reduction means ids that differ by a multiple of
+2³¹ share a hash — irrelevant for sampling quality (the reduction is a
+uniform re-key), but use a 64-bit-unique id column as input.
+
+Scale shape: every operator here is a pure projection/filter — zero
+shuffles at any scale, fully codegen'd, and the split predicate pushes
+down to the scan when the id is a partition or clustering column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH_A = 2654435761  # ⌊2^32 / golden ratio⌋, Knuth TAOCP vol.3 §6.4
+_MOD_31 = 2**31
+_MOD_32 = 2**32
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_bucket(id_col: Column | str) -> Column:
+    """Deterministic bucket in [0, 2³²) from a non-negative integer id."""
+    reduced = F.pmod(_c(id_col).cast("long"), F.lit(_MOD_31))
+    return F.pmod(reduced * F.lit(KNUTH_A), F.lit(_MOD_32))
+
+
+def _thresholds(weights: list[float]) -> list[int]:
+    """Cumulative integer thresholds ⌊cum_weight·2³²⌋ (exact compares)."""
+    total = sum(weights)
+    cum, out = 0.0, []
+    for w in weights:
+        cum += w / total
+        out.append(min(_MOD_32, int(cum * _MOD_32)))
+    out[-1] = _MOD_32  # guard against float shortfall on the last split
+    return out
+
+
+def assign_split(
+    id_col: Column | str, splits: list[tuple[str, float]]
+) -> Column:
+    """Split-name column from weighted splits, e.g.
+    ``[("train", 0.8), ("val", 0.1), ("test", 0.1)]``. Total weights are
+    normalized; assignment is deterministic and engine-portable."""
+    bucket = hash_bucket(id_col)
+    names = [n for n, _ in splits]
+    ths = _thresholds([w for _, w in splits])
+    # nested whens built last-split-outward so the lowest matching
+    # threshold wins: bucket < th_0 → split 0, else < th_1 → split 1, …
+    out = F.lit(names[-1])
+    for name, th in zip(names[:-1][::-1], ths[:-1][::-1]):
+        out = F.when(bucket < th, name).otherwise(out)
+    return out
+
+
+def hash_sample(
+    df: DataFrame, id_col: Column | str, fraction: float
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    falls below ⌊fraction·2³²⌋. Stable under repartition; rerunning or
+    growing the table never re-draws previously kept rows."""
+    return df.filter(hash_bucket(id_col) < int(fraction * _MOD_32))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: Column | str,
+    strata_col: Column | str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible form of
+    ``sampleBy``): each stratum gets its own keep-threshold. Used for
+    language/source rebalancing when mixing training corpora."""
+    th = F.lit(int(default_fraction * _MOD_32))
+    strata = _c(strata_col)
+    for value, frac in sorted(fractions.items()):
+        th = F.when(strata == value, int(frac * _MOD_32)).otherwise(th)
+    return df.filter(hash_bucket(id_col) < th)

@@ -1580,3 +1580,65 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "dataset_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                     < 3435973836 THEN 'train'
+                WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                     < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey_ids="datapipe:sampling-split",
+    doc="Deterministic train/val/test split (80/10/10) by multiplicative "
+    "hashing on the stable id (Knuth golden-ratio multiplier) — "
+    "reproducible across engines and repartitioning, unlike seeded "
+    "df.sample. Pure projection: zero shuffles at any scale; the DuckDB "
+    "oracle reproduces the assignment bit-for-bit from the same int64 "
+    "arithmetic.",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        assign_split(
+            "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        ).alias("split"),
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+          < CASE WHEN lang = 'en' THEN 429496729
+                 WHEN lang = 'de' THEN 2147483648
+                 ELSE 0 END
+    GROUP BY lang, source
+    """,
+    survey_ids="datapipe:sampling-stratified",
+    doc="Per-stratum deterministic sampling (the reproducible form of "
+    "sampleBy) for corpus rebalancing: keep 10% of 'en', 50% of 'de', "
+    "drop the rest — then count by (lang, source). Filter + one small "
+    "aggregate shuffle; the sample predicate is a codegen'd scan filter.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "de": 0.5}
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count("*").alias("n_sampled")
+    )

@@ -227,3 +227,43 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from hours_api_clickup_spark.datapipe.sampling import assign_split
+
+    docs = _docs(spark)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = docs.select("doc_id", assign_split("doc_id", splits).alias("s"))
+    # every doc gets exactly one split; shares near the weights
+    counts = {r.s: r["count"] for r in a.groupBy("s").count().collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    # stable under repartitioning (seeded df.sample is NOT)
+    b = docs.repartition(7).select(
+        "doc_id", assign_split("doc_id", splits).alias("s")
+    )
+    assert a.subtract(b).isEmpty() and b.subtract(a).isEmpty()
+
+
+def test_stratified_hash_sample_isolates_strata(spark):
+    from hours_api_clickup_spark.datapipe.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _docs(spark)
+    sampled = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 1.0}
+    )
+    langs = {r.lang for r in sampled.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # default fraction 0 drops other strata
+    n_de = sampled.filter("lang = 'de'").count()
+    assert n_de == docs.filter("lang = 'de'").count()  # fraction 1.0 keeps all
+    n_en, total_en = sampled.filter("lang = 'en'").count(), docs.filter("lang = 'en'").count()
+    assert abs(n_en / total_en - 0.5) < 0.1
+    # growing the table never re-draws: sample of a subset ⊆ sample of the whole
+    half = stratified_hash_sample(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "lang", {"en": 0.5, "de": 1.0}
+    )
+    assert half.select("doc_id").subtract(sampled.select("doc_id")).isEmpty()
