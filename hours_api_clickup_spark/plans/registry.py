@@ -1642,3 +1642,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang", "source").agg(
         F.count("*").alias("n_sampled")
     )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH c AS (
+        SELECT doc_id, n_chars,
+               CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           n_chars,
+           end_offset - n_chars AS start_offset,
+           end_offset,
+           (end_offset - n_chars) // 2048 AS start_chunk,
+           (end_offset - 1) // 2048 AS end_chunk
+    FROM c
+    """,
+    survey_ids="datapipe:sequence-packing",
+    doc="GPT-style sequence packing: each document's [start,end) offset "
+    "in the concatenated corpus stream and its 2048-unit context-chunk "
+    "span. The global prefix sum is the two-phase distributed scan "
+    "(range exchange → local running sum → P-row broadcast offsets, "
+    "Blelloch CMU-CS-90-190) — NEVER a single-partition global window; "
+    "wall-clock stays one local pass per executor at any corpus size.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.packing import pack_into_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_into_chunks(docs, "doc_id", "n_chars", chunk_size=2048)

@@ -267,3 +267,27 @@ def test_stratified_hash_sample_isolates_strata(spark):
         docs.filter("doc_id % 2 = 0"), "doc_id", "lang", {"en": 0.5, "de": 1.0}
     )
     assert half.select("doc_id").subtract(sampled.select("doc_id")).isEmpty()
+
+
+def test_sequence_packing_contiguous_stream(spark):
+    from hours_api_clickup_spark.datapipe.packing import pack_into_chunks
+
+    docs = _docs(spark).select("doc_id", "n_chars")
+    packed = pack_into_chunks(docs, "doc_id", "n_chars", chunk_size=512)
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    # contiguous, non-overlapping, in id order: the stream has no gaps
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos
+        assert r.end_offset == pos + r.n_chars
+        assert r.start_chunk == r.start_offset // 512
+        assert r.end_chunk == (r.end_offset - 1) // 512
+        pos = r.end_offset
+    total = docs.filter("n_chars > 0").groupBy().sum("n_chars").head()[0]
+    assert pos == total
+    # invariant under a different partition count (two-phase correctness)
+    repacked = pack_into_chunks(
+        docs, "doc_id", "n_chars", chunk_size=512, num_partitions=3
+    )
+    assert packed.subtract(repacked).isEmpty()
+    assert repacked.subtract(packed).isEmpty()

@@ -111,3 +111,11 @@ def test_set_ops_no_global_sort(spark):
     plan = _plan(spark, "set_ops_surface")
     assert "CartesianProduct" not in plan
     assert "Join LeftSemi" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_sequence_packing_range_partitioned_not_single_window(spark):
+    # the global prefix sum must be the two-phase scan: a RANGE exchange
+    # + per-partition windows — never one global-orderBy window that
+    # collapses the table into a single partition
+    plan = _plan(spark, "sequence_packing")
+    assert "rangepartitioning" in plan, plan
