@@ -92,3 +92,30 @@ def pack_into_chunks(
         F.expr(f"start_offset div {int(chunk_size)}").alias("start_chunk"),
         F.expr(f"(end_offset - 1) div {int(chunk_size)}").alias("end_chunk"),
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    out_dir: str,
+    chunks_per_shard: int,
+) -> None:
+    """Materialize a packed corpus as training shards: one directory per
+    ``shard_id = start_chunk div chunks_per_shard``, each written by a
+    single task (repartition on the shard key) so a shard's contents are
+    deterministic and a trainer streams shard files independently.
+
+    Shard size is bounded by construction (chunks_per_shard × chunk_size
+    units), so one-task-per-shard is load-balanced by design — pick
+    chunks_per_shard so a shard is a few hundred MB: large enough to
+    amortize file overhead, small enough that loss of one task's work on
+    retry is cheap.
+    """
+    with_shard = packed.withColumn(
+        "shard_id", F.expr(f"start_chunk div {int(chunks_per_shard)}")
+    )
+    (
+        with_shard.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )

@@ -291,3 +291,23 @@ def test_sequence_packing_contiguous_stream(spark):
     )
     assert packed.subtract(repacked).isEmpty()
     assert repacked.subtract(packed).isEmpty()
+
+
+def test_training_shard_writer_roundtrip(spark, tmp_path):
+    from hours_api_clickup_spark.datapipe.packing import (
+        pack_into_chunks,
+        write_training_shards,
+    )
+
+    docs = _docs(spark).select("doc_id", "n_chars")
+    packed = pack_into_chunks(docs, "doc_id", "n_chars", chunk_size=512)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out, chunks_per_shard=16)
+    back = spark.read.parquet(out)
+    # lossless roundtrip and correct shard assignment
+    assert back.count() == packed.count()
+    assert back.filter("shard_id != start_chunk div 16").isEmpty()
+    expected = {r[0] for r in packed.select(
+        (packed.start_chunk / 16).cast("long")).distinct().collect()}
+    got = {r.shard_id for r in back.select("shard_id").distinct().collect()}
+    assert got == expected
