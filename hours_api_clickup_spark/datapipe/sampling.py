@@ -98,3 +98,42 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         th = F.when(strata == value, int(frac * _MOD_32)).otherwise(th)
     return df.filter(hash_bucket(id_col) < th)
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: Column | str,
+    strata_col: Column | str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing with per-stratum sampling RATES, where a rate may
+    exceed 1 (epoch-weighting: rate 2.5 ⇒ every row appears twice and
+    half the rows a third time). Downsampling (rate < 1) filters by the
+    hash bucket; upsampling replicates via an exploded copy index — both
+    halves deterministic, so the mixed corpus is reproducible row-for-row
+    across runs, engines, and repartitioning.
+
+    Adds ``copy_id`` (0-based) distinguishing the replicas — downstream
+    shuffling/packing should include it in any dedup key. Scale shape:
+    pure projection + explode, zero shuffles; output size is
+    Σ_strata rate·|stratum| by construction.
+    """
+    strata = _c(strata_col)
+    base = F.lit(int(default_rate))
+    frac_th = F.lit(int((default_rate - int(default_rate)) * _MOD_32))
+    for value, rate in sorted(rates.items()):
+        base = F.when(strata == value, int(rate)).otherwise(base)
+        frac_th = F.when(
+            strata == value, int((rate - int(rate)) * _MOD_32)
+        ).otherwise(frac_th)
+    copies = base + F.when(hash_bucket(id_col) < frac_th, 1).otherwise(0)
+    return (
+        df.withColumn("__n_copies", copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )

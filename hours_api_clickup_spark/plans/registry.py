@@ -1674,3 +1674,37 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return pack_into_chunks(docs, "doc_id", "n_chars", chunk_size=2048)
+
+
+@register(
+    "weighted_corpus_mix",
+    """
+    WITH c AS (
+        SELECT lang,
+               CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'fr' THEN 1
+                    ELSE 0 END
+               + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                           < CASE lang WHEN 'en' THEN 1073741824
+                                       WHEN 'de' THEN 2147483648
+                                       ELSE 0 END
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    )
+    SELECT lang, CAST(SUM(n_copies) AS BIGINT) AS n_rows
+    FROM c WHERE n_copies > 0 GROUP BY lang
+    """,
+    survey_ids="datapipe:corpus-mix",
+    doc="Weighted corpus mixing with epoch-weighting rates that may "
+    "exceed 1 (en 0.25×, de 2.5×, fr 1.0×, rest dropped): integer "
+    "copies via explode + hash-thresholded fractional copy — the mixed "
+    "corpus is deterministic row-for-row. Projection + explode, zero "
+    "shuffles before the tiny count aggregate.",
+)
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        docs, "doc_id", "lang", {"en": 0.25, "de": 2.5, "fr": 1.0}
+    )
+    return mixed.groupBy("lang").agg(F.count("*").alias("n_rows"))

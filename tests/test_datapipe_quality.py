@@ -311,3 +311,27 @@ def test_training_shard_writer_roundtrip(spark, tmp_path):
         (packed.start_chunk / 16).cast("long")).distinct().collect()}
     got = {r.shard_id for r in back.select("shard_id").distinct().collect()}
     assert got == expected
+
+
+def test_weighted_mix_epoch_replication(spark):
+    from hours_api_clickup_spark.datapipe.sampling import weighted_mix
+
+    docs = _docs(spark)
+    mixed = weighted_mix(docs, "doc_id", "lang", {"de": 2.5, "en": 0.5})
+    per_doc = {
+        r.doc_id: r["count"]
+        for r in mixed.groupBy("doc_id").count().collect()
+    }
+    de_ids = [r.doc_id for r in docs.filter("lang = 'de'").collect()]
+    en_ids = [r.doc_id for r in docs.filter("lang = 'en'").collect()]
+    # rate 2.5: every de doc appears 2 or 3 times, ~half get the 3rd copy
+    de_counts = [per_doc[i] for i in de_ids]
+    assert set(de_counts) <= {2, 3} and 2 in de_counts and 3 in de_counts
+    # rate 0.5: en docs appear at most once; other langs dropped entirely
+    assert all(per_doc.get(i, 0) <= 1 for i in en_ids)
+    assert mixed.filter("lang NOT IN ('de','en')").isEmpty()
+    # copy_id enumerates replicas 0..n-1
+    assert mixed.filter("copy_id < 0 OR copy_id > 2").isEmpty()
+    # deterministic rerun
+    again = weighted_mix(docs, "doc_id", "lang", {"de": 2.5, "en": 0.5})
+    assert mixed.subtract(again).isEmpty() and again.subtract(mixed).isEmpty()
