@@ -335,3 +335,15 @@ def test_weighted_mix_epoch_replication(spark):
     # deterministic rerun
     again = weighted_mix(docs, "doc_id", "lang", {"de": 2.5, "en": 0.5})
     assert mixed.subtract(again).isEmpty() and again.subtract(mixed).isEmpty()
+
+
+def test_hash_sample_stable_and_proportional(spark):
+    from hours_api_clickup_spark.datapipe.sampling import hash_sample
+
+    docs = _docs(spark)
+    s20 = hash_sample(docs, "doc_id", 0.2)
+    n, total = s20.count(), docs.count()
+    assert abs(n / total - 0.2) < 0.05
+    # monotone: a larger fraction strictly contains a smaller one
+    s50 = hash_sample(docs, "doc_id", 0.5)
+    assert s20.select("doc_id").subtract(s50.select("doc_id")).isEmpty()
