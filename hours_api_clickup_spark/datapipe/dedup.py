@@ -19,19 +19,78 @@ crawling", WWW 2007.
 - SimHash: 64-bit near-dup signature; candidates via 16-bit chunk
   blocking (pairs with hamming ≤ 3 must share ≥ 1 of 4 chunks).
 
-All deterministic: hashing is Spark's xxhash64 with seeds baked into the
-plan as literals, so reruns produce identical candidate sets. No UDFs —
-everything is higher-order Catalyst expressions.
+All deterministic AND engine-portable: every hash is pure int64
+arithmetic (an unrolled polynomial over character codes for fixed-k
+grams, the first 32 bits of md5 for variable-length tokens, and affine
+``(a·h+b) mod 2³¹`` permutations whose constants are Python-generated
+literals baked into the plan). DuckDB reproduces the full pipeline
+bit-for-bit — the generated oracles live in ``minhash_lsh_oracle_sql``
+and ``simhash_oracle_sql``, so the driver's hash-match gate covers the
+LSH families end-to-end, not just rows-only. No UDFs; the bulk paths
+stay in whole-stage codegen.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.functions.hashing import md5_hash32, md5_hash32_sql
 
 DEFAULT_SHINGLE_K = 5
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16  # 16 bands × 4 rows each
+
+# --- engine-portable integer hash family ----------------------------------
+# All arithmetic is bounded to stay inside int64 under ANSI mode:
+#   gram hash        < 2^31;  ·131 + 255            < 2^39
+#   affine a·h + b   : a < 2^31, h < 2^32  → product < 2^63
+#   band Horner      : acc < 2^31, ·KNUTH_A(<2^32)  < 2^63
+M31 = 2**31
+HALF31 = 2**30
+GRAM_BASE = 131
+KNUTH_A = 2654435761  # ⌊2^32/φ⌋, same multiplier as datapipe.sampling
+MINHASH_SALT = 0x5BD1E995
+SIMHASH_SALT = 0x9E3779B9
+
+
+def affine_constants(n: int, salt: int) -> list[tuple[int, int]]:
+    """``n`` deterministic affine pairs (a odd, b) mod 2³¹ from a fixed
+    64-bit LCG (Knuth MMIX constants). Runs only in Python at plan-build
+    time — both the Spark plan and the DuckDB oracle see the same plain
+    integer literals, which is what makes the hash family engine-neutral.
+    """
+    out = []
+    x = (2 * salt + 1) % 2**63
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        a = ((x >> 16) % M31) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        b = (x >> 16) % M31
+        out.append((a, b))
+    return out
+
+
+def portable_gram_hash(txt: Column, i: Column, k: int) -> Column:
+    """Polynomial hash mod 2³¹ of the k characters of ``txt`` starting at
+    0-based offset ``i`` — unrolled (k is a plan literal), so the whole
+    thing is codegen'd builtins with no interpreted lambdas."""
+    h = F.lit(0).cast("long")
+    for j in range(k):
+        ch = F.ascii(F.substring(txt, i + F.lit(j + 1), F.lit(1)))
+        h = F.pmod(h * F.lit(GRAM_BASE) + ch, F.lit(M31))
+    return h
+
+
+def gram_hash_sql(text_expr: str, i_expr: str, k: int) -> str:
+    """DuckDB twin of ``portable_gram_hash`` (same unrolled arithmetic)."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        ch = f"ascii(substring({text_expr}, {i_expr} + {j + 1}, 1))"
+        h = f"(({h} * {GRAM_BASE} + {ch}) % {M31})"
+    return h
 
 
 def _c(col: Column | str) -> Column:
@@ -127,21 +186,26 @@ def minhash_signature(
     shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> Column:
     """K-permutation MinHash signature as a single column expression:
-    per seed s, min over shingles of xxhash64(xxhash64(shingle), s).
-    Empty shingle sets get a per-seed sentinel so they only ever collide
-    with other empties.
+    per permutation s, min over shingles of (a_s·md5_hash32(sh)+b_s) mod 2³¹
+    — the same engine-portable family as the bulk path. Empty shingle
+    sets get a per-permutation sentinel (≥ 2³¹, outside the hash range)
+    so they only ever collide with other empties.
 
     Note: higher-order functions evaluate interpreted (outside codegen);
     fine for per-row use, but the bulk path in minhash_lsh_pairs uses the
     explode+groupBy form below, which stays in whole-stage codegen."""
-    base = F.transform(shingles, lambda sh: F.xxhash64(sh))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.coalesce(
-            F.array_min(F.transform(base, lambda h: F.xxhash64(h, s))),
-            F.lit(2**62) + s,
-        ),
-    )
+    consts = affine_constants(num_hashes, MINHASH_SALT)
+    base = F.transform(shingles, lambda sh: md5_hash32(sh))
+    mins = [
+        F.coalesce(
+            F.array_min(
+                F.transform(base, lambda h, a=a, b=b: F.pmod(h * a + b, F.lit(M31)))
+            ),
+            F.lit(M31 + s),
+        )
+        for s, (a, b) in enumerate(consts)
+    ]
+    return F.array(*mins)
 
 
 def minhash_lsh_pairs(
@@ -168,38 +232,57 @@ def minhash_lsh_pairs(
     Recall follows the LSH S-curve 1-(1-j^r)^b, r = num_hashes/bands.
     Docs with no shingles (len < k) never band — they have no near-dups
     above any sane threshold; exact dedup handles identical empties.
+
+    Hashing is the engine-portable int64 family (module header):
+    ``minhash_lsh_oracle_sql`` generates a DuckDB query that reproduces
+    this exact output, including the banding and the sketch prefilter.
     """
     rows_per_band = num_hashes // bands
+    consts = affine_constants(num_hashes, MINHASH_SALT)
     texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
 
     # Gram stream without materializing shingle arrays: explode the
-    # offset sequence, substring, hash — stays in whole-stage codegen
-    # (array-lambda HOFs run interpreted and were ~5× slower here).
-    # Duplicate grams are fine: min() over a multiset == min() over its
-    # set, so MinHash needs no distinct.
+    # offset sequence, then the unrolled polynomial gram hash — stays in
+    # whole-stage codegen (array-lambda HOFs run interpreted and were
+    # ~5× slower here). Duplicate grams are fine: min() over a multiset
+    # == min() over its set, so MinHash needs no distinct.
     grams = (
         texts.filter(F.length("txt") >= k)
         .select("did", "txt", F.explode(F.sequence(F.lit(0), F.length("txt") - k)).alias("i"))
-        .select("did", F.xxhash64(F.substring(F.col("txt"), F.col("i") + 1, F.lit(k))).alias("h"))
+        .select("did", portable_gram_hash(F.col("txt"), F.col("i"), k).alias("h"))
     )
     # ONE shuffle computes both the K-minhash signature and the distinct
-    # gram-hash set. The set serves exact-Jaccard verification later:
-    # Jaccard over 64-bit gram hashes equals Jaccard over the grams
-    # themselves up to a ~n²/2⁶⁴ collision probability, and compares
-    # long arrays JVM-side instead of rebuilding string shingles.
+    # gram-hash set. Shipping collect_set(h) through this shuffle is a
+    # measured trade (O(distinct-grams) longs per doc ≈ doc length ·8 B —
+    # roughly the text itself): it funds exact-Jaccard verification
+    # without a second join back to the corpus, and compares long arrays
+    # JVM-side instead of rebuilding string shingles. Jaccard over gram
+    # hashes equals Jaccard over the grams up to a ~len²/2³¹ collision
+    # probability — and is the same in the oracle, which uses the same
+    # hashes. (Re-joining gram sets only for post-prefilter candidates
+    # would shrink this shuffle but re-scan + re-shingle the corpus; at
+    # sf0.1 the one-shuffle form benches faster.)
     min_aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
-        for s in range(num_hashes)
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(M31))).alias(f"m{s}")
+        for s, (a, b) in enumerate(consts)
     ]
     sig = grams.groupBy("did").agg(
         *min_aggs, F.collect_set("h").alias("gset")
     ).localCheckpoint(eager=False)
 
+    def band_bucket(cols: list[Column]) -> Column:
+        # Horner fold of the band's minhashes, mod 2³¹ each step —
+        # portable integer algebra in place of xxhash64(m0, m1, ...).
+        acc = F.lit(0).cast("long")
+        for m in cols:
+            acc = F.pmod(acc * F.lit(KNUTH_A) + m, F.lit(M31))
+        return acc
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
+            band_bucket(
+                [F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
             ).alias("bucket"),
         )
         for b in range(bands)
@@ -226,22 +309,25 @@ def minhash_lsh_pairs(
     # estimator; a generous margin keeps true-positives. With K=64 and
     # j ≥ 0.7, P(estimate < 0.5) < 3e-4 — while the mass of low-j bucket
     # collisions is discarded without ever shipping their gram sets.
+    # The cutoff is an integer count of matching components (never a
+    # float compare), so the oracle reproduces it exactly.
     est_margin = 0.2
+    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
     sig_arr = sig.select(
         "did", F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa")
     )
-    est = F.aggregate(
+    matches = F.aggregate(
         F.zip_with(
             F.col("sa_a"), F.col("sa_b"),
             lambda x, y: F.when(x == y, 1).otherwise(0),
         ),
         F.lit(0),
         lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
+    )
     cand_est = (
         cand.join(sig_arr.select(F.col("did").alias("id_a"), F.col("sa").alias("sa_a")), "id_a")
         .join(sig_arr.select(F.col("did").alias("id_b"), F.col("sa").alias("sa_b")), "id_b")
-        .filter(est >= threshold - est_margin)
+        .filter(matches >= F.lit(min_matches))
         .select("id_a", "id_b")
     )
 
@@ -259,28 +345,111 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_lsh_pairs`` bit-for-bit: same
+    gram hashes, same affine permutations, same Horner band buckets,
+    same integer prefilter cutoff, same exact-Jaccard verification over
+    the same distinct gram-hash sets. Generated (not handwritten) so the
+    constants can never drift from the Spark plan."""
+    rows_per_band = num_hashes // bands
+    consts = affine_constants(num_hashes, MINHASH_SALT)
+    est_margin = 0.2
+    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+
+    gh = gram_hash_sql(text_col, "i", k)
+    min_exprs = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % {M31}) AS m{s}" for s, (a, b) in enumerate(consts)
+    )
+
+    def bucket_expr(b: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for j in range(rows_per_band):
+            acc = f"(({acc} * {KNUTH_A} + m{b * rows_per_band + j}) % {M31})"
+        return acc
+
+    banded = "\n        UNION ALL ".join(
+        f"SELECT did, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.m{s} = sb.m{s} THEN 1 ELSE 0 END)" for s in range(num_hashes)
+    )
+    return f"""
+    WITH g AS (
+        SELECT {id_col} AS did,
+               unnest(list_transform(range(0, length({text_col}) - {k - 1}),
+                                     i -> {gh})) AS h
+        FROM {table}
+        WHERE length({text_col}) >= {k}
+    ),
+    sig AS (
+        SELECT did,
+           {min_exprs},
+           list_distinct(list(h)) AS gset
+        FROM g GROUP BY did
+    ),
+    banded AS (
+        {banded}
+    ),
+    cand AS (
+        SELECT DISTINCT a.did AS id_a, b.did AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.did < b.did
+    ),
+    kept AS (
+        SELECT cand.id_a, cand.id_b,
+               sa.gset AS gs_a, sb.gset AS gs_b
+        FROM cand
+        JOIN sig sa ON sa.did = cand.id_a
+        JOIN sig sb ON sb.did = cand.id_b
+        WHERE {match_sum} >= {min_matches}
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(gs_a, gs_b))), 1)
+                   AS jaccard
+        FROM kept
+    ) WHERE jaccard >= {threshold}
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 
+def _simhash_bit_pred(h: Column, a: int, b: int) -> Column:
+    """Portable per-plane bit hash: True ⇔ (a·h + b) mod 2³¹ < 2³⁰ —
+    one independent affine transform of the token hash per bit, in
+    place of 'bit i of xxhash64(token)'."""
+    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(M31)) < F.lit(HALF31)
+
+
 def simhash64(toks: Column) -> Column:
     """64-bit SimHash over a token array: bit i of the signature is the
-    sign of Σ_tokens (±1 per bit i of xxhash64(token)).
+    sign of Σ_tokens (±1 per portable bit-hash i of md5_hash32(token)).
 
-    The per-bit loop is unrolled in Python (shift amounts must be plan
-    literals); the result is one wide codegen'd expression — a single
-    pass over the tokens, no shuffle."""
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    The per-bit loop is unrolled in Python (the affine constants are
+    plan literals); the result is one wide codegen'd expression — a
+    single pass over the tokens, no shuffle."""
+    consts = affine_constants(64, SIMHASH_SALT)
+    hashes = F.transform(toks, lambda t: md5_hash32(t))
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i, (a, b) in enumerate(consts):
         bit_sum = F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h, i=i: acc
-            + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
+            lambda acc, h, a=a, b=b: acc
+            + F.when(_simhash_bit_pred(h, a, b), 1).otherwise(-1),
         )
         bit = F.when(bit_sum > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -296,16 +465,16 @@ def simhash_signatures(df: DataFrame, id_col: str, toks_col: Column) -> DataFram
     map-side (partial aggregation), so the shuffle carries 64 longs per
     doc, not the tokens. Token-less docs get signature 0 via the
     left join back."""
+    consts = affine_constants(64, SIMHASH_SALT)
     ids = df.select(_c(id_col).alias("did"))
     tok = spread(df).select(
         _c(id_col).alias("did"), F.explode(toks_col).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_hash32(F.col("tok")))
     aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.when(_simhash_bit_pred(F.col("h"), a, b), 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i, (a, b) in enumerate(consts)
     ]
     sums = tok.groupBy("did").agg(*aggs)
     sig = F.lit(0).cast("long")
@@ -376,3 +545,78 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB SQL reproducing ``simhash_pairs`` over whitespace tokens
+    (``textstats.tokens`` semantics) bit-for-bit.
+
+    DuckDB never materializes the 64-bit signature (1<<63 would overflow
+    BIGINT): it works on the 64 individual sign bits — the 16-bit chunk
+    values for blocking and a 64-term inequality sum for the hamming
+    distance are algebraically identical to Spark's shift/bit_count form.
+    Token-less docs contribute all-zero bits (the COALESCE), matching
+    Spark's left-join signature 0."""
+    consts = affine_constants(64, SIMHASH_SALT)
+    th = md5_hash32_sql("m")
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h * {a} + {b}) % {M31} < {HALF31} THEN 1 ELSE -1 END) AS s{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    sig_bits = ",\n           ".join(
+        f"CASE WHEN COALESCE(s{i}, 0) > 0 THEN 1 ELSE 0 END AS t{i}"
+        for i in range(64)
+    )
+    chunk_rows = "\n        UNION ALL ".join(
+        "SELECT did, {ci} AS ci, ({cv}) AS cv FROM sb".format(
+            ci=c,
+            cv=" + ".join(f"t{c * 16 + j} * {1 << j}" for j in range(16)),
+        )
+        for c in range(4)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN sa.t{i} <> sbb.t{i} THEN 1 ELSE 0 END)" for i in range(64)
+    )
+    return f"""
+    WITH ids AS (SELECT {id_col} AS did FROM {table}),
+    tok AS (
+        SELECT {id_col} AS did,
+               unnest(CASE WHEN length(trim({text_col})) > 0
+                           THEN regexp_split_to_array(trim({text_col}), '\\s+')
+                           ELSE [] END) AS t
+        FROM {table}
+    ),
+    th AS (
+        SELECT did, {th} AS h
+        FROM (SELECT did, md5(t) AS m FROM tok)
+    ),
+    bsum AS (
+        SELECT did,
+           {bit_sums}
+        FROM th GROUP BY did
+    ),
+    sb AS (
+        SELECT ids.did,
+           {sig_bits}
+        FROM ids LEFT JOIN bsum ON bsum.did = ids.did
+    ),
+    ch AS (
+        {chunk_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.did AS id_a, b.did AS id_b
+        FROM ch a JOIN ch b
+          ON a.ci = b.ci AND a.cv = b.cv AND a.did < b.did
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT cand.id_a, cand.id_b, CAST({ham} AS INT) AS hamming
+        FROM cand
+        JOIN sb sa ON sa.did = cand.id_a
+        JOIN sb sbb ON sbb.did = cand.id_b
+    ) WHERE hamming <= {max_hamming}
+    """

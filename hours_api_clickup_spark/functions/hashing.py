@@ -35,3 +35,37 @@ def rolling_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda h, ch: (h * FINGERPRINT_BASE + F.ascii(ch)) % F.lit(FINGERPRINT_MOD),
     )
+
+
+def md5_hash32(col: Column | str) -> Column:
+    """First 32 bits of md5 as a non-negative long in [0, 2^32).
+
+    The engine-portable hash for *variable-length* strings: md5 produces
+    the same lowercase hex in every engine, and the 8-hex-digit parse is
+    plain ascii arithmetic (`0-9` → 48-57, `a-f` → 97-102), so the value
+    is reproducible bit-for-bit in DuckDB (``md5_hash32_sql``) — unlike
+    xxhash64, whose seed/finalizer are Spark-internal. Every term is a
+    codegen'd builtin (no interpreted higher-order functions); Catalyst
+    subexpression elimination computes the md5 once.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.md5(c)
+    out = F.lit(0).cast("long")
+    for j in range(8):
+        a = F.ascii(F.substring(m, F.lit(j + 1), F.lit(1)))
+        out = out * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return out
+
+
+def md5_hash32_sql(md5_expr: str) -> str:
+    """DuckDB twin of ``md5_hash32``: parse the first 8 hex chars of an
+    already-computed md5 string expression into the same int64."""
+    terms = []
+    for j in range(8):
+        a = f"ascii(substring({md5_expr}, {j + 1}, 1))"
+        # CAST: DuckDB ascii() is INT32; the 16^7 scale overflows it
+        terms.append(
+            f"CAST({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+            f" * {16 ** (7 - j)}"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -658,8 +658,10 @@ def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 from hours_api_clickup_spark.datapipe.dedup import (  # noqa: E402
     char_shingles,
     exact_dedup,
+    minhash_lsh_oracle_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_oracle_sql,
     simhash_pairs,
 )
 from hours_api_clickup_spark.datapipe.multimodal import (  # noqa: E402
@@ -845,11 +847,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    None,  # LSH recall is probabilistic-by-construction; verified in tests
+    minhash_lsh_oracle_sql(
+        k=5, num_hashes=64, bands=16, threshold=0.7
+    ),
     survey_ids="datapipe:dedup-minhash",
     doc="MinHash(64)+LSH(16 bands) candidate generation, exact-Jaccard "
-    "verified at 0.7. Deterministic (fixed xxhash64 seeds). Scale path: "
-    "bucket-join shuffle, never n². Recall vs exact checked in tests/.",
+    "verified at 0.7. Engine-portable int64 hashing (polynomial gram "
+    "hash + affine permutations), so the DuckDB oracle replays banding, "
+    "prefilter, and verification exactly — full hash-match, not "
+    "rows-only. Scale path: bucket-join shuffle, never n². Recall vs "
+    "exact checked in tests/.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -860,11 +867,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    None,  # signature blocking layout is Spark-hash-specific; tested in tests/
+    simhash_oracle_sql(max_hamming=12),
     survey_ids="datapipe:dedup-simhash",
     doc="64-bit SimHash near-dup candidates, hamming ≤ 12, via 16-bit "
     "chunk blocking (pigeonhole: hamming ≤ 3 shares a chunk; wider "
-    "radius still blocks well on near-dups). Tested vs exact jaccard.",
+    "radius still blocks well on near-dups). Portable md5-derived token "
+    "hashes + affine bit hashes → DuckDB oracle reproduces signatures, "
+    "blocking, and hamming exactly (full hash-match).",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
