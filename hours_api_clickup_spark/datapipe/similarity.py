@@ -102,19 +102,38 @@ def brute_force_topk(
     return scored.orderBy(F.col("score").desc(), F.col("nbr_id").asc()).limit(k)
 
 
+M31 = 2**31
+HALF31 = 2**30
+M32 = 2**32
+KNUTH_A = 2654435761  # ⌊2^32/φ⌋ — same multiplier as datapipe.sampling
+_T_MULT = 1_000_003
+_P_MULT = 7_919
+
+
 def hyperplanes(dim: int, planes: int = DEFAULT_PLANES, tables: int = DEFAULT_TABLES) -> np.ndarray:
     """Deterministic ±1 hyperplanes, shape (tables, planes, dim).
 
-    Seeded per (table, plane) so the matrix is identical on the driver
-    (query signatures) and every executor (corpus signatures) with no
-    stored model — the broadcast constant is ~tables·planes·dim bytes.
+    Component (t, p, d) is the parity of a pure-int64 multiplicative
+    hash: +1 ⇔ ((t·1000003 + p·7919 + d) mod 2³¹)·KNUTH_A mod 2³¹ < 2³⁰.
+    No RNG state at all — the same formula is evaluated identically on
+    the driver (query signatures), every executor (corpus signatures),
+    and inside the DuckDB oracle (``lsh_plane_sign_sql``), so there is
+    no stored model and nothing engine-specific. All intermediate
+    products stay below 2⁶³ (base < 2³¹, KNUTH_A < 2³²).
     """
-    out = np.empty((tables, planes, dim), dtype=np.float64)
-    for t in range(tables):
-        for p in range(planes):
-            rs = np.random.RandomState(seed=1_000_003 * t + 7919 * p + 17)
-            out[t, p] = rs.choice([-1.0, 1.0], size=dim)
-    return out
+    t = np.arange(tables, dtype=np.int64)[:, None, None]
+    p = np.arange(planes, dtype=np.int64)[None, :, None]
+    d = np.arange(dim, dtype=np.int64)[None, None, :]
+    base = (t * _T_MULT + p * _P_MULT + d) % M31
+    h = (base * KNUTH_A) % M31
+    return np.where(h < HALF31, 1.0, -1.0)
+
+
+def lsh_plane_sign_sql(t: int, p: int, d_expr: str) -> str:
+    """DuckDB twin of one hyperplane component: ±1.0 from the same
+    integer parity hash as ``hyperplanes``."""
+    base = f"(({t * _T_MULT + p * _P_MULT} + {d_expr}) % {M31})"
+    return f"(CASE WHEN ({base} * {KNUTH_A}) % {M31} < {HALF31} THEN 1.0 ELSE -1.0 END)"
 
 
 def signature_of(vec, planes_mat: np.ndarray) -> list[int]:
@@ -127,6 +146,50 @@ def signature_of(vec, planes_mat: np.ndarray) -> list[int]:
         bits = (planes_mat[t] @ v) >= 0
         sigs.append(int((bits * weights).sum()))
     return sigs
+
+
+def lsh_topk_oracle_sql(
+    dim: int,
+    k: int = 10,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    probe_radius: int = DEFAULT_PROBE_RADIUS,
+    query_id: int = 0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL reproducing ``lsh_bucketed_topk``: the hyperplane signs
+    come from the same integer parity hash, the per-table signature
+    hamming test is expanded to per-bit comparisons (no 64-bit packing
+    needed), and candidates re-rank by exact cosine. Generated, so the
+    plane constants can't drift from the numpy implementation."""
+
+    def bit(t: int, p: int, vec: str) -> str:
+        comp = lsh_plane_sign_sql(t, p, "d")
+        return (
+            f"(list_sum(list_transform(range(0, {dim}),"
+            f" d -> {comp} * {vec}[d+1])) >= 0)"
+        )
+
+    table_conds = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"(CASE WHEN {bit(t, p, 'e.v')} <> {bit(t, p, 'q.qv')} THEN 1 ELSE 0 END)"
+            for p in range(planes)
+        )
+        table_conds.append(f"(({terms}) <= {probe_radius})")
+    cond = "\n           OR ".join(table_conds)
+    return f"""
+    WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id}),
+    e AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table})
+    SELECT vid AS nbr_id
+    FROM e, q
+    WHERE vid <> {query_id}
+      AND ({cond})
+    ORDER BY list_cosine_similarity(e.v, q.qv) DESC, vid
+    LIMIT {k}
+    """
 
 
 def add_lsh_signatures(
@@ -331,6 +394,10 @@ def train_ivf_centroids(
     )
     x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    return _lloyd(x, n_clusters, iters)
+
+
+def _lloyd(x: np.ndarray, n_clusters: int, iters: int) -> np.ndarray:
     rs = np.random.RandomState(42)
     centroids = x[rs.choice(len(x), size=n_clusters, replace=False)]
     for _ in range(iters):
@@ -372,6 +439,31 @@ def ivf_assign(
     return spread(df).mapInPandas(assign, schema=out_schema)
 
 
+def seed_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_clusters: int = 16
+) -> np.ndarray:
+    """Deterministic, engine-portable coarse quantizer: the corpus
+    vectors whose Knuth multiplicative hash of id is smallest (a uniform
+    reproducible sample — the same family as datapipe.sampling), taken
+    in hash order and L2-normalized. Sampled-point centroids are the
+    classic IVF baseline (k-means via ``train_ivf_centroids`` improves
+    balance but its iterations aren't expressible in an SQL oracle);
+    the seed set is reproducible in DuckDB as
+    ``ORDER BY ((id % 2³¹)·KNUTH_A) % 2³², id LIMIT n``.
+    Bounded driver collect of n_clusters rows."""
+    bucket = F.pmod(
+        F.pmod(_c(id_col).cast("long"), F.lit(M31)) * F.lit(KNUTH_A), F.lit(M32)
+    )
+    rows = (
+        df.select(_c(id_col).alias("i"), _c(vec_col).alias("v"))
+        .orderBy(bucket, F.col("i"))
+        .limit(n_clusters)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -381,18 +473,78 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     centroids: np.ndarray | None = None,
+    quantizer: str = "kmeans",
     exclude_id=None,
 ) -> DataFrame:
     """Approximate top-k: score only the ``nprobe`` clusters nearest the
     query, exact cosine re-rank inside them. Recall/latency trades on
-    nprobe; nprobe = n_clusters degenerates to exact brute force."""
+    nprobe; nprobe = n_clusters degenerates to exact brute force.
+
+    ``quantizer='seeds'`` uses the deterministic hash-sampled centroids
+    (oracle-reproducible, see ``ivf_topk_oracle_sql``); ``'kmeans'``
+    trains Lloyd iterations on a bounded sample (better balance, not
+    SQL-expressible). Ties in cluster assignment and probe selection
+    break toward the lowest cluster index in both paths (np.argmax /
+    stable argsort ↔ the oracle's ORDER BY ... , cid)."""
     if centroids is None:
-        centroids = train_ivf_centroids(df, vec_col, id_col, n_clusters)
+        if quantizer == "seeds":
+            centroids = seed_centroids(df, vec_col, id_col, n_clusters)
+        else:
+            centroids = train_ivf_centroids(df, vec_col, id_col, n_clusters)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    probes = np.argsort(-(centroids @ qn), kind="stable")[:nprobe].tolist()
     assigned = ivf_assign(df, vec_col, centroids)
     cand = assigned.filter(F.col("cluster_id").isin([int(p) for p in probes]))
     return brute_force_topk(
         cand, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
     )
+
+
+def ivf_topk_oracle_sql(
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    query_id: int = 0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL reproducing ``ivf_topk(quantizer='seeds')``: the same
+    hash-ordered seed centroids, argmax-cosine assignment with
+    lowest-index tie-break, nprobe probe selection, and exact cosine
+    re-rank. (Cosine of a vector against a *normalized* seed orders
+    identically to the normalized-dot the numpy path computes.)"""
+    hash_order = f"(({id_col} % {M31}) * {KNUTH_A}) % {M32}, {id_col}"
+    return f"""
+    WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id}),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY {hash_order}) - 1 AS cid,
+               {vec_col}::DOUBLE[] AS sv
+        FROM {table}
+        ORDER BY {hash_order}
+        LIMIT {n_clusters}
+    ),
+    assign AS (
+        SELECT vid, cid FROM (
+            SELECT e.{id_col} AS vid, s.cid,
+                   row_number() OVER (
+                       PARTITION BY e.{id_col}
+                       ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], s.sv) DESC, s.cid
+                   ) AS rn
+            FROM {table} e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT cid FROM seeds, q
+        ORDER BY list_cosine_similarity(seeds.sv, q.qv) DESC, cid
+        LIMIT {nprobe}
+    )
+    SELECT e.{id_col} AS nbr_id
+    FROM {table} e
+    JOIN assign a ON a.vid = e.{id_col}
+    JOIN probes p ON p.cid = a.cid, q
+    WHERE e.{id_col} <> {query_id}
+    ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
+    LIMIT {k}
+    """

@@ -671,7 +671,9 @@ from hours_api_clickup_spark.datapipe.multimodal import (  # noqa: E402
 from hours_api_clickup_spark.datapipe.similarity import (  # noqa: E402
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk_oracle_sql,
     lsh_bucketed_topk,
+    lsh_topk_oracle_sql,
 )
 from hours_api_clickup_spark.datapipe.textstats import (  # noqa: E402
     LANG_MARKERS,
@@ -973,19 +975,22 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_lsh_bucketed",
-    None,  # approximate by construction; recall vs brute force in tests/
+    lsh_topk_oracle_sql(dim=64, k=10, query_id=0),
     survey_ids="datapipe:similarity-ann",
-    doc="Random-hyperplane LSH ANN (16 planes × 4 tables, deterministic "
-    "hash-derived hyperplanes), exact re-rank of bucket candidates. "
-    "Scale path: signatures persisted at ingest + bucketed table → "
-    "bucket pruning before any vector math.",
+    doc="Random-hyperplane LSH ANN (8 planes × 6 tables, radius-1 "
+    "multiprobe), exact cosine re-rank of bucket candidates. "
+    "Hyperplane signs come from a pure-int64 parity hash, so the DuckDB "
+    "oracle rebuilds the identical signatures and candidate set — full "
+    "hash-match (ids-only output keeps float scores out of the hash). "
+    "Scale path: signatures persisted at ingest + partitioned index → "
+    "knn_lsh_probe.",
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return lsh_bucketed_topk(
         emb, "embedding", "vec_id", qv, k=10, exclude_id=0
-    ).select("nbr_id", "score")
+    ).select("nbr_id")
 
 
 @register(
@@ -1399,12 +1404,14 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf",
-    None,  # approximate by construction; recall vs brute force in tests/
+    ivf_topk_oracle_sql(k=10, n_clusters=16, nprobe=6, query_id=0),
     survey_ids="datapipe:similarity-ivf",
-    doc="IVF ANN: coarse k-means quantizer (trained on a deterministic "
-    "sample driver-side), GEMM cluster assignment, nprobe-cluster exact "
-    "re-rank. Scale path: corpus partitioned by cluster_id → probes are "
-    "partition-pruned scans.",
+    doc="IVF ANN: deterministic hash-sampled coarse quantizer (seed "
+    "centroids — the SQL-expressible IVF baseline; Lloyd-trained "
+    "k-means stays available as quantizer='kmeans'), GEMM cluster "
+    "assignment, nprobe-cluster exact re-rank. DuckDB oracle replays "
+    "seeds → assignment → probes → re-rank for a full hash-match. "
+    "Scale path: corpus partitioned by cluster_id → knn_ivf_probe.",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hours_api_clickup_spark.datapipe.similarity import ivf_topk
@@ -1413,8 +1420,8 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
     return ivf_topk(
         emb, "embedding", "vec_id", qv, k=10, n_clusters=16, nprobe=6,
-        exclude_id=0,
-    ).select("nbr_id", "score")
+        quantizer="seeds", exclude_id=0,
+    ).select("nbr_id")
 
 
 @register(
@@ -1424,16 +1431,23 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The at-scale forms of the verification aggregates: HLL++ "
     "approx_count_distinct (rsd 1%) and approx_percentile sketch — "
     "fixed-size state per group vs O(distinct) exact state. Accuracy "
-    "gates live in tests/test_datapipe_quality.py.",
+    "gates live in tests/test_datapipe_quality.py. Quantiles are "
+    "projected as scalar columns (one array column would defeat the "
+    "driver's row canonicalizer).",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    quantiles = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return events.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-            "value_quantiles"
-        ),
+        quantiles.alias("_q"),
         F.count("*").alias("n_events"),
+    ).select(
+        "approx_users",
+        F.element_at("_q", 1).alias("q50"),
+        F.element_at("_q", 2).alias("q95"),
+        F.element_at("_q", 3).alias("q99"),
+        "n_events",
     )
 
 

@@ -180,7 +180,7 @@ def test_approx_stats_accuracy(spark):
     events = load_table(spark, SF_DIR, "events")
     exact_users = events.select("user_id").distinct().count()
     assert abs(row["approx_users"] - exact_users) / exact_users < 0.05
-    q50, q95, q99 = row["value_quantiles"]
+    q50, q95, q99 = row["q50"], row["q95"], row["q99"]
     exact_q = events.approxQuantile("value", [0.5, 0.95, 0.99], 0.0)
     assert abs(q50 - exact_q[0]) < 1.0
     assert abs(q95 - exact_q[1]) < 2.0
