@@ -345,20 +345,16 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_oracle_sql(
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = DEFAULT_SHINGLE_K,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    threshold: float = 0.7,
+def _minhash_oracle_ctes(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
 ) -> str:
-    """DuckDB SQL reproducing ``minhash_lsh_pairs`` bit-for-bit: same
-    gram hashes, same affine permutations, same Horner band buckets,
-    same integer prefilter cutoff, same exact-Jaccard verification over
-    the same distinct gram-hash sets. Generated (not handwritten) so the
-    constants can never drift from the Spark plan."""
+    """Shared CTE chain (ends in ``kept``) for the MinHash oracles."""
     rows_per_band = num_hashes // bands
     consts = affine_constants(num_hashes, MINHASH_SALT)
     est_margin = 0.2
@@ -382,8 +378,7 @@ def minhash_lsh_oracle_sql(
     match_sum = " + ".join(
         f"(CASE WHEN sa.m{s} = sb.m{s} THEN 1 ELSE 0 END)" for s in range(num_hashes)
     )
-    return f"""
-    WITH g AS (
+    return f"""g AS (
         SELECT {id_col} AS did,
                unnest(list_transform(range(0, length({text_col}) - {k - 1}),
                                      i -> {gh})) AS h
@@ -411,14 +406,74 @@ def minhash_lsh_oracle_sql(
         JOIN sig sa ON sa.did = cand.id_a
         JOIN sig sb ON sb.did = cand.id_b
         WHERE {match_sum} >= {min_matches}
+    ),
+    jpairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
+                       / greatest(len(list_distinct(list_concat(gs_a, gs_b))), 1)
+                       AS jaccard
+            FROM kept
+        ) WHERE jaccard >= {threshold}
+    )"""
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_lsh_pairs`` bit-for-bit: same
+    gram hashes, same affine permutations, same Horner band buckets,
+    same integer prefilter cutoff, same exact-Jaccard verification over
+    the same distinct gram-hash sets. Generated (not handwritten) so the
+    constants can never drift from the Spark plan."""
+    ctes = _minhash_oracle_ctes(
+        table, id_col, text_col, k, num_hashes, bands, threshold
     )
-    SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b,
-               CAST(len(list_intersect(gs_a, gs_b)) AS DOUBLE)
-                   / greatest(len(list_distinct(list_concat(gs_a, gs_b))), 1)
-                   AS jaccard
-        FROM kept
-    ) WHERE jaccard >= {threshold}
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, jaccard FROM jpairs
+    """
+
+
+def minhash_cluster_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB SQL for the LSH-fed duplicate-cluster pipeline: the exact
+    ``minhash_lsh_pairs`` edge set (CTE chain above), then a recursive
+    reachability closure with min-label components and min-id survivors
+    — the oracle twin of ``resolve_dup_clusters`` over LSH candidates."""
+    ctes = _minhash_oracle_ctes(
+        table, id_col, text_col, k, num_hashes, bands, threshold
+    )
+    return f"""
+    WITH RECURSIVE {ctes},
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM jpairs
+        UNION ALL
+        SELECT id_b, id_a FROM jpairs
+    ),
+    reach(node, lbl) AS (
+        SELECT {id_col}, {id_col} FROM {table}
+        UNION
+        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+    )
+    SELECT node AS {id_col},
+           CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+           MIN(lbl) = node AS is_survivor
+    FROM reach
+    GROUP BY node
     """
 
 

@@ -280,6 +280,81 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.col("score").desc(), F.col("nbr_id").asc()).limit(k)
 
 
+def lsh_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    dim: int | None = None,
+) -> None:
+    """Materialize the LSH index at ingest: one row per (table, vector),
+    written ``partitionBy(t, sig)`` — the persisted-signature form of
+    ``lsh_bucketed_topk``.
+
+    This is the 100 TB shape: signatures are computed ONCE when the
+    corpus lands (one mapInPandas GEMM pass), and every later query is a
+    partition-pruned read of ~tables·(planes+1) tiny directories out of
+    tables·2^planes — never a full-corpus scan-and-sign. The vector is
+    stored alongside the signature so the exact re-rank needs no join
+    back to the corpus (a deliberate ×tables storage trade; store only
+    ids to trade back)."""
+    from functools import reduce
+
+    sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables, dim=dim)
+    parts = [
+        sigs.select(
+            _c(id_col).alias("vid"),
+            _c(vec_col).alias("v"),
+            F.lit(t).alias("t"),
+            F.col(f"sig_{t}").alias("sig"),
+        )
+        for t in range(tables)
+    ]
+    union = reduce(DataFrame.unionByName, parts)
+    union.write.mode("overwrite").partitionBy("t", "sig").parquet(path)
+
+
+def lsh_probe_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    probe_radius: int = DEFAULT_PROBE_RADIUS,
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k against a persisted LSH index (``lsh_index_write``).
+
+    Multiprobe enumerates the radius-≤1 hamming ball of the query's
+    bucket per table — (planes+1)·tables explicit (t, sig) keys — so the
+    filter is an IN-list over the partition columns and the scan is
+    partition-pruned (plan-gated in tests/test_plan_shapes.py). The
+    candidate set is identical to the scan-form popcount filter of
+    ``lsh_bucketed_topk``, so the same DuckDB oracle verifies both."""
+    if probe_radius > 1:
+        raise ValueError("probe enumeration implemented for radius <= 1")
+    dim = len(query_vec)
+    q_sigs = signature_of(query_vec, hyperplanes(dim, planes, tables))
+    cond = F.lit(False)
+    for t, qs in enumerate(q_sigs):
+        buckets = [qs] + (
+            [qs ^ (1 << p) for p in range(planes)] if probe_radius >= 1 else []
+        )
+        cond = cond | ((F.col("t") == t) & F.col("sig").isin(buckets))
+    idx = spark.read.parquet(index_path).filter(cond)
+    cand = idx.select("vid", "v").dropDuplicates(["vid"])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col("vid").alias("nbr_id"), cosine_sim(F.col("v"), q).alias("score")
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("nbr_id") != exclude_id)
+    return scored.orderBy(F.col("score").desc(), F.col("nbr_id").asc()).limit(k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -496,6 +571,48 @@ def ivf_topk(
     probes = np.argsort(-(centroids @ qn), kind="stable")[:nprobe].tolist()
     assigned = ivf_assign(df, vec_col, centroids)
     cand = assigned.filter(F.col("cluster_id").isin([int(p) for p in probes]))
+    return brute_force_topk(
+        cand, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
+    )
+
+
+def ivf_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+) -> None:
+    """Materialize the IVF index at ingest: cluster assignment once
+    (mapInPandas GEMM), written ``partitionBy(cluster_id)``. Probes then
+    read only the nprobe matching partitions — the persisted form of
+    ``ivf_topk``, scan cost nprobe/n_clusters of the corpus."""
+    ivf_assign(df, vec_col, centroids).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k against a persisted IVF index (``ivf_index_write``): pick
+    the nprobe nearest centroids driver-side, filter cluster_id IN
+    probes (partition-pruned scan, plan-gated), exact cosine re-rank.
+    Candidates are identical to ``ivf_topk`` with the same centroids."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn), kind="stable")[:nprobe].tolist()
+    cand = spark.read.parquet(index_path).filter(
+        F.col("cluster_id").isin([int(p) for p in probes])
+    )
     return brute_force_topk(
         cand, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
     )

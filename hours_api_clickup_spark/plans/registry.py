@@ -658,6 +658,7 @@ def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 from hours_api_clickup_spark.datapipe.dedup import (  # noqa: E402
     char_shingles,
     exact_dedup,
+    minhash_cluster_oracle_sql,
     minhash_lsh_oracle_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -883,6 +884,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_lsh",
+    minhash_cluster_oracle_sql(k=5, num_hashes=64, bands=16, threshold=0.7),
+    survey_ids="datapipe:dedup-clusters-lsh",
+    doc="The production-shaped cluster pipeline: near-dup edges come "
+    "from MinHash+LSH banding (bucket joins, no all-pairs stage "
+    "anywhere in the plan), then iterative min-label connected "
+    "components pick min-id survivors. This is the at-scale form of "
+    "embedding_dup_clusters, whose GEMM pair generator is a bounded "
+    "verifier. Oracle: the generated MinHash pair SQL + a recursive "
+    "reachability closure — full hash-match.",
+)
+def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
+    ).select("id_a", "id_b")
+    nodes = docs.select("doc_id")
+    return resolve_dup_clusters(nodes, pairs, "doc_id")
+
+
+@register(
     "embedding_near_dups",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -991,6 +1015,35 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         emb, "embedding", "vec_id", qv, k=10, exclude_id=0
     ).select("nbr_id")
+
+
+@register(
+    "knn_lsh_probe",
+    lsh_topk_oracle_sql(dim=64, k=10, query_id=0),
+    survey_ids="datapipe:similarity-ann-index",
+    doc="The persisted-index form of knn_lsh_bucketed: signatures are "
+    "materialized once at ingest into a table partitioned by "
+    "(table, sig); the query enumerates the radius-1 multiprobe bucket "
+    "keys and reads only those partitions (partition-pruned scan, "
+    "plan-gated) — at 100 TB a probe touches tables·(planes+1) "
+    "directories, never the corpus. Same candidate set as the scan "
+    "form, so the same DuckDB oracle hash-matches it.",
+)
+def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        lsh_index_write,
+        lsh_probe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    index_path = tempfile.mkdtemp(prefix="lsh_index_") + "/emb"
+    lsh_index_write(emb, "embedding", "vec_id", index_path, dim=64)
+    return lsh_probe_topk(spark, index_path, qv, k=10, exclude_id=0).select(
+        "nbr_id"
+    )
 
 
 @register(
@@ -1421,6 +1474,37 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, "embedding", "vec_id", qv, k=10, n_clusters=16, nprobe=6,
         quantizer="seeds", exclude_id=0,
+    ).select("nbr_id")
+
+
+@register(
+    "knn_ivf_probe",
+    ivf_topk_oracle_sql(k=10, n_clusters=16, nprobe=6, query_id=0),
+    survey_ids="datapipe:similarity-ivf-index",
+    doc="The persisted-index form of knn_ivf: cluster assignment is "
+    "materialized once at ingest into a table partitioned by "
+    "cluster_id; the probe filters cluster_id IN (nprobe nearest) and "
+    "reads only those partitions (partition-pruned, plan-gated) — scan "
+    "cost nprobe/n_clusters of the corpus at any scale. Same candidate "
+    "set as knn_ivf, same DuckDB oracle.",
+)
+def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivf_index_write,
+        ivf_probe_topk,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+    index_path = tempfile.mkdtemp(prefix="ivf_index_") + "/emb"
+    ivf_index_write(emb, "embedding", "vec_id", index_path, cents)
+    return ivf_probe_topk(
+        spark, index_path, "embedding", "vec_id", qv, cents, k=10, nprobe=6,
+        exclude_id=0,
     ).select("nbr_id")
 
 

@@ -113,6 +113,79 @@ def test_set_ops_no_global_sort(spark):
     assert "Join LeftSemi" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def _probe_index_plan(spark, tmp_path, which: str) -> str:
+    """Build a tiny persisted ANN index and return the probe's plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivf_index_write,
+        ivf_probe_topk,
+        lsh_index_write,
+        lsh_probe_topk,
+        seed_centroids,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    path = str(tmp_path / f"{which}_index")
+    if which == "lsh":
+        lsh_index_write(emb, "embedding", "vec_id", path, dim=64)
+        df = lsh_probe_topk(spark, path, qv, k=10, exclude_id=0)
+    else:
+        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+        ivf_index_write(emb, "embedding", "vec_id", path, cents)
+        df = ivf_probe_topk(
+            spark, path, "embedding", "vec_id", qv, cents, k=10, nprobe=6
+        )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lsh_probe_scan_is_partition_pruned(spark, tmp_path):
+    # The probe must read only the enumerated (t, sig) partitions of the
+    # persisted index — PartitionFilters on the scan, no full-corpus
+    # mapInPandas signature pass anywhere in the probe plan.
+    plan = _probe_index_plan(spark, tmp_path, "lsh")
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "t#" in pf and "sig#" in pf, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
+    # cluster_id IN (probes) must land in PartitionFilters: the scan
+    # touches nprobe partitions, not the corpus.
+    plan = _probe_index_plan(spark, tmp_path, "ivf")
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "cluster_id" in pf, plan
+    assert plan.count("MapInPandas") <= 1  # scoring UDF only, no re-sign
+
+
+def test_minhash_pair_generation_no_all_pairs_join(spark):
+    # dedup_cluster_lsh's edge set comes from the banded bucket join:
+    # equi-join on (band, bucket) — never a cartesian / nested-loop
+    # all-pairs stage anywhere in the candidate plan.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hours_api_clickup_spark.datapipe.dedup import minhash_lsh_pairs
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = minhash_lsh_pairs(docs, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_sequence_packing_range_partitioned_not_single_window(spark):
     # the global prefix sum must be the two-phase scan: a RANGE exchange
     # + per-partition windows — never one global-orderBy window that
