@@ -7,6 +7,15 @@ Each query is fully materialized through the noop sink (count() alone
 would let Catalyst prune the very projections being measured). The
 exact-O(n²) document-pair verifier is excluded — its scale path
 (dedup_minhash_lsh) is benched instead, which is the point.
+
+Robustness: every query runs $SPARK_GRAFT_BENCH_RUNS times (default 3)
+and reports the MEDIAN — the GEMM-heavy queries show ±2× run-to-run
+variance, so single-run deltas are noise. ``value`` is the sum of the
+per-query medians. One extra named row, ``pipeline_refresh_composite``,
+times the reference's refresh analog (transform → dedup → windowed
+merge) end-to-end so round-over-round regressions on the flagship
+pipeline are attributable; it re-runs queries already counted, so it is
+reported but NOT added to ``value``.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -21,12 +31,17 @@ from hours_api_clickup_spark.plans.registry import QUERIES
 from hours_api_clickup_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # Everything except the deliberately-quadratic exact verifier, which is
 # the testing oracle for the LSH path, not a production query.
 EXCLUDE = {"dedup_ngram_jaccard"}
 
 BENCH_QUERIES = [name for name in QUERIES if name not in EXCLUDE]
+
+# The reference's refresh pipeline, as one timed unit: wide transform →
+# keep-latest dedup → windowed MERGE (BASELINE.md "refresh").
+COMPOSITE = ("transform_projection", "dedupe_keep_latest", "merge_refresh_window")
 
 
 def main() -> None:
@@ -53,17 +68,26 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
+    def run_once(name: str) -> float:
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        med = statistics.median(run_once(name) for _ in range(N_RUNS))
+        timings[name] = round(med, 3)
+        total += med
+        print(f"# {name}: median {med:.3f}s of {N_RUNS}", file=sys.stderr)
+
+    comp = statistics.median(
+        sum(run_once(name) for name in COMPOSITE) for _ in range(N_RUNS)
+    )
+    timings["pipeline_refresh_composite"] = round(comp, 3)
+    print(f"# pipeline_refresh_composite: median {comp:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -43,7 +43,13 @@ def global_prefix_offsets(
 ) -> DataFrame:
     """Add ``start_offset``/``end_offset``: the half-open range each row
     occupies in the stream formed by concatenating rows in ``id_col``
-    order. Two-phase distributed prefix sum — see module docstring."""
+    order. Two-phase distributed prefix sum — see module docstring.
+
+    Preconditions: ``id_col`` values must be unique (ties make the
+    within-partition order — and therefore the offsets — nondeterministic)
+    and ``size_col`` may be any sign (per-partition totals are computed
+    with SUM, which is correct for negative sizes too; max(running sum)
+    would not be)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, _c(id_col)).withColumn(
         "__pid", F.spark_partition_id()
@@ -56,8 +62,8 @@ def global_prefix_offsets(
     local = ranged.withColumn(
         "__local_cum", F.sum(_c(size_col)).over(w_local)
     )
-    # one row per partition; max(running sum) == partition total
-    totals = local.groupBy("__pid").agg(F.max("__local_cum").alias("__ptot"))
+    # one row per partition; SUM == partition total for any size sign
+    totals = local.groupBy("__pid").agg(F.sum(_c(size_col)).alias("__ptot"))
     w_prefix = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )  # tiny relation (P rows) — single-partition window is fine HERE

@@ -40,9 +40,29 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def hash_bucket(id_col: Column | str) -> Column:
-    """Deterministic bucket in [0, 2³²) from a non-negative integer id."""
+def hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, 2³²) from a non-negative integer id.
+
+    ``seed`` decorrelates sampling stages: all operators in this module
+    share this one hash, so two stages composed with the SAME seed are
+    fully correlated (an 80% hash_sample followed by an 80/10/10
+    assign_split would put every surviving row in 'train'). Give each
+    independent stage its own seed.
+
+    The seeded form runs a SECOND multiplicative round over the salted
+    id — ``(((id + salt) mod 2³¹ · A) mod 2³¹ · A) mod 2³²`` — because a
+    purely additive salt would only rotate the unseeded bucket
+    (``(x+s)·A ≡ x·A + s·A``), leaving interval-threshold stages fully
+    correlated; the extra multiplication shatters any bucket interval
+    into ~A scattered segments. Still pure int64 (every product
+    < 2³¹·2654435761 < 2⁶³), engine-portable in any SQL dialect, and
+    seed=0 reproduces the historical single-round hash exactly (the
+    registry oracles depend on that form)."""
     reduced = F.pmod(_c(id_col).cast("long"), F.lit(_MOD_31))
+    if seed:
+        salt = (seed * 0x9E3779B9) % _MOD_31
+        premix = F.pmod(reduced + F.lit(salt), F.lit(_MOD_31))
+        reduced = F.pmod(premix * F.lit(KNUTH_A), F.lit(_MOD_31))
     return F.pmod(reduced * F.lit(KNUTH_A), F.lit(_MOD_32))
 
 
@@ -58,12 +78,13 @@ def _thresholds(weights: list[float]) -> list[int]:
 
 
 def assign_split(
-    id_col: Column | str, splits: list[tuple[str, float]]
+    id_col: Column | str, splits: list[tuple[str, float]], seed: int = 0
 ) -> Column:
     """Split-name column from weighted splits, e.g.
     ``[("train", 0.8), ("val", 0.1), ("test", 0.1)]``. Total weights are
-    normalized; assignment is deterministic and engine-portable."""
-    bucket = hash_bucket(id_col)
+    normalized; assignment is deterministic and engine-portable. Use a
+    distinct ``seed`` when composing with other sampling stages."""
+    bucket = hash_bucket(id_col, seed)
     names = [n for n, _ in splits]
     ths = _thresholds([w for _, w in splits])
     # nested whens built last-split-outward so the lowest matching
@@ -75,12 +96,13 @@ def assign_split(
 
 
 def hash_sample(
-    df: DataFrame, id_col: Column | str, fraction: float
+    df: DataFrame, id_col: Column | str, fraction: float, seed: int = 0
 ) -> DataFrame:
     """Deterministic ~``fraction`` sample: keep rows whose hash bucket
     falls below ⌊fraction·2³²⌋. Stable under repartition; rerunning or
-    growing the table never re-draws previously kept rows."""
-    return df.filter(hash_bucket(id_col) < int(fraction * _MOD_32))
+    growing the table never re-draws previously kept rows. Use a
+    distinct ``seed`` when composing with other sampling stages."""
+    return df.filter(hash_bucket(id_col, seed) < int(fraction * _MOD_32))
 
 
 def stratified_hash_sample(
@@ -89,6 +111,7 @@ def stratified_hash_sample(
     strata_col: Column | str,
     fractions: dict[str, float],
     default_fraction: float = 0.0,
+    seed: int = 0,
 ) -> DataFrame:
     """Per-stratum deterministic sampling (the reproducible form of
     ``sampleBy``): each stratum gets its own keep-threshold. Used for
@@ -97,7 +120,7 @@ def stratified_hash_sample(
     strata = _c(strata_col)
     for value, frac in sorted(fractions.items()):
         th = F.when(strata == value, int(frac * _MOD_32)).otherwise(th)
-    return df.filter(hash_bucket(id_col) < th)
+    return df.filter(hash_bucket(id_col, seed) < th)
 
 
 def weighted_mix(
@@ -106,6 +129,7 @@ def weighted_mix(
     strata_col: Column | str,
     rates: dict[str, float],
     default_rate: float = 0.0,
+    seed: int = 0,
 ) -> DataFrame:
     """Corpus mixing with per-stratum sampling RATES, where a rate may
     exceed 1 (epoch-weighting: rate 2.5 ⇒ every row appears twice and
@@ -127,7 +151,7 @@ def weighted_mix(
         frac_th = F.when(
             strata == value, int((rate - int(rate)) * _MOD_32)
         ).otherwise(frac_th)
-    copies = base + F.when(hash_bucket(id_col) < frac_th, 1).otherwise(0)
+    copies = base + F.when(hash_bucket(id_col, seed) < frac_th, 1).otherwise(0)
     return (
         df.withColumn("__n_copies", copies)
         .filter(F.col("__n_copies") > 0)

@@ -21,8 +21,12 @@ OSLO_TZ = "Europe/Oslo"
 def epoch_ms_to_ts(col: Column | str) -> Column:
     """Epoch-milliseconds (possibly string-typed) → TimestampType (UTC).
 
-    0, negative, and unparseable inputs → null, matching the reference's
-    ``if ms and ms > 0`` guard + try/except (fetch_clickup_data.py:588-594).
+    0 and unparseable inputs → null, matching the reference's plain
+    truthiness guards + try/except (``if start_ms:`` at
+    fetch_clickup_data.py:816,588-594). Negative ms also → null — a
+    DELIBERATE deviation: the reference's truthiness guard would pass
+    negatives through as pre-1970 timestamps, which in a time-tracking
+    domain are always corrupt input, not real instants.
     """
     c = F.col(col) if isinstance(col, str) else col
     # try_cast on BOTH steps: under ANSI mode a NaN/±inf/≥2^63 double

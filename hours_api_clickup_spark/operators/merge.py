@@ -106,15 +106,19 @@ def merge_refresh_partitioned(
     merged_slice = merge_refresh(
         fact_slice, s_w.select(*fact_slice.columns), w, key=key
     ).localCheckpoint(eager=True)
-    (
-        merged_slice.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("month")
-        .parquet(fact_path)
-    )
-    # dynamic overwrite only rewrites partitions PRESENT in the output:
-    # a window month whose rows were all deleted writes nothing and the
-    # stale partition would survive — drop those explicitly
+    # dynamic overwrite only rewrites partitions PRESENT in the output: a
+    # window month whose rows were all deleted writes nothing and the
+    # stale partition would survive — drop those explicitly. The deletes
+    # run BEFORE the overwrite (the merged slice is already eagerly
+    # checkpointed, so nothing below re-reads fact_path): a crash between
+    # the two steps then leaves months that were due to be emptied
+    # missing — the intended end state — whereas delete-after-write could
+    # crash in between and silently resurrect a stale month on the next
+    # read. The two steps are still not one atomic commit (a crash
+    # mid-overwrite leaves Spark's usual partial-write temp dirs): on a
+    # production object store, pair this with a table format's atomic
+    # commit (Iceberg/Delta replaceWhere) — this path assumes a
+    # filesystem where directory delete is atomic.
     out_months = {
         r["month"] for r in merged_slice.select("month").distinct().collect()
     }
@@ -125,6 +129,12 @@ def merge_refresh_partitioned(
     for m in months:
         if m not in out_months:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{fact_path}/month={m}"), True)
+    (
+        merged_slice.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(fact_path)
+    )
     return months
 
 

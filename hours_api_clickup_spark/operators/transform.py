@@ -31,6 +31,18 @@ def _str_or_null(c: Column) -> Column:
     return F.when((s.isNotNull()) & (s != ""), s)
 
 
+def _str_or_empty(c: Column) -> Column:
+    """Reference ``.get(key, '')`` semantics: '' when absent
+    (fetch_clickup_data.py:831-849 — task_name, the status triple, the
+    user string fields, description/source/task_url all default to '').
+    A struct field that is null and a key that is missing are the same
+    thing in a columnar world, so both map to '' — the one (documented)
+    deviation is a key *present with an explicit null*, which dict.get
+    would pass through as None and this maps to '' as well."""
+    s = c.cast("string")
+    return F.coalesce(s, F.lit(""))
+
+
 def transform_time_entries(raw: DataFrame) -> DataFrame:
     """Nested raw time entries → the 31-column flat fact schema.
 
@@ -49,29 +61,29 @@ def transform_time_entries(raw: DataFrame) -> DataFrame:
             "duration_hours"
         ),
         safe_bool("billable").alias("billable"),
-        F.col("description").cast("string").alias("description"),
-        F.col("source").cast("string").alias("source"),
+        _str_or_empty(F.col("description")).alias("description"),
+        _str_or_empty(F.col("source")).alias("source"),
         epoch_ms_to_ts("at").alias("at"),
         safe_bool("is_locked").alias("is_locked"),
         _str_or_null(F.col("approval_id")).alias("approval_id"),
-        F.col("task_url").cast("string").alias("task_url"),
+        _str_or_empty(F.col("task_url")).alias("task_url"),
         # nested-struct access (P2, fetch_clickup_data.py:827-855)
         _str_or_null(F.col("task.id")).alias("task_id"),
-        F.col("task.name").cast("string").alias("task_name"),
+        _str_or_empty(F.col("task.name")).alias("task_name"),
         F.col("task.custom_type").cast("string").alias("task_custom_type"),
         F.col("task.custom_id").cast("string").alias("task_custom_id"),
-        F.col("task.status.status").cast("string").alias("task_status_status"),
-        F.col("task.status.color").cast("string").alias("task_status_color"),
-        F.col("task.status.type").cast("string").alias("task_status_type"),
+        _str_or_empty(F.col("task.status.status")).alias("task_status_status"),
+        _str_or_empty(F.col("task.status.color")).alias("task_status_color"),
+        _str_or_empty(F.col("task.status.type")).alias("task_status_type"),
         safe_int(F.col("task.status.orderindex")).alias("task_status_orderindex"),
         _str_or_null(F.col("user.id")).alias("user_id"),
-        F.col("user.username").cast("string").alias("user_username"),
-        F.col("user.email").cast("string").alias("user_email"),
+        _str_or_empty(F.col("user.username")).alias("user_username"),
+        _str_or_empty(F.col("user.email")).alias("user_email"),
         # SHA-256 of email, null when empty (P7, fetch_clickup_data.py:846)
         sha256_if_nonempty(F.col("user.email")).alias("user_email_sha256"),
-        F.col("user.color").cast("string").alias("user_color"),
-        F.col("user.initials").cast("string").alias("user_initials"),
-        F.col("user.profilePicture").cast("string").alias("user_profilePicture"),
+        _str_or_empty(F.col("user.color")).alias("user_color"),
+        _str_or_empty(F.col("user.initials")).alias("user_initials"),
+        _str_or_empty(F.col("user.profilePicture")).alias("user_profilePicture"),
         _str_or_null(F.col("task_location.list_id")).alias("task_location_list_id"),
         _str_or_null(F.col("task_location.folder_id")).alias(
             "task_location_folder_id"

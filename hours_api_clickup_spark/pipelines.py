@@ -100,8 +100,6 @@ def sync_refresh_partitioned(
     at-scale form: only the window's month partitions are read and
     rewritten (operators.merge.merge_refresh_partitioned); history
     partitions are never touched."""
-    import os
-
     from hours_api_clickup_spark.operators.merge import (
         merge_refresh_partitioned,
     )
@@ -111,7 +109,12 @@ def sync_refresh_partitioned(
     if backup_path:
         csv_backup(staging, backup_path)
     lo = today_oslo - dt.timedelta(days=days)
-    if not os.path.exists(fact_path):  # first run: bootstrap the layout
+    # first-run probe through the Hadoop FS API so it answers correctly
+    # on any filesystem Spark can write (os.path.exists is local-only)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(fact_path)):
+        # first run: bootstrap the layout
         write_fact_partitioned(
             staging.filter(refresh_window_pred(today_oslo, days)), fact_path
         )

@@ -347,3 +347,38 @@ def test_hash_sample_stable_and_proportional(spark):
     # monotone: a larger fraction strictly contains a smaller one
     s50 = hash_sample(docs, "doc_id", 0.5)
     assert s20.select("doc_id").subtract(s50.select("doc_id")).isEmpty()
+
+
+def test_sampling_seed_decorrelates_stages(spark):
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.sampling import (
+        assign_split,
+        hash_sample,
+    )
+
+    df = spark.range(20000)
+    kept = hash_sample(df, "id", 0.5, seed=0)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+    # same seed in both stages: fully correlated — every surviving row
+    # lands in 'train' (the documented hazard)
+    same = kept.select(assign_split("id", splits, seed=0).alias("s"))
+    assert {r["s"] for r in same.distinct().collect()} == {"train"}
+
+    # distinct seed: the split ratios are restored on the sample
+    diff = (
+        kept.select(assign_split("id", splits, seed=7).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts = {r["s"]: r["n"] for r in diff}
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.8) < 0.03
+    assert counts["val"] > 0 and counts["test"] > 0
+
+    # seed=0 reproduces the historical unsalted hash (oracle contract)
+    assert hash_sample(df, "id", 0.3, seed=0).count() == hash_sample(
+        df, "id", 0.3
+    ).count()
