@@ -1,0 +1,129 @@
+"""HTTP façade smoke tests: one request per route of the reference's
+Flask surface (main.py:22-232), served by the stdlib-based
+hours_api_clickup_spark.server over fixture inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from hours_api_clickup_spark.server import ServerConfig, start_server
+from tests.test_domain_semantics import _entry
+from tests.test_pipelines import _task
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("server")
+    t0 = 1700000000000
+    entries = root / "entries.json"
+    with open(entries, "w") as f:
+        for r in [
+            _entry("e1", start_ms=t0, at_ms=t0),
+            _entry("e2", start_ms=t0 + 5, at_ms=t0 + 5),
+        ]:
+            f.write(json.dumps(r) + "\n")
+    tasks = root / "tasks.json"
+    with open(tasks, "w") as f:
+        for r in [
+            _task("t1"),
+            _task("t2", custom_item_id=1005,
+                  custom_fields=[{"id": "arr", "value": "9"}]),
+            _task("t3", custom_item_id=1001,
+                  custom_fields=[{"id": "connected_lists", "value": "l1"}]),
+        ]:
+            f.write(json.dumps(r) + "\n")
+    cfg = ServerConfig(
+        spark=spark,
+        entries_path=str(entries),
+        tasks_path=str(tasks),
+        warehouse=str(root / "wh"),
+        today_oslo=dt.date(2023, 11, 20),
+    )
+    srv = start_server(cfg)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body=None):
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_root_lists_endpoints(server):
+    code, body = _get(f"{server}/")
+    assert code == 200
+    assert "POST /sync/refresh" in body["endpoints"]
+
+
+def test_health(server):
+    code, body = _get(f"{server}/health")
+    assert code == 200 and body["status"] == "healthy"
+    assert body["service"] and body["version"]
+
+
+def test_sync_full_reindex_then_refresh(server):
+    code, body = _post(f"{server}/sync/full_reindex")
+    assert code == 200 and body["status"] == "success"
+    assert body["rows"] == 2
+    code, body = _post(f"{server}/sync/refresh", {"days": 60})
+    assert code == 200 and body["mode"] == "refresh"
+    assert body["days"] == 60 and body["rows"] == 2
+
+
+def test_sync_lists(server):
+    code, body = _post(f"{server}/sync/lists")
+    assert code == 200 and body["status"] == "success" and body["rows"] >= 1
+
+
+def test_sync_tasks(server):
+    code, body = _post(f"{server}/sync/tasks")
+    assert code == 200 and body["rows"] == 3
+
+
+def test_sync_accounts(server):
+    code, body = _post(f"{server}/sync/accounts")
+    assert code == 200 and body["rows"] == 1
+
+
+def test_sync_apps(server):
+    code, body = _post(f"{server}/sync/apps")
+    assert code == 200 and body["rows"] == 1
+
+
+def test_unknown_route_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/sync/nope")
+    assert e.value.code == 404
+
+
+def test_error_becomes_500_json(spark, tmp_path):
+    cfg = ServerConfig(
+        spark=spark,
+        entries_path=str(tmp_path / "missing.json"),
+        tasks_path=str(tmp_path / "missing.json"),
+        warehouse=str(tmp_path / "wh"),
+    )
+    srv = start_server(cfg)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(
+                f"http://127.0.0.1:{srv.server_address[1]}/sync/full_reindex"
+            )
+        assert e.value.code == 500
+        assert json.loads(e.value.read())["status"] == "error"
+    finally:
+        srv.shutdown()
