@@ -477,6 +477,40 @@ def minhash_cluster_oracle_sql(
     """
 
 
+def minhash_corpus_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB SQL for the deduplicated-corpus manifest: one row per
+    SURVIVING document (min-id of its near-dup cluster) with the number
+    of corpus rows it absorbs — the end product of the dedup family."""
+    ctes = _minhash_oracle_ctes(
+        table, id_col, text_col, k, num_hashes, bands, threshold
+    )
+    return f"""
+    WITH RECURSIVE {ctes},
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM jpairs
+        UNION ALL
+        SELECT id_b, id_a FROM jpairs
+    ),
+    reach(node, lbl) AS (
+        SELECT {id_col}, {id_col} FROM {table}
+        UNION
+        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(cluster_id AS BIGINT) AS {id_col},
+           COUNT(*) AS n_members
+    FROM cl GROUP BY cluster_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

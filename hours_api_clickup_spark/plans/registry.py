@@ -659,6 +659,7 @@ from hours_api_clickup_spark.datapipe.dedup import (  # noqa: E402
     char_shingles,
     exact_dedup,
     minhash_cluster_oracle_sql,
+    minhash_corpus_oracle_sql,
     minhash_lsh_oracle_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -904,6 +905,30 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     nodes = docs.select("doc_id")
     return resolve_dup_clusters(nodes, pairs, "doc_id")
+
+
+@register(
+    "dedup_corpus_manifest",
+    minhash_corpus_oracle_sql(k=5, num_hashes=64, bands=16, threshold=0.7),
+    survey_ids="datapipe:dedup-corpus",
+    doc="The end product of the dedup family: the deduplicated-corpus "
+    "manifest — one row per SURVIVING document (min-id of its LSH "
+    "near-dup cluster) with how many corpus rows it absorbs. Downstream "
+    "training jobs join this manifest to the corpus to materialize the "
+    "clean dataset. Same LSH edge pipeline as dedup_cluster_lsh (no "
+    "all-pairs stage); one extra tiny aggregation.",
+)
+def q_dedup_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
+    ).select("id_a", "id_b")
+    clusters = resolve_dup_clusters(docs.select("doc_id"), pairs, "doc_id")
+    return clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    ).select(F.col("cluster_id").alias("doc_id"), "n_members")
 
 
 @register(

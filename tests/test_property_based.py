@@ -168,3 +168,101 @@ def test_merge_refresh_algebra_properties(spark, fact_rows, stg_rows):
     # unique on id
     ids = [t[0] for t in out]
     assert len(ids) == len(set(ids))
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable hash primitives: the Spark column expressions must match
+# plain-Python reference implementations (the same ones the generated
+# DuckDB oracles encode), on arbitrary strings.
+# ---------------------------------------------------------------------------
+
+
+def ref_md5_hash32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def ref_gram_hash(gram: str) -> int:
+    h = 0
+    for ch in gram:
+        h = (h * 131 + ord(ch)) % 2**31
+    return h
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_md5_hash32_matches_python(spark, values):
+    from hours_api_clickup_spark.functions.hashing import md5_hash32
+
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", md5_hash32("s").alias("h")).collect()
+    }
+    for v in set(values):
+        assert got[v] == ref_md5_hash32(v), v
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=5,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_portable_gram_hash_matches_python(spark, values):
+    from hours_api_clickup_spark.datapipe.dedup import portable_gram_hash
+
+    k = 5
+    df = spark.createDataFrame([(v,) for v in values], ["txt"])
+    grams = df.select(
+        "txt",
+        F.explode(F.sequence(F.lit(0), F.length("txt") - k)).alias("i"),
+    ).select(
+        "txt", "i", portable_gram_hash(F.col("txt"), F.col("i"), k).alias("h")
+    )
+    for r in grams.collect():
+        assert r["h"] == ref_gram_hash(r["txt"][r["i"] : r["i"] + k])
+
+
+def test_affine_constants_are_valid_and_stable():
+    from hours_api_clickup_spark.datapipe.dedup import (
+        MINHASH_SALT,
+        SIMHASH_SALT,
+        affine_constants,
+    )
+
+    a64 = affine_constants(64, MINHASH_SALT)
+    b64 = affine_constants(64, SIMHASH_SALT)
+    assert a64 == affine_constants(64, MINHASH_SALT)  # deterministic
+    assert a64 != b64  # salts decorrelate the streams
+    for a, b in a64 + b64:
+        assert 0 < a < 2**31 and a % 2 == 1  # odd multiplier in range
+        assert 0 <= b < 2**31
+    # int64 safety of (a·h + b) for the largest hash domain (md5_hash32)
+    amax = max(a for a, _ in a64 + b64)
+    assert amax * (2**32 - 1) + 2**31 < 2**63
