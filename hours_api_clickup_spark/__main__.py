@@ -3,8 +3,10 @@
 Mirrors ``fetch_clickup_data.py:1679-1719``:
     --mode refresh|full_reindex --days N
 plus the dimension snapshot modes that the reference exposes as HTTP
-endpoints (lists/tasks/accounts/apps). Input is a raw-entry/task NDJSON
-path (the REST fetch feeds the same readers in production).
+endpoints (lists/tasks/accounts/apps), plus ``--mode serve`` which
+boots the HTTP façade itself (the reference's main.py IS its server
+entrypoint). Input is a raw-entry/task NDJSON path (the REST fetch
+feeds the same readers in production).
 """
 
 from __future__ import annotations
@@ -20,9 +22,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--mode",
         required=True,
-        choices=["refresh", "full_reindex", "lists", "tasks", "accounts", "apps"],
+        choices=[
+            "refresh", "full_reindex", "lists", "tasks", "accounts",
+            "apps", "serve",
+        ],
     )
     p.add_argument("--days", type=int, default=60)
+    p.add_argument("--port", type=int, default=8080, help="serve mode port")
     p.add_argument("--entries", help="raw time-entry NDJSON path")
     p.add_argument("--tasks", help="raw task NDJSON path")
     p.add_argument("--fact", help="fact table path", default="./fact_time_entries")
@@ -43,6 +49,32 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"sync-{args.mode}")
     try:
+        if args.mode == "serve":
+            from http.server import ThreadingHTTPServer
+
+            from hours_api_clickup_spark.server import (
+                ServerConfig,
+                make_handler,
+            )
+
+            if not args.entries or not args.tasks:
+                p.error("--entries and --tasks are required for serve")
+            cfg = ServerConfig(
+                spark=spark,
+                entries_path=args.entries,
+                tasks_path=args.tasks,
+                warehouse=args.out or "./warehouse",
+                today_oslo=(
+                    dt.date.fromisoformat(args.today_oslo)
+                    if args.today_oslo
+                    else None
+                ),
+                refresh_days=args.days,
+            )
+            srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(cfg))
+            print(json.dumps({"serving": f"0.0.0.0:{srv.server_address[1]}"}))
+            srv.serve_forever()
+            return 0
         if args.mode in ("refresh", "full_reindex"):
             if not args.entries:
                 p.error("--entries is required for refresh/full_reindex")
@@ -69,6 +101,17 @@ def main(argv: list[str] | None = None) -> int:
             if not args.tasks:
                 p.error("--tasks is required for dimension syncs")
             raw = read_raw_tasks(spark, args.tasks)
+            if args.mode == "lists":
+                # the lists dim consumes the Space→Folder→List hierarchy
+                # columns of the task feed (same selection as server.py)
+                raw = raw.select(
+                    "space_id", "space_name", "folder_id", "folder_name",
+                    "list_id", "list_name",
+                ).distinct()
+            elif args.mode == "accounts":
+                from pyspark.sql import functions as F
+
+                raw = raw.filter(F.col("custom_item_id") == 1001)
             out = args.out or f"./dim_{args.mode}"
             sync = getattr(pipelines, f"sync_{args.mode}")
             res = sync(raw, out, args.backup)

@@ -313,7 +313,13 @@ def lsh_index_write(
         for t in range(tables)
     ]
     union = reduce(DataFrame.unionByName, parts)
-    union.write.mode("overwrite").partitionBy("t", "sig").parquet(path)
+    # cluster rows of one (t, sig) bucket into one task before the
+    # partitioned write: each directory gets ONE parquet file instead of
+    # one-per-upstream-task — at corpus scale the difference between
+    # tables·2^planes files and tables·2^planes·tasks small files
+    union.repartition(F.col("t"), F.col("sig")).write.mode(
+        "overwrite"
+    ).partitionBy("t", "sig").parquet(path)
 
 
 def lsh_probe_topk(
@@ -586,10 +592,16 @@ def ivf_index_write(
     """Materialize the IVF index at ingest: cluster assignment once
     (mapInPandas GEMM), written ``partitionBy(cluster_id)``. Probes then
     read only the nprobe matching partitions — the persisted form of
-    ``ivf_topk``, scan cost nprobe/n_clusters of the corpus."""
-    ivf_assign(df, vec_col, centroids).write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(path)
+    ``ivf_topk``, scan cost nprobe/n_clusters of the corpus.
+
+    The pre-write repartition clusters each cluster_id into one task so
+    every partition directory holds one file (no small-files blowup);
+    at 100 TB swap it for repartitionByRange(cluster_id, id) to split
+    giant clusters across several bounded files."""
+    assigned = ivf_assign(df, vec_col, centroids)
+    assigned.repartition(F.col("cluster_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(path)
 
 
 def ivf_probe_topk(

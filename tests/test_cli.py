@@ -1,0 +1,75 @@
+"""CLI smoke tests (§2.13): python -m hours_api_clickup_spark drives the
+same pipelines as the HTTP façade; modes mirror the reference's
+``--mode`` argument surface (fetch_clickup_data.py:1679-1719)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import hours_api_clickup_spark.session as session_mod
+from hours_api_clickup_spark.__main__ import main
+from tests.test_domain_semantics import _entry
+from tests.test_pipelines import _task
+
+
+@pytest.fixture()
+def cli(spark, monkeypatch):
+    """Run main() against the shared test session (and keep it alive)."""
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    return main
+
+
+@pytest.fixture()
+def fixtures(tmp_path):
+    t0 = 1700000000000
+    entries = tmp_path / "entries.json"
+    with open(entries, "w") as f:
+        for r in [
+            _entry("e1", start_ms=t0, at_ms=t0),
+            _entry("e2", start_ms=t0 + 1, at_ms=t0 + 1),
+        ]:
+            f.write(json.dumps(r) + "\n")
+    tasks = tmp_path / "tasks.json"
+    with open(tasks, "w") as f:
+        for r in [
+            _task("t1"),
+            _task("t2", custom_item_id=1001,
+                  custom_fields=[{"id": "connected_lists", "value": "l1"}]),
+            _task("t3", custom_item_id=1005, custom_fields=[]),
+        ]:
+            f.write(json.dumps(r) + "\n")
+    return {"entries": str(entries), "tasks": str(tasks)}
+
+
+def _out(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_full_reindex_and_refresh(cli, fixtures, tmp_path, capsys):
+    fact = str(tmp_path / "fact")
+    rc = cli([
+        "--mode", "full_reindex", "--entries", fixtures["entries"],
+        "--fact", fact,
+    ])
+    assert rc == 0 and _out(capsys)["rows"] == 2
+    rc = cli([
+        "--mode", "refresh", "--entries", fixtures["entries"],
+        "--fact", fact, "--days", "60", "--today-oslo", "2023-11-20",
+    ])
+    out = _out(capsys)
+    assert rc == 0 and out["mode"] == "refresh" and out["rows"] == 2
+
+
+@pytest.mark.parametrize(
+    "mode,rows", [("lists", 1), ("tasks", 3), ("accounts", 1), ("apps", 1)]
+)
+def test_cli_dim_modes(cli, fixtures, tmp_path, capsys, mode, rows):
+    rc = cli([
+        "--mode", mode, "--tasks", fixtures["tasks"],
+        "--out", str(tmp_path / f"dim_{mode}"),
+    ])
+    out = _out(capsys)
+    assert rc == 0 and out["mode"] == mode and out["rows"] == rows
