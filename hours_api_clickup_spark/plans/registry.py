@@ -1549,28 +1549,64 @@ def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_stats",
-    None,  # sketch outputs are algorithm-specific; tolerance-gated in tests
+    """
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_2pct,
+           ROUND(quantile_cont(value, 0.5), 4)  AS q50,
+           ROUND(quantile_cont(value, 0.95), 4) AS q95,
+           ROUND(quantile_cont(value, 0.99), 4) AS q99,
+           TRUE AS q50_within_1pct,
+           TRUE AS q95_within_1pct,
+           TRUE AS q99_within_1pct
+    FROM events
+    """,
     survey_ids="A5-scale,datapipe:sketches",
     doc="The at-scale forms of the verification aggregates: HLL++ "
     "approx_count_distinct (rsd 1%) and approx_percentile sketch — "
-    "fixed-size state per group vs O(distinct) exact state. Accuracy "
-    "gates live in tests/test_datapipe_quality.py. Quantiles are "
-    "projected as scalar columns (one array column would defeat the "
-    "driver's row canonicalizer).",
+    "fixed-size state per group vs O(distinct) exact state. Sketch "
+    "outputs are algorithm-specific, so the oracled surface is the "
+    "accuracy CONTRACT: exact stats as values (Spark exact percentile "
+    "and DuckDB quantile_cont share the p*(n-1) linear-interpolation "
+    "definition, bit-identical on this data) plus booleans asserting "
+    "each sketch lands within its documented tolerance — the oracle "
+    "emits literal TRUE, so a sketch drifting out of tolerance fails "
+    "the hash match. Measured drift: HLL <=0.7%, quantiles <=0.33% "
+    "across sf0.001-0.1 vs 2%/1% gates. Extra accuracy gates live in "
+    "tests/test_datapipe_quality.py.",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    quantiles = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return events.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        quantiles.alias("_q"),
+    qs = [0.5, 0.95, 0.99]
+    agg = events.agg(
         F.count("*").alias("n_events"),
-    ).select(
-        "approx_users",
-        F.element_at("_q", 1).alias("q50"),
-        F.element_at("_q", 2).alias("q95"),
-        F.element_at("_q", 3).alias("q99"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_hll"),
+        F.percentile("value", F.lit(qs)).alias("_qex"),
+        F.percentile_approx("value", qs, 10000).alias("_qap"),
+    )
+
+    def _within(approx: Column, exact: Column, tol: float) -> Column:
+        return F.abs(approx - exact) <= tol * F.greatest(F.abs(exact), F.lit(1.0))
+
+    return agg.select(
         "n_events",
+        "exact_users",
+        _within(
+            F.col("_hll").cast("double"), F.col("exact_users").cast("double"), 0.02
+        ).alias("hll_within_2pct"),
+        F.round(F.element_at("_qex", 1), 4).alias("q50"),
+        F.round(F.element_at("_qex", 2), 4).alias("q95"),
+        F.round(F.element_at("_qex", 3), 4).alias("q99"),
+        _within(F.element_at("_qap", 1), F.element_at("_qex", 1), 0.01).alias(
+            "q50_within_1pct"
+        ),
+        _within(F.element_at("_qap", 2), F.element_at("_qex", 2), 0.01).alias(
+            "q95_within_1pct"
+        ),
+        _within(F.element_at("_qap", 3), F.element_at("_qex", 3), 0.01).alias(
+            "q99_within_1pct"
+        ),
     )
 
 
