@@ -1,0 +1,423 @@
+"""Corpus-curation operators a training-data pipeline runs between raw
+ingest and tokenization: repetition-based quality filtering (Gopher-style
+ratios), benchmark n-gram decontamination, deterministic epoch shuffling
+into training shards, and PII scan/redaction.
+
+All formulas are engine-portable (plain integer/string algebra both
+Spark and DuckDB evaluate identically), so every operator here carries a
+full hash-match oracle in plans/registry.py — the same discipline as the
+dedup/sampling families.
+
+Scale notes per operator live on the functions; the common theme is that
+nothing is all-pairs and nothing is per-row Python: repetition stats are
+explode + two map-side-combining aggregations keyed by document,
+decontamination is a broadcast semi-join against the (small) benchmark
+gram set, epoch shuffle partitions by (epoch, shard) so window state
+never concentrates, and PII scanning is a pure projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.datapipe.sampling import KNUTH_A, _MOD_31, _MOD_32
+from hours_api_clickup_spark.datapipe.textstats import tokens
+
+GOLDEN = 0x9E3779B9
+
+# Gopher-style repetition thresholds (Rae et al. 2021 use top-2-gram
+# char fraction 0.20 and dup-2-gram fraction 0.60 family; our corpus is
+# token-based single-line text, so the analogous token-level cuts).
+TOP_TOKEN_FRAC_MAX = 0.20
+DUP_BIGRAM_FRAC_MAX = 0.60
+
+# Dialect-portable PII patterns: character classes + bounded repetition
+# only, identical semantics in Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality filtering
+# ---------------------------------------------------------------------------
+
+
+def _bigrams(toks: Column) -> Column:
+    """Word 2-grams as 'a b' strings (empty array when < 2 tokens)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition metrics per document: the fraction of
+    tokens taken by the single most frequent token, the duplicate-token
+    fraction, and the duplicate-2-gram fraction, plus the keep/drop flag
+    at the standard thresholds.
+
+    Plan shape (the scale path): one scan, one explode of tagged
+    (unigram|bigram) grams, then groupBy(doc, n, gram) → groupBy(doc) —
+    both aggregations partial (map-side combine), both keyed by the
+    document id so skew is bounded by document length, never by corpus
+    size. No all-pairs stage, no Python. Mirrors the quality-filter pass
+    of Gopher/MassiveText (Rae et al. 2021, §A1.1).
+    """
+    did = _c(id_col).alias("did")
+    toks = tokens(text_col)
+    tagged = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
+        F.transform(
+            _bigrams(toks), lambda b: F.struct(F.lit(2).alias("n"), b.alias("g"))
+        ),
+    )
+    grams = df.select(did, F.explode(tagged).alias("t")).select(
+        "did", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    )
+    counts = grams.groupBy("did", "n", "g").agg(F.count("*").alias("c"))
+    per_n = counts.groupBy("did").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),
+        F.count(F.when(F.col("n") == 1, True)).alias("dis1"),
+        F.max(F.when(F.col("n") == 1, F.col("c"))).alias("top1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
+        F.count(F.when(F.col("n") == 2, True)).alias("dis2"),
+    )
+    top_frac = F.col("top1").cast("double") / F.col("tot1").cast("double")
+    dup_tok = (F.col("tot1") - F.col("dis1")).cast("double") / F.col(
+        "tot1"
+    ).cast("double")
+    dup_bi = F.when(
+        F.col("tot2") > 0,
+        (F.col("tot2") - F.col("dis2")).cast("double")
+        / F.col("tot2").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = per_n.select(
+        F.col("did").alias(id_col),
+        F.col("tot1").alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_tok.alias("dup_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        (
+            (top_frac <= TOP_TOKEN_FRAC_MAX) & (dup_bi <= DUP_BIGRAM_FRAC_MAX)
+        ).alias("keep"),
+    )
+    # Documents with zero tokens never explode a row; restore them as
+    # degenerate (drop) entries so the operator is total.
+    base = df.select(_c(id_col).alias(id_col))
+    return base.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+        F.coalesce("dup_token_frac", F.lit(0.0)).alias("dup_token_frac"),
+        F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+        F.coalesce("keep", F.lit(False)).alias("keep"),
+    )
+
+
+def repetition_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of ``repetition_stats`` (same grams, same algebra)."""
+    return f"""
+    WITH d AS (
+        SELECT {id_col} AS did,
+               CASE WHEN length(trim({text_col})) > 0
+                    THEN string_split_regex(trim({text_col}), '\\s+')
+                    ELSE [] END AS t
+        FROM {table}
+    ),
+    grams AS (
+        SELECT did, 1 AS n, unnest(t) AS g FROM d
+        UNION ALL
+        SELECT did, 2 AS n,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM d WHERE len(t) >= 2
+    ),
+    counts AS (
+        SELECT did, n, g, COUNT(*) AS c FROM grams GROUP BY did, n, g
+    ),
+    per_n AS (
+        SELECT did,
+               SUM(CASE WHEN n = 1 THEN c END) AS tot1,
+               COUNT(CASE WHEN n = 1 THEN TRUE END) AS dis1,
+               MAX(CASE WHEN n = 1 THEN c END) AS top1,
+               SUM(CASE WHEN n = 2 THEN c END) AS tot2,
+               COUNT(CASE WHEN n = 2 THEN TRUE END) AS dis2
+        FROM counts GROUP BY did
+    ),
+    stats AS (
+        SELECT did,
+               CAST(tot1 AS BIGINT) AS n_tokens,
+               CAST(top1 AS DOUBLE) / CAST(tot1 AS DOUBLE) AS top_token_frac,
+               CAST(tot1 - dis1 AS DOUBLE) / CAST(tot1 AS DOUBLE)
+                   AS dup_token_frac,
+               CASE WHEN tot2 > 0
+                    THEN CAST(tot2 - dis2 AS DOUBLE) / CAST(tot2 AS DOUBLE)
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM per_n
+    )
+    SELECT b.{id_col},
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.top_token_frac, 0.0) AS top_token_frac,
+           COALESCE(s.dup_token_frac, 0.0) AS dup_token_frac,
+           COALESCE(s.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+           COALESCE(s.top_token_frac <= {TOP_TOKEN_FRAC_MAX}
+                    AND s.dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX},
+                    FALSE) AS keep
+    FROM {table} b LEFT JOIN stats s ON b.{id_col} = s.did
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark n-gram decontamination
+# ---------------------------------------------------------------------------
+
+
+def _token_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined n-token grams (empty array when < n tokens)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Flag corpus documents sharing any ``n``-token gram with a
+    benchmark/eval set — the standard exact-substring decontamination
+    pass (GPT-3 used 13-gram, PaLM 8-gram overlap) run before training.
+
+    Returns one row per corpus document: ``n_hit_grams`` (gram
+    occurrences found in the benchmark set) and ``contaminated``.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are MBs; the corpus is TBs) — it is deduplicated and
+    BROADCAST, so the corpus side streams through a map-side semi-join
+    with no shuffle of corpus grams at all; the only shuffle is the
+    per-document count aggregation, keyed by doc id. Plan-gated in
+    tests/test_plan_shapes.py.
+    """
+    did = _c(id_col).alias("did")
+    bench_grams = (
+        benchmark.select(F.explode(_token_ngrams(tokens(text_col), n)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        did, F.explode(_token_ngrams(tokens(text_col), n)).alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("did")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        corpus.select(did)
+        .join(hits, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str, id_col: str, text_col: str, bench_pred: str, n: int = 8
+) -> str:
+    """DuckDB twin of ``decontaminate`` with the benchmark slice defined
+    by ``bench_pred`` (a boolean SQL expression over ``table``)."""
+    return f"""
+    WITH d AS (
+        SELECT {id_col} AS did, ({bench_pred}) AS is_bench,
+               CASE WHEN length(trim({text_col})) > 0
+                    THEN string_split_regex(trim({text_col}), '\\s+')
+                    ELSE [] END AS t
+        FROM {table}
+    ),
+    grams AS (
+        SELECT did, is_bench,
+               unnest(list_transform(range(1, len(t) - {n - 2}),
+                                     i -> array_to_string(t[i:i + {n - 1}], ' '))) AS g
+        FROM d WHERE len(t) >= {n}
+    ),
+    bench_set AS (SELECT DISTINCT g FROM grams WHERE is_bench),
+    hits AS (
+        SELECT c.did, COUNT(*) AS n_hit_grams
+        FROM grams c JOIN bench_set b USING (g)
+        WHERE NOT c.is_bench
+        GROUP BY c.did
+    )
+    SELECT d.did AS {id_col},
+           COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+           COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h USING (did)
+    WHERE NOT d.is_bench
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle → training shards
+# ---------------------------------------------------------------------------
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epochs: int = 2,
+    n_shards: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle into training shards: each
+    epoch draws a fresh pseudo-random order (seeded hash of the id), the
+    order is range-split into ``n_shards`` shards by hash value, and
+    rows are numbered within their shard. A training job reads shard
+    files in (epoch, shard, pos) order and sees a reproducible shuffle
+    with no RNG state anywhere.
+
+    Scale shape: the hash is a projection; the only exchange is the
+    window partitioned by (epoch, shard) — parallelism scales with the
+    shard count (pick n_shards ≈ output files, thousands at 100 TB), and
+    no stage ever sees a global ordering. This deliberately avoids the
+    single-partition global row_number trap (cf. datapipe/packing.py,
+    which solves the global variant with a two-phase prefix sum when a
+    total order is genuinely required).
+
+    Hash algebra matches datapipe/sampling.py's seeded two-round
+    multiplicative bucket, with the epoch folded into the salt — pure
+    int64, engine-portable.
+    """
+    from pyspark.sql import Window
+
+    did = _c(id_col)
+    epoch = F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch")
+    base = df.select(did.alias("did"), epoch)
+    reduced = F.pmod(F.col("did").cast("long"), F.lit(_MOD_31))
+    salt = F.pmod((F.lit(seed) + F.col("epoch")) * F.lit(GOLDEN), F.lit(_MOD_31))
+    premix = F.pmod(reduced + salt, F.lit(_MOD_31))
+    two_round = F.pmod(
+        F.pmod(premix * F.lit(KNUTH_A), F.lit(_MOD_31)) * F.lit(KNUTH_A),
+        F.lit(_MOD_32),
+    )
+    hashed = base.select("did", "epoch", two_round.alias("h"))
+    w = Window.partitionBy("epoch", F.pmod(F.col("h"), F.lit(n_shards))).orderBy(
+        "h", "did"
+    )
+    return hashed.select(
+        F.col("did").alias(id_col),
+        "epoch",
+        F.pmod(F.col("h"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+def epoch_shuffle_oracle_sql(
+    table: str, id_col: str, epochs: int = 2, n_shards: int = 8, seed: int = 7
+) -> str:
+    """DuckDB twin of ``epoch_shuffle`` (same hash, same window)."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS did, e.epoch
+        FROM {table} CROSS JOIN (
+            SELECT unnest(range({epochs})) AS epoch) e
+    ),
+    hashed AS (
+        SELECT did, epoch,
+               ((((did % {_MOD_31} + ({seed} + epoch) * {GOLDEN} % {_MOD_31})
+                  % {_MOD_31}) * {KNUTH_A} % {_MOD_31}) * {KNUTH_A})
+                 % {_MOD_32} AS h
+        FROM base
+    )
+    SELECT did AS {id_col},
+           CAST(epoch AS INT) AS epoch,
+           CAST(h % {n_shards} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch, h % {n_shards} ORDER BY h, did
+           ) AS INT) AS pos
+    FROM hashed
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+
+def synthesize_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministically inject synthetic PII spans into a text column
+    (the sandbox corpus contains none). Same role as
+    ``multimodal.synthesize_media``: stands in for real-world raw text
+    so the scan/redaction path is exercised end-to-end."""
+    did = _c(id_col)
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" tel +1-555-"), F.lpad(F.pmod(did, 10000), 4, "0")),
+    ).otherwise(F.lit(""))
+    return df.withColumn(text_col, F.concat(_c(text_col), email, phone))
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Count and redact email/phone spans: pure projection (regex
+    builtins, JVM-side, zero shuffles at any scale). Redacted text is
+    returned as an md5 digest so the wide string never leaves the scan
+    in the verification query; production would keep the redacted column.
+    """
+    c = _c(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        _c(id_col).alias(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+        (
+            (F.regexp_count(c, F.lit(EMAIL_RE)) > 0)
+            | (F.regexp_count(c, F.lit(PHONE_RE)) > 0)
+        ).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def pii_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of ``synthesize_pii`` + ``pii_scan``. RE2 and Java
+    regex agree on these patterns (character classes + bounded reps)."""
+    injected = (
+        f"{text_col} || "
+        f"CASE WHEN {id_col} % 7 = 0 THEN ' contact user' || {id_col} "
+        f"|| '@mail.example.com' ELSE '' END || "
+        f"CASE WHEN {id_col} % 11 = 0 THEN ' tel +1-555-' "
+        f"|| lpad(CAST({id_col} % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    return f"""
+    WITH t AS (SELECT {id_col}, {injected} AS txt FROM {table})
+    SELECT {id_col},
+           CAST(len(regexp_extract_all(txt, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{PHONE_RE}')) AS INT) AS n_phones,
+           len(regexp_extract_all(txt, '{EMAIL_RE}')) > 0
+               OR len(regexp_extract_all(txt, '{PHONE_RE}')) > 0 AS has_pii,
+           md5(regexp_replace(regexp_replace(txt, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM t
+    """

