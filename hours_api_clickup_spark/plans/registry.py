@@ -1166,15 +1166,33 @@ def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
     out = streaming_hours_by_user_day(stream)
-    sink = f"stream_hours_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    return _run_bounded_stream(spark, out, f"stream_hours_{uuid.uuid4().hex[:8]}", "complete")
+
+
+def _run_bounded_stream(
+    spark: SparkSession, out: DataFrame, sink: str, mode: str
+) -> DataFrame:
+    """Run a bounded (availableNow) stream into a memory sink and return
+    the result table. Stateful operators commit one state-store file per
+    shuffle partition per micro-batch — at a vanilla session's 200
+    partitions that is pure fixed overhead for a bounded replay, so the
+    partition count is pinned small for the stream (state partitioning
+    is fixed at query start) and the session value restored after. On a
+    real cluster this is sized to the executor count; state VOLUME is
+    watermark-bounded either way."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 
@@ -1245,16 +1263,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(events.schema).format("parquet").load(stage_dir)
     ).withWatermark("ts", "30 minutes")
     out = streaming_sessionize(stream, gap_minutes=30.0)
-    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_bounded_stream(
+        spark, out, f"stream_sessions_{uuid.uuid4().hex[:8]}", "append"
     )
-    q.awaitTermination(300)
-    return spark.table(sink)
 
 
 # ---------------------------------------------------------------------------
@@ -1997,4 +2008,89 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pii_scan(
         synthesize_pii(docs, "doc_id", "text"), "doc_id", "text"
+    )
+
+
+@register(
+    "streaming_dedup_exact",
+    """
+    WITH d AS (SELECT DISTINCT ON (event_id) event_type, value FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM d GROUP BY event_type
+    """,
+    survey_ids="§2.11,datapipe:dedup-streaming",
+    doc="Streaming exact dedup (dropDuplicatesWithinWatermark): the "
+    "events file is staged TWICE into the stream source, so every row "
+    "is re-delivered and the operator must collapse it — state is "
+    "O(ids-inside-watermark) keyed by event_id, bounded by the 1-day "
+    "horizon, never by stream lifetime. This is the reference's "
+    "overlapping-refresh collapse (fetch_clickup_data.py:1273-1333) as "
+    "a stream. Bounded replay equals batch DISTINCT, so the oracle is "
+    "plain SQL over the single-copy table.",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from hours_api_clickup_spark.streaming.refresh import streaming_dedup_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # stage the table twice: two source files with identical rows → the
+    # stream genuinely observes duplicate deliveries of every event
+    stage_dir = tempfile.mkdtemp(prefix="stream_dup_events_")
+    for copy in ("a", "b"):
+        link = os.path.join(stage_dir, f"events_{copy}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = streaming_dedup_events(stream)
+    return _run_bounded_stream(
+        spark, out, f"stream_dedup_{uuid.uuid4().hex[:8]}", "complete"
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+           COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END)
+               AS n_unparsed
+    FROM events GROUP BY event_type
+    """,
+    survey_ids="P2,§2.10,datapipe:semistructured",
+    doc="Semi-structured JSON payload parsing — the reference's core "
+    "ingest step (every ClickUp REST response is a JSON document, "
+    "fetch_clickup_data.py:54-147) as a typed Spark surface: "
+    "from_json with an explicit schema projects the payload to typed "
+    "columns JVM-side (malformed rows null out, counted per the "
+    "reference's tolerant-parse policy, P3), then a grouped rollup. "
+    "Projection + one small agg; the JSON parse is codegen'd, no "
+    "Python.",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
+        )
     )

@@ -102,3 +102,24 @@ def streaming_hours_by_user_day(events_stream: DataFrame) -> DataFrame:
             "n_entries",
         )
     )
+
+
+def streaming_dedup_events(events_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event id
+    inside the watermark horizon, then a windowless rollup per type.
+
+    The reference re-fetches overlapping refresh windows every run, so
+    the same entry arrives many times and is collapsed by the MERGE
+    (fetch_clickup_data.py:1273-1333); this is that collapse as a
+    stream. ``dropDuplicatesWithinWatermark`` keeps O(ids-in-horizon)
+    state keyed by event_id — bounded by the watermark, not the stream's
+    lifetime. Duplicate deliveries are bit-identical rows, so the
+    surviving row is deterministic and a bounded replay equals the batch
+    DISTINCT exactly (decimal sums are order-independent)."""
+    deduped = events_stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

@@ -498,3 +498,57 @@ def test_streaming_sessionize_state_spans_batches(spark, tmp_path):
             1,
         ),
     }
+
+
+def test_streaming_dedup_collapses_redeliveries(spark, tmp_path):
+    """The same rows delivered in two source files must be counted once:
+    dedup state (keyed by event_id) spans micro-batches."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hours_api_clickup_spark.streaming.refresh import streaming_dedup_events
+
+    t0 = pd.Timestamp("2025-01-01 08:00:00")
+
+    def mk(ids):
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": pd.Series(ids, dtype="int64"),
+                    "ts": pd.Series(
+                        [t0 + pd.Timedelta(minutes=i) for i in ids],
+                        dtype="datetime64[us]",
+                    ).dt.tz_localize("UTC"),
+                    "user_id": pd.Series([1] * len(ids), dtype="int64"),
+                    "event_type": pd.Series(["click"] * len(ids), dtype="object"),
+                    "value": pd.Series([2.5] * len(ids), dtype="float64"),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    pq.write_table(mk([1, 2, 3]), str(stream_dir / "f1.parquet"))
+    pq.write_table(mk([2, 3, 4]), str(stream_dir / "f2.parquet"))  # 2,3 redelivered
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)  # force the duplicates into a LATER batch
+        .format("parquet")
+        .load(str(stream_dir))
+    )
+    q = (
+        streaming_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.table("dedup_test").head()
+    assert row.n_events == 4 and abs(row.sum_value - 10.0) < 1e-9
