@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hours_api_clickup_spark.datapipe.dedup import spread
 from hours_api_clickup_spark.datapipe.sampling import KNUTH_A, _MOD_31, _MOD_32
 from hours_api_clickup_spark.datapipe.textstats import tokens
 
@@ -47,19 +48,6 @@ def _c(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _bigrams(toks: Column) -> Column:
-    """Word 2-grams as 'a b' strings (empty array when < 2 tokens)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-        ),
-    )
-    return F.when(F.size(toks) >= 2, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -75,17 +63,34 @@ def repetition_stats(
     size. No all-pairs stage, no Python. Mirrors the quality-filter pass
     of Gopher/MassiveText (Rae et al. 2021, §A1.1).
     """
-    did = _c(id_col).alias("did")
-    toks = tokens(text_col)
-    tagged = F.concat(
-        F.transform(toks, lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
-        F.transform(
-            _bigrams(toks), lambda b: F.struct(F.lit(2).alias("n"), b.alias("g"))
-        ),
+    base = spread(df).select(
+        _c(id_col).alias("did"), tokens(text_col).alias("tk")
     )
-    grams = df.select(did, F.explode(tagged).alias("t")).select(
-        "did", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    # Three codegen'd branches off one tokenized frame (no interpreted
+    # array lambdas in the bulk flow — same discipline as the MinHash
+    # gram stream): unigrams, bigrams via explode of the offset
+    # sequence, and an n=0 sentinel. The sentinel guarantees every
+    # document survives the aggregation, so no join back to the corpus
+    # is ever needed to restore zero-token docs — at scale that join is
+    # two O(corpus) sides for the sake of a handful of degenerate rows.
+    uni = base.select("did", F.lit(1).alias("n"), F.explode("tk").alias("g"))
+    bi = (
+        base.filter(F.size("tk") >= 2)
+        .select(
+            "did", F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"), "tk"
+        )
+        .select(
+            "did",
+            F.lit(2).alias("n"),
+            F.concat(
+                F.element_at("tk", F.col("i")),
+                F.lit(" "),
+                F.element_at("tk", F.col("i") + 1),
+            ).alias("g"),
+        )
     )
+    sentinel = base.select("did", F.lit(0).alias("n"), F.lit("").alias("g"))
+    grams = uni.unionByName(bi).unionByName(sentinel)
     counts = grams.groupBy("did", "n", "g").agg(F.count("*").alias("c"))
     per_n = counts.groupBy("did").agg(
         F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),
@@ -103,26 +108,18 @@ def repetition_stats(
         (F.col("tot2") - F.col("dis2")).cast("double")
         / F.col("tot2").cast("double"),
     ).otherwise(F.lit(0.0))
-    out = per_n.select(
+    # Zero-token docs have null tot1 (only the sentinel row): degenerate
+    # (drop) entries, no corpus join needed.
+    return per_n.select(
         F.col("did").alias(id_col),
-        F.col("tot1").alias("n_tokens"),
-        top_frac.alias("top_token_frac"),
-        dup_tok.alias("dup_token_frac"),
-        dup_bi.alias("dup_bigram_frac"),
-        (
-            (top_frac <= TOP_TOKEN_FRAC_MAX) & (dup_bi <= DUP_BIGRAM_FRAC_MAX)
+        F.coalesce("tot1", F.lit(0)).alias("n_tokens"),
+        F.coalesce(top_frac, F.lit(0.0)).alias("top_token_frac"),
+        F.coalesce(dup_tok, F.lit(0.0)).alias("dup_token_frac"),
+        F.coalesce(dup_bi, F.lit(0.0)).alias("dup_bigram_frac"),
+        F.coalesce(
+            (top_frac <= TOP_TOKEN_FRAC_MAX) & (dup_bi <= DUP_BIGRAM_FRAC_MAX),
+            F.lit(False),
         ).alias("keep"),
-    )
-    # Documents with zero tokens never explode a row; restore them as
-    # degenerate (drop) entries so the operator is total.
-    base = df.select(_c(id_col).alias(id_col))
-    return base.join(out, id_col, "left").select(
-        id_col,
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-        F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
-        F.coalesce("dup_token_frac", F.lit(0.0)).alias("dup_token_frac"),
-        F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
-        F.coalesce("keep", F.lit(False)).alias("keep"),
     )
 
 
@@ -221,8 +218,24 @@ def decontaminate(
         benchmark.select(F.explode(_token_ngrams(tokens(text_col), n)).alias("g"))
         .distinct()
     )
-    corpus_grams = corpus.select(
-        did, F.explode(_token_ngrams(tokens(text_col), n)).alias("g")
+    # Corpus side stays codegen'd (explode of the offset sequence +
+    # unrolled concat — n is a plan literal); the interpreted
+    # array-slice HOF is reserved for the small benchmark side.
+    corpus_grams = (
+        spread(corpus)
+        .select(did, tokens(text_col).alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(
+            "did",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - (n - 1))).alias("i"),
+            "tk",
+        )
+        .select(
+            "did",
+            F.concat_ws(
+                " ", *[F.element_at("tk", F.col("i") + j) for j in range(n)]
+            ).alias("g"),
+        )
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")

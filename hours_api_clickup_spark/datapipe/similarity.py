@@ -324,7 +324,7 @@ def lsh_index_write(
 
 def lsh_probe_topk(
     spark,
-    index_path: str,
+    index_path: str | DataFrame,
     query_vec: list[float],
     k: int = 10,
     planes: int = DEFAULT_PLANES,
@@ -339,7 +339,14 @@ def lsh_probe_topk(
     filter is an IN-list over the partition columns and the scan is
     partition-pruned (plan-gated in tests/test_plan_shapes.py). The
     candidate set is identical to the scan-form popcount filter of
-    ``lsh_bucketed_topk``, so the same DuckDB oracle verifies both."""
+    ``lsh_bucketed_topk``, so the same DuckDB oracle verifies both.
+
+    ``index_path`` may be an already-read DataFrame of the index: a
+    fresh ``spark.read.parquet`` must LIST all tables·2^planes partition
+    directories driver-side before pruning can even run, which dominates
+    probe latency when issuing many queries. Passing the cached reader
+    amortizes that discovery (the in-session analog of a metastore's
+    partition catalog); pruning still happens per query at planning."""
     if probe_radius > 1:
         raise ValueError("probe enumeration implemented for radius <= 1")
     dim = len(query_vec)
@@ -350,7 +357,12 @@ def lsh_probe_topk(
             [qs ^ (1 << p) for p in range(planes)] if probe_radius >= 1 else []
         )
         cond = cond | ((F.col("t") == t) & F.col("sig").isin(buckets))
-    idx = spark.read.parquet(index_path).filter(cond)
+    reader = (
+        index_path
+        if isinstance(index_path, DataFrame)
+        else spark.read.parquet(index_path)
+    )
+    idx = reader.filter(cond)
     cand = idx.select("vid", "v").dropDuplicates(["vid"])
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(

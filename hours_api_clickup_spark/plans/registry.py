@@ -1087,7 +1087,10 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         index_path = tempfile.mkdtemp(prefix="lsh_index_") + "/emb"
         lsh_index_write(emb, "embedding", "vec_id", index_path, dim=64)
-        _ANN_INDEX_CACHE[key] = index_path
+        # cache the READER, not just the path: listing tables·2^planes
+        # partition dirs dominates probe latency if repeated per query
+        # (the metastore-partition-catalog analog; see lsh_probe_topk)
+        _ANN_INDEX_CACHE[key] = spark.read.parquet(index_path)
     qv = _query_vec(spark, sf_dir, 0)
     return lsh_probe_topk(
         spark, _ANN_INDEX_CACHE[key], qv, k=10, exclude_id=0
