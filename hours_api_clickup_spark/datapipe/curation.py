@@ -434,3 +434,96 @@ def pii_oracle_sql(table: str, id_col: str, text_col: str) -> str:
                               '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
     FROM t
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size document chunking (tokenizer-prep / RAG windows)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-tokenization chunking for context-window training and
+    RAG indexing. One output row per (doc, chunk) with the chunk's token
+    count and content digest (the digest keeps the verification surface
+    narrow; production would carry the chunk text).
+
+    stride = chunk_tokens - overlap; a document yields
+    max(1, ceil((len - overlap) / stride)) chunks, so every token is
+    covered and consecutive chunks share exactly ``overlap`` tokens
+    (the final chunk may be shorter). Zero-token docs yield no rows.
+
+    Scale shape: explode of the chunk-index sequence + array slice —
+    pure codegen projection, no shuffle at all; chunking a 100 TB corpus
+    is a single map pass.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    base = spread(df).select(
+        _c(id_col).alias("did"), tokens(text_col).alias("tk")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.size("tk") - overlap + stride - 1) / F.lit(stride)).cast("int"),
+    )
+    chunks = (
+        base.filter(F.size("tk") > 0)
+        .select("did", "tk", F.explode(F.sequence(F.lit(1), n_chunks)).alias("c"))
+        .select(
+            "did",
+            "tk",
+            F.col("c"),
+            ((F.col("c") - 1) * stride + 1).alias("start"),
+        )
+    )
+    piece = F.slice(F.col("tk"), F.col("start"), chunk_tokens)
+    return chunks.select(
+        F.col("did").alias(id_col),
+        (F.col("c") - 1).cast("int").alias("chunk_id"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin of ``chunk_documents`` (lists are 1-indexed and slice
+    bounds are inclusive, mirroring Spark's slice semantics)."""
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH d AS (
+        SELECT {id_col} AS did,
+               CASE WHEN length(trim({text_col})) > 0
+                    THEN string_split_regex(trim({text_col}), '\\s+')
+                    ELSE [] END AS tk
+        FROM {table}
+    ),
+    c AS (
+        SELECT did, tk,
+               unnest(range(1, greatest(
+                   1, (len(tk) - {overlap} + {stride} - 1) // {stride}) + 1)) AS c
+        FROM d WHERE len(tk) > 0
+    ),
+    s AS (
+        SELECT did, tk, c, (c - 1) * {stride} + 1 AS start FROM c
+    )
+    SELECT did AS {id_col},
+           CAST(c - 1 AS INT) AS chunk_id,
+           CAST(len(tk[start:start + {chunk_tokens} - 1]) AS INT)
+               AS n_chunk_tokens,
+           md5(array_to_string(tk[start:start + {chunk_tokens} - 1], ' '))
+               AS chunk_md5
+    FROM s
+    """

@@ -130,3 +130,32 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         rolling_fingerprint(c).alias("prof_fingerprint"),
         F.md5(c).alias("prof_md5"),
     )
+
+
+def vocab_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with their
+    total occurrence count and document frequency — the first step of
+    any tokenizer/vocab build and the standard corpus sanity report.
+
+    Scale shape: explode tokens → groupBy(doc, token) partial counts →
+    groupBy(token) — both aggregations map-side combining; the final
+    top-k is a TakeOrderedAndProject (per-partition heap + tiny driver
+    merge), never a global sort. Ties broken by token for determinism.
+    """
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    toks = spread(df).select(
+        F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("tok")
+    )
+    per_doc = toks.groupBy("tok", "did").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.sum("c").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(k)
+    )

@@ -1924,6 +1924,7 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from hours_api_clickup_spark.datapipe.curation import (  # noqa: E402
+    chunk_oracle_sql,
     decontaminate,
     decontaminate_oracle_sql,
     epoch_shuffle,
@@ -2097,3 +2098,86 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
         )
     )
+
+
+@register(
+    "doc_chunking",
+    chunk_oracle_sql("documents", "doc_id", "text", chunk_tokens=64, overlap=16),
+    survey_ids="datapipe:chunking",
+    doc="Fixed-size token chunking with overlap (64-token windows, "
+    "stride 48) — the pre-tokenization window split for context-window "
+    "training and RAG indexing. Every token covered, consecutive chunks "
+    "share exactly the overlap, digest per chunk. Pure codegen "
+    "projection + explode: chunking a 100 TB corpus is one map pass, "
+    "zero shuffles.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "vocab_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id AS did,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    pd AS (SELECT tok, did, COUNT(*) AS c FROM toks GROUP BY tok, did)
+    SELECT tok,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           COUNT(*) AS n_docs
+    FROM pd GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 100
+    """,
+    survey_ids="datapipe:vocab",
+    doc="Corpus vocabulary head (top-100 tokens with occurrence count "
+    "and document frequency) — the first step of a tokenizer/vocab "
+    "build. Two map-side-combining aggregations; the top-k is "
+    "TakeOrderedAndProject (per-partition heaps + tiny driver merge), "
+    "never a global sort. Deterministic tie-break by token.",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.textstats import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, "doc_id", "text", k=100)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs
+          FROM e),
+    q AS (SELECT vec_id, max_abs,
+                 list_transform(
+                     v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT)
+                 ) AS qv
+          FROM m)
+    SELECT vec_id,
+           max_abs,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+    survey_ids="datapipe:quantization",
+    doc="Symmetric int8 embedding quantization (scale 127/max|x|, "
+    "round-half-up) — the standard 4x storage/IO reduction before ANN "
+    "serving. Verified via integer-exact checksums (sum + L1 of the "
+    "quantized vector) plus the exact scale denominator, so the op is "
+    "hash-matched without shipping an array column. Pure projection, "
+    "zero shuffles.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb, "embedding", "vec_id")

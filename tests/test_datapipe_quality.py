@@ -486,3 +486,52 @@ def test_pii_scan_counts_and_redacts(spark):
     raw_md5 = df.filter("doc_id = 1").select(F.md5("text")).head()[0]
     assert rows[1].redacted_md5 != raw_md5
     assert rows[2].redacted_md5 == df.filter("doc_id = 2").select(F.md5("text")).head()[0]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from hours_api_clickup_spark.datapipe.curation import chunk_documents
+
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=64, overlap=16)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # 100 tokens, stride 48 → ceil(84/48) = 2 chunks: [0:64], [48:100]
+    assert [r.chunk_id for r in d1] == [0, 1]
+    assert [r.n_chunk_tokens for r in d1] == [64, 52]
+    # short doc → one whole chunk; empty doc → no rows
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_chunk_tokens == 3
+    assert not [r for r in rows if r.doc_id == 3]
+    # consecutive chunks share exactly `overlap` tokens
+    import hashlib
+
+    exp0 = hashlib.md5(" ".join(toks[0:64]).encode()).hexdigest()
+    exp1 = hashlib.md5(" ".join(toks[48:100]).encode()).hexdigest()
+    assert d1[0].chunk_md5 == exp0 and d1[1].chunk_md5 == exp1
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    import numpy as np
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(
+        emb, "embedding", "vec_id"
+    ).collect()}
+    sample = {r.vec_id: r.embedding for r in emb.limit(50).collect()}
+    for vid, v in sample.items():
+        arr = np.asarray(v, dtype=np.float64)
+        scale = 127.0 / np.abs(arr).max()
+        q = np.floor(arr * scale + 0.5)
+        assert np.abs(q).max() <= 127  # int8-representable
+        assert out[vid].q_sum == int(q.sum())
+        assert out[vid].q_l1 == int(np.abs(q).sum())
+        # quantization error bounded by half a step
+        assert np.abs(q / scale - arr).max() <= 0.5 / scale + 1e-12
