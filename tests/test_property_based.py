@@ -266,3 +266,114 @@ def test_affine_constants_are_valid_and_stable():
     # int64 safety of (a·h + b) for the largest hash domain (md5_hash32)
     amax = max(a for a, _ in a64 + b64)
     assert amax * (2**32 - 1) + 2**31 < 2**63
+
+
+# ---------------------------------------------------------------------------
+# Curation-family invariants
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=24)
+)
+def test_chunking_covers_every_token_with_exact_overlap(spark, lengths):
+    """For arbitrary document lengths: chunks tile the token stream with
+    stride = chunk - overlap, cover every token, and the final chunk
+    ends exactly at the document end."""
+    from hours_api_clickup_spark.datapipe.curation import chunk_documents
+
+    chunk, overlap = 64, 16
+    stride = chunk - overlap
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+        if n == 0:
+            assert not chunks
+            continue
+        assert [r.chunk_id for r in chunks] == list(range(len(chunks)))
+        starts = [c * stride for c in range(len(chunks))]
+        ends = [min(s + chunk, n) for s in starts]
+        assert [r.n_chunk_tokens for r in chunks] == [e - s for s, e in zip(starts, ends)]
+        assert ends[-1] == n  # last chunk reaches the end: full coverage
+        if len(chunks) > 1:
+            assert all(e - s == chunk for s, e in zip(starts[:-1], ends[:-1]))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+    epochs=st.integers(min_value=1, max_value=3),
+    shards=st.integers(min_value=1, max_value=8),
+)
+def test_epoch_shuffle_partitions_ids_exactly(spark, ids, epochs, shards):
+    """Every id appears exactly once per epoch; positions are dense
+    1..len(shard) within every (epoch, shard)."""
+    from hours_api_clickup_spark.datapipe.curation import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", epochs=epochs, n_shards=shards).collect()
+    assert len(out) == len(ids) * epochs
+    for e in range(epochs):
+        rows = [r for r in out if r.epoch == e]
+        assert sorted(r.doc_id for r in rows) == sorted(ids)
+        for s in range(shards):
+            ps = sorted(r.pos for r in rows if r.shard == s)
+            assert ps == list(range(1, len(ps) + 1))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_repetition_stats_matches_python_reference(spark, texts):
+    """dup/top fractions agree with a direct Python computation on
+    arbitrary token streams (includes empty docs)."""
+    from collections import Counter
+
+    from hours_api_clickup_spark.datapipe.curation import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert set(got) == set(range(len(texts)))
+    for i, toks in enumerate(texts):
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        if not toks:
+            assert (r.top_token_frac, r.dup_token_frac, r.dup_bigram_frac) == (
+                0.0, 0.0, 0.0,
+            ) and not r.keep
+            continue
+        c1 = Counter(toks)
+        assert r.top_token_frac == max(c1.values()) / len(toks)
+        assert r.dup_token_frac == (len(toks) - len(c1)) / len(toks)
+        bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        exp_bi = (len(bi) - len(set(bi))) / len(bi) if bi else 0.0
+        assert r.dup_bigram_frac == exp_bi
