@@ -91,7 +91,11 @@ def sessionize(
     starts when the gap since the key's previous event exceeds
     ``gap_minutes``."""
     w_order = Window.partitionBy(key).orderBy(F.col(ts).asc())
-    gap_s = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w_order)
+    # TIMESTAMP_NTZ (tz-less parquet) can't cast straight to long; going
+    # through timestamp_ltz is a no-op for regular timestamps and a
+    # session-tz (UTC) interpretation for NTZ — matching DuckDB epoch().
+    ts_s = F.col(ts).cast("timestamp_ltz").cast("long")
+    gap_s = ts_s - F.lag(ts_s).over(w_order)
     new_session = F.when(
         gap_s.isNull() | (gap_s > gap_minutes * 60), 1
     ).otherwise(0)

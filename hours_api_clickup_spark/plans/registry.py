@@ -60,6 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # tz-less parquet timestamps arrive as TIMESTAMP_NTZ, which half the
+    # timestamp builtins (unix_millis, casts to numeric) reject. The
+    # session timezone is pinned to UTC, so NTZ → LTZ keeps the same
+    # wall-clock instant DuckDB sees for the same file.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -1168,6 +1175,8 @@ def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     out = streaming_hours_by_user_day(stream)
     return _run_bounded_stream(spark, out, f"stream_hours_{uuid.uuid4().hex[:8]}", "complete")
 
@@ -2055,6 +2064,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     out = streaming_dedup_events(stream)
     return _run_bounded_stream(
         spark, out, f"stream_dedup_{uuid.uuid4().hex[:8]}", "complete"
