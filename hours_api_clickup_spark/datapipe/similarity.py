@@ -106,34 +106,53 @@ M31 = 2**31
 HALF31 = 2**30
 M32 = 2**32
 KNUTH_A = 2654435761  # ⌊2^32/φ⌋ — same multiplier as datapipe.sampling
-_T_MULT = 1_000_003
-_P_MULT = 7_919
+PLANE_SALT = 0x517CC1B7
+
+
+def _plane_constants(planes: int, tables: int) -> list[tuple[int, int]]:
+    """One (a, b) affine pair per (table, plane), row-major — the same
+    LCG-literal scheme as the MinHash permutations (dedup.affine_constants).
+    Independent multipliers are what make the signature TABLES
+    independent: a single multiplicative sequence evaluated at shifted
+    offsets (the earlier design) is linear, so every table saw nearly
+    the same hamming distance for a given vector pair and extra tables
+    bought no recall."""
+    from hours_api_clickup_spark.datapipe.dedup import affine_constants
+
+    return affine_constants(tables * planes, PLANE_SALT)
 
 
 def hyperplanes(dim: int, planes: int = DEFAULT_PLANES, tables: int = DEFAULT_TABLES) -> np.ndarray:
     """Deterministic ±1 hyperplanes, shape (tables, planes, dim).
 
-    Component (t, p, d) is the parity of a pure-int64 multiplicative
-    hash: +1 ⇔ ((t·1000003 + p·7919 + d) mod 2³¹)·KNUTH_A mod 2³¹ < 2³⁰.
-    No RNG state at all — the same formula is evaluated identically on
-    the driver (query signatures), every executor (corpus signatures),
-    and inside the DuckDB oracle (``lsh_plane_sign_sql``), so there is
-    no stored model and nothing engine-specific. All intermediate
-    products stay below 2⁶³ (base < 2³¹, KNUTH_A < 2³²).
+    Component (t, p, d) is the parity of an affine pure-int64 hash:
+    +1 ⇔ (a_{t,p}·d + b_{t,p}) mod 2³¹ < 2³⁰, with per-plane (a, b)
+    literals from ``_plane_constants``. No RNG state at all — the same
+    formula is evaluated identically on the driver (query signatures),
+    every executor (corpus signatures), and inside the DuckDB oracle
+    (``lsh_plane_sign_sql``), so there is no stored model and nothing
+    engine-specific. Products stay inside int64 (a < 2³¹, d ≤ dim).
     """
-    t = np.arange(tables, dtype=np.int64)[:, None, None]
-    p = np.arange(planes, dtype=np.int64)[None, :, None]
+    consts = _plane_constants(planes, tables)
+    a = np.array([c[0] for c in consts], dtype=np.int64).reshape(
+        tables, planes, 1
+    )
+    b = np.array([c[1] for c in consts], dtype=np.int64).reshape(
+        tables, planes, 1
+    )
     d = np.arange(dim, dtype=np.int64)[None, None, :]
-    base = (t * _T_MULT + p * _P_MULT + d) % M31
-    h = (base * KNUTH_A) % M31
+    h = (a * d + b) % M31
     return np.where(h < HALF31, 1.0, -1.0)
 
 
-def lsh_plane_sign_sql(t: int, p: int, d_expr: str) -> str:
+def lsh_plane_sign_sql(
+    t: int, p: int, d_expr: str, planes: int = DEFAULT_PLANES
+) -> str:
     """DuckDB twin of one hyperplane component: ±1.0 from the same
-    integer parity hash as ``hyperplanes``."""
-    base = f"(({t * _T_MULT + p * _P_MULT} + {d_expr}) % {M31})"
-    return f"(CASE WHEN ({base} * {KNUTH_A}) % {M31} < {HALF31} THEN 1.0 ELSE -1.0 END)"
+    affine parity hash as ``hyperplanes``. ``planes`` must match the
+    Spark-side plane count — it indexes the shared constant stream."""
+    a, b = _plane_constants(planes, t + 1)[t * planes + p]
+    return f"(CASE WHEN ({a} * {d_expr} + {b}) % {M31} < {HALF31} THEN 1.0 ELSE -1.0 END)"
 
 
 def signature_of(vec, planes_mat: np.ndarray) -> list[int]:
@@ -166,7 +185,7 @@ def lsh_topk_oracle_sql(
     plane constants can't drift from the numpy implementation."""
 
     def bit(t: int, p: int, vec: str) -> str:
-        comp = lsh_plane_sign_sql(t, p, "d")
+        comp = lsh_plane_sign_sql(t, p, "d", planes=planes)
         return (
             f"(list_sum(list_transform(range(0, {dim}),"
             f" d -> {comp} * {vec}[d+1])) >= 0)"
@@ -455,6 +474,147 @@ def embedding_near_dup_pairs(
     # each unordered pair is scored in exactly one block-pair row, so no
     # dedup shuffle is needed afterwards
     return pairs.mapInPandas(score, schema="id_a long, id_b long")
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ threshold, id_a < id_b) with an
+    LSH candidate prefilter — the 100 TB shape of
+    ``embedding_near_dup_pairs``, which scores every block pair.
+
+    Candidates are pairs whose signatures lie within hamming ≤ 1 in at
+    least one of the ``tables`` signature tables (the pairwise analog of
+    radius-1 multiprobe): side A explodes the radius-1 ball of each
+    signature, side B keeps the exact signature, and the join keys on
+    (table, bucket) — a hash shuffle on the bucket, cost Σ bucket², never
+    the corpus n². Survivors are verified with exact cosine, so precision
+    is 1.0 by construction; recall follows the hyperplane S-curve
+    1-(1-P(ham≤1))^tables with P(agree/plane) = 1 - θ/π. The signatures
+    are the same deterministic hyperplane family as ``lsh_bucketed_topk``
+    (persist them at ingest via ``lsh_index_write`` and this becomes a
+    read of the index, not a recompute).
+
+    ``lsh_near_dup_oracle_sql`` reproduces the full pipeline in DuckDB:
+    same integer-parity plane signs, same hamming-≤1 candidate rule, same
+    exact-cosine verification.
+    """
+    sigs = add_lsh_signatures(
+        df.select(
+            _c(id_col).cast("long").alias("did"),
+            _c(vec_col).cast("array<double>").alias("v"),
+        ),
+        "v",
+        "did",
+        planes,
+        tables,
+        dim=dim,
+    ).localCheckpoint(eager=False)
+
+    ball = [
+        F.struct(F.lit(t).alias("t"), key.alias("key"))
+        for t in range(tables)
+        for key in (
+            [F.col(f"sig_{t}")]
+            + [
+                F.col(f"sig_{t}").bitwiseXOR(F.lit(1 << p))
+                for p in range(planes)
+            ]
+        )
+    ]
+    exact = [
+        F.struct(F.lit(t).alias("t"), F.col(f"sig_{t}").alias("key"))
+        for t in range(tables)
+    ]
+    probe_side = sigs.select(
+        "did", F.explode(F.array(*ball)).alias("pk")
+    ).select("did", F.col("pk.t").alias("t"), F.col("pk.key").alias("key"))
+    exact_side = sigs.select(
+        "did", F.explode(F.array(*exact)).alias("pk")
+    ).select("did", F.col("pk.t").alias("t"), F.col("pk.key").alias("key"))
+    a = probe_side.alias("a")
+    b = exact_side.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    vecs = sigs.select("did", "v")
+    return (
+        cand.join(
+            vecs.select(F.col("did").alias("id_a"), F.col("v").alias("v_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("did").alias("id_b"), F.col("v").alias("v_b")),
+            "id_b",
+        )
+        .filter(cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+
+
+def lsh_near_dup_oracle_sql(
+    dim: int,
+    threshold: float = 0.45,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL reproducing ``lsh_near_dup_pairs``: per-table signature
+    ints from the same integer-parity plane signs, candidates by
+    bit_count(xor) ≤ 1 in ≥1 table, exact-cosine verification. Generated
+    so the plane constants can't drift from the numpy implementation."""
+
+    def bit(t: int, p: int) -> str:
+        comp = lsh_plane_sign_sql(t, p, "d", planes=planes)
+        return (
+            f"(list_sum(list_transform(range(0, {dim}),"
+            f" d -> {comp} * v[d+1])) >= 0)"
+        )
+
+    sig_exprs = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {bit(t, p)} THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        )
+        + f") AS s{t}"
+        for t in range(tables)
+    )
+    ham_cond = "\n              OR ".join(
+        f"bit_count(xor(a.s{t}, b.s{t})) <= 1" for t in range(tables)
+    )
+    return f"""
+    WITH e AS (SELECT {id_col} AS did, {vec_col}::DOUBLE[] AS v FROM {table}),
+    sg AS (
+        SELECT did, v,
+           {sig_exprs}
+        FROM e
+    ),
+    cand AS (
+        SELECT a.did AS id_a, b.did AS id_b, a.v AS va, b.v AS vb
+        FROM sg a JOIN sg b ON a.did < b.did
+        WHERE {ham_cond}
+    )
+    SELECT id_a, id_b
+    FROM cand
+    WHERE list_cosine_similarity(va, vb) >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------

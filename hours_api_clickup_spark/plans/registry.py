@@ -971,6 +971,32 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_near_dup_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.similarity import (
+        lsh_near_dup_oracle_sql,
+    )
+
+    return lsh_near_dup_oracle_sql(dim=64, threshold=0.45)
+
+
+@register(
+    "embedding_near_dups_lsh",
+    _lsh_near_dup_oracle(),
+    survey_ids="datapipe:dedup-embedding-lsh",
+    doc="LSH-prefiltered embedding near-dup pairs: radius-1 multiprobe "
+    "pair join over 6 deterministic-hyperplane signature tables, exact "
+    "cosine verification — the 100 TB shape (no all-pairs stage; the "
+    "GEMM verifier embedding_near_dups is the bounded oracle of this "
+    "path). Precision 1.0 by construction; recall follows the "
+    "hyperplane S-curve and is tuned by the table count.",
+)
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45)
+
+
 @register(
     "embedding_dup_clusters",
     """
