@@ -159,3 +159,94 @@ def vocab_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
         .limit(k)
     )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k characteristic tokens per document by TF-IDF.
+
+    The score is the linear-idf variant tf · N / df (not tf · ln(N/df)):
+    IEEE multiplication and division are correctly rounded, so the score
+    is bit-identical in any engine, whereas ``ln`` is only 1-ulp-accurate
+    and differs between JVM Math.log and C libm — the ln variant cannot
+    be hash-match verified. Monotone in df for fixed tf either way, so
+    rankings agree except across (tf, df) crossovers.
+
+    Scale shape: explode → groupBy(doc, token) tf [partial agg] →
+    groupBy(token) df [partial agg, vocabulary-sized result] → broadcast
+    the corpus doc count (one-row agg, no driver action) → join tf with
+    df on token (vocabulary join, AQE-broadcast when the vocab is
+    small) → per-doc top-k window, which compiles to WindowGroupLimit
+    (rank pushdown) so each partition keeps only k rows per doc before
+    the shuffle. Ties break toward the lexicographically smaller token.
+    """
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    from pyspark.sql import Window
+
+    toks = spread(df).select(
+        F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy("did", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("did").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("did").alias(id_col),
+            "tok",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def tfidf_topk_oracle_sql(
+    table: str, id_col: str, text_col: str, k: int = 5
+) -> str:
+    """DuckDB twin of ``tfidf_topk`` (same tokens, same linear-idf
+    arithmetic, same tie-break)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS did,
+               unnest(CASE WHEN length(trim({text_col})) > 0
+                           THEN string_split_regex(trim({text_col}), '\\s+')
+                           ELSE [] END) AS tok
+        FROM {table}
+    ),
+    tf AS (SELECT did, tok, COUNT(*) AS tf FROM toks GROUP BY did, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n_docs FROM {table}),
+    scored AS (
+        SELECT tf.did, tf.tok,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(dfreq.df AS BIGINT) AS df,
+               CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)
+                   / CAST(dfreq.df AS DOUBLE) AS tfidf
+        FROM tf JOIN dfreq USING (tok), nd
+    )
+    SELECT {id_col}, tok, tf, df, tfidf, rn FROM (
+        SELECT did AS {id_col}, tok, tf, df, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY did ORDER BY tfidf DESC, tok
+               ) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= {k}
+    """

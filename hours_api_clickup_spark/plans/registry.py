@@ -2185,6 +2185,30 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, "doc_id", "text", k=100)
 
 
+def _tfidf_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.textstats import tfidf_topk_oracle_sql
+
+    return tfidf_topk_oracle_sql("documents", "doc_id", "text", k=5)
+
+
+@register(
+    "doc_tfidf_topk",
+    _tfidf_oracle(),
+    survey_ids="datapipe:tfidf",
+    doc="Top-5 characteristic tokens per document by TF-IDF (linear-idf "
+    "variant tf*N/df — IEEE mul/div are correctly rounded so the score "
+    "hash-matches across engines; ln is only 1-ulp-accurate and would "
+    "not). tf and df aggs both map-side combining; corpus size joins "
+    "as a broadcast one-row agg; per-doc top-k is a WindowGroupLimit "
+    "(rank pushdown) window, ties toward the smaller token.",
+)
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.textstats import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=5)
+
+
 @register(
     "embedding_quantize_int8",
     """
