@@ -192,3 +192,22 @@ def test_sequence_packing_range_partitioned_not_single_window(spark):
     # collapses the table into a single partition
     plan = _plan(spark, "sequence_packing")
     assert "rangepartitioning" in plan, plan
+
+
+def test_lsh_near_dup_pairs_no_all_pairs_join(spark):
+    # embedding_near_dups_lsh candidates come from the (table, bucket)
+    # equi-join over exploded probe keys — never a cartesian or
+    # nested-loop all-pairs stage (that is exactly what distinguishes it
+    # from the bounded GEMM verifier embedding_near_dups).
+    plan = _plan(spark, "embedding_near_dups_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_topk_window_group_limit(spark):
+    # the per-doc top-k must compile to WindowGroupLimit (rank pushdown:
+    # each partition keeps <= k rows per doc before the shuffle), and the
+    # corpus doc count must join as a broadcast, not a shuffle.
+    plan = _plan(spark, "doc_tfidf_topk", "formatted")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
