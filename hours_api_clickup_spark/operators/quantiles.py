@@ -1,0 +1,106 @@
+"""Distributed EXACT quantiles — the scale path for percentile checks.
+
+Spark's built-in exact ``percentile`` aggregate concentrates every value
+into one aggregation buffer (OK at verification scale, impossible at
+100 TB); ``percentile_approx`` bounds state but is approximate. This
+operator computes exact interpolated quantiles with bounded per-task
+state using the classic two-phase global-rank scan (same family as
+``datapipe/packing.py``'s prefix sum):
+
+  1. range-repartition the values (Spark samples split points, so the
+     P ranges are balanced) and sort within partitions
+  2. count rows per range partition — a P-row side table; its running
+     sum is each partition's global rank offset
+  3. global rank = partition offset + local row_number; the quantile
+     positions p·(n-1) pick at most 2 ranks per requested quantile, so
+     the final aggregate reduces ~2·|qs| rows
+
+Shuffle budget: one range exchange of the bare value column + one tiny
+pid-keyed exchange for the local rank window; nothing ever concentrates
+more than one range partition of doubles in a task. Interpolation is the
+p·(n-1) linear rule shared by Spark's ``percentile`` and DuckDB's
+``quantile_cont``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, qs: list[float], out_names: list[str] | None = None
+) -> DataFrame:
+    """One-row DataFrame of exact linear-interpolated quantiles of
+    ``value_col`` (nulls ignored), one double column per entry of ``qs``
+    (named ``out_names`` or ``q_<100p>``). Empty input → one all-null row.
+    """
+    if out_names is None:
+        out_names = [f"q_{int(round(q * 100))}" for q in qs]
+    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    p = vals.sparkSession.sparkContext.defaultParallelism
+    # the counts branch and the rank branch recompute this exchange
+    # independently; that is safe because RangePartitioner's split-point
+    # sampling is seeded by partition index (deterministic for the same
+    # input), so both jobs see identical ranges and partition ids
+    ranged = vals.repartitionByRange(p, F.col("v"))
+
+    # per-partition counts → running offsets (P rows, broadcast back)
+    pid = F.spark_partition_id().alias("pid")
+    counts = ranged.select(pid).groupBy("pid").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offs = counts.select(
+        "pid",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.sum("c").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+
+    w_local = Window.partitionBy("pid").orderBy("v")
+    ranked = (
+        ranged.select(pid, "v")
+        .withColumn("rn", F.row_number().over(w_local))
+        .join(F.broadcast(offs), "pid")
+        # 0-based global rank in value order
+        .withColumn("rank", F.col("off") + F.col("rn") - 1)
+    )
+
+    # keep only the ≤ 2·|qs| rows any quantile can touch
+    keep = F.lit(False)
+    for q in qs:
+        pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
+        keep = (
+            keep
+            | (F.col("rank") == F.floor(pos).cast("long"))
+            | (F.col("rank") == F.ceil(pos).cast("long"))
+        )
+    picked = ranked.filter(keep)
+
+    aggs = [F.max("n").alias("n")]
+    for q, name in zip(qs, out_names):
+        pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("rank") == lo, F.col("v"))).alias(f"__lo_{name}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("rank") == hi, F.col("v"))).alias(f"__hi_{name}")
+        )
+    one = picked.agg(*aggs)
+
+    outs = []
+    for q, name in zip(qs, out_names):
+        pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
+        frac = pos - F.floor(pos)
+        lo_v = F.col(f"__lo_{name}")
+        hi_v = F.col(f"__hi_{name}")
+        outs.append((lo_v + frac * (hi_v - lo_v)).alias(name))
+    return one.select(*outs)

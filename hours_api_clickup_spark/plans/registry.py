@@ -1676,6 +1676,34 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_quantiles_distributed",
+    """
+    SELECT ROUND(quantile_cont(value, 0.25), 4) AS q_25,
+           ROUND(quantile_cont(value, 0.5), 4)  AS q_50,
+           ROUND(quantile_cont(value, 0.95), 4) AS q_95,
+           ROUND(quantile_cont(value, 0.99), 4) AS q_99
+    FROM events
+    """,
+    survey_ids="datapipe:exact-quantiles",
+    doc="EXACT interpolated quantiles with bounded per-task state: "
+    "two-phase global rank (range exchange + P-row offset broadcast), "
+    "then at most 2 rows per requested quantile reach the final "
+    "aggregate. The scale path Spark's single-buffer exact percentile "
+    "aggregate cannot take at 100 TB; same p*(n-1) interpolation as "
+    "DuckDB quantile_cont. Plan-gated on rangepartitioning.",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.quantiles import exact_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    out = exact_quantiles(
+        events, "value", [0.25, 0.5, 0.95, 0.99],
+        out_names=["q_25", "q_50", "q_95", "q_99"],
+    )
+    return out.select(*[F.round(c, 4).alias(c) for c in out.columns])
+
+
+@register(
     "time_bucket_rollup",
     """
     SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_6h,

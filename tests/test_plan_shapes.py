@@ -211,3 +211,12 @@ def test_tfidf_topk_window_group_limit(spark):
     plan = _plan(spark, "doc_tfidf_topk", "formatted")
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_quantiles_range_partitioned_not_single_buffer(spark):
+    # the global rank must ride a RANGE exchange (balanced partitions of
+    # the value column), never a single-partition global window or the
+    # one-buffer percentile aggregate
+    plan = _plan(spark, "exact_quantiles_distributed")
+    assert "rangepartitioning" in plan, plan
+    assert "percentile(" not in plan, plan

@@ -190,3 +190,53 @@ def test_distributed_chunk_fetch(spark):
     assert 3 not in months  # failing chunks skipped, not fatal
     n_ok = sum(1 for c in chunks.collect() if c["chunk_start"].month != 3)
     assert len(out) == n_ok * 5
+
+
+class TestExactQuantiles:
+    """Distributed exact quantiles (two-phase global rank) must agree
+    with Spark's single-buffer exact percentile on every shape of input."""
+
+    def _check(self, spark, values, qs):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.operators.quantiles import exact_quantiles
+
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        got = exact_quantiles(df, "v", qs).collect()[0]
+        exp = df.agg(F.percentile("v", F.lit(qs)).alias("p")).collect()[0]["p"]
+        for g, e in zip(got, exp):
+            if e is None:
+                assert g is None
+            else:
+                assert abs(g - e) < 1e-12, (g, e)
+
+    def test_random_with_ties(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vals = [round(rng.uniform(0, 100), 1) for _ in range(997)]  # many ties
+        self._check(spark, vals, [0.0, 0.25, 0.5, 0.9, 0.99, 1.0])
+
+    def test_single_row(self, spark):
+        self._check(spark, [42.0], [0.25, 0.5, 0.99])
+
+    def test_two_rows(self, spark):
+        self._check(spark, [1.0, 2.0], [0.25, 0.5, 0.75])
+
+    def test_nulls_ignored(self, spark):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.operators.quantiles import exact_quantiles
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double"
+        )
+        got = exact_quantiles(df, "v", [0.5]).collect()[0][0]
+        assert abs(got - 2.0) < 1e-12
+
+    def test_empty_all_null_row(self, spark):
+        from hours_api_clickup_spark.operators.quantiles import exact_quantiles
+
+        df = spark.createDataFrame([], "v double")
+        rows = exact_quantiles(df, "v", [0.5, 0.9]).collect()
+        assert len(rows) == 1 and rows[0][0] is None and rows[0][1] is None
