@@ -341,6 +341,72 @@ def lsh_index_write(
     ).partitionBy("t", "sig").parquet(path)
 
 
+def lsh_index_upsert(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    dim: int | None = None,
+) -> None:
+    """Incrementally fold NEW vectors into a persisted LSH index
+    (``lsh_index_write``) — the steady-state ingest path once the corpus
+    is live: sign only the arriving batch, then dynamic-partition-
+    overwrite exactly the (t, sig) directories the batch touches, with
+    each touched bucket rewritten as existing-rows ∪ new-rows
+    (id-deduplicated, new wins — re-ingesting a vector replaces it).
+
+    Scale shape: the arriving batch is signed with one mapInPandas GEMM
+    pass (O(batch), not O(corpus)); the read-back of current bucket
+    contents is partition-pruned to the touched buckets only (same
+    pruning the probes use); untouched directories are never rewritten
+    (spark.sql.sources.partitionOverwriteMode=dynamic). Atomicity is
+    per-partition-directory — the same contract as any dynamic-overwrite
+    sink (operators/merge.py discusses the trade)."""
+    from functools import reduce
+
+    spark = df.sparkSession
+    sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables, dim=dim)
+    parts = [
+        sigs.select(
+            _c(id_col).alias("vid"),
+            _c(vec_col).alias("v"),
+            F.lit(t).alias("t"),
+            F.col(f"sig_{t}").alias("sig"),
+        )
+        for t in range(tables)
+    ]
+    new_rows = reduce(DataFrame.unionByName, parts).localCheckpoint()
+
+    touched = new_rows.select("t", "sig").dropDuplicates()
+    existing = (
+        spark.read.parquet(path)
+        # broadcast join on the partition columns → dynamic partition
+        # pruning: only touched (t, sig) directories are scanned
+        .join(F.broadcast(touched), ["t", "sig"])
+        .join(
+            new_rows.select("vid").dropDuplicates(),
+            "vid",
+            "left_anti",  # re-ingested ids: new version wins
+        )
+        .select("vid", "v", "t", "sig")
+    )
+    # materialize before the write: the merged plan reads the same path
+    # the dynamic overwrite rewrites (bounded — touched buckets only)
+    merged = existing.unionByName(
+        new_rows.select("vid", "v", "t", "sig")
+    ).localCheckpoint()
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.repartition(F.col("t"), F.col("sig")).write.mode(
+            "overwrite"
+        ).partitionBy("t", "sig").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def lsh_probe_topk(
     spark,
     index_path: str | DataFrame,

@@ -240,3 +240,52 @@ class TestExactQuantiles:
         df = spark.createDataFrame([], "v double")
         rows = exact_quantiles(df, "v", [0.5, 0.9]).collect()
         assert len(rows) == 1 and rows[0][0] is None and rows[0][1] is None
+
+
+class TestLshIndexUpsert:
+    """Incremental ANN index maintenance: upserting a batch must equal
+    rebuilding the index from scratch on the combined corpus."""
+
+    def test_upsert_equals_rebuild(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_upsert,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 400)
+        # batch: 50 brand-new vectors plus 10 re-ingested ids with a
+        # perturbed payload (the new version must win)
+        new = emb.filter(
+            (F.col("vec_id") >= 400) | (F.col("vec_id") < 10)
+        ).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") < 10,
+                F.transform("embedding", lambda x: x * F.lit(2.0)),
+            )
+            .otherwise(F.col("embedding"))
+            .cast("array<float>"),  # keep the index element type stable
+        )
+
+        inc_path = str(tmp_path / "inc")
+        lsh_index_write(old, "embedding", "vec_id", inc_path, dim=64)
+        lsh_index_upsert(new, "embedding", "vec_id", inc_path, dim=64)
+
+        full_path = str(tmp_path / "full")
+        combined = old.join(
+            new.select("vec_id"), "vec_id", "left_anti"
+        ).unionByName(new)
+        lsh_index_write(combined, "embedding", "vec_id", full_path, dim=64)
+
+        def canon(path):
+            return sorted(
+                (r["t"], r["sig"], r["vid"], tuple(round(float(x), 6) for x in r["v"]))
+                for r in spark.read.parquet(path).collect()
+            )
+
+        assert canon(inc_path) == canon(full_path)
