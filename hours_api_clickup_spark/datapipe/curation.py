@@ -18,6 +18,8 @@ never concentrates, and PII scanning is a pure projection.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -284,6 +286,78 @@ def decontaminate_oracle_sql(
            COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
     FROM d LEFT JOIN hits h USING (did)
     WHERE NOT d.is_bench
+    """
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors with cosine
+    ≥ ``threshold`` to ANY benchmark/eval vector — the semantic
+    complement of the exact n-gram ``decontaminate`` pass (catches
+    paraphrased eval leakage that exact substring matching misses).
+
+    Returns one row per corpus vector: ``n_bench_hits`` (benchmark
+    vectors above the threshold) and ``contaminated``.
+
+    Scale shape: eval sets are tiny relative to the corpus, so the
+    benchmark matrix is collected once (bounded driver action — the same
+    trade as the IVF centroid sample) and closed over by an Arrow-batched
+    pandas UDF: one (batch × bench) GEMM per batch, corpus streamed, no
+    shuffle at all. The n-gram pass broadcasts a gram set; this pass
+    broadcasts a float matrix — same topology.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows = benchmark.select(_c(vec_col).alias("v")).collect()
+    bm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+    thr = float(threshold)
+
+    @pandas_udf("long")
+    def _hits(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(((m @ bm.T) >= thr).sum(axis=1).astype("int64"))
+
+    return spread(corpus).select(
+        _c(id_col).alias(id_col),
+        _hits(_c(vec_col)).alias("n_bench_hits"),
+    ).withColumn("contaminated", F.col("n_bench_hits") > 0)
+
+
+def decontaminate_embeddings_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_bench: int,
+    threshold: float = 0.6,
+) -> str:
+    """DuckDB twin of ``decontaminate_embeddings`` with the benchmark
+    defined as the ``n_bench`` vectors of smallest Knuth-hash(id) — the
+    same deterministic sample rule as ``similarity.seed_centroids``."""
+    hash_order = f"(({id_col} % {2**31}) * {KNUTH_A}) % {2**32}, {id_col}"
+    return f"""
+    WITH bench AS (
+        SELECT {id_col} AS bid, {vec_col}::DOUBLE[] AS bv
+        FROM {table} ORDER BY {hash_order} LIMIT {n_bench}
+    ),
+    hits AS (
+        SELECT e.{id_col} AS did, COUNT(*) AS n_bench_hits
+        FROM {table} e CROSS JOIN bench b
+        WHERE list_cosine_similarity(e.{vec_col}::DOUBLE[], b.bv) >= {threshold}
+          AND e.{id_col} NOT IN (SELECT bid FROM bench)
+        GROUP BY e.{id_col}
+    )
+    SELECT e.{id_col},
+           COALESCE(h.n_bench_hits, 0) AS n_bench_hits,
+           COALESCE(h.n_bench_hits, 0) > 0 AS contaminated
+    FROM {table} e LEFT JOIN hits h ON h.did = e.{id_col}
+    WHERE e.{id_col} NOT IN (SELECT bid FROM bench)
     """
 
 

@@ -1675,6 +1675,45 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_emb_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.curation import (
+        decontaminate_embeddings_oracle_sql,
+    )
+
+    return decontaminate_embeddings_oracle_sql(
+        "embeddings", "vec_id", "embedding", n_bench=25, threshold=0.4
+    )
+
+
+@register(
+    "decontaminate_embeddings",
+    _decon_emb_oracle(),
+    survey_ids="datapipe:decontaminate-semantic",
+    doc="Embedding-space decontamination: corpus vectors with cosine "
+    ">= 0.4 to any of 25 hash-sampled 'benchmark' vectors are flagged — "
+    "the semantic complement of the exact n-gram decontaminate pass "
+    "(catches paraphrased eval leakage). Benchmark matrix is a bounded "
+    "driver collect closed over by an Arrow-batched GEMM UDF; corpus "
+    "streams with zero shuffles.",
+)
+def q_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.curation import (
+        decontaminate_embeddings,
+    )
+    from hours_api_clickup_spark.datapipe.sampling import _MOD_31, _MOD_32, KNUTH_A
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.pmod(
+        F.pmod(F.col("vec_id").cast("long"), F.lit(_MOD_31)) * F.lit(KNUTH_A),
+        F.lit(_MOD_32),
+    )
+    bench = emb.orderBy(bucket, F.col("vec_id")).limit(25)
+    corpus = emb.join(bench.select("vec_id"), "vec_id", "left_anti")
+    return decontaminate_embeddings(
+        corpus, bench, "embedding", "vec_id", threshold=0.4
+    )
+
+
 @register(
     "exact_quantiles_distributed",
     """
