@@ -123,6 +123,67 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(id_col, seed) < th)
 
 
+def stratified_topn_rows(
+    df: DataFrame,
+    id_col: Column | str,
+    strata_col: Column | str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample returning the ROWS
+    (``stratified_hash_sample`` keeps a fraction; this keeps a count) —
+    the distributed, reproducible replacement for per-group reservoir
+    sampling. Rows rank within their stratum by seeded hash bucket
+    (ties by id), and rank ≤ n survives, so the drawn set is stable
+    under repartitioning and table growth only re-ranks, never re-draws
+    arbitrarily.
+
+    Adds ``sample_rank`` (1-based). Scale shape: one shuffle on the
+    stratum key; the rank window compiles to WindowGroupLimit, so each
+    partition keeps at most n rows per stratum before the exchange —
+    the shuffle carries O(strata·n), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(_c(strata_col)).orderBy(
+        hash_bucket(id_col, seed).asc(), _c(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def stratified_topn_oracle_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    cols: str,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of ``stratified_topn_rows`` (same hash, same rank,
+    same tie-break). ``cols`` is the projected column list."""
+    if seed:
+        salt = (seed * 0x9E3779B9) % _MOD_31
+        reduced = (
+            f"((((({id_col} % {_MOD_31}) + {salt}) % {_MOD_31})"
+            f" * {KNUTH_A}) % {_MOD_31})"
+        )
+    else:
+        reduced = f"({id_col} % {_MOD_31})"
+    bucket = f"(({reduced} * {KNUTH_A}) % {_MOD_32})"
+    return f"""
+    SELECT {cols}, sample_rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY {strata_col}
+                   ORDER BY {bucket}, {id_col}
+               ) AS BIGINT) AS sample_rank
+        FROM {table}
+    ) WHERE sample_rank <= {n_per_stratum}
+    """
+
+
 def weighted_mix(
     df: DataFrame,
     id_col: Column | str,

@@ -1958,6 +1958,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stratified_topn_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.sampling import (
+        stratified_topn_oracle_sql,
+    )
+
+    return stratified_topn_oracle_sql(
+        "documents", "doc_id", "lang", 20,
+        "doc_id, lang, source, n_chars", seed=3,
+    )
+
+
+@register(
+    "stratified_topn_rows",
+    _stratified_topn_oracle(),
+    survey_ids="datapipe:sampling-reservoir",
+    doc="Exactly-20-per-language deterministic row sample (the "
+    "distributed, reproducible replacement for per-group reservoir "
+    "sampling): rank by seeded Knuth hash within stratum, ties by id, "
+    "keep rank <= 20. One shuffle on the stratum key; WindowGroupLimit "
+    "keeps <= 20 rows per stratum per partition before the exchange.",
+)
+def q_stratified_topn_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.sampling import stratified_topn_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_topn_rows(docs, "doc_id", "lang", 20, seed=3).select(
+        "doc_id", "lang", "source", "n_chars", "sample_rank"
+    )
+
+
 @register(
     "sequence_packing",
     """
