@@ -683,6 +683,99 @@ def lsh_near_dup_oracle_sql(
     """
 
 
+def batch_knn(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    q_vec_col: str,
+    q_id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one corpus
+    pass — the serving shape (per-query ``brute_force_topk`` calls scan
+    the corpus |Q| times; this scans it once).
+
+    The query set is collected (bounded — a serving batch, not a
+    corpus) and closed over by an Arrow-batched pandas UDF: one
+    (batch × Q) GEMM per corpus batch emits |Q| scores per corpus row;
+    posexplode fans them out and a per-query top-k window compiles to
+    WindowGroupLimit, so each partition forwards at most k rows per
+    query — the shuffle carries O(|Q|·k·partitions), never the scored
+    cross product. Ties break toward the smaller corpus id.
+
+    Returns (q_id, nbr_id, rank), rank 1-based. Self-matches (same id
+    in corpus and query set) are excluded.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    q_rows = queries.select(
+        _c(q_id_col).alias("qid"), _c(q_vec_col).alias("qv")
+    ).collect()
+    q_ids = [int(r["qid"]) for r in q_rows]
+    qm = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<double>")
+    def _scores(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        s = m @ qm.T  # (batch, |Q|)
+        return pd.Series(list(s))
+
+    scored = spread(df).select(
+        _c(id_col).alias("nbr_id"), _scores(_c(vec_col)).alias("ss")
+    ).select(
+        "nbr_id", F.posexplode("ss").alias("q_pos", "score")
+    )
+    qid_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = scored.withColumn(
+        "q_id", F.element_at(qid_map, F.col("q_pos") + 1)
+    ).filter(F.col("nbr_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nbr_id", "rank")
+    )
+
+
+def batch_knn_oracle_sql(
+    k: int = 10,
+    n_queries: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``batch_knn`` with the query batch defined as the
+    ``n_queries`` vectors of smallest Knuth-hash(id) (the same
+    deterministic sample rule as ``seed_centroids``)."""
+    hash_order = f"(({id_col} % {M31}) * {KNUTH_A}) % {M32}, {id_col}"
+    return f"""
+    WITH q AS (
+        SELECT {id_col} AS q_id, {vec_col}::DOUBLE[] AS qv
+        FROM {table} ORDER BY {hash_order} LIMIT {n_queries}
+    )
+    SELECT q_id, nbr_id, rank FROM (
+        SELECT q.q_id, e.{id_col} AS nbr_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC,
+                            e.{id_col}
+               ) AS BIGINT) AS rank
+        FROM {table} e CROSS JOIN q
+        WHERE e.{id_col} <> q.q_id
+    ) WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse k-means quantizer + cluster-pruned
 # exact re-rank — the other standard scale path besides LSH.

@@ -1675,6 +1675,35 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_knn_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.similarity import batch_knn_oracle_sql
+
+    return batch_knn_oracle_sql(k=10, n_queries=8)
+
+
+@register(
+    "knn_batch_queries",
+    _batch_knn_oracle(),
+    survey_ids="datapipe:similarity-knn-batch",
+    doc="Exact cosine top-10 for a batch of 8 query vectors in ONE "
+    "corpus pass (per-query scans multiply corpus reads by |Q|): one "
+    "(batch x Q) GEMM per Arrow batch, posexplode fan-out, per-query "
+    "top-k via WindowGroupLimit so the shuffle carries O(|Q|*k) per "
+    "partition, never the scored cross product.",
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.sampling import _MOD_31, _MOD_32, KNUTH_A
+    from hours_api_clickup_spark.datapipe.similarity import batch_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.pmod(
+        F.pmod(F.col("vec_id").cast("long"), F.lit(_MOD_31)) * F.lit(KNUTH_A),
+        F.lit(_MOD_32),
+    )
+    queries = emb.orderBy(bucket, F.col("vec_id")).limit(8)
+    return batch_knn(emb, "embedding", "vec_id", queries, "embedding", "vec_id", k=10)
+
+
 def _decon_emb_oracle() -> str:
     from hours_api_clickup_spark.datapipe.curation import (
         decontaminate_embeddings_oracle_sql,
