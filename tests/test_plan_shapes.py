@@ -220,3 +220,16 @@ def test_exact_quantiles_range_partitioned_not_single_buffer(spark):
     plan = _plan(spark, "exact_quantiles_distributed")
     assert "rangepartitioning" in plan, plan
     assert "percentile(" not in plan, plan
+
+
+def test_batch_knn_window_group_limit(spark):
+    # per-query top-k must be rank-pushed (WindowGroupLimit): the
+    # shuffle carries O(|Q|*k) rows per partition, not the scored
+    # cross product
+    plan = _plan(spark, "knn_batch_queries", "formatted")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_stratified_topn_window_group_limit(spark):
+    plan = _plan(spark, "stratified_topn_rows", "formatted")
+    assert "WindowGroupLimit" in plan, plan
