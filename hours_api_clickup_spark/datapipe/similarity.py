@@ -935,6 +935,47 @@ def ivf_index_write(
     ).partitionBy("cluster_id").parquet(path)
 
 
+def ivf_index_upsert(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+) -> None:
+    """Incrementally fold NEW vectors into a persisted IVF index
+    (``ivf_index_write``) — assign only the arriving batch against the
+    FROZEN quantizer (standard IVF practice: retrain/rebalance is an
+    explicit offline rebuild, not an ingest concern), then
+    dynamic-partition-overwrite exactly the cluster directories the
+    batch touches, each rewritten as existing ∪ new with new-wins id
+    dedup. Untouched clusters are never rewritten; the read-back of
+    current contents is pruned to touched clusters via a broadcast join
+    on the partition column (dynamic partition pruning)."""
+    spark = df.sparkSession
+    new_rows = ivf_assign(df, vec_col, centroids).localCheckpoint()
+    touched = new_rows.select("cluster_id").dropDuplicates()
+    cols = new_rows.columns
+    existing = (
+        spark.read.parquet(path)
+        .join(F.broadcast(touched), ["cluster_id"])
+        .join(
+            new_rows.select(_c(id_col).alias("__nid")).dropDuplicates(),
+            F.col(id_col) == F.col("__nid"),
+            "left_anti",
+        )
+        .select(*cols)
+    )
+    merged = existing.unionByName(new_rows.select(*cols)).localCheckpoint()
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.repartition(F.col("cluster_id")).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def ivf_probe_topk(
     spark,
     index_path: str,

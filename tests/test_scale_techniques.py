@@ -289,3 +289,55 @@ class TestLshIndexUpsert:
             )
 
         assert canon(inc_path) == canon(full_path)
+
+
+class TestIvfIndexUpsert:
+    def test_upsert_equals_rebuild(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            ivf_index_upsert,
+            ivf_index_write,
+            seed_centroids,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        # quantizer frozen on the ORIGINAL corpus — upsert must not
+        # retrain it (standard IVF: rebalance is an offline rebuild)
+        cents = seed_centroids(emb.filter(F.col("vec_id") < 400), "embedding", "vec_id")
+        old = emb.filter(F.col("vec_id") < 400)
+        new = emb.filter(
+            (F.col("vec_id") >= 400) | (F.col("vec_id") < 10)
+        ).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") < 10,
+                F.transform("embedding", lambda x: x * F.lit(2.0)),
+            )
+            .otherwise(F.col("embedding"))
+            .cast("array<float>"),
+        )
+
+        inc_path = str(tmp_path / "inc")
+        ivf_index_write(old, "embedding", "vec_id", inc_path, cents)
+        ivf_index_upsert(new, "embedding", "vec_id", inc_path, cents)
+
+        full_path = str(tmp_path / "full")
+        combined = old.join(
+            new.select("vec_id"), "vec_id", "left_anti"
+        ).unionByName(new)
+        ivf_index_write(combined, "embedding", "vec_id", full_path, cents)
+
+        def canon(path):
+            return sorted(
+                (
+                    r["cluster_id"],
+                    r["vec_id"],
+                    tuple(round(float(x), 6) for x in r["embedding"]),
+                )
+                for r in spark.read.parquet(path).collect()
+            )
+
+        assert canon(inc_path) == canon(full_path)
