@@ -1207,6 +1207,60 @@ def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_bounded_stream(spark, out, f"stream_hours_{uuid.uuid4().hex[:8]}", "complete")
 
 
+@register(
+    "streaming_finalized_buckets",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    agg AS (
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT bucket_start, event_type, total_value, n
+    FROM agg, mx
+    WHERE bucket_start + INTERVAL 6 HOUR <= m - INTERVAL 30 MINUTE
+    """,
+    survey_ids="§2.11,datapipe:streaming-append",
+    doc="APPEND-mode watermarked 6h-bucket rollup: each bucket emits "
+    "EXACTLY ONCE when the watermark (max event time - 30 min) passes "
+    "its end — finalized immutable rows a downstream sink ingests "
+    "idempotently (complete/update re-emit; this is the production "
+    "continuous-aggregate shape). The oracle reproduces the emission "
+    "cutoff in plain SQL; buckets still open at end-of-replay are "
+    "correctly absent.",
+)
+def q_streaming_finalized_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from hours_api_clickup_spark.streaming.refresh import (
+        streaming_finalized_buckets,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage_dir = tempfile.mkdtemp(prefix="stream_buckets_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_finalized_buckets(stream)
+    return _run_bounded_stream(
+        spark, out, f"stream_buckets_{uuid.uuid4().hex[:8]}", "append"
+    )
+
+
 def _run_bounded_stream(
     spark: SparkSession, out: DataFrame, sink: str, mode: str
 ) -> DataFrame:

@@ -104,6 +104,39 @@ def streaming_hours_by_user_day(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_finalized_buckets(events_stream: DataFrame) -> DataFrame:
+    """APPEND-mode watermarked rollup: 6-hour tumbling event-time
+    windows per event type, each bucket emitted EXACTLY ONCE when the
+    watermark passes its end — the production continuous-aggregate
+    shape (complete/update modes re-emit; append emits finalized,
+    immutable rows a downstream sink can ingest idempotently).
+
+    Determinism of a bounded availableNow replay: the final watermark is
+    max(event time) - 30 min, so exactly the buckets whose window end
+    ≤ that mark appear — the oracle reproduces the cutoff with plain
+    SQL. State is O(open windows × types), bounded by the horizon.
+    """
+    return (
+        events_stream.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "total_value",
+            "n",
+        )
+    )
+
+
 def streaming_dedup_events(events_stream: DataFrame) -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same event id
     inside the watermark horizon, then a windowless rollup per type.
