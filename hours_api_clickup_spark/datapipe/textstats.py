@@ -161,6 +161,89 @@ def vocab_topk(
     )
 
 
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab_k: int = 100
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-k
+    vocabulary — the standard pre-tokenizer coverage report (decides
+    vocab size before a BPE train; rising OOV flags corpus drift).
+
+    Scale shape: the vocabulary head is vocabulary-sized (k rows) and
+    BROADCAST; the corpus streams through explode → left-semi-style
+    conditional count → one per-doc aggregation keyed by the doc id.
+    Zero-token docs report rate 0.0 via the left join back to ids
+    (degenerate rows, no second corpus scan of text).
+    """
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    vocab = vocab_topk(df, id_col, text_col, k=vocab_k).select("tok")
+    toks = spread(df).select(
+        F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("tok")
+    )
+    stats = (
+        toks.join(
+            F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))),
+            "tok",
+            "left",
+        )
+        .groupBy("did")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("did"))
+        .join(stats, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.coalesce(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                F.lit(0.0),
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def oov_rate_oracle_sql(
+    table: str, id_col: str, text_col: str, vocab_k: int = 100
+) -> str:
+    """DuckDB twin of ``oov_rate`` (same vocabulary head, same counts)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS did,
+               unnest(CASE WHEN length(trim({text_col})) > 0
+                           THEN string_split_regex(trim({text_col}), '\\s+')
+                           ELSE [] END) AS tok
+        FROM {table}
+    ),
+    pd AS (SELECT tok, did, COUNT(*) AS c FROM toks GROUP BY tok, did),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, SUM(c) AS n FROM pd GROUP BY tok
+            ORDER BY n DESC, tok LIMIT {vocab_k}
+        )
+    ),
+    stats AS (
+        SELECT did,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM toks LEFT JOIN vocab v USING (tok)
+        GROUP BY did
+    )
+    SELECT b.{id_col},
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+           COALESCE(CAST(s.n_oov AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 0.0)
+               AS oov_rate
+    FROM {table} b LEFT JOIN stats s ON s.did = b.{id_col}
+    """
+
+
 def tfidf_topk(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:

@@ -2368,6 +2368,29 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, "doc_id", "text", k=100)
 
 
+def _oov_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.textstats import oov_rate_oracle_sql
+
+    return oov_rate_oracle_sql("documents", "doc_id", "text", vocab_k=100)
+
+
+@register(
+    "doc_oov_rate",
+    _oov_oracle(),
+    survey_ids="datapipe:vocab-coverage",
+    doc="Per-document out-of-vocabulary rate vs the corpus top-100 "
+    "vocabulary — the pre-tokenizer coverage report. Vocabulary head "
+    "is broadcast (k rows); corpus streams through one conditional "
+    "count keyed by doc id; zero-token docs report 0.0 via the id "
+    "join-back, never a second text scan.",
+)
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.textstats import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, "doc_id", "text", vocab_k=100)
+
+
 def _tfidf_oracle() -> str:
     from hours_api_clickup_spark.datapipe.textstats import tfidf_topk_oracle_sql
 
