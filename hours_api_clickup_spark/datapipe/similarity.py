@@ -542,6 +542,23 @@ def embedding_near_dup_pairs(
     return pairs.mapInPandas(score, schema="id_a long, id_b long")
 
 
+def _pair_cosine_fn(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Row-wise cosine of two vector columns — one numpy pass per Arrow
+    batch (the pair-verification hot path; interpreted zip_with/aggregate
+    cosine is ~5× slower at candidate volume)."""
+    a = np.stack([np.asarray(x, dtype=np.float64) for x in va.values])
+    b = np.stack([np.asarray(x, dtype=np.float64) for x in vb.values])
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    return pd.Series(num / np.maximum(den, 1e-300))
+
+
+def _pair_cosine(va: Column, vb: Column) -> Column:
+    # built lazily: pandas_udf parses its DDL type via the ACTIVE session,
+    # so decorating at module import would require one to already exist
+    return pandas_udf(_pair_cosine_fn, "double")(va, vb)
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -618,6 +635,9 @@ def lsh_near_dup_pairs(
     )
 
     vecs = sigs.select("did", "v")
+    # verification is Arrow-batched numpy (row-wise dot over the joined
+    # pair vectors): the candidate set is O(Σ bucket²) and interpreted
+    # array-HOF cosine over it dominated the query (~5× slower here)
     return (
         cand.join(
             vecs.select(F.col("did").alias("id_a"), F.col("v").alias("v_a")),
@@ -627,7 +647,9 @@ def lsh_near_dup_pairs(
             vecs.select(F.col("did").alias("id_b"), F.col("v").alias("v_b")),
             "id_b",
         )
-        .filter(cosine_sim(F.col("v_a"), F.col("v_b")) >= F.lit(float(threshold)))
+        .filter(
+            _pair_cosine(F.col("v_a"), F.col("v_b")) >= F.lit(float(threshold))
+        )
         .select("id_a", "id_b")
     )
 

@@ -1154,6 +1154,32 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, (length(text) + 4) % 100 + 1, 10)) AS BIGINT)
+               AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+    survey_ids="datapipe:multimodal-frames",
+    doc="Video frame-sampling plumbing: one row per every-10th frame "
+    "index of each video row (explode of the frame-index sequence — "
+    "the decode of each sampled frame is the stubbed codec step). The "
+    "explode-then-decode shape video takes at scale; frame counts here "
+    "derive deterministically from the synthetic payload so the "
+    "fan-out is oracle-checked.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return frame_sample_plan(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming surface (§2.11 idiomatic extension): the flagship
 # aggregate as a watermarked event-time stream, replayed bounded via
