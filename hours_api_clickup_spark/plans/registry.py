@@ -1852,6 +1852,53 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_skew_rollup",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids="scale:skew-salting",
+    doc="Two-phase salted aggregation on a 3-value (maximally hot) "
+    "group key: phase 1 aggregates on (key, salt) so each hot key "
+    "spreads over 16 reducers, phase 2 combines the partials. The "
+    "oracle is the PLAIN aggregate — result-equivalence of the salted "
+    "plan IS the contract (decimal sums are reorder-safe, which is "
+    "what makes the two-phase split legal).",
+)
+def q_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": (
+                F.sum(_dec("l_quantity", "decimal(18,2)")),
+                F.sum("sum_qty"),
+            ),
+            "n": (F.count("*"), F.sum("n")),
+            "max_price": (
+                F.max(_dec("l_extendedprice", "decimal(18,2)")),
+                F.max("max_price"),
+            ),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n",
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+@register(
     "time_bucket_rollup",
     """
     SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_6h,
