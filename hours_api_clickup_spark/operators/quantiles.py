@@ -37,6 +37,15 @@ def exact_quantiles(
     """
     if out_names is None:
         out_names = [f"q_{int(round(q * 100))}" for q in qs]
+    # duplicate requested quantiles (or names colliding after rounding)
+    # must not collide in the output either
+    seen: dict[str, int] = {}
+    uniq = []
+    for n in out_names:
+        k = seen.get(n, 0)
+        seen[n] = k + 1
+        uniq.append(n if k == 0 else f"{n}_{k + 1}")
+    out_names = uniq
     vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -84,23 +93,23 @@ def exact_quantiles(
     picked = ranked.filter(keep)
 
     aggs = [F.max("n").alias("n")]
-    for q, name in zip(qs, out_names):
+    for i, q in enumerate(qs):
         pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
         lo = F.floor(pos).cast("long")
         hi = F.ceil(pos).cast("long")
         aggs.append(
-            F.min(F.when(F.col("rank") == lo, F.col("v"))).alias(f"__lo_{name}")
+            F.min(F.when(F.col("rank") == lo, F.col("v"))).alias(f"__lo_{i}")
         )
         aggs.append(
-            F.min(F.when(F.col("rank") == hi, F.col("v"))).alias(f"__hi_{name}")
+            F.min(F.when(F.col("rank") == hi, F.col("v"))).alias(f"__hi_{i}")
         )
     one = picked.agg(*aggs)
 
     outs = []
-    for q, name in zip(qs, out_names):
+    for i, (q, name) in enumerate(zip(qs, out_names)):
         pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
         frac = pos - F.floor(pos)
-        lo_v = F.col(f"__lo_{name}")
-        hi_v = F.col(f"__hi_{name}")
+        lo_v = F.col(f"__lo_{i}")
+        hi_v = F.col(f"__hi_{i}")
         outs.append((lo_v + frac * (hi_v - lo_v)).alias(name))
     return one.select(*outs)

@@ -377,3 +377,37 @@ def test_repetition_stats_matches_python_reference(spark, texts):
         bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         exp_bi = (len(bi) - len(set(bi))) / len(bi) if bi else 0.0
         assert r.dup_bigram_frac == exp_bi
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    qs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=4
+    ),
+)
+def test_exact_quantiles_match_builtin_percentile(spark, values, qs):
+    """The two-phase distributed exact quantile must equal Spark's
+    single-buffer exact percentile aggregate on arbitrary inputs —
+    including duplicates, negative values, and extreme q."""
+    from hours_api_clickup_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = exact_quantiles(df, "v", qs).collect()[0]
+    exp = df.agg(F.percentile("v", F.lit(qs)).alias("p")).collect()[0]["p"]
+    for g, e in zip(got, exp):
+        assert g is not None and e is not None
+        assert math.isclose(g, e, rel_tol=1e-12, abs_tol=1e-9), (g, e, values, qs)
