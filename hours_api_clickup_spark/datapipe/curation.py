@@ -361,6 +361,49 @@ def decontaminate_embeddings_oracle_sql(
     """
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonicalize text for normalized dedup: lowercase, strip
+    punctuation to spaces, collapse whitespace runs, trim. Catches the
+    trivially-reformatted duplicates (case, spacing, punctuation) that
+    byte-exact dedup misses and near-dup thresholds over-kill. Pure
+    codegen'd projection; the regex classes are dialect-portable
+    (identical semantics in Java regex and RE2)."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalized_exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup over the CANONICALIZED content: one surviving
+    (min-id) row per distinct normalized text, with the absorbed-copy
+    count. Same single digest-keyed shuffle as ``dedup.exact_dedup`` —
+    normalization adds zero shuffles."""
+    norm = normalize_text(content_col)
+    return df.groupBy(F.md5(norm).alias("norm_md5")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def normalized_dedup_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of ``normalized_exact_dedup`` (same canonicalization,
+    same digest grouping)."""
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+    SELECT md5({norm}) AS norm_md5,
+           MIN({id_col}) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM {table}
+    GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # Deterministic epoch shuffle → training shards
 # ---------------------------------------------------------------------------

@@ -1784,6 +1784,33 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_knn(emb, "embedding", "vec_id", queries, "embedding", "vec_id", k=10)
 
 
+def _norm_dedup_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.curation import (
+        normalized_dedup_oracle_sql,
+    )
+
+    return normalized_dedup_oracle_sql("documents", "doc_id", "text")
+
+
+@register(
+    "dedup_exact_normalized",
+    _norm_dedup_oracle(),
+    survey_ids="datapipe:dedup-normalized",
+    doc="Exact dedup over CANONICALIZED text (lowercase, punctuation "
+    "stripped, whitespace collapsed): catches trivially-reformatted "
+    "duplicates byte-exact dedup misses without paying near-dup "
+    "machinery. Normalization is a codegen'd projection — same single "
+    "digest-keyed shuffle as dedup_exact.",
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.curation import (
+        normalized_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalized_exact_dedup(docs, "text", "doc_id")
+
+
 def _decon_emb_oracle() -> str:
     from hours_api_clickup_spark.datapipe.curation import (
         decontaminate_embeddings_oracle_sql,
