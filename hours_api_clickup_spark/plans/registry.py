@@ -1234,6 +1234,54 @@ def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_enriched_rollup",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    survey_ids="§2.11,datapipe:streaming-enrichment",
+    doc="Stream-static join: each event micro-batch joins the BROADCAST "
+    "customer dimension (the stream side never shuffles for the join) "
+    "and rolls up per market segment — the standard enrichment "
+    "topology; the static side is re-planned per micro-batch so dim "
+    "refreshes apply without a stream restart. Bounded replay equals "
+    "the batch join+aggregate (decimal-exact sums).",
+)
+def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from hours_api_clickup_spark.streaming.refresh import (
+        streaming_enriched_rollup,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage_dir = tempfile.mkdtemp(prefix="stream_enrich_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    customer = load_table(spark, sf_dir, "customer")
+    out = streaming_enriched_rollup(stream, customer)
+    return _run_bounded_stream(
+        spark, out, f"stream_enrich_{uuid.uuid4().hex[:8]}", "complete"
+    )
+
+
+@register(
     "streaming_finalized_buckets",
     """
     WITH mx AS (SELECT max(ts) AS m FROM events),

@@ -137,6 +137,34 @@ def streaming_finalized_buckets(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_enriched_rollup(
+    events_stream: DataFrame, customer_dim: DataFrame
+) -> DataFrame:
+    """Stream-static join + windowless rollup: each micro-batch of the
+    event stream joins the STATIC customer dimension (broadcast — the
+    stream side never shuffles for the join) and aggregates per market
+    segment. The standard enrichment topology: dims live in the
+    warehouse, facts arrive as a stream; Spark re-plans the static side
+    per micro-batch, so a dim refresh between batches is picked up
+    without restarting the stream. Decimal-exact sums make a bounded
+    replay equal the batch join+aggregate bit-for-bit."""
+    dim = F.broadcast(
+        customer_dim.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+        )
+    )
+    return (
+        events_stream.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
 def streaming_dedup_events(events_stream: DataFrame) -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same event id
     inside the watermark horizon, then a windowless rollup per type.
