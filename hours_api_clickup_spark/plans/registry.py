@@ -1282,6 +1282,55 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_attribution_join",
+    """
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    survey_ids="§2.11,datapipe:streaming-join",
+    doc="STREAM-STREAM inner self-join: purchases attributed to same-"
+    "user clicks within the preceding hour. Watermarks on both sides + "
+    "the event-time range in the join condition bound the join state "
+    "to the horizon (a click is evicted once the purchase watermark "
+    "passes click_ts + 1 h). Inner matches emit as they form, so a "
+    "bounded replay equals the batch time-range self-join exactly.",
+)
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from hours_api_clickup_spark.streaming.refresh import (
+        streaming_attribution_pairs,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage_dir = tempfile.mkdtemp(prefix="stream_attr_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_attribution_pairs(stream)
+    return _run_bounded_stream(
+        spark, out, f"stream_attr_{uuid.uuid4().hex[:8]}", "append"
+    )
+
+
+@register(
     "streaming_finalized_buckets",
     """
     WITH mx AS (SELECT max(ts) AS m FROM events),

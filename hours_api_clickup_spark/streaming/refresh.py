@@ -165,6 +165,45 @@ def streaming_enriched_rollup(
     )
 
 
+def streaming_attribution_pairs(events_stream: DataFrame) -> DataFrame:
+    """STREAM-STREAM inner join: attribute each purchase to every click
+    by the same user within the preceding hour. Both sides branch off
+    one source stream (a self-join), each carries its own watermark, and
+    the join condition includes the event-time range — which is what
+    lets Spark evict join state: a buffered click can only match
+    purchases inside [click_ts, click_ts + 1 h], so once the purchase
+    watermark passes that horizon the click is dropped. State is
+    O(events inside the horizon), never O(stream).
+
+    Inner-join matches emit as they form (no finalization wait), so a
+    bounded availableNow replay emits exactly the batch join's pairs —
+    the oracle is the plain time-range self-join."""
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id")
+
+
 def streaming_dedup_events(events_stream: DataFrame) -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same event id
     inside the watermark horizon, then a windowless rollup per type.
