@@ -233,3 +233,10 @@ def test_batch_knn_window_group_limit(spark):
 def test_stratified_topn_window_group_limit(spark):
     plan = _plan(spark, "stratified_topn_rows", "formatted")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_oov_vocab_joins_broadcast(spark):
+    # the top-k vocabulary must reach the corpus as a broadcast (k rows);
+    # a shuffle join here would hash-exchange the whole exploded corpus
+    plan = _plan(spark, "doc_oov_rate")
+    assert "BroadcastHashJoin" in plan, plan
