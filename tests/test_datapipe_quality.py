@@ -535,3 +535,33 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
         assert out[vid].q_l1 == int(np.abs(q).sum())
         # quantization error bounded by half a step
         assert np.abs(q / scale - arr).max() <= 0.5 / scale + 1e-12
+
+
+def test_embedding_lsh_pairs_match_exact(spark):
+    """The LSH-prefiltered embedding pair path must be a subset of the
+    exact GEMM verifier (precision 1.0 — every candidate is re-verified
+    with exact cosine) with recall >= 0.85 at the query threshold."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.45
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.45
+        ).collect()
+    }
+    assert lsh <= exact, "LSH pairs must be exact-verified (precision 1.0)"
+    assert exact, "test corpus should contain true near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.85, f"recall too low: {recall} ({len(lsh)}/{len(exact)})"
