@@ -318,7 +318,11 @@ def lsh_index_write(
     tables·2^planes — never a full-corpus scan-and-sign. The vector is
     stored alongside the signature so the exact re-rank needs no join
     back to the corpus (a deliberate ×tables storage trade; store only
-    ids to trade back)."""
+    ids to trade back). If the directory count itself becomes the
+    bottleneck (wide-plane configs: tables·2^planes dirs), coarsen to
+    partitionBy(t, sig div B) and let parquet row-group min/max stats on
+    the sorted sig column prune within each coarse bucket — same probe
+    cost, B× fewer directories."""
     from functools import reduce
 
     sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables, dim=dim)
