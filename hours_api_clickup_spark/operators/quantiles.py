@@ -113,3 +113,86 @@ def exact_quantiles(
         hi_v = F.col(f"__hi_{i}")
         outs.append((lo_v + frac * (hi_v - lo_v)).alias(name))
     return one.select(*outs)
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    out_names: list[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles of ``value_col`` PER GROUP — one row
+    per group, one double column per quantile. The grouped complement of
+    ``exact_quantiles``: ranking rides ONE hash shuffle on the group key
+    (rank and group-count windows share the same partitioning, so the
+    second window adds no exchange), and only the ≤ 2·|qs| picked rows
+    per group reach the final aggregate. State per task is bounded by
+    its groups' sizes — the right shape when groups are plentiful; a
+    single giant group degenerates to one partition, at which point the
+    range-partitioned global form applies per group instead.
+
+    Nulls in ``value_col`` are ignored; groups with only nulls are
+    absent from the output (same as SQL ``GROUP BY`` + quantile_cont
+    over an all-null group returning null — those rows carry no value).
+    """
+    if out_names is None:
+        out_names = [f"q_{int(round(q * 100))}" for q in qs]
+    seen: dict[str, int] = {}
+    uniq = []
+    for n in out_names:
+        k = seen.get(n, 0)
+        seen[n] = k + 1
+        uniq.append(n if k == 0 else f"{n}_{k + 1}")
+    out_names = uniq
+
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    w_rank = Window.partitionBy("g").orderBy("v")
+    w_all = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vals.select(
+        "g",
+        "v",
+        (F.row_number().over(w_rank) - 1).alias("rank"),
+        F.count("*").over(w_all).alias("n"),
+    )
+
+    keep = F.lit(False)
+    for q in qs:
+        pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
+        keep = (
+            keep
+            | (F.col("rank") == F.floor(pos).cast("long"))
+            | (F.col("rank") == F.ceil(pos).cast("long"))
+        )
+    picked = ranked.filter(keep)
+
+    aggs = []
+    for i, q in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
+        aggs.append(
+            F.min(
+                F.when(F.col("rank") == F.floor(pos).cast("long"), F.col("v"))
+            ).alias(f"__lo_{i}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("rank") == F.ceil(pos).cast("long"), F.col("v"))
+            ).alias(f"__hi_{i}")
+        )
+    per_group = picked.groupBy("g").agg(F.max("n").alias("n"), *aggs)
+
+    outs = [F.col("g").alias(group_col)]
+    for i, (q, name) in enumerate(zip(qs, out_names)):
+        pos = F.lit(float(q)) * (F.col("n") - 1).cast("double")
+        frac = pos - F.floor(pos)
+        outs.append(
+            (
+                F.col(f"__lo_{i}")
+                + frac * (F.col(f"__hi_{i}") - F.col(f"__lo_{i}"))
+            ).alias(name)
+        )
+    return per_group.select(*outs)

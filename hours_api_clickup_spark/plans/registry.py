@@ -2023,6 +2023,38 @@ def q_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_quantiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS q_50,
+           ROUND(quantile_cont(value, 0.95), 4) AS q_95
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids="datapipe:exact-quantiles-grouped",
+    doc="Exact per-group quantiles (p50/p95 of value per event type): "
+    "rank and group-count windows share ONE hash shuffle on the group "
+    "key; only the <= 2 picked rows per quantile per group reach the "
+    "final aggregate. The grouped complement of the range-partitioned "
+    "global form.",
+)
+def q_exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = grouped_exact_quantiles(
+        events, "event_type", "value", [0.5, 0.95], out_names=["q_50", "q_95"]
+    )
+    return out.select(
+        "event_type",
+        F.round("q_50", 4).alias("q_50"),
+        F.round("q_95", 4).alias("q_95"),
+    )
+
+
+@register(
     "time_bucket_rollup",
     """
     SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_6h,

@@ -341,3 +341,35 @@ class TestIvfIndexUpsert:
             )
 
         assert canon(inc_path) == canon(full_path)
+
+
+def test_grouped_exact_quantiles_match_builtin(spark):
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice(["a", "b", "c"]), round(rng.uniform(0, 100), 1))
+        for _ in range(500)
+    ] + [("only_nulls", None), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["q_50"], r["q_95"])
+        for r in grouped_exact_quantiles(df, "g", "v", [0.5, 0.95]).collect()
+    }
+    exp = {
+        r["g"]: tuple(r["p"])
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.percentile("v", F.lit([0.5, 0.95])).alias("p"))
+        .collect()
+    }
+    assert set(got) == set(exp)  # only-null group absent from both
+    for g in exp:
+        for a, b in zip(got[g], exp[g]):
+            assert abs(a - b) < 1e-12
