@@ -2023,6 +2023,41 @@ def q_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_rollup",
+    """
+    SELECT bucket_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT value,
+               time_bucket(INTERVAL 1 HOUR, ts)
+                   - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS bucket_start
+        FROM events
+    )
+    GROUP BY bucket_start
+    """,
+    survey_ids="datapipe:sliding-windows",
+    doc="SLIDING event-time windows (2 h wide, 1 h slide): every event "
+    "lands in exactly window/slide = 2 overlapping buckets — the "
+    "moving-average shape tumbling buckets cannot express. Spark's "
+    "window() generates the per-event bucket fan-out then aggregates "
+    "(one shuffle on bucket start); the oracle replays the fan-out "
+    "with explicit interval arithmetic.",
+)
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n", "total_value")
+    )
+
+
+@register(
     "exact_quantiles_by_type",
     """
     SELECT event_type,
