@@ -1730,6 +1730,71 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube_hierarchy",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    survey_ids="§2.6-cube",
+    doc="CUBE grouping sets (every subset of the keys, incl. the "
+    "per-linestatus marginals ROLLUP omits). Same Expand + single "
+    "aggregation plan — one shuffle for all 2^k levels.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "semi_anti_join_surface",
+    """
+    SELECT 'has_order' AS cohort, COUNT(*) AS n_customers,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer c WHERE EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    UNION ALL
+    SELECT 'no_order', COUNT(*),
+           CAST(MIN(c_custkey) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+    survey_ids="§2.5-semi-anti",
+    doc="LEFT SEMI + LEFT ANTI join surface (EXISTS / NOT EXISTS): "
+    "customers with vs without orders. Semi/anti ship only the probe "
+    "side's rows — no fact columns ever cross the shuffle, and the "
+    "build side reduces to its distinct keys.",
+)
+def q_semi_anti_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    )
+    without = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+
+    def _summ(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("cohort"),
+            F.count("*").alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+        ).select("cohort", "n_customers", "min_key")
+
+    return _summ(with_orders, "has_order").unionByName(
+        _summ(without, "no_order")
+    )
+
+
+@register(
     "knn_ivf",
     ivf_topk_oracle_sql(k=10, n_clusters=16, nprobe=6, query_id=0),
     survey_ids="datapipe:similarity-ivf",
