@@ -1730,6 +1730,35 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "native_pivot_revenue",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    survey_ids="§2.6-pivot",
+    doc="Native pivot (long → wide): revenue per linestatus pivoted "
+    "over the return flags. With the pivot values given explicitly the "
+    "plan is ONE aggregation pass (no value-discovery pre-query) and "
+    "compiles to the same conditional aggregates the oracle spells "
+    "out — long→wide costs one shuffle, same as any groupBy.",
+)
+def q_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_dec("l_extendedprice", "decimal(18,2)")).cast("double"))
+    )
+
+
+@register(
     "agg_cube_hierarchy",
     """
     SELECT l_returnflag, l_linestatus,
