@@ -299,6 +299,15 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.col("score").desc(), F.col("nbr_id").asc()).limit(k)
 
 
+# Signatures per coarse partition directory: the index partitions on
+# (t, sig div COARSE) — tables·2^planes/COARSE directories — and prunes
+# to the exact sig inside each via parquet row-group min/max stats on
+# the sorted sig column. Pure directory-per-sig (COARSE=1) multiplies
+# tiny directories (and their per-file commit cost) ×COARSE for no
+# additional pruning power.
+LSH_COARSE = 16
+
+
 def lsh_index_write(
     df: DataFrame,
     vec_col: str,
@@ -309,20 +318,17 @@ def lsh_index_write(
     dim: int | None = None,
 ) -> None:
     """Materialize the LSH index at ingest: one row per (table, vector),
-    written ``partitionBy(t, sig)`` — the persisted-signature form of
-    ``lsh_bucketed_topk``.
+    written ``partitionBy(t, sb)`` with ``sb = sig div LSH_COARSE`` and
+    the exact ``sig`` kept as a data column, sorted within each file —
+    the persisted-signature form of ``lsh_bucketed_topk``.
 
     This is the 100 TB shape: signatures are computed ONCE when the
     corpus lands (one mapInPandas GEMM pass), and every later query is a
-    partition-pruned read of ~tables·(planes+1) tiny directories out of
-    tables·2^planes — never a full-corpus scan-and-sign. The vector is
-    stored alongside the signature so the exact re-rank needs no join
-    back to the corpus (a deliberate ×tables storage trade; store only
-    ids to trade back). If the directory count itself becomes the
-    bottleneck (wide-plane configs: tables·2^planes dirs), coarsen to
-    partitionBy(t, sig div B) and let parquet row-group min/max stats on
-    the sorted sig column prune within each coarse bucket — same probe
-    cost, B× fewer directories."""
+    partition-pruned read of a handful of directories plus a row-group-
+    pruned sig filter inside them — never a full-corpus scan-and-sign.
+    The vector is stored alongside the signature so the exact re-rank
+    needs no join back to the corpus (a deliberate ×tables storage
+    trade; store only ids to trade back)."""
     from functools import reduce
 
     sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables, dim=dim)
@@ -335,14 +341,15 @@ def lsh_index_write(
         )
         for t in range(tables)
     ]
-    union = reduce(DataFrame.unionByName, parts)
-    # cluster rows of one (t, sig) bucket into one task before the
-    # partitioned write: each directory gets ONE parquet file instead of
-    # one-per-upstream-task — at corpus scale the difference between
-    # tables·2^planes files and tables·2^planes·tasks small files
-    union.repartition(F.col("t"), F.col("sig")).write.mode(
-        "overwrite"
-    ).partitionBy("t", "sig").parquet(path)
+    union = reduce(DataFrame.unionByName, parts).withColumn(
+        "sb", (F.col("sig") / F.lit(LSH_COARSE)).cast("long")
+    )
+    # cluster each (t, sb) directory into one task (one file per dir,
+    # no small-files blowup) and sort by sig inside it so row-group
+    # min/max stats make the probe's sig filter skip whole row groups
+    union.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+        "sig"
+    ).write.mode("overwrite").partitionBy("t", "sb").parquet(path)
 
 
 def lsh_index_upsert(
@@ -381,32 +388,36 @@ def lsh_index_upsert(
         )
         for t in range(tables)
     ]
-    new_rows = reduce(DataFrame.unionByName, parts).localCheckpoint()
+    new_rows = (
+        reduce(DataFrame.unionByName, parts)
+        .withColumn("sb", (F.col("sig") / F.lit(LSH_COARSE)).cast("long"))
+        .localCheckpoint()
+    )
 
-    touched = new_rows.select("t", "sig").dropDuplicates()
+    touched = new_rows.select("t", "sb").dropDuplicates()
     existing = (
         spark.read.parquet(path)
         # broadcast join on the partition columns → dynamic partition
-        # pruning: only touched (t, sig) directories are scanned
-        .join(F.broadcast(touched), ["t", "sig"])
+        # pruning: only touched (t, sb) directories are scanned
+        .join(F.broadcast(touched), ["t", "sb"])
         .join(
             new_rows.select("vid").dropDuplicates(),
             "vid",
             "left_anti",  # re-ingested ids: new version wins
         )
-        .select("vid", "v", "t", "sig")
+        .select("vid", "v", "t", "sig", "sb")
     )
     # materialize before the write: the merged plan reads the same path
     # the dynamic overwrite rewrites (bounded — touched buckets only)
     merged = existing.unionByName(
-        new_rows.select("vid", "v", "t", "sig")
+        new_rows.select("vid", "v", "t", "sig", "sb")
     ).localCheckpoint()
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.repartition(F.col("t"), F.col("sig")).write.mode(
-            "overwrite"
-        ).partitionBy("t", "sig").parquet(path)
+        merged.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+            "sig"
+        ).write.mode("overwrite").partitionBy("t", "sb").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
@@ -445,7 +456,14 @@ def lsh_probe_topk(
         buckets = [qs] + (
             [qs ^ (1 << p) for p in range(planes)] if probe_radius >= 1 else []
         )
-        cond = cond | ((F.col("t") == t) & F.col("sig").isin(buckets))
+        # partition pruning on (t, sb) + row-group-pruned exact-sig
+        # filter inside the coarse directories
+        coarse = sorted({b // LSH_COARSE for b in buckets})
+        cond = cond | (
+            (F.col("t") == t)
+            & F.col("sb").isin(coarse)
+            & F.col("sig").isin(buckets)
+        )
     reader = (
         index_path
         if isinstance(index_path, DataFrame)

@@ -149,12 +149,16 @@ def _probe_index_plan(spark, tmp_path, which: str) -> str:
 
 
 def test_lsh_probe_scan_is_partition_pruned(spark, tmp_path):
-    # The probe must read only the enumerated (t, sig) partitions of the
-    # persisted index — PartitionFilters on the scan, no full-corpus
-    # mapInPandas signature pass anywhere in the probe plan.
+    # The probe must read only the enumerated (t, sb) coarse partitions
+    # of the persisted index (PartitionFilters on the scan), push the
+    # exact-sig IN-list down to the parquet reader (PushedFilters →
+    # row-group pruning via the sorted sig column's min/max stats), and
+    # never run a full-corpus mapInPandas signature pass.
     plan = _probe_index_plan(spark, tmp_path, "lsh")
     pf = plan.split("PartitionFilters")[1].split("\n")[0]
-    assert "t#" in pf and "sig#" in pf, plan
+    assert "t#" in pf and "sb#" in pf, plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "sig" in pushed, plan
     assert "MapInPandas" not in plan, plan
 
 
