@@ -131,7 +131,7 @@ def repetition_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     WITH d AS (
         SELECT {id_col} AS did,
                CASE WHEN length(trim({text_col})) > 0
-                    THEN string_split_regex(trim({text_col}), '\\s+')
+                    THEN string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
                     ELSE [] END AS t
         FROM {table}
     ),
@@ -264,7 +264,7 @@ def decontaminate_oracle_sql(
     WITH d AS (
         SELECT {id_col} AS did, ({bench_pred}) AS is_bench,
                CASE WHEN length(trim({text_col})) > 0
-                    THEN string_split_regex(trim({text_col}), '\\s+')
+                    THEN string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
                     ELSE [] END AS t
         FROM {table}
     ),
@@ -366,11 +366,13 @@ def normalize_text(col: Column | str) -> Column:
     punctuation to spaces, collapse whitespace runs, trim. Catches the
     trivially-reformatted duplicates (case, spacing, punctuation) that
     byte-exact dedup misses and near-dup thresholds over-kill. Pure
-    codegen'd projection; the regex classes are dialect-portable
-    (identical semantics in Java regex and RE2)."""
+    codegen'd projection. Whitespace is an EXPLICIT character class, not
+    ``\\s``: Java regex counts vertical tab (\\x0B) in ``\\s`` but RE2
+    does not, so ``\\s`` normalizes differently in Spark vs the DuckDB
+    oracle on text containing VT (ADVICE r2)."""
     c = F.lower(_c(col))
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[^a-z0-9 \t\n\x0B\f\r]", " ")
+    c = F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", " ")
     return F.trim(c)
 
 
@@ -391,9 +393,12 @@ def normalized_exact_dedup(
 def normalized_dedup_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     """DuckDB twin of ``normalized_exact_dedup`` (same canonicalization,
     same digest grouping)."""
+    # explicit whitespace class, same bytes as normalize_text (Java \s
+    # includes \x0B, RE2 \s does not — ADVICE r2)
     norm = (
         f"trim(regexp_replace(regexp_replace(lower({text_col}),"
-        f" '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+        f" '[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'),"
+        f" '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
     )
     return f"""
     SELECT md5({norm}) AS norm_md5,
@@ -623,7 +628,7 @@ def chunk_oracle_sql(
     WITH d AS (
         SELECT {id_col} AS did,
                CASE WHEN length(trim({text_col})) > 0
-                    THEN string_split_regex(trim({text_col}), '\\s+')
+                    THEN string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
                     ELSE [] END AS tk
         FROM {table}
     ),

@@ -680,7 +680,7 @@ def simhash_oracle_sql(
     tok AS (
         SELECT {id_col} AS did,
                unnest(CASE WHEN length(trim({text_col})) > 0
-                           THEN regexp_split_to_array(trim({text_col}), '\\s+')
+                           THEN regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
                            ELSE [] END) AS t
         FROM {table}
     ),

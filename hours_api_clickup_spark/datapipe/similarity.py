@@ -352,6 +352,23 @@ def lsh_index_write(
     ).write.mode("overwrite").partitionBy("t", "sb").parquet(path)
 
 
+def _delete_partition_dirs(spark, path: str, rel_dirs: list[str]) -> None:
+    """Drop partition directories whose every row was removed by an
+    upsert: dynamic partition overwrite only rewrites partitions PRESENT
+    in the output, so a partition that ends up empty would keep its old
+    file (stale rows) unless deleted explicitly. Bounded driver-side
+    work — the list is at most the touched-partition set of one batch."""
+    if not rel_dirs:
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    for rel in rel_dirs:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def lsh_index_upsert(
     df: DataFrame,
     vec_col: str,
@@ -361,23 +378,46 @@ def lsh_index_upsert(
     tables: int = DEFAULT_TABLES,
     dim: int | None = None,
 ) -> None:
-    """Incrementally fold NEW vectors into a persisted LSH index
+    """Incrementally fold a batch of vectors into a persisted LSH index
     (``lsh_index_write``) — the steady-state ingest path once the corpus
     is live: sign only the arriving batch, then dynamic-partition-
-    overwrite exactly the (t, sig) directories the batch touches, with
+    overwrite exactly the (t, sb) directories the batch touches, with
     each touched bucket rewritten as existing-rows ∪ new-rows
-    (id-deduplicated, new wins — re-ingesting a vector replaces it).
+    (id-deduplicated, new wins — re-ingesting a vector replaces it,
+    INCLUDING when its new value moves it to a different bucket: the old
+    bucket is located, added to the touched set, and rewritten without
+    the stale row).
 
     Scale shape: the arriving batch is signed with one mapInPandas GEMM
     pass (O(batch), not O(corpus)); the read-back of current bucket
     contents is partition-pruned to the touched buckets only (same
     pruning the probes use); untouched directories are never rewritten
-    (spark.sql.sources.partitionOverwriteMode=dynamic). Atomicity is
-    per-partition-directory — the same contract as any dynamic-overwrite
-    sink (operators/merge.py discusses the trade)."""
+    (spark.sql.sources.partitionOverwriteMode=dynamic). Locating the old
+    buckets of re-ingested ids is a column-pruned scan of (vid, t, sb)
+    only — the vector column dominates index bytes, so this narrow scan
+    is a small fraction of a full read; a hash-sharded id→bucket sidecar
+    catalog (maintained by the same dynamic overwrite) would remove even
+    that and is the documented next step for true 100 TB indexes.
+    Atomicity is per-partition-directory — the same contract as any
+    dynamic-overwrite sink (operators/merge.py discusses the trade).
+
+    If no index exists at ``path`` yet, bootstraps via
+    ``lsh_index_write`` (first batch = the index)."""
     from functools import reduce
 
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
+    # A batch may carry the same id more than once; bucket rewrite logic
+    # assumes one row per id, so collapse first (arbitrary survivor — an
+    # unordered batch defines no "latest").
+    df = df.dropDuplicates([id_col])
+    try:
+        index = spark.read.parquet(path)
+    except AnalysisException:
+        lsh_index_write(df, vec_col, id_col, path, planes, tables, dim=dim)
+        return
+
     sigs = add_lsh_signatures(df, vec_col, id_col, planes, tables, dim=dim)
     parts = [
         sigs.select(
@@ -393,18 +433,28 @@ def lsh_index_upsert(
         .withColumn("sb", (F.col("sig") / F.lit(LSH_COARSE)).cast("long"))
         .localCheckpoint()
     )
+    batch_ids = new_rows.select("vid").dropDuplicates()
 
-    touched = new_rows.select("t", "sb").dropDuplicates()
+    # Buckets the new rows land in, PLUS the buckets currently holding
+    # any re-ingested id (its value may have changed its signature — the
+    # stale row must be rewritten away, ADVICE r2).
+    old_locs = (
+        index.select("vid", "t", "sb")
+        .join(F.broadcast(batch_ids), "vid")
+        .select("t", "sb")
+    )
+    touched = (
+        new_rows.select("t", "sb")
+        .unionByName(old_locs)
+        .dropDuplicates()
+        .localCheckpoint()  # pin: re-evaluating after the write would re-read the overwritten path
+    )
     existing = (
-        spark.read.parquet(path)
+        index
         # broadcast join on the partition columns → dynamic partition
         # pruning: only touched (t, sb) directories are scanned
         .join(F.broadcast(touched), ["t", "sb"])
-        .join(
-            new_rows.select("vid").dropDuplicates(),
-            "vid",
-            "left_anti",  # re-ingested ids: new version wins
-        )
+        .join(batch_ids, "vid", "left_anti")  # re-ingested ids: new wins
         .select("vid", "v", "t", "sig", "sb")
     )
     # materialize before the write: the merged plan reads the same path
@@ -412,6 +462,14 @@ def lsh_index_upsert(
     merged = existing.unionByName(
         new_rows.select("vid", "v", "t", "sig", "sb")
     ).localCheckpoint()
+    # touched buckets with no surviving rows (every row was a stale copy)
+    # never appear in merged; collect the bounded list for FS cleanup
+    emptied = [
+        f"t={r['t']}/sb={r['sb']}"
+        for r in touched.join(
+            merged.select("t", "sb").dropDuplicates(), ["t", "sb"], "left_anti"
+        ).collect()
+    ]
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -420,6 +478,7 @@ def lsh_index_upsert(
         ).write.mode("overwrite").partitionBy("t", "sb").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    _delete_partition_dirs(spark, path, emptied)
 
 
 def lsh_probe_topk(
@@ -992,24 +1051,49 @@ def ivf_index_upsert(
     explicit offline rebuild, not an ingest concern), then
     dynamic-partition-overwrite exactly the cluster directories the
     batch touches, each rewritten as existing ∪ new with new-wins id
-    dedup. Untouched clusters are never rewritten; the read-back of
-    current contents is pruned to touched clusters via a broadcast join
-    on the partition column (dynamic partition pruning)."""
+    dedup — including when a re-ingested vector's new value moves it to
+    a DIFFERENT cluster: its old cluster is located (column-pruned
+    (id, cluster_id) scan + broadcast semi-join), added to the touched
+    set, and rewritten without the stale row (ADVICE r2). Untouched
+    clusters are never rewritten; the read-back of current contents is
+    pruned to touched clusters via a broadcast join on the partition
+    column (dynamic partition pruning). Bootstraps via
+    ``ivf_index_write`` when no index exists at ``path``."""
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
+    df = df.dropDuplicates([id_col])  # one row per id in the batch
+    try:
+        index = spark.read.parquet(path)
+    except AnalysisException:
+        ivf_index_write(df, vec_col, id_col, path, centroids)
+        return
     new_rows = ivf_assign(df, vec_col, centroids).localCheckpoint()
-    touched = new_rows.select("cluster_id").dropDuplicates()
+    batch_ids = new_rows.select(_c(id_col).alias("__nid")).dropDuplicates()
+    old_locs = (
+        index.select(_c(id_col).alias("__nid"), "cluster_id")
+        .join(F.broadcast(batch_ids), "__nid")
+        .select("cluster_id")
+    )
+    touched = (
+        new_rows.select("cluster_id")
+        .unionByName(old_locs)
+        .dropDuplicates()
+        .localCheckpoint()  # pin: must not re-read the path post-write
+    )
     cols = new_rows.columns
     existing = (
-        spark.read.parquet(path)
-        .join(F.broadcast(touched), ["cluster_id"])
-        .join(
-            new_rows.select(_c(id_col).alias("__nid")).dropDuplicates(),
-            F.col(id_col) == F.col("__nid"),
-            "left_anti",
-        )
+        index.join(F.broadcast(touched), ["cluster_id"])
+        .join(batch_ids, F.col(id_col) == F.col("__nid"), "left_anti")
         .select(*cols)
     )
     merged = existing.unionByName(new_rows.select(*cols)).localCheckpoint()
+    emptied = [
+        f"cluster_id={r['cluster_id']}"
+        for r in touched.join(
+            merged.select("cluster_id").dropDuplicates(), ["cluster_id"], "left_anti"
+        ).collect()
+    ]
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -1018,6 +1102,7 @@ def ivf_index_upsert(
         ).partitionBy("cluster_id").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    _delete_partition_dirs(spark, path, emptied)
 
 
 def ivf_probe_topk(

@@ -26,7 +26,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 # BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation.
-BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 PUNCT_CLASS = r"[.!?,;:]"
 NON_ALPHA_CLASS = r"[^a-zA-Z]"
 
@@ -36,9 +36,14 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of trimmed text (empty array for blank text)."""
+    """Whitespace tokens of trimmed text (empty array for blank text).
+
+    The split class is spelled out instead of ``\\s`` because Java regex
+    counts vertical tab (\\x0B) in ``\\s`` while RE2 (the DuckDB oracle)
+    does not — an implicit class would tokenize VT-bearing text
+    differently per engine (ADVICE r2)."""
     t = F.trim(_c(col))
-    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+    return F.when(F.length(t) > 0, F.split(t, r"[ \t\n\x0B\f\r]+")).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -217,7 +222,7 @@ def oov_rate_oracle_sql(
     WITH toks AS (
         SELECT {id_col} AS did,
                unnest(CASE WHEN length(trim({text_col})) > 0
-                           THEN string_split_regex(trim({text_col}), '\\s+')
+                           THEN string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
                            ELSE [] END) AS tok
         FROM {table}
     ),
@@ -310,7 +315,7 @@ def tfidf_topk_oracle_sql(
     WITH toks AS (
         SELECT {id_col} AS did,
                unnest(CASE WHEN length(trim({text_col})) > 0
-                           THEN string_split_regex(trim({text_col}), '\\s+')
+                           THEN string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
                            ELSE [] END) AS tok
         FROM {table}
     ),

@@ -565,3 +565,34 @@ def test_embedding_lsh_pairs_match_exact(spark):
     assert exact, "test corpus should contain true near-dup pairs"
     recall = len(lsh) / len(exact)
     assert recall >= 0.85, f"recall too low: {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_whitespace_class_portable_on_vertical_tab(spark):
+    """Java regex counts \\x0B in \\s, RE2 does not — the tokenizer and
+    normalizer spell the class out so Spark and DuckDB agree on
+    VT-bearing text (ADVICE r2)."""
+    import duckdb
+
+    from hours_api_clickup_spark.datapipe.curation import normalize_text
+
+    text = "a\x0bb  C,d\te"
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            tokens("text").alias("toks"),
+            normalize_text("text").alias("norm"),
+        )
+        .collect()[0]
+    )
+    duck = duckdb.sql(
+        """
+        SELECT string_split_regex(trim(t), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+               trim(regexp_replace(regexp_replace(lower(t),
+                    '[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'),
+                    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
+        FROM (SELECT ? AS t)
+        """,
+        params=[text],
+    ).fetchone()
+    assert row["toks"] == duck[0] == ["a", "b", "C,d", "e"]
+    assert row["norm"] == duck[1] == "a b c d e"

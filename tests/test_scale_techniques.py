@@ -258,19 +258,26 @@ class TestLshIndexUpsert:
 
         emb = load_table(spark, SF_DIR, "embeddings")
         old = emb.filter(F.col("vec_id") < 400)
-        # batch: 50 brand-new vectors plus 10 re-ingested ids with a
-        # perturbed payload (the new version must win)
+        # batch: brand-new vectors plus 10 re-ingested ids whose payload
+        # is NEGATED — a direction-changing edit that flips every
+        # hyperplane sign, so the re-ingested rows land in DIFFERENT
+        # buckets and the stale rows in their old (t, sb) partitions
+        # must be rewritten away (a scale-only perturbation like *2.0
+        # preserves signatures and never exercises that path)
         new = emb.filter(
             (F.col("vec_id") >= 400) | (F.col("vec_id") < 10)
         ).withColumn(
             "embedding",
             F.when(
                 F.col("vec_id") < 10,
-                F.transform("embedding", lambda x: x * F.lit(2.0)),
+                F.transform("embedding", lambda x: -x),
             )
             .otherwise(F.col("embedding"))
             .cast("array<float>"),  # keep the index element type stable
         )
+        # a real ingest batch can carry the same id twice; upsert must
+        # collapse it, not write both copies
+        new = new.unionByName(new.filter(F.col("vec_id") == 5))
 
         inc_path = str(tmp_path / "inc")
         lsh_index_write(old, "embedding", "vec_id", inc_path, dim=64)
@@ -279,7 +286,7 @@ class TestLshIndexUpsert:
         full_path = str(tmp_path / "full")
         combined = old.join(
             new.select("vec_id"), "vec_id", "left_anti"
-        ).unionByName(new)
+        ).unionByName(new.dropDuplicates(["vec_id"]))
         lsh_index_write(combined, "embedding", "vec_id", full_path, dim=64)
 
         def canon(path):
@@ -289,6 +296,31 @@ class TestLshIndexUpsert:
             )
 
         assert canon(inc_path) == canon(full_path)
+
+    def test_upsert_bootstraps_missing_index(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_upsert,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 100)
+        boot_path = str(tmp_path / "boot")
+        lsh_index_upsert(emb, "embedding", "vec_id", boot_path, dim=64)
+        ref_path = str(tmp_path / "ref")
+        lsh_index_write(emb, "embedding", "vec_id", ref_path, dim=64)
+        got = sorted(
+            (r["t"], r["sig"], r["vid"])
+            for r in spark.read.parquet(boot_path).collect()
+        )
+        want = sorted(
+            (r["t"], r["sig"], r["vid"])
+            for r in spark.read.parquet(ref_path).collect()
+        )
+        assert got == want
 
 
 class TestIvfIndexUpsert:
@@ -308,13 +340,16 @@ class TestIvfIndexUpsert:
         # retrain it (standard IVF: rebalance is an offline rebuild)
         cents = seed_centroids(emb.filter(F.col("vec_id") < 400), "embedding", "vec_id")
         old = emb.filter(F.col("vec_id") < 400)
+        # negation moves the re-ingested ids to different cosine
+        # clusters, exercising the stale-row rewrite of their OLD
+        # cluster partitions (see the LSH twin test)
         new = emb.filter(
             (F.col("vec_id") >= 400) | (F.col("vec_id") < 10)
         ).withColumn(
             "embedding",
             F.when(
                 F.col("vec_id") < 10,
-                F.transform("embedding", lambda x: x * F.lit(2.0)),
+                F.transform("embedding", lambda x: -x),
             )
             .otherwise(F.col("embedding"))
             .cast("array<float>"),
