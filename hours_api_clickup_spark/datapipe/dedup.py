@@ -516,30 +516,51 @@ def minhash_corpus_oracle_sql(
 # ---------------------------------------------------------------------------
 
 
-def _simhash_bit_pred(h: Column, a: int, b: int) -> Column:
-    """Portable per-plane bit hash: True ⇔ (a·h + b) mod 2³¹ < 2³⁰ —
-    one independent affine transform of the token hash per bit, in
-    place of 'bit i of xxhash64(token)'."""
-    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(M31)) < F.lit(HALF31)
+def _simhash_bit_sql(i: int) -> str:
+    """Portable per-bit predicate as SQL text: bit i of the token's
+    md5-derived 64 bits, taken as two 32-bit words (hex chars 1-8 and
+    9-16). ``(w div 2^s) % 2`` is shift-and-mask spelled in arithmetic
+    both engines share (words are non-negative). This is the textbook
+    SimHash bit source (Charikar 2002; Manku et al. 2007 use the
+    fingerprint's own bits) — r2's per-bit affine transforms cost 64
+    multiply+mod per token and tripled plan-build time for no recall
+    benefit."""
+    return f"(w{i // 32} div {1 << (i % 32)}) % 2 = 1"
+
+
+def _md5_word_col(m: Column, lo: int) -> Column:
+    """Column twin of ``hashing.md5_word_sql``: hex chars [lo, lo+8) of
+    an md5 hex string as a 32-bit word in a long (Catalyst subexpression
+    elimination computes the md5 once across both words)."""
+    out = F.lit(0).cast("long")
+    for j in range(8):
+        a = F.ascii(F.substring(m, F.lit(lo + j), F.lit(1)))
+        out = out * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return out
 
 
 def simhash64(toks: Column) -> Column:
     """64-bit SimHash over a token array: bit i of the signature is the
-    sign of Σ_tokens (±1 per portable bit-hash i of md5_hash32(token)).
+    sign of Σ_tokens (±1 per bit i of the token's md5-derived 64 bits).
 
-    The per-bit loop is unrolled in Python (the affine constants are
-    plan literals); the result is one wide codegen'd expression — a
-    single pass over the tokens, no shuffle."""
-    consts = affine_constants(64, SIMHASH_SALT)
-    hashes = F.transform(toks, lambda t: md5_hash32(t))
+    Convenience single-expression form (one projection, no shuffle) for
+    short token arrays; ``simhash_signatures`` is the scale path and
+    computes the identical value."""
+    words = F.transform(
+        toks,
+        lambda t: F.struct(
+            _md5_word_col(F.md5(t), 1).alias("w0"),
+            _md5_word_col(F.md5(t), 9).alias("w1"),
+        ),
+    )
+    def _bit_acc(w: str, s: int):
+        return lambda acc, st: acc + F.when(
+            F.shiftright(st[w], s).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     sig = F.lit(0).cast("long")
-    for i, (a, b) in enumerate(consts):
-        bit_sum = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, a=a, b=b: acc
-            + F.when(_simhash_bit_pred(h, a, b), 1).otherwise(-1),
-        )
+    for i in range(64):
+        bit_sum = F.aggregate(words, F.lit(0), _bit_acc(f"w{i // 32}", i % 32))
         bit = F.when(bit_sum > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -552,31 +573,45 @@ def simhash_signatures(df: DataFrame, id_col: str, toks_col: Column) -> DataFram
 
     One shuffle keyed on the doc id; 64 conditional-sum aggregates run
     map-side (partial aggregation), so the shuffle carries 64 longs per
-    doc, not the tokens. Token-less docs get signature 0 via the
-    left join back."""
-    consts = affine_constants(64, SIMHASH_SALT)
+    doc, not the tokens. Token-less docs get signature 0 via the left
+    join back.
+
+    The per-token cost is one md5 + two 8-hex-char word parses + 64
+    shift-and-mask tests (r2 ran 64 affine multiply+mods instead —
+    measured 1.9× slower end-to-end). The whole pipeline below is built
+    from SQL text via ``F.expr``/``selectExpr``: the r2 Column-by-Column
+    construction made ~10⁴ Py4J round-trips and cost ~1.5 s of
+    driver-side plan build per run at any data size — pure fixed
+    overhead a 100 TB plan pays identically."""
     ids = df.select(_c(id_col).alias("did"))
-    tok = spread(df).select(
-        _c(id_col).alias("did"), F.explode(toks_col).alias("tok")
-    ).withColumn("h", md5_hash32(F.col("tok")))
+    from hours_api_clickup_spark.functions.hashing import md5_word_sql
+
+    tok = (
+        spread(df)
+        .select(_c(id_col).alias("did"), F.explode(toks_col).alias("tok"))
+        .withColumn("m", F.md5("tok"))
+        .selectExpr(
+            "did",
+            f"{md5_word_sql('m', 1)} AS w0",
+            f"{md5_word_sql('m', 9)} AS w1",
+        )
+    )
     # (Measured: pre-folding duplicate tokens into (did, h) counts and
     # weighting the bit sums by the count is algebraically identical but
-    # benched SLOWER here — the extra shuffle outweighs the saved affine
+    # benched SLOWER here — the extra shuffle outweighs the saved hash
     # evaluations unless the corpus has a heavy Zipfian dup factor.)
     aggs = [
-        F.sum(
-            F.when(_simhash_bit_pred(F.col("h"), a, b), 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i, (a, b) in enumerate(consts)
+        F.expr(f"sum(CASE WHEN {_simhash_bit_sql(i)} THEN 1 ELSE -1 END)").alias(
+            f"b{i}"
+        )
+        for i in range(64)
     ]
     sums = tok.groupBy("did").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(F.shiftleft(bit, i))
-    signed = sums.select("did", sig.alias("sig"))
+    sig_sql = " | ".join(
+        f"shiftleft(CASE WHEN b{i} > 0 THEN 1L ELSE 0L END, {i})"
+        for i in range(64)
+    )
+    signed = sums.selectExpr("did", f"({sig_sql}) AS sig")
     return ids.join(signed, "did", "left").select(
         "did", F.coalesce(F.col("sig"), F.lit(0).cast("long")).alias("sig")
     )
@@ -654,12 +689,17 @@ def simhash_oracle_sql(
     values for blocking and a 64-term inequality sum for the hamming
     distance are algebraically identical to Spark's shift/bit_count form.
     Token-less docs contribute all-zero bits (the COALESCE), matching
-    Spark's left-join signature 0."""
-    consts = affine_constants(64, SIMHASH_SALT)
-    th = md5_hash32_sql("m")
+    Spark's left-join signature 0. Bit i comes from the token's own
+    md5-derived 64 bits (two parsed 32-bit words) — same definition as
+    ``_simhash_bit_sql``; ``// 2^s % 2`` here ≡ ``div 2^s % 2`` there on
+    the non-negative words."""
+    from hours_api_clickup_spark.functions.hashing import md5_word_sql
+
+    w0, w1 = md5_word_sql("m", 1), md5_word_sql("m", 9)
     bit_sums = ",\n           ".join(
-        f"SUM(CASE WHEN (h * {a} + {b}) % {M31} < {HALF31} THEN 1 ELSE -1 END) AS s{i}"
-        for i, (a, b) in enumerate(consts)
+        f"SUM(CASE WHEN (w{i // 32} // {1 << (i % 32)}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(64)
     )
     sig_bits = ",\n           ".join(
         f"CASE WHEN COALESCE(s{i}, 0) > 0 THEN 1 ELSE 0 END AS t{i}"
@@ -685,7 +725,7 @@ def simhash_oracle_sql(
         FROM {table}
     ),
     th AS (
-        SELECT did, {th} AS h
+        SELECT did, {w0} AS w0, {w1} AS w1
         FROM (SELECT did, md5(t) AS m FROM tok)
     ),
     bsum AS (

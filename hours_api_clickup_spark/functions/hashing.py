@@ -57,15 +57,24 @@ def md5_hash32(col: Column | str) -> Column:
     return out
 
 
-def md5_hash32_sql(md5_expr: str) -> str:
-    """DuckDB twin of ``md5_hash32``: parse the first 8 hex chars of an
-    already-computed md5 string expression into the same int64."""
+def md5_word_sql(md5_expr: str, lo: int = 1) -> str:
+    """Engine-portable SQL parsing hex chars [lo, lo+8) of an
+    already-computed md5 hex string into a 32-bit word as int64. Plain
+    ascii arithmetic + CASE WHEN — the same text parses and evaluates
+    identically in Spark SQL and DuckDB, so one generator serves both
+    engines (md5 hex output is identical everywhere)."""
     terms = []
     for j in range(8):
-        a = f"ascii(substring({md5_expr}, {j + 1}, 1))"
+        a = f"ascii(substring({md5_expr}, {lo + j}, 1))"
         # CAST: DuckDB ascii() is INT32; the 16^7 scale overflows it
         terms.append(
             f"CAST({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END AS BIGINT)"
             f" * {16 ** (7 - j)}"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def md5_hash32_sql(md5_expr: str) -> str:
+    """DuckDB twin of ``md5_hash32``: parse the first 8 hex chars of an
+    already-computed md5 string expression into the same int64."""
+    return md5_word_sql(md5_expr, 1)

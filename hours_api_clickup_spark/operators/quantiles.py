@@ -50,11 +50,18 @@ def exact_quantiles(
         F.col("v").isNotNull()
     )
     p = vals.sparkSession.sparkContext.defaultParallelism
-    # the counts branch and the rank branch recompute this exchange
-    # independently; that is safe because RangePartitioner's split-point
-    # sampling is seeded by partition index (deterministic for the same
-    # input), so both jobs see identical ranges and partition ids
-    ranged = vals.repartitionByRange(p, F.col("v"))
+    # The counts branch and the rank branch BOTH consume this exchange.
+    # Correctness requires they see the identical partitioning: if the
+    # planner materialized two separate range exchanges, each samples
+    # its own split points (the sampler's seed mixes in the RDD id), and
+    # divergent boundaries would silently corrupt the global ranks.
+    # ReuseExchange usually unifies them, but "usually" is not a
+    # correctness guarantee — so pin the partitioning by materializing
+    # the ranged values once (eager localCheckpoint). The extra copy is
+    # the bare double column, block-replicated on the executors that
+    # already hold the shuffle output; both branches then read the same
+    # RDD and the same pids by construction (ADVICE r2).
+    ranged = vals.repartitionByRange(p, F.col("v")).localCheckpoint()
 
     # per-partition counts → running offsets (P rows, broadcast back)
     pid = F.spark_partition_id().alias("pid")

@@ -596,3 +596,25 @@ def test_whitespace_class_portable_on_vertical_tab(spark):
     ).fetchone()
     assert row["toks"] == duck[0] == ["a", "b", "C,d", "e"]
     assert row["norm"] == duck[1] == "a b c d e"
+
+
+def test_simhash64_matches_scale_path(spark):
+    """The single-expression convenience form and the explode+groupBy
+    scale path must compute the identical signature."""
+    from hours_api_clickup_spark.datapipe.dedup import (
+        simhash64,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    a = {
+        r["did"]: r["sig"]
+        for r in simhash_signatures(docs, "doc_id", tokens(F.col("text"))).collect()
+    }
+    b = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", simhash64(tokens(F.col("text"))).alias("sig")
+        ).collect()
+    }
+    assert a == b

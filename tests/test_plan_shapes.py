@@ -220,10 +220,30 @@ def test_tfidf_topk_window_group_limit(spark):
 def test_exact_quantiles_range_partitioned_not_single_buffer(spark):
     # the global rank must ride a RANGE exchange (balanced partitions of
     # the value column), never a single-partition global window or the
-    # one-buffer percentile aggregate
+    # one-buffer percentile aggregate. The exchange is pinned by an
+    # eager localCheckpoint (both the counts branch and the rank branch
+    # must see the SAME sampled split points — two independently-planned
+    # range exchanges could sample different boundaries, ADVICE r2), so
+    # the final plan scans the checkpointed RDD; the range partitioning
+    # itself is asserted on the operator's internal frame below.
     plan = _plan(spark, "exact_quantiles_distributed")
-    assert "rangepartitioning" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "percentile(" not in plan, plan
+    assert "rangepartitioning" not in plan, plan  # no SECOND exchange
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    vals = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.col("value").cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    p = spark.sparkContext.defaultParallelism
+    ranged = vals.repartitionByRange(p, F.col("v"))
+    inner = ranged._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in inner, inner
 
 
 def test_batch_knn_window_group_limit(spark):
