@@ -104,6 +104,80 @@ def main() -> None:
         timings[name + "_cold"] = round(cold, 3)
         print(f"# {name}_cold (ingest+query): {cold:.3f}s", file=sys.stderr)
 
+    # Steady-state ingest: folding a batch into the live LSH index.
+    # Three grades, all reported (not added to ``value``):
+    #   append  — merge-on-read: sign the batch, append its files, done.
+    #             O(batch) writes; probes resolve max-seq per vid.
+    #   upsert  — read-merge-overwrite of every touched bucket: exact
+    #             single-version index after every batch, but under the
+    #             coarse directory layout a random batch touches most
+    #             buckets, so its cost trends toward the rebuild's.
+    #   rebuild — sign + write the whole corpus from scratch.
+    # At 100 TB the ingest cadence runs append, with upsert/compact on
+    # the amortization cadence; rebuild is the quantizer-retrain path.
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        lsh_index_append,
+        lsh_index_upsert,
+        lsh_index_write,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    # The sf0.1 embeddings table is 2k vectors — small enough that local
+    # fixed job costs mask the scaling. Replicate it 100× (200k vectors,
+    # perturbed so signatures spread) so the rebuild has a real corpus
+    # to chew while the append batch stays ~100 vectors: the regime the
+    # index exists for. ``seq`` is passed as a manifest would.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    REP = 100
+    big = (
+        emb.crossJoin(
+            _F.broadcast(spark.range(REP).withColumnRenamed("id", "rep"))
+        )
+        .select(
+            (_F.col("vec_id") * REP + _F.col("rep")).alias("vec_id"),
+            _F.transform(
+                "embedding",
+                lambda x: x + _F.col("rep").cast("float") * _F.lit(0.0001),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    base = big.filter(_F.col("vec_id") % 2000 != 0)
+    batch = big.filter(_F.col("vec_id") % 2000 == 0)  # ~100-vector batch
+
+    ap_path = tempfile.mkdtemp(prefix="bench_lsh_ap_") + "/idx"
+    lsh_index_write(base, "embedding", "vec_id", ap_path, dim=64)
+    # upsert first (no log present → measures the pure touched-bucket
+    # overwrite), then append the same batch as a later seq
+    t0 = time.perf_counter()
+    lsh_index_upsert(batch, "embedding", "vec_id", ap_path, dim=64)
+    t_upsert = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    lsh_index_append(batch, "embedding", "vec_id", ap_path, dim=64, seq=2)
+    t_append = time.perf_counter() - t0
+
+    rb_path = tempfile.mkdtemp(prefix="bench_lsh_rb_") + "/idx"
+    t0 = time.perf_counter()
+    lsh_index_write(big, "embedding", "vec_id", rb_path, dim=64)
+    t_rebuild = time.perf_counter() - t0
+
+    timings["lsh_index_append_batch"] = round(t_append, 3)
+    timings["lsh_index_upsert_batch"] = round(t_upsert, 3)
+    timings["lsh_index_full_rebuild_200k"] = round(t_rebuild, 3)
+    print(
+        f"# lsh index ingest (200k corpus, 100-vector batch): append "
+        f"{t_append:.3f}s, upsert {t_upsert:.3f}s, full rebuild "
+        f"{t_rebuild:.3f}s",
+        file=sys.stderr,
+    )
+
     # The driver tail-captures only the last ~2 KB of stdout; round 2's
     # 79-query line overflowed it and BENCH_r02.json recorded parsed:null.
     # Full per-query detail goes to BENCH_DETAIL.json; the final stdout

@@ -1111,6 +1111,7 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from hours_api_clickup_spark.datapipe.similarity import (
+        lsh_index_read,
         lsh_index_write,
         lsh_probe_topk,
     )
@@ -1123,7 +1124,7 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cache the READER, not just the path: listing tables·2^planes
         # partition dirs dominates probe latency if repeated per query
         # (the metastore-partition-catalog analog; see lsh_probe_topk)
-        _ANN_INDEX_CACHE[key] = spark.read.parquet(index_path)
+        _ANN_INDEX_CACHE[key] = lsh_index_read(spark, index_path)
     qv = _query_vec(spark, sf_dir, 0)
     return lsh_probe_topk(
         spark, _ANN_INDEX_CACHE[key], qv, k=10, exclude_id=0

@@ -36,15 +36,58 @@ from hours_api_clickup_spark.sources.readers import (
 SERVICE = "hours-api-clickup-spark"
 VERSION = "2.0.0"  # mirrors main.py:221
 
+# Same payload shape as the reference's root route (main.py:225-280):
+# endpoints keyed by path, each with method/description/use_case, plus a
+# schedule block (the reference's Cloud Scheduler cadence, deploy.sh) —
+# pinned by test_server.py::test_root_payload_parity so the façade
+# cannot drift from the reference contract.
 ENDPOINTS = {
-    "POST /sync/refresh": "windowed refresh (body: {'days': N}, default 60)",
-    "POST /sync/full_reindex": "full history replace",
-    "POST /sync/lists": "lists dim snapshot",
-    "POST /sync/tasks": "tasks dim snapshot",
-    "POST /sync/accounts": "accounts dim + bridge snapshot",
-    "POST /sync/apps": "applications dim snapshot",
-    "GET /health": "service health",
-    "GET /": "this listing",
+    "/sync/refresh": {
+        "method": "POST",
+        "description": "Windowed refresh of recent time entries "
+        "(body: {'days': N}, default 60)",
+        "use_case": "Regular scheduled updates",
+    },
+    "/sync/full_reindex": {
+        "method": "POST",
+        "description": "Full reindex of the time-entry history",
+        "use_case": "Quarterly validation or after data issues",
+    },
+    "/sync/lists": {
+        "method": "POST",
+        "description": "Sync all lists (Space -> Folder -> List hierarchy)",
+        "use_case": "Update list metadata",
+    },
+    "/sync/tasks": {
+        "method": "POST",
+        "description": "Sync all tasks (open, closed, archived, subtasks)",
+        "use_case": "Update task metadata",
+    },
+    "/sync/accounts": {
+        "method": "POST",
+        "description": "Sync accounts with custom fields and the "
+        "connected-lists bridge",
+        "use_case": "Update account/customer metadata",
+    },
+    "/sync/apps": {
+        "method": "POST",
+        "description": "Sync applications (custom_item_id 1005)",
+        "use_case": "Update application/software metadata",
+    },
+    "/health": {
+        "method": "GET",
+        "description": "Health check endpoint",
+        "use_case": "Container health monitoring",
+    },
+}
+
+SCHEDULE = {
+    "refresh": "Every 6 hours",
+    "full_reindex": "Quarterly (Jan 1, Apr 1, Jul 1, Oct 1)",
+    "lists": "Daily at 3 AM (Oslo time)",
+    "tasks": "Daily at 4 AM (Oslo time)",
+    "accounts": "Daily at 5 AM (Oslo time)",
+    "apps": "Daily at 6 AM (Oslo time)",
 }
 
 
@@ -130,7 +173,15 @@ def make_handler(cfg: ServerConfig) -> type[BaseHTTPRequestHandler]:
                     200, {**h, "service": SERVICE, "version": VERSION}
                 )
             elif self.path == "/":
-                self._json(200, {"service": SERVICE, "endpoints": ENDPOINTS})
+                self._json(
+                    200,
+                    {
+                        "service": SERVICE,
+                        "version": VERSION,
+                        "endpoints": ENDPOINTS,
+                        "schedule": SCHEDULE,
+                    },
+                )
             else:
                 self._json(404, {"status": "error", "error": "not found"})
 

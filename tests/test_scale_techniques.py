@@ -290,9 +290,89 @@ class TestLshIndexUpsert:
         lsh_index_write(combined, "embedding", "vec_id", full_path, dim=64)
 
         def canon(path):
+            from hours_api_clickup_spark.datapipe.similarity import lsh_index_read
+
             return sorted(
                 (r["t"], r["sig"], r["vid"], tuple(round(float(x), 6) for x in r["v"]))
-                for r in spark.read.parquet(path).collect()
+                for r in lsh_index_read(spark, path).collect()
+            )
+
+        assert canon(inc_path) == canon(full_path)
+
+    def test_append_new_ids_probe_equals_rebuild(self, spark, tmp_path):
+        """Append-only (merge-on-read) ingest of NEW ids is exact: a
+        probe against base+appended equals a probe against the index
+        rebuilt from the combined corpus."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_append,
+            lsh_index_write,
+            lsh_probe_topk,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 400)
+        new = emb.filter(F.col("vec_id") >= 400)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+        inc_path = str(tmp_path / "inc")
+        lsh_index_write(old, "embedding", "vec_id", inc_path, dim=64)
+        lsh_index_append(new, "embedding", "vec_id", inc_path, dim=64)
+        full_path = str(tmp_path / "full")
+        lsh_index_write(emb, "embedding", "vec_id", full_path, dim=64)
+
+        got = [tuple(r) for r in lsh_probe_topk(spark, inc_path, qv, k=10).collect()]
+        want = [tuple(r) for r in lsh_probe_topk(spark, full_path, qv, k=10).collect()]
+        assert got == want and len(got) == 10
+
+    def test_append_then_compact_equals_rebuild(self, spark, tmp_path):
+        """Re-ingesting ids with direction-changed vectors via append
+        leaves multi-version rows; compaction folds the log to exactly
+        the rebuilt index (newest version wins, stale buckets dropped)."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_append,
+            lsh_index_compact,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 400)
+        new = emb.filter(
+            (F.col("vec_id") >= 400) | (F.col("vec_id") < 10)
+        ).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") < 10,
+                F.transform("embedding", lambda x: -x),
+            )
+            .otherwise(F.col("embedding"))
+            .cast("array<float>"),
+        )
+
+        inc_path = str(tmp_path / "inc")
+        lsh_index_write(old, "embedding", "vec_id", inc_path, dim=64)
+        lsh_index_append(new, "embedding", "vec_id", inc_path, dim=64)
+        lsh_index_compact(spark, inc_path)
+
+        full_path = str(tmp_path / "full")
+        combined = old.join(
+            new.select("vec_id"), "vec_id", "left_anti"
+        ).unionByName(new)
+        lsh_index_write(combined, "embedding", "vec_id", full_path, dim=64)
+
+        def canon(path):
+            from hours_api_clickup_spark.datapipe.similarity import lsh_index_read
+
+            return sorted(
+                (r["t"], r["sig"], r["vid"], tuple(round(float(x), 6) for x in r["v"]))
+                for r in lsh_index_read(spark, path).collect()
             )
 
         assert canon(inc_path) == canon(full_path)
@@ -312,13 +392,15 @@ class TestLshIndexUpsert:
         lsh_index_upsert(emb, "embedding", "vec_id", boot_path, dim=64)
         ref_path = str(tmp_path / "ref")
         lsh_index_write(emb, "embedding", "vec_id", ref_path, dim=64)
+        from hours_api_clickup_spark.datapipe.similarity import lsh_index_read
+
         got = sorted(
             (r["t"], r["sig"], r["vid"])
-            for r in spark.read.parquet(boot_path).collect()
+            for r in lsh_index_read(spark, boot_path).collect()
         )
         want = sorted(
             (r["t"], r["sig"], r["vid"])
-            for r in spark.read.parquet(ref_path).collect()
+            for r in lsh_index_read(spark, ref_path).collect()
         )
         assert got == want
 

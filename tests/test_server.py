@@ -66,7 +66,7 @@ def _post(url, body=None):
 def test_root_lists_endpoints(server):
     code, body = _get(f"{server}/")
     assert code == 200
-    assert "POST /sync/refresh" in body["endpoints"]
+    assert "/sync/refresh" in body["endpoints"]
 
 
 def test_health(server):
@@ -127,3 +127,34 @@ def test_error_becomes_500_json(spark, tmp_path):
         assert json.loads(e.value.read())["status"] == "error"
     finally:
         srv.shutdown()
+
+
+def test_root_payload_parity(server):
+    """Root payload mirrors the reference's service-info shape
+    (main.py:225-280): service + version + endpoints keyed by path with
+    method/description/use_case + a schedule block covering every sync
+    cadence — so the facade cannot drift from the reference contract."""
+    code, body = _get(f"{server}/")
+    assert code == 200
+    assert body["service"] and body["version"]
+    eps = body["endpoints"]
+    assert set(eps) == {
+        "/sync/refresh",
+        "/sync/full_reindex",
+        "/sync/lists",
+        "/sync/tasks",
+        "/sync/accounts",
+        "/sync/apps",
+        "/health",
+    }
+    for path, spec in eps.items():
+        assert set(spec) == {"method", "description", "use_case"}, path
+        assert spec["method"] == ("GET" if path == "/health" else "POST")
+    assert set(body["schedule"]) == {
+        "refresh",
+        "full_reindex",
+        "lists",
+        "tasks",
+        "accounts",
+        "apps",
+    }
