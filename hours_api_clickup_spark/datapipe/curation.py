@@ -255,6 +255,98 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """``decontaminate`` for benchmark sets too large to broadcast as an
+    exact gram set: a Bloom-filter prefilter built from PURE relational
+    ops, then exact verification of the (tiny) surviving gram stream.
+    Output is bit-identical to ``decontaminate`` — a Bloom filter has no
+    false negatives and the exact verify removes the false positives —
+    so the same DuckDB oracle hash-matches both.
+
+    Construction (no UDFs, no driver state): benchmark grams hash to
+    ``k_hashes`` positions in an ``m_bits`` space; positions bit-pack
+    into (hash_idx, bucket, word) rows via groupBy + bit_or — the whole
+    filter is ≤ k·m/64 rows REGARDLESS of benchmark size, which is the
+    point: the broadcast is fixed-size where ``decontaminate``'s gram
+    set grows with the benchmark. Corpus grams then stream map-side
+    through k broadcast-joined bit tests; survivors (true hits + the
+    controlled false-positive trickle) meet the benchmark gram set in a
+    plain shuffled semi-join — small ⋈ large, no broadcast needed.
+    fp rate ≈ (1 - e^{-k·G/m})^k; defaults give <1% at G=10⁴ grams.
+    """
+    did = _c(id_col).alias("did")
+    bench_grams = (
+        benchmark.select(F.explode(_token_ngrams(tokens(text_col), n)).alias("g"))
+        .distinct()
+    )
+    words_per_hash = []
+    for j in range(k_hashes):
+        pos = f"pmod(xxhash64(g, {j}), {m_bits})"
+        words_per_hash.append(
+            bench_grams.selectExpr(
+                f"CAST({pos} / 64 AS LONG) AS bucket",
+                # SQL shiftleft (the Python wrapper only takes literal
+                # shift amounts)
+                f"shiftleft(1L, CAST({pos} % 64 AS INT)) AS bit",
+            )
+            .groupBy("bucket")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+
+    corpus_grams = (
+        spread(corpus)
+        .select(did, tokens(text_col).alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(
+            "did",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - (n - 1))).alias("i"),
+            "tk",
+        )
+        .select(
+            "did",
+            F.concat_ws(
+                " ", *[F.element_at("tk", F.col("i") + j) for j in range(n)]
+            ).alias("g"),
+        )
+    )
+    cand = corpus_grams
+    for j, words in enumerate(words_per_hash):
+        pos = F.pmod(F.xxhash64(F.col("g"), F.lit(j)), F.lit(m_bits))
+        cand = (
+            cand.withColumn("__bk", (pos / 64).cast("long"))
+            .withColumn("__bit", (pos % 64).cast("int"))
+            .join(
+                F.broadcast(words.withColumnRenamed("bucket", "__bk")), "__bk"
+            )
+            .filter(F.expr("(shiftright(word, __bit) & 1) = 1"))
+            .drop("__bk", "__bit", "word")
+        )
+    hits = (
+        # exact verify: survivors are few, so this is a small ⋈ large
+        # shuffled semi-join — deliberately NOT broadcast
+        cand.join(bench_grams, "g", "left_semi")
+        .groupBy("did")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        corpus.select(did)
+        .join(hits, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def decontaminate_oracle_sql(
     table: str, id_col: str, text_col: str, bench_pred: str, n: int = 8
 ) -> str:

@@ -1186,11 +1186,91 @@ def ivf_index_write(
     The pre-write repartition clusters each cluster_id into one task so
     every partition directory holds one file (no small-files blowup);
     at 100 TB swap it for repartitionByRange(cluster_id, id) to split
-    giant clusters across several bounded files."""
-    assigned = ivf_assign(df, vec_col, centroids)
+    giant clusters across several bounded files.
+
+    Same LSM layout as the LSH index: ``{path}/base`` holds the
+    cluster-partitioned bulk, ``{path}/log`` (``ivf_index_append``)
+    holds per-batch files folded in by ``ivf_index_compact``."""
+    assigned = ivf_assign(df, vec_col, centroids).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
     assigned.repartition(F.col("cluster_id")).write.mode(
         "overwrite"
-    ).partitionBy("cluster_id").parquet(path)
+    ).partitionBy("cluster_id").parquet(f"{path}/base")
+
+
+def ivf_index_read(spark, path: str) -> DataFrame:
+    """Live IVF index view: ``base`` ∪ append ``log`` (see
+    ``lsh_index_read`` — same contract: base keeps cluster_id partition
+    pruning, the log is a bounded full scan)."""
+    base = spark.read.parquet(f"{path}/base")
+    base = base.select(
+        *[c for c in base.columns if c not in ("cluster_id", "seq")],
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+    if not _fs_exists(spark, f"{path}/log"):
+        return base
+    return base.unionByName(
+        spark.read.parquet(f"{path}/log").select(*base.columns)
+    )
+
+
+def ivf_index_append(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+    seq: int | None = None,
+) -> None:
+    """Append-only (merge-on-read) IVF ingest: assign the batch against
+    the FROZEN quantizer (one mapInPandas GEMM, O(batch)) and commit ONE
+    file under ``{path}/log`` with a monotonic ``seq``. Probes resolve
+    max-seq per id; ``ivf_index_compact`` folds the log. Same staleness
+    contract as ``lsh_index_append`` (a re-ingested vector whose new
+    value moves clusters can serve stale from its old cluster until
+    compaction); append of NEW ids is exact immediately."""
+    spark = df.sparkSession
+    df = df.dropDuplicates([id_col])
+    if not _fs_exists(spark, f"{path}/base"):
+        ivf_index_write(df, vec_col, id_col, path, centroids)
+        return
+    if seq is None:
+        max_seq = ivf_index_read(spark, path).agg(F.max("seq")).head()[0]
+        seq = (max_seq if max_seq is not None else -1) + 1
+    new_rows = ivf_assign(df, vec_col, centroids).withColumn(
+        "seq", F.lit(int(seq)).cast("long")
+    )
+    # repartition(1), not coalesce(1) — see lsh_index_append
+    new_rows.repartition(1).sortWithinPartitions("cluster_id").write.mode(
+        "append"
+    ).parquet(f"{path}/log")
+
+
+def ivf_index_compact(spark, path: str, id_col: str) -> None:
+    """Fold the IVF append log: newest version per id wins (its single
+    assigned cluster row), stale rows in old clusters drop; rewrite
+    ``{path}/base`` and delete the log. O(corpus), compaction cadence."""
+    from pyspark.sql import Window
+
+    index = ivf_index_read(spark, path)
+    w = Window.partitionBy(id_col)
+    latest = (
+        index.withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+        .drop("_mx")
+        .dropDuplicates([id_col])
+        .localCheckpoint()
+    )
+    latest.repartition(F.col("cluster_id")).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(f"{path}/base")
+    jvm = spark._jvm
+    log_path = jvm.org.apache.hadoop.fs.Path(f"{path}/log")
+    fs = log_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(log_path):
+        fs.delete(log_path, True)
 
 
 def ivf_index_upsert(
@@ -1213,16 +1293,17 @@ def ivf_index_upsert(
     clusters are never rewritten; the read-back of current contents is
     pruned to touched clusters via a broadcast join on the partition
     column (dynamic partition pruning). Bootstraps via
-    ``ivf_index_write`` when no index exists at ``path``."""
-    from pyspark.errors import AnalysisException
-
+    ``ivf_index_write`` when no index exists at ``path``; an existing
+    append log is compacted first (the overwrite is defined on the
+    partitioned base only)."""
     spark = df.sparkSession
     df = df.dropDuplicates([id_col])  # one row per id in the batch
-    try:
-        index = spark.read.parquet(path)
-    except AnalysisException:
+    if not _fs_exists(spark, f"{path}/base"):
         ivf_index_write(df, vec_col, id_col, path, centroids)
         return
+    if _fs_exists(spark, f"{path}/log"):
+        ivf_index_compact(spark, path, id_col)
+    index = spark.read.parquet(f"{path}/base")
     new_rows = ivf_assign(df, vec_col, centroids).localCheckpoint()
     batch_ids = new_rows.select(_c(id_col).alias("__nid")).dropDuplicates()
     old_locs = (
@@ -1236,13 +1317,17 @@ def ivf_index_upsert(
         .dropDuplicates()
         .localCheckpoint()  # pin: must not re-read the path post-write
     )
+    pruned = index.join(F.broadcast(touched), ["cluster_id"])
+    max_seq = pruned.agg(F.max("seq")).head()[0]
+    new_seq = (max_seq if max_seq is not None else -1) + 1
     cols = new_rows.columns
     existing = (
-        index.join(F.broadcast(touched), ["cluster_id"])
-        .join(batch_ids, F.col(id_col) == F.col("__nid"), "left_anti")
-        .select(*cols)
+        pruned.join(batch_ids, F.col(id_col) == F.col("__nid"), "left_anti")
+        .select(*cols, "seq")
     )
-    merged = existing.unionByName(new_rows.select(*cols)).localCheckpoint()
+    merged = existing.unionByName(
+        new_rows.withColumn("seq", F.lit(new_seq).cast("long"))
+    ).localCheckpoint()
     emptied = [
         f"cluster_id={r['cluster_id']}"
         for r in touched.join(
@@ -1254,10 +1339,10 @@ def ivf_index_upsert(
     try:
         merged.repartition(F.col("cluster_id")).write.mode(
             "overwrite"
-        ).partitionBy("cluster_id").parquet(path)
+        ).partitionBy("cluster_id").parquet(f"{path}/base")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    _delete_partition_dirs(spark, path, emptied)
+    _delete_partition_dirs(spark, f"{path}/base", emptied)
 
 
 def ivf_probe_topk(
@@ -1273,13 +1358,20 @@ def ivf_probe_topk(
 ) -> DataFrame:
     """Top-k against a persisted IVF index (``ivf_index_write``): pick
     the nprobe nearest centroids driver-side, filter cluster_id IN
-    probes (partition-pruned scan, plan-gated), exact cosine re-rank.
+    probes (partition-pruned base scan ∪ bounded log scan, plan-gated),
+    resolve max-seq per id (merge-on-read), exact cosine re-rank.
     Candidates are identical to ``ivf_topk`` with the same centroids."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = np.argsort(-(centroids @ qn), kind="stable")[:nprobe].tolist()
-    cand = spark.read.parquet(index_path).filter(
+    cand = ivf_index_read(spark, index_path).filter(
         F.col("cluster_id").isin([int(p) for p in probes])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col)
+    cand = cand.withColumn("_mx", F.max("seq").over(w)).filter(
+        F.col("seq") == F.col("_mx")
     )
     return brute_force_topk(
         cand, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
@@ -1332,6 +1424,130 @@ def ivf_topk_oracle_sql(
     WHERE e.{id_col} <> {query_id}
     ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
     LIMIT {k}
+    """
+
+
+PROJ_SALT = 0x2545F491
+
+
+def projection_signs(dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix, shape
+    (out_dim, dim) — Achlioptas (2003) database-friendly projections:
+    ±1 entries preserve pairwise distances in expectation exactly like
+    Gaussian entries. Entry (j, d) is the parity of the same affine
+    int-hash family as ``hyperplanes`` (no RNG state; reproducible on
+    driver, executors, and inside the DuckDB oracle)."""
+    from hours_api_clickup_spark.datapipe.dedup import affine_constants
+
+    consts = affine_constants(out_dim, PROJ_SALT)
+    a = np.array([c[0] for c in consts], dtype=np.int64).reshape(out_dim, 1)
+    b = np.array([c[1] for c in consts], dtype=np.int64).reshape(out_dim, 1)
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    h = (a * d + b) % M31
+    return np.where(h < HALF31, 1.0, -1.0)
+
+
+def random_project(
+    df: DataFrame, vec_col: str, id_col: str, out_dim: int = 16
+) -> DataFrame:
+    """Dimensionality reduction before ANN/storage: project each
+    embedding to ``out_dim`` dims with the deterministic ±1 JL matrix,
+    scaled 1/sqrt(out_dim). The at-scale path: one Arrow-batched
+    mapInPandas GEMM over the corpus (same shape as signature
+    computation), zero shuffles. The bit-exact oracled twin is
+    ``random_project_fold`` (sequential fold — identical left-to-right
+    addition order as the DuckDB oracle; GEMM's pairwise summation
+    differs in the last ulp, so the GEMM path is equality-tested to
+    1e-9 in pytest rather than hash-matched)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("projection", ArrayType(DoubleType())),
+        ]
+    )
+    vc, ic, od = vec_col, id_col, out_dim
+
+    def project(batches):
+        p = None
+        scale = 1.0 / np.sqrt(od)
+        for pdf in batches:
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vc].values])
+            if p is None:
+                p = projection_signs(m.shape[1], od)
+            out = (m @ p.T) * scale
+            yield pd.DataFrame({ic: pdf[ic].values, "projection": list(out)})
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    return spread(df).mapInPandas(project, schema=out_schema)
+
+
+def random_project_fold(
+    df: DataFrame, vec_col: str, id_col: str, out_dim: int = 16
+) -> DataFrame:
+    """Oracle-exact form of ``random_project``: each output dim is a
+    SEQUENTIAL left fold of sign-weighted components (the same
+    evaluation order as the DuckDB oracle's list_reduce), so doubles
+    round identically and the driver's value-hash matches. out_dim=16
+    makes the 1/sqrt scale exactly 0.25 — no irrational literal to
+    round differently per engine."""
+    from hours_api_clickup_spark.datapipe.dedup import affine_constants
+
+    consts = affine_constants(out_dim, PROJ_SALT)
+    v = _c(vec_col)
+    cols = [_c(id_col).alias(id_col)]
+    scale = 1.0 / np.sqrt(out_dim)
+    def _signed_term(a: int, b: int):
+        # long literals: a < 2^31 times i would overflow int32 under ANSI
+        return lambda i: F.element_at(v, i).cast("double") * F.when(
+            F.pmod(
+                F.lit(a).cast("long") * (i - 1).cast("long") + F.lit(b).cast("long"),
+                F.lit(M31).cast("long"),
+            )
+            < F.lit(HALF31),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    for j, (a, b) in enumerate(consts):
+        signed = F.transform(F.sequence(F.lit(1), F.size(v)), _signed_term(a, b))
+        acc = F.aggregate(
+            signed, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+        )
+        cols.append((acc * F.lit(scale)).alias(f"p{j}"))
+    return df.select(*cols)
+
+
+def random_project_oracle_sql(
+    out_dim: int = 16,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``random_project_fold``: same sign hash, same
+    sequential left-fold addition order (list_reduce over a prepended
+    0.0 — DuckDB 1.0.0's list_reduce has no init argument)."""
+    from hours_api_clickup_spark.datapipe.dedup import affine_constants
+
+    consts = affine_constants(out_dim, PROJ_SALT)
+    scale = 1.0 / np.sqrt(out_dim)
+    cols = [id_col]
+    for j, (a, b) in enumerate(consts):
+        signed = (
+            f"list_transform(range(1, len(v) + 1), i -> v[i] * "
+            f"(CASE WHEN ({a} * (i - 1) + {b}) % {M31} < {HALF31} "
+            f"THEN 1.0 ELSE -1.0 END))"
+        )
+        cols.append(
+            f"list_reduce(list_prepend(0.0, {signed}), (acc, x) -> acc + x)"
+            f" * {scale!r} AS p{j}"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH e AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table})
+    SELECT {sel}
+    FROM e
     """
 
 

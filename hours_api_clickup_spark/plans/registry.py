@@ -2565,6 +2565,84 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_bloom",
+    decontaminate_oracle_sql(
+        "documents", "doc_id", "text", bench_pred="doc_id % 19 = 3", n=4
+    ),
+    survey_ids="datapipe:decontamination-bloom",
+    doc="decontaminate_corpus's scale form for benchmark sets too big "
+    "to broadcast as an exact gram set: a relationally-built Bloom "
+    "filter (k xxhash64 positions bit-packed into (bucket, word) rows "
+    "via bit_or — fixed ≤ k·m/64-row broadcast REGARDLESS of benchmark "
+    "size) prefilters the corpus gram stream map-side; the tiny "
+    "survivor set is exact-verified in a plain shuffled semi-join. No "
+    "false negatives + exact verify → bit-identical to the exact pass, "
+    "so the SAME oracle hash-matches both. Plan-gated: the bit-test "
+    "joins are broadcast.",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.curation import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(19)) == 3
+    return decontaminate_bloom(
+        docs.filter(~is_bench), docs.filter(is_bench), "doc_id", "text", n=4
+    )
+
+
+def _zorder_oracle() -> str:
+    from hours_api_clickup_spark.operators.zorder import z_value_sql
+
+    zv = z_value_sql(
+        "user_id % 256", "(epoch_ms(ts) // 3600000) % 256", 8, "//"
+    )
+    return f"""
+    WITH z AS (SELECT {zv} AS zv FROM events)
+    SELECT CAST(zv // 64 AS BIGINT) AS cell,
+           COUNT(*) AS n,
+           CAST(MIN(zv) AS BIGINT) AS z_min,
+           CAST(MAX(zv) AS BIGINT) AS z_max
+    FROM z GROUP BY zv // 64
+    """
+
+
+@register(
+    "zorder_cell_stats",
+    _zorder_oracle(),
+    survey_ids="datapipe:zorder-layout",
+    doc="Z-order (Morton) interleave of two bucketized dimensions "
+    "(user bucket x epoch-hour bucket) plus per-curve-cell stats — the "
+    "integer core of Z-ORDER table layout (Delta/Iceberg style): "
+    "writing range-partitioned+sorted on this value bounds BOTH "
+    "columns' min/max per file so footer stats skip files for "
+    "predicates on either dimension (locality property tested in "
+    "test_scale_techniques.py::test_zorder_layout_bounds_both_dims; "
+    "writer in operators/zorder.py::zorder_write). Pure codegen'd "
+    "shift/mask arithmetic, one agg shuffle; identical bit math in the "
+    "DuckDB oracle - full hash match.",
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.zorder import z_value_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    zv = z_value_sql(
+        "pmod(user_id, 256)",
+        "pmod(unix_millis(ts) div 3600000, 256)",
+        8,
+        "div",
+    )
+    return (
+        ev.selectExpr(f"{zv} AS zv")
+        .groupBy(F.expr("zv div 64").alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zv").alias("z_min"),
+            F.max("zv").alias("z_max"),
+        )
+    )
+
+
+@register(
     "epoch_shuffle_shards",
     epoch_shuffle_oracle_sql("documents", "doc_id", epochs=2, n_shards=8, seed=7),
     survey_ids="datapipe:epoch-shuffle",
@@ -2818,6 +2896,37 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings_int8(emb, "embedding", "vec_id")
+
+
+def _random_project_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.similarity import (
+        random_project_oracle_sql,
+    )
+
+    return random_project_oracle_sql(out_dim=16)
+
+
+@register(
+    "embedding_random_projection",
+    _random_project_oracle(),
+    survey_ids="datapipe:dim-reduction",
+    doc="Johnson-Lindenstrauss dimensionality reduction 64 -> 16 dims "
+    "with the deterministic ±1 Achlioptas matrix (sign = the same "
+    "affine parity hash family as the LSH hyperplanes — no RNG state, "
+    "no stored model). The oracled surface is the sequential-fold form "
+    "(identical left-to-right double addition order as the DuckDB "
+    "list_reduce → full hash match; out_dim=16 makes the 1/sqrt scale "
+    "exactly 0.25). The at-scale path is similarity.random_project "
+    "(one Arrow-batched GEMM pass, zero shuffles), equality-tested "
+    "against this fold to 1e-9 in pytest.",
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.similarity import (
+        random_project_fold,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_project_fold(emb, "embedding", "vec_id", out_dim=16)
 
 
 # ---------------------------------------------------------------------------

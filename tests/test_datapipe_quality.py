@@ -618,3 +618,47 @@ def test_simhash64_matches_scale_path(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_random_projection_gemm_matches_fold(spark):
+    """The at-scale GEMM path and the oracled sequential-fold form must
+    agree (same deterministic ±1 matrix; summation-order differences
+    stay under 1e-9 at dim 64)."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        random_project,
+        random_project_fold,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    fold = {r["vec_id"]: [r[f"p{j}"] for j in range(16)]
+            for r in random_project_fold(emb, "embedding", "vec_id", 16).collect()}
+    gemm = {r["vec_id"]: list(r["projection"])
+            for r in random_project(emb, "embedding", "vec_id", 16).collect()}
+    assert set(fold) == set(gemm)
+    for vid, want in fold.items():
+        for a, b in zip(gemm[vid], want):
+            assert abs(a - b) < 1e-9
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL sanity: pairwise distances in the 16-dim projection correlate
+    with the 64-dim originals (coarse check — +-1 projections at d'=16
+    have real distortion, so gate the SIGN of the relationship, not a
+    tight bound)."""
+    import numpy as np
+
+    from hours_api_clickup_spark.datapipe.similarity import random_project
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(40)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    proj = {r["vec_id"]: np.array(r["projection"], dtype=float)
+            for r in random_project(emb, "embedding", "vec_id", 16).collect()}
+    ids = sorted(orig)
+    d_orig, d_proj = [], []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_orig.append(np.linalg.norm(orig[a] - orig[b]))
+        d_proj.append(np.linalg.norm(proj[a] - proj[b]))
+    ratios = np.array(d_proj) / np.maximum(np.array(d_orig), 1e-12)
+    # unbiased in expectation: mean ratio near 1, no collapse/blowup
+    assert 0.6 < ratios.mean() < 1.4, ratios.mean()

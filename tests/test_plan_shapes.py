@@ -264,3 +264,13 @@ def test_oov_vocab_joins_broadcast(spark):
     # a shuffle join here would hash-exchange the whole exploded corpus
     plan = _plan(spark, "doc_oov_rate")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_bloom_broadcasts_fixed_size_filter(spark):
+    # the Bloom bit-test joins must be broadcast (the filter is a fixed
+    # <= k*m/64-row table regardless of benchmark size) and the corpus
+    # gram stream must never cartesian-join anything
+    plan = _plan(spark, "decontaminate_bloom")
+    assert "BroadcastHashJoin" in plan or "broadcasthashjoin" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -448,13 +448,17 @@ class TestIvfIndexUpsert:
         ivf_index_write(combined, "embedding", "vec_id", full_path, cents)
 
         def canon(path):
+            from hours_api_clickup_spark.datapipe.similarity import (
+                ivf_index_read,
+            )
+
             return sorted(
                 (
                     r["cluster_id"],
                     r["vec_id"],
                     tuple(round(float(x), 6) for x in r["embedding"]),
                 )
-                for r in spark.read.parquet(path).collect()
+                for r in ivf_index_read(spark, path).collect()
             )
 
         assert canon(inc_path) == canon(full_path)
@@ -490,3 +494,109 @@ def test_grouped_exact_quantiles_match_builtin(spark):
     for g in exp:
         for a, b in zip(got[g], exp[g]):
             assert abs(a - b) < 1e-12
+
+
+class TestIvfIndexAppend:
+    def test_append_then_compact_equals_rebuild(self, spark, tmp_path):
+        """IVF twin of the LSH append/compact contract: appended batches
+        (incl. cluster-moving re-ingests) + compaction == rebuild."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            ivf_index_append,
+            ivf_index_compact,
+            ivf_index_read,
+            ivf_index_write,
+            ivf_probe_topk,
+            seed_centroids,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = seed_centroids(emb.filter(F.col("vec_id") < 400), "embedding", "vec_id")
+        old = emb.filter(F.col("vec_id") < 400)
+        new = emb.filter(
+            (F.col("vec_id") >= 400) | (F.col("vec_id") < 10)
+        ).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") < 10,
+                F.transform("embedding", lambda x: -x),
+            )
+            .otherwise(F.col("embedding"))
+            .cast("array<float>"),
+        )
+
+        inc_path = str(tmp_path / "inc")
+        ivf_index_write(old, "embedding", "vec_id", inc_path, cents)
+        ivf_index_append(new, "embedding", "vec_id", inc_path, cents)
+
+        # pre-compaction: probes already resolve max-seq per id for the
+        # appended NEW ids (exact for ids whose cluster didn't change)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 450).head()["embedding"]]
+        probe = ivf_probe_topk(
+            spark, inc_path, "embedding", "vec_id", qv, cents, k=5
+        ).collect()
+        assert len(probe) == 5
+
+        ivf_index_compact(spark, inc_path, "vec_id")
+
+        full_path = str(tmp_path / "full")
+        combined = old.join(
+            new.select("vec_id"), "vec_id", "left_anti"
+        ).unionByName(new)
+        ivf_index_write(combined, "embedding", "vec_id", full_path, cents)
+
+        def canon(path):
+            return sorted(
+                (
+                    r["cluster_id"],
+                    r["vec_id"],
+                    tuple(round(float(x), 6) for x in r["embedding"]),
+                )
+                for r in ivf_index_read(spark, path).collect()
+            )
+
+        assert canon(inc_path) == canon(full_path)
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """A z-ordered write must bound BOTH dimensions' per-file spread
+    (file skipping works for predicates on either column); an x-sorted
+    layout bounds only x, leaving y unprunable."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.zorder import zorder_write
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.pmod("user_id", F.lit(256)).alias("x"),
+        F.pmod(F.expr("unix_millis(ts) div 3600000"), F.lit(256)).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(ev, F.col("x"), F.col("y"), zpath, bits=8, n_files=16)
+    xpath = str(tmp_path / "xsorted")
+    ev.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(xpath)
+
+    def avg_spreads(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("sx"), F.avg("sy").alias("sy"))
+            .head()
+        )
+        return per_file["sx"], per_file["sy"]
+
+    zx, zy = avg_spreads(zpath)
+    zx_sorted, xy_sorted = avg_spreads(xpath)
+    # x-sorted: y is unconstrained (~ full 0..255 range per file)
+    assert xy_sorted > 200, (zx_sorted, xy_sorted)
+    # z-ordered: BOTH dims bounded well below the full range
+    assert zx < 200 and zy < 200, (zx, zy)
+    assert zy < xy_sorted * 0.8, (zy, xy_sorted)
