@@ -1,0 +1,70 @@
+"""Small-files compaction for parquet table directories.
+
+Long-lived tables accumulate small files (streaming micro-batches,
+frequent small appends, over-parallel writes); at scale the cost is
+real — every file is a task, a footer read, an object-store request.
+Compaction rewrites a directory into ~target-sized files. The ANN index
+log (`datapipe/similarity.py::lsh_index_compact`) is the special case
+with merge semantics; this operator is the generic layout-only form:
+row content is preserved exactly, only the file layout changes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def dir_file_stats(spark, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the parquet data files under ``path``."""
+    fs, p, _ = _fs(spark, path)
+    n, total = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_small_files(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite the (non-partitioned) parquet directory at ``path`` into
+    ``ceil(total_bytes / target_bytes)`` files; returns the new file
+    count. Content-preserving: same rows, new layout.
+
+    The rewrite stages into ``{path}__compacting`` and then swaps
+    directories, so a concurrent reader sees either the old or the new
+    layout, never a half-written one (single-directory rename — the
+    same per-directory atomicity contract as the dynamic-overwrite
+    sinks). Row order within files is not preserved — parquet tables
+    carry no order contract; pair with an explicit sort column upstream
+    (e.g. zorder_write) when layout locality matters."""
+    n_files, total = dir_file_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_files <= n_out:
+        return n_files
+
+    staged = f"{path}__compacting"
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: layout-only rewrite should not shuffle
+    # — each output task concatenates a set of input files. (coalesce's
+    # serial-read behavior is fine here: inputs are plain file scans,
+    # not Python stages.)
+    df.coalesce(n_out).write.mode("overwrite").parquet(staged)
+
+    fs, p, jvm = _fs(spark, path)
+    staged_p = jvm.org.apache.hadoop.fs.Path(staged)
+    fs.delete(p, True)
+    fs.rename(staged_p, p)
+    return dir_file_stats(spark, path)[0]

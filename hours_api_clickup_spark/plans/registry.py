@@ -2929,6 +2929,56 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     return random_project_fold(emb, "embedding", "vec_id", out_dim=16)
 
 
+@register(
+    "vocab_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+    SELECT tok, n, TRUE AS in_sketch, TRUE AS sketch_count_exact
+    FROM cnt ORDER BY n DESC, tok LIMIT 10
+    """,
+    survey_ids="datapipe:heavy-hitters",
+    doc="Heavy-hitters / frequent-items surface: Spark's native "
+    "approx_top_k sketch (fixed-size state; the at-scale form of 'top "
+    "tokens by frequency' when the vocabulary no longer fits an exact "
+    "groupBy) cross-checked against the exact top-10. Sketch internals "
+    "are algorithm-specific, so — like agg_approx_stats — the oracled "
+    "surface is the accuracy CONTRACT: exact counts as values plus "
+    "booleans asserting every true top-10 token is in the sketch with "
+    "its exact count (capacity is sized above the vocabulary here, "
+    "making the sketch lossless; at real scale you size capacity to "
+    "the heavy-hitter cut and the booleans become the epsilon gate). "
+    "A sketch regression flips a boolean and fails the hash match.",
+)
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+    sketch = toks.agg(
+        F.expr("approx_top_k(tok, 100, 65536)").alias("sk")
+    ).select(
+        F.map_from_entries(
+            F.expr("transform(sk, s -> struct(s.item as k, s.count as c))")
+        ).alias("skm")
+    )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "tok",
+        "n",
+        F.col("skm").getItem(F.col("tok")).isNotNull().alias("in_sketch"),
+        (F.col("skm").getItem(F.col("tok")) == F.col("n")).alias(
+            "sketch_count_exact"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

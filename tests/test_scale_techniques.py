@@ -600,3 +600,27 @@ def test_zorder_layout_bounds_both_dims(spark, tmp_path):
     # z-ordered: BOTH dims bounded well below the full range
     assert zx < 200 and zy < 200, (zx, zy)
     assert zy < xy_sorted * 0.8, (zy, xy_sorted)
+
+
+def test_compact_small_files_preserves_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.compaction import (
+        compact_small_files,
+        dir_file_stats,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    path = str(tmp_path / "frag")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    n_before, total = dir_file_stats(spark, path)
+    assert n_before >= 64
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n_after = compact_small_files(spark, path, target_bytes=max(total, 1))
+    assert n_after < n_before and n_after <= 2
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    # idempotent: already-compacted dir is left alone
+    assert compact_small_files(spark, path, target_bytes=max(total, 1)) == n_after
