@@ -1413,6 +1413,87 @@ def _run_bounded_stream(
 
 
 @register(
+    "streaming_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 30 * 60 * 1000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    ),
+    wm AS (
+        -- Spark's watermark: floor-to-ms of max event time minus the
+        -- 2h delay, compared in microseconds against session end
+        SELECT (epoch_ms(MAX(ts)) - 2 * 3600 * 1000) * 1000 AS w_us
+        FROM events
+    )
+    SELECT user_id, session_start, session_end, CAST(n_events AS BIGINT) AS n_events
+    FROM sess, wm
+    WHERE epoch_us(session_end) <= w_us
+    """,
+    survey_ids="§2.11,streaming:session-window",
+    doc="Native session_window gap sessionization (30-min gap, 2h "
+    "watermark, append mode): the built-in-operator twin of "
+    "streaming_event_sessions' applyInPandasWithState form — prefer "
+    "this one when per-session logic is pure aggregation (state "
+    "merging, eviction, and emission are JVM-side; no Python in the "
+    "loop). Append emits only FINALIZED sessions (end ≤ watermark); "
+    "the oracle replays batch gap sessions filtered by the same "
+    "ms-floored watermark arithmetic — full hash match, and the "
+    "emitted window is pinned to [first_ts, last_ts + gap).",
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage_dir = tempfile.mkdtemp(prefix="stream_sesswin_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_bounded_stream(
+        spark, out, f"stream_sesswin_{uuid.uuid4().hex[:8]}", "append"
+    )
+
+
+@register(
     "streaming_event_sessions",
     """
     WITH g AS (
