@@ -753,3 +753,134 @@ def simhash_oracle_sql(
         JOIN sb sbb ON sbb.did = cand.id_b
     ) WHERE hamming <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (exact substring dedup at token granularity)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans — the token-granular form of the
+    suffix-array substring dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022): any ``k``-token
+    window whose exact text occurs ≥ ``min_count`` times anywhere in
+    the corpus (other documents OR elsewhere in the same document) is a
+    duplicated gram; runs of overlapping/adjacent duplicated grams merge
+    into one maximal span per document. Downstream curation cuts the
+    spans (or drops docs whose spans cover too much — compose with
+    ``repetition_stats``).
+
+    Output: one row per (doc, maximal span): ``start_tok``/``end_tok``
+    (1-based inclusive token positions), ``n_dup_grams``, ``span_len``.
+
+    Scale shape (instead of the paper's monolithic suffix array, which
+    has no distributed form): one explode of k-gram positions, the gram
+    text immediately folded to an int64 md5 hash so the corpus-wide
+    shuffle carries (did, i, gh) rows only — never gram strings; one
+    count aggregation on gh (map-side combining); a semi-join back
+    (AQE may broadcast the duplicated-gram set when small); span
+    assembly is the sessionize trick (lag → flag → running sum) — both
+    windows and the final agg share ONE hash shuffle on the doc id.
+    Positions within a doc are unique, so every window order is total —
+    deterministic. Pure codegen + md5; DuckDB replays it bit-for-bit
+    (``duplicated_spans_oracle_sql``).
+    """
+    from pyspark.sql import Window
+
+    from hours_api_clickup_spark.datapipe.textstats import tokens
+
+    did = _c(id_col).alias("did")
+    grams = (
+        spread(df)
+        .select(did, tokens(text_col).alias("tk"))
+        .filter(F.size("tk") >= k)
+        .select(
+            "did",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - (k - 1))).alias("i"),
+            "tk",
+        )
+        .select(
+            "did",
+            "i",
+            md5_hash32(
+                F.concat_ws(
+                    " ", *[F.element_at("tk", F.col("i") + j) for j in range(k)]
+                )
+            ).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("did").orderBy("i")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # grams at positions p and i (p < i) overlap or touch iff i - p <= k
+    new_span = F.when(F.col("i") - F.lag("i").over(w) <= k, 0).otherwise(1)
+    spans = hits.withColumn(
+        "span_id", F.sum(new_span).over(w_run) - F.lit(1)
+    )
+    return (
+        spans.groupBy(F.col("did").alias(id_col), "span_id")
+        .agg(
+            F.min("i").cast("long").alias("start_tok"),
+            (F.max("i") + F.lit(k - 1)).cast("long").alias("end_tok"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "span_len", F.col("end_tok") - F.col("start_tok") + F.lit(1)
+        )
+    )
+
+
+def duplicated_spans_oracle_sql(
+    table: str, id_col: str, text_col: str, k: int = 5, min_count: int = 2
+) -> str:
+    """DuckDB twin of ``duplicated_spans``: same tokenization class,
+    same md5-int32 gram hash, same merge rule, same window algebra."""
+    gh = md5_hash32_sql(f"md5(array_to_string(t[i:i + {k - 1}], ' '))")
+    return f"""
+    WITH d AS (
+        SELECT {id_col} AS did,
+               CASE WHEN length(trim({text_col})) > 0
+                    THEN string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
+                    ELSE [] END AS t
+        FROM {table}
+    ),
+    g AS (
+        SELECT did, i, {gh} AS gh
+        FROM (SELECT did, unnest(range(1, len(t) - {k - 2})) AS i, t
+              FROM d WHERE len(t) >= {k})
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= {min_count}),
+    h AS (SELECT g.did, g.i FROM g JOIN dup USING (gh)),
+    s AS (
+        SELECT did, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY did ORDER BY i) <= {k}
+                    THEN 0 ELSE 1 END AS ns
+        FROM h
+    ),
+    sp AS (
+        SELECT did, i,
+               CAST(SUM(ns) OVER (PARTITION BY did ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+                   AS span_id
+        FROM s
+    )
+    SELECT did AS {id_col}, span_id,
+           CAST(MIN(i) AS BIGINT) AS start_tok,
+           CAST(MAX(i) + {k - 1} AS BIGINT) AS end_tok,
+           COUNT(*) AS n_dup_grams,
+           CAST(MAX(i) + {k - 1} - MIN(i) + 1 AS BIGINT) AS span_len
+    FROM sp GROUP BY did, span_id
+    """

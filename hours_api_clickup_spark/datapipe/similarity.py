@@ -1578,3 +1578,107 @@ def quantize_embeddings_int8(
             q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
         ).alias("q_l1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space coarsely, then compare pairs ONLY within a cluster —
+    a document is a semantic duplicate if some lower-id cluster-mate
+    sits within cosine ``threshold`` (min-id survivor, the same
+    convention as every dedup family here).
+
+    Output: one row per vector — ``cluster_id`` and ``semantic_dup``.
+
+    Scale shape: this is the paper's own answer to O(n²) — pairwise
+    work is Σ|cluster|² instead of n², controlled by ``n_clusters``
+    (the paper uses k=50k on 1.3B embeddings, ~25k-row clusters). The
+    quantizer is the deterministic hash-sampled seed set shared with
+    ``ivf_topk`` (bounded driver collect, oracle-reproducible);
+    assignment is one Arrow-batched GEMM pass; the pair join is a hash
+    shuffle keyed on cluster_id (skewed mega-clusters would take the
+    standard salting treatment); scoring is the vectorized pair-cosine
+    pandas UDF. No all-pairs stage anywhere.
+    """
+    cents = seed_centroids(df, vec_col, id_col, n_clusters)
+    assigned = ivf_assign(
+        df.select(_c(id_col).alias("vid"), _c(vec_col).alias("v")), "v", cents
+    )
+    a = assigned.select(
+        F.col("vid").alias("aid"), F.col("v").alias("va"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("vid").alias("bid"), F.col("v").alias("vb"), "cluster_id"
+    )
+    dup = (
+        a.join(b, "cluster_id")
+        .filter(F.col("bid") < F.col("aid"))
+        .filter(_pair_cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("aid").alias("vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.select("vid", "cluster_id")
+        .join(dup, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster_id",
+            F.coalesce("__dup", F.lit(False)).alias("semantic_dup"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``semantic_dedup``: same seed quantizer (hash
+    order), same argmax-cosine assignment with lowest-cid tie-break,
+    same within-cluster lower-id pair rule."""
+    hash_order = f"(({id_col} % {M31}) * {KNUTH_A}) % {M32}, {id_col}"
+    return f"""
+    WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY {hash_order}) - 1 AS cid,
+               {vec_col}::DOUBLE[] AS sv
+        FROM {table}
+        ORDER BY {hash_order}
+        LIMIT {n_clusters}
+    ),
+    assign AS (
+        SELECT vid, cid FROM (
+            SELECT e.{id_col} AS vid, s.cid,
+                   row_number() OVER (
+                       PARTITION BY e.{id_col}
+                       ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], s.sv) DESC, s.cid
+                   ) AS rn
+            FROM {table} e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    e AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table}),
+    dup AS (
+        SELECT DISTINCT a.vid
+        FROM assign a
+        JOIN assign b ON a.cid = b.cid AND b.vid < a.vid
+        JOIN e ea ON ea.vid = a.vid
+        JOIN e eb ON eb.vid = b.vid
+        WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+    )
+    SELECT a.vid AS {id_col}, a.cid AS cluster_id,
+           (d.vid IS NOT NULL) AS semantic_dup
+    FROM assign a LEFT JOIN dup d ON d.vid = a.vid
+    """

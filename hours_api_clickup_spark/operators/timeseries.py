@@ -152,3 +152,73 @@ def interval_join(
         )
         .drop("__b")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    val: str,
+    step_seconds: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Hypertable-style gap-fill + last-observation-carried-forward
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``): bucket each key's
+    observations onto a regular ``step_seconds`` grid, materialize the
+    missing buckets between the key's first and last observation, and
+    fill them with the most recent observed value. Emits
+    ``bucket_start_s`` (epoch seconds), ``<val>_filled``, ``is_gap``.
+
+    Per (key, bucket) the LAST observation wins (latest ``ts``, ties →
+    greatest value then greatest ``tiebreak``) — the keep-latest rule
+    D1 applies to telemetry rollups.
+
+    Scale shape: the grid derives from a per-key min/max aggregate
+    (map-side combining), so grid size is bounded by span/step per key
+    — never a corpus-wide calendar cross join; the bucket dedup window,
+    the grid join, and the LOCF window all hash on the key family, and
+    a key's whole grid lives in one partition (state = one running
+    value per key). Dense keys fan out ≤ span/step rows — a 10-year
+    hourly grid is 87k rows per key, flat. No UDFs anywhere.
+    """
+    k = F.col(key)
+    step = int(step_seconds)
+    bucket = (F.unix_millis(F.col(ts).cast("timestamp_ltz")) / F.lit(1000)).cast(
+        "long"
+    )
+    bucket = (bucket - F.pmod(bucket, F.lit(step))).alias("bucket_start_s")
+    order = [F.col(ts).desc(), F.col(val).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w_pick = Window.partitionBy(key, "bucket_start_s").orderBy(*order)
+    pick_cols = [ts] + ([tiebreak] if tiebreak else [])
+    obs = (
+        df.select(k, bucket, F.col(val), *[F.col(c) for c in pick_cols])
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *pick_cols)
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(
+            F.min("bucket_start_s").alias("__lo"),
+            F.max("bucket_start_s").alias("__hi"),
+        )
+        .select(
+            k,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            ).alias("bucket_start_s"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy("bucket_start_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(obs, [key, "bucket_start_s"], "left").select(
+        k,
+        F.col("bucket_start_s"),
+        F.last(F.col(val), ignorenulls=True).over(w_fill).alias(f"{val}_filled"),
+        F.col(val).isNull().alias("is_gap"),
+    )

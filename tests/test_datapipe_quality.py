@@ -662,3 +662,91 @@ def test_random_projection_preserves_distances(spark):
     ratios = np.array(d_proj) / np.maximum(np.array(d_orig), 1e-12)
     # unbiased in expectation: mean ratio near 1, no collapse/blowup
     assert 0.6 < ratios.mean() < 1.4, ratios.mean()
+
+
+def test_duplicated_spans_merge_and_positions(spark):
+    """Two docs sharing a 6-token phrase → each gets ONE maximal span of
+    exactly that phrase (two overlapping 5-grams merged); a doc whose
+    repeated phrase lives only inside itself is still caught (corpus-wide
+    ≥2 occurrences, not cross-doc only); unique text yields no rows."""
+    from hours_api_clickup_spark.datapipe.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending two"),
+            # 5-gram phrase repeated twice within ONE doc
+            (3, "p q r s t filler filler2 filler3 p q r s t"),
+            (4, "totally unique text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.start_tok): r
+        for r in duplicated_spans(docs, "doc_id", "text", k=5).collect()
+    }
+    # doc 1: shared phrase at tokens 4-9 (1-based), grams at 4 and 5
+    r1 = rows[(1, 4)]
+    assert (r1.end_tok, r1.n_dup_grams, r1.span_len) == (9, 2, 6)
+    # doc 2: phrase at tokens 1-6
+    r2 = rows[(2, 1)]
+    assert (r2.end_tok, r2.n_dup_grams, r2.span_len) == (6, 2, 6)
+    # doc 3: "p q r s t" at 1-5 and 9-13 — disjoint, two spans
+    assert (3, 1) in rows and (3, 9) in rows
+    assert rows[(3, 1)].span_len == 5 and rows[(3, 9)].span_len == 5
+    assert not any(d == 4 for d, _ in rows)
+
+
+def test_semantic_dedup_min_id_survivor(spark):
+    """An exact-duplicate vector pair lands in the same cluster; the
+    higher id is flagged, the lower survives; singleton vectors pass."""
+    import random
+
+    from hours_api_clickup_spark.datapipe.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(20)]
+    vecs = [(i, v) for i, v in enumerate(base)]
+    vecs.append((100, list(base[3])))  # exact duplicate of id 3
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r for r in semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=4, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 21
+    assert out[100].semantic_dup is True
+    assert out[3].semantic_dup is False
+    assert out[100].cluster_id == out[3].cluster_id
+
+
+def test_gapfill_locf_fills_interior_gaps(spark):
+    from hours_api_clickup_spark.operators.timeseries import gapfill_locf
+
+    df = spark.createDataFrame(
+        [
+            # key 1: obs in hour buckets 0 and 3 → buckets 1, 2 are gaps
+            (1, 1, "2024-01-01 00:10:00", 5.0),
+            (2, 1, "2024-01-01 00:50:00", 7.0),  # same bucket, later ts wins
+            (3, 1, "2024-01-01 03:20:00", 9.0),
+            # key 2: single observation → one-bucket grid, no gaps
+            (4, 2, "2024-01-01 10:30:00", 1.5),
+        ],
+        "event_id long, user_id long, ts_s string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    out = gapfill_locf(
+        df, "user_id", "ts", "value", step_seconds=3600, tiebreak="event_id"
+    )
+    rows = {(r.user_id, r.bucket_start_s): r for r in out.collect()}
+    h0 = 1704067200  # 2024-01-01T00:00Z
+    assert len(rows) == 5  # 4 buckets for key 1 + 1 for key 2
+    assert rows[(1, h0)].value_filled == 7.0  # keep-latest within bucket
+    assert rows[(1, h0)].is_gap is False
+    for h in (1, 2):
+        r = rows[(1, h0 + 3600 * h)]
+        assert r.value_filled == 7.0 and r.is_gap is True
+    assert rows[(1, h0 + 3600 * 3)].value_filled == 9.0
+    assert rows[(2, h0 + 3600 * 10)].value_filled == 1.5
