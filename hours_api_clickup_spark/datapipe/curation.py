@@ -741,3 +741,177 @@ def chunk_oracle_sql(
                AS chunk_md5
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Composite Gopher quality filter (the end-product keep/drop decision)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def gopher_quality_filter(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The full Gopher/MassiveText document-quality gate (Rae et al.
+    2021, §A1.1) as ONE decision per document: length bounds, mean word
+    length band, minimum stop-word evidence, and the repetition caps of
+    ``repetition_stats`` — each rule reported separately plus the final
+    ``keep``. This is the row a curation pipeline actually writes; the
+    per-metric queries are its diagnostics.
+
+    Plan shape: identical to ``repetition_stats`` (whose gram stream it
+    extends) — one explode of tagged grams, two map-side-combining
+    aggregations keyed by doc id, the extra stats (token-length sum,
+    stop-word hits) riding the SAME unigram pass; still zero joins
+    against the corpus and no Python.
+    """
+    base = spread(df).select(
+        _c(id_col).alias("did"), tokens(text_col).alias("tk")
+    )
+    uni = base.select("did", F.lit(1).alias("n"), F.explode("tk").alias("g"))
+    bi = (
+        base.filter(F.size("tk") >= 2)
+        .select(
+            "did",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+            "tk",
+        )
+        .select(
+            "did",
+            F.lit(2).alias("n"),
+            F.concat(
+                F.element_at("tk", F.col("i")),
+                F.lit(" "),
+                F.element_at("tk", F.col("i") + 1),
+            ).alias("g"),
+        )
+    )
+    sentinel = base.select("did", F.lit(0).alias("n"), F.lit("").alias("g"))
+    grams = uni.unionByName(bi).unionByName(sentinel)
+    counts = grams.groupBy("did", "n", "g").agg(F.count("*").alias("c"))
+    is_stop = F.col("g").isin(*GOPHER_STOPWORDS)
+    per_n = counts.groupBy("did").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),
+        F.count(F.when(F.col("n") == 1, True)).alias("dis1"),
+        F.max(F.when(F.col("n") == 1, F.col("c"))).alias("top1"),
+        F.sum(
+            F.when(F.col("n") == 1, F.col("c") * F.length("g"))
+        ).alias("lensum"),
+        F.sum(F.when((F.col("n") == 1) & is_stop, F.col("c"))).alias("stop1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
+        F.count(F.when(F.col("n") == 2, True)).alias("dis2"),
+    )
+    n_tokens = F.coalesce("tot1", F.lit(0))
+    mean_len = F.when(
+        F.col("tot1") > 0,
+        F.col("lensum").cast("double") / F.col("tot1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    stops = F.coalesce("stop1", F.lit(0))
+    top_frac = F.coalesce(
+        F.col("top1").cast("double") / F.col("tot1").cast("double"), F.lit(0.0)
+    )
+    dup_bi = F.coalesce(
+        F.when(
+            F.col("tot2") > 0,
+            (F.col("tot2") - F.col("dis2")).cast("double")
+            / F.col("tot2").cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    ok_length = n_tokens.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    ok_word_len = mean_len.between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_stopwords = stops >= GOPHER_MIN_STOPWORD_HITS
+    ok_repetition = (top_frac <= TOP_TOKEN_FRAC_MAX) & (
+        dup_bi <= DUP_BIGRAM_FRAC_MAX
+    )
+    return per_n.select(
+        F.col("did").alias(id_col),
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        stops.alias("n_stopword_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stopwords.alias("ok_stopwords"),
+        ok_repetition.alias("ok_repetition"),
+        (ok_length & ok_word_len & ok_stopwords & ok_repetition).alias("keep"),
+    )
+
+
+def gopher_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of ``gopher_quality_filter`` — same gram stream,
+    same aggregates, same rule thresholds."""
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH d AS (
+        SELECT {id_col} AS did,
+               CASE WHEN length(trim({text_col})) > 0
+                    THEN string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')
+                    ELSE [] END AS t
+        FROM {table}
+    ),
+    grams AS (
+        SELECT did, 1 AS n, unnest(t) AS g FROM d
+        UNION ALL
+        SELECT did, 2 AS n,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM d WHERE len(t) >= 2
+        UNION ALL
+        SELECT did, 0 AS n, '' AS g FROM d
+    ),
+    counts AS (
+        SELECT did, n, g, COUNT(*) AS c FROM grams GROUP BY did, n, g
+    ),
+    per_n AS (
+        SELECT did,
+               SUM(CASE WHEN n = 1 THEN c END) AS tot1,
+               COUNT(CASE WHEN n = 1 THEN TRUE END) AS dis1,
+               MAX(CASE WHEN n = 1 THEN c END) AS top1,
+               SUM(CASE WHEN n = 1 THEN c * length(g) END) AS lensum,
+               SUM(CASE WHEN n = 1 AND g IN ({stop_list}) THEN c END) AS stop1,
+               SUM(CASE WHEN n = 2 THEN c END) AS tot2,
+               COUNT(CASE WHEN n = 2 THEN TRUE END) AS dis2
+        FROM counts GROUP BY did
+    ),
+    s AS (
+        SELECT did,
+               CAST(COALESCE(tot1, 0) AS BIGINT) AS n_tokens,
+               CASE WHEN tot1 > 0
+                    THEN CAST(lensum AS DOUBLE) / CAST(tot1 AS DOUBLE)
+                    ELSE 0.0 END AS mean_word_len,
+               CAST(COALESCE(stop1, 0) AS BIGINT) AS n_stopword_tokens,
+               COALESCE(CAST(top1 AS DOUBLE) / CAST(tot1 AS DOUBLE), 0.0)
+                   AS top_token_frac,
+               COALESCE(CASE WHEN tot2 > 0
+                             THEN CAST(tot2 - dis2 AS DOUBLE)
+                                  / CAST(tot2 AS DOUBLE) END, 0.0)
+                   AS dup_bigram_frac
+        FROM per_n
+    )
+    SELECT did AS {id_col}, n_tokens, mean_word_len, n_stopword_tokens,
+           top_token_frac, dup_bigram_frac,
+           n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+               AS ok_length,
+           mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+               AND {GOPHER_MAX_MEAN_WORD_LEN} AS ok_word_len,
+           n_stopword_tokens >= {GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords,
+           (top_token_frac <= {TOP_TOKEN_FRAC_MAX}
+            AND dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX}) AS ok_repetition,
+           (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+           AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                AND {GOPHER_MAX_MEAN_WORD_LEN})
+           AND n_stopword_tokens >= {GOPHER_MIN_STOPWORD_HITS}
+           AND (top_token_frac <= {TOP_TOKEN_FRAC_MAX}
+                AND dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX}) AS keep
+    FROM s
+    """

@@ -3165,6 +3165,69 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.curation import gopher_oracle_sql
+
+    return gopher_oracle_sql("documents", "doc_id", "text")
+
+
+@register(
+    "gopher_quality_filter",
+    _gopher_oracle(),
+    survey_ids="datapipe:quality-gopher",
+    doc="The full Gopher/MassiveText document gate (Rae et al. 2021 "
+    "§A1.1) as one keep/drop row per document: token-count bounds, mean-"
+    "word-length band, stop-word evidence, repetition caps — every rule "
+    "reported separately plus the final verdict. Rides the SAME single "
+    "gram explode + two map-side-combining doc-keyed aggs as "
+    "doc_repetition_stats; zero corpus joins, zero Python.",
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.curation import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs, "doc_id", "text")
+
+
+@register(
+    "rollup_incremental_merge",
+    """
+    SELECT user_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events GROUP BY user_id, event_type
+    """,
+    survey_ids="scale:incremental-rollup",
+    doc="Incremental materialized-rollup maintenance: per-group "
+    "ALGEBRAIC STATE (count, exact decimal sum) kept from the "
+    "historical slice, the delta batch aggregated to the same state, "
+    "states merged by a keyed sum over |groups| rows — history is "
+    "never rescanned. The oracle is the full recompute over all "
+    "events: state-merge ≡ recompute is the contract (same family as "
+    "salted_skew_rollup's equivalence oracle). DECIMAL state makes the "
+    "merge order-insensitive; finalization to DOUBLE happens once. "
+    "COUNT(DISTINCT) is deliberately absent — its mergeable form is "
+    "the HLL sketch (agg_approx_stats).",
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup_states,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    base = partial_rollup(
+        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "value"
+    )
+    delta = partial_rollup(
+        ev.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "value"
+    )
+    return finalize_rollup(merge_rollup_states(base, delta), "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

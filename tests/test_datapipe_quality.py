@@ -750,3 +750,27 @@ def test_gapfill_locf_fills_interior_gaps(spark):
         assert r.value_filled == 7.0 and r.is_gap is True
     assert rows[(1, h0 + 3600 * 3)].value_filled == 9.0
     assert rows[(2, h0 + 3600 * 10)].value_filled == 1.5
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    from hours_api_clickup_spark.datapipe.curation import gopher_quality_filter
+
+    long_good = " ".join(
+        ["the", "a", "of"] * 2 + [f"word{i}" for i in range(40)]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),                      # passes every rule
+            (2, "the a short doc only"),         # fails length (< 30)
+            (3, " ".join(["the", "a"] + ["z"] * 50)),   # mean word len < 3
+            (4, " ".join([f"tok{i}" for i in range(50)])),  # no stopwords
+            (5, " ".join(["the", "a"] + ["dup dup"] * 30)),  # repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_filter(docs, "doc_id", "text").collect()}
+    assert out[1].keep is True
+    assert out[2].ok_length is False and out[2].keep is False
+    assert out[3].ok_word_len is False and out[3].keep is False
+    assert out[4].ok_stopwords is False and out[4].keep is False
+    assert out[5].ok_repetition is False and out[5].keep is False

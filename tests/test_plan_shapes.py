@@ -274,3 +274,39 @@ def test_decontaminate_bloom_broadcasts_fixed_size_filter(spark):
     assert "BroadcastHashJoin" in plan or "broadcasthashjoin" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_pairs_are_cluster_keyed_not_all_pairs(spark):
+    """SemDeDup's pair stage must hash-join on cluster_id — a cartesian
+    or nested-loop pair stage would be the O(n²) plan the clustering
+    exists to avoid."""
+    plan = _plan(spark, "dedup_semantic_clusters", "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_span_dedup_no_cartesian_and_partial_agg(spark):
+    """Span dedup shuffles int64 gram hashes through a map-side-combining
+    count — never an all-pairs stage, and the gram count aggregation
+    must stay partial."""
+    plan = _plan(spark, "dedup_span_ngram", "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_gapfill_grid_join_no_nested_loop(spark):
+    """The gap-fill grid join must be an equi-join on (key, bucket) —
+    a calendar cross join would fan out keys × all buckets."""
+    plan = _plan(spark, "gapfill_locf", "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_rollup_merges_state_not_history(spark):
+    """The state merge must aggregate partially (map-side combine) on
+    both the per-slice rollups and the merge itself; no join against
+    the history scan appears anywhere."""
+    plan = _plan(spark, "rollup_incremental_merge", "formatted")
+    assert plan.count("HashAggregate") >= 4, plan  # 2 partials × 2 slices
+    assert "Join" not in plan, plan

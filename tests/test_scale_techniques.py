@@ -624,3 +624,36 @@ def test_compact_small_files_preserves_content(spark, tmp_path):
 
     # idempotent: already-compacted dir is left alone
     assert compact_small_files(spark, path, target_bytes=max(total, 1)) == n_after
+
+
+def test_incremental_rollup_any_split_equals_full(spark):
+    """Partial-state merge is split-invariant: slicing the input into
+    1, 2, or 4 arbitrary pieces and merging their states finalizes to
+    exactly the full recompute (exact decimal state — bit equality,
+    no tolerance)."""
+    from hours_api_clickup_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup_states,
+        partial_rollup,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    keys = ["user_id", "event_type"]
+    full = sorted(
+        map(tuple, finalize_rollup(partial_rollup(ev, keys, "value"), "value").collect())
+    )
+    for n_slices in (2, 4):
+        parts = [
+            partial_rollup(
+                ev.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i),
+                keys,
+                "value",
+            )
+            for i in range(n_slices)
+        ]
+        merged = sorted(
+            map(tuple, finalize_rollup(merge_rollup_states(*parts), "value").collect())
+        )
+        assert merged == full
