@@ -1606,36 +1606,53 @@ def semantic_dedup(
     (the paper uses k=50k on 1.3B embeddings, ~25k-row clusters). The
     quantizer is the deterministic hash-sampled seed set shared with
     ``ivf_topk`` (bounded driver collect, oracle-reproducible);
-    assignment is one Arrow-batched GEMM pass; the pair join is a hash
-    shuffle keyed on cluster_id (skewed mega-clusters would take the
-    standard salting treatment); scoring is the vectorized pair-cosine
-    pandas UDF. No all-pairs stage anywhere.
+    assignment is one Arrow-batched GEMM pass; then ONE shuffle keyed
+    on cluster_id feeds a per-cluster ``applyInPandas`` that scores the
+    whole cluster in a single m @ m.T GEMM — never a materialized
+    O(pairs) row stream. Memory per task is |cluster|² doubles, the
+    paper's own sizing constraint: pick ``n_clusters`` so the largest
+    cluster's similarity block fits an executor, and salt/split
+    mega-clusters before raising memory. No all-pairs stage anywhere.
     """
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     cents = seed_centroids(df, vec_col, id_col, n_clusters)
     assigned = ivf_assign(
         df.select(_c(id_col).alias("vid"), _c(vec_col).alias("v")), "v", cents
     )
-    a = assigned.select(
-        F.col("vid").alias("aid"), F.col("v").alias("va"), "cluster_id"
+    out_schema = StructType(
+        [
+            StructField("vid", LongType()),
+            StructField("cluster_id", LongType()),
+            StructField("semantic_dup", BooleanType()),
+        ]
     )
-    b = assigned.select(
-        F.col("vid").alias("bid"), F.col("v").alias("vb"), "cluster_id"
-    )
-    dup = (
-        a.join(b, "cluster_id")
-        .filter(F.col("bid") < F.col("aid"))
-        .filter(_pair_cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
-        .select(F.col("aid").alias("vid"))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].values])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = m @ m.T
+        # dup[i] ⇔ some j < i (vid-sorted ⇒ lower id) with cos ≥ θ
+        dup = (np.tril(sims >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vid": pdf["vid"].values,
+                "cluster_id": pdf["cluster_id"].values,
+                "semantic_dup": dup,
+            }
+        )
+
     return (
-        assigned.select("vid", "cluster_id")
-        .join(dup, "vid", "left")
+        assigned.groupBy("cluster_id")
+        .applyInPandas(prune, schema=out_schema)
         .select(
-            F.col("vid").alias(id_col),
-            "cluster_id",
-            F.coalesce("__dup", F.lit(False)).alias("semantic_dup"),
+            F.col("vid").alias(id_col), "cluster_id", "semantic_dup"
         )
     )
 
