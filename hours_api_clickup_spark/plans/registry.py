@@ -3228,6 +3228,137 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_rollup(merge_rollup_states(base, delta), "value")
 
 
+@register(
+    "window_rank_surface",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           dense_rank() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(o_orderdate AS DATE)) AS drk,
+           percent_rank() OVER w AS prk,
+           cume_dist() OVER w AS cd,
+           ntile(4) OVER w AS quartile,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+               o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+    survey_ids="§2.7",
+    doc="Ranking/distribution window surface beyond window_analytics: "
+    "dense_rank, percent_rank, cume_dist, ntile, first/nth_value — all "
+    "sharing ONE customer-key shuffle (every window clause uses the "
+    "same partitioning). Ordering is total ((date, orderkey) unique) so "
+    "every function is deterministic; percent_rank/cume_dist are exact "
+    "rational arithmetic in double — identical across engines. "
+    "dense_rank deliberately orders by date alone to exercise peer "
+    "groups (ties), which rank functions must handle identically.",
+)
+def q_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(od, "o_orderkey")
+    w_peers = Window.partitionBy("o_custkey").orderBy(od)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w_peers).alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w_run).alias("second_key"),
+    )
+
+
+@register(
+    "string_distance_surface",
+    """
+    SELECT c_custkey,
+           levenshtein(c_name, c_mktsegment) AS lev_name_seg,
+           levenshtein(c_name, reverse(c_name)) AS lev_palindrome,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           reverse(c_mktsegment) AS seg_rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+           repeat(left(c_mktsegment, 1), 3) AS seg_initial_x3,
+           strpos(c_name, '0') AS first_zero_pos,
+           right(c_name, 4) AS name_tail
+    FROM customer
+    """,
+    survey_ids="§2.10",
+    doc="String-distance + padding/positional surface: levenshtein "
+    "(fuzzy key matching — both engines implement the standard "
+    "Wagner-Fischer distance), lpad zero-padding for sortable keys, "
+    "translate, repeat, strpos (1-based in both), left/right slices. "
+    "Projection-only; codegen'd JVM execution.",
+)
+def q_string_distance_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein("c_name", "c_mktsegment").alias("lev_name_seg"),
+        F.levenshtein(F.col("c_name"), F.reverse("c_name")).alias(
+            "lev_palindrome"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias(
+            "seg_lower_vowels"
+        ),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("seg_initial_x3"),
+        F.instr("c_name", "0").alias("first_zero_pos"),
+        F.substring("c_name", -4, 4).alias("name_tail"),
+    )
+
+
+@register(
+    "datetime_scalar_surface",
+    """
+    SELECT o_orderkey,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_3_months,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           quarter(CAST(o_orderdate AS DATE)) AS qtr,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_95,
+           make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start
+    FROM orders
+    """,
+    survey_ids="§2.10",
+    doc="Date/time scalar surface beyond the reference's epoch-ms/Oslo "
+    "core: month truncation, calendar-aware add_months (both engines "
+    "clamp Jan 31 + 1mo → Feb 29), last_day, quarter, day-of-week "
+    "(Spark is 1=Sunday, DuckDB 0=Sunday — the oracle shifts by one: "
+    "a REAL cross-engine semantic difference pinned by the hash "
+    "match), datediff against an epoch date, make_date roundtrip. "
+    "Projection-only.",
+)
+def q_datetime_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.trunc(od, "month").alias("month_start"),
+        F.add_months(od, 3).alias("plus_3_months"),
+        F.last_day(od).alias("month_end"),
+        F.quarter(od).alias("qtr"),
+        F.dayofweek(od).alias("dow"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.make_date(F.year(od), F.lit(1), F.lit(1)).alias("year_start"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
