@@ -3359,6 +3359,59 @@ def q_datetime_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_incremental_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS sketch_within_2pct
+    FROM events GROUP BY event_type
+    """,
+    survey_ids="scale:incremental-distinct,A5-scale",
+    doc="COUNT(DISTINCT) made incrementally maintainable — the piece "
+    "rollup_incremental_merge deliberately excludes: per-slice HLL "
+    "sketches (hll_sketch_agg, Apache DataSketches) are the MERGEABLE "
+    "state exact distinct lacks; slices union via hll_union_agg "
+    "without rescanning history, estimates finalize per group. Oracled "
+    "by the accuracy contract (agg_approx_stats convention): exact "
+    "distinct as the value column, the merged-sketch estimate gated "
+    "within 2% as a boolean the oracle emits as literal TRUE — sketch "
+    "drift fails the hash match. State is KBs per group at ANY history "
+    "size; the exact column is a verification-only full pass.",
+)
+def q_rollup_incremental_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    sliced = [
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+    ]
+    states = [
+        s.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        for s in sliced
+    ]
+    merged = (
+        states[0]
+        .unionByName(states[1])
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select("event_type", F.hll_sketch_estimate("sk").alias("est"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("est") - F.col("n_users_exact"))
+            <= 0.02 * F.col("n_users_exact")
+        ).alias("sketch_within_2pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
