@@ -223,3 +223,51 @@ def streaming_dedup_events(events_stream: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+def streaming_continuous_rollup(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    val: str = "value",
+):
+    """Continuous-aggregate maintenance (the streaming face of
+    ``operators/incremental``): each micro-batch aggregates to its
+    algebraic (count, decimal-sum) state and folds into the persisted
+    rollup state table — history is never rescanned, and any downstream
+    reader sees a complete rollup after every micro-batch commit.
+
+    This is the TimescaleDB continuous-aggregate / Materialize pattern
+    on Spark primitives: per-batch work is one map-side-combining agg
+    over the batch plus a keyed merge over |groups| rows. Because the
+    state merge is order-insensitive (exact decimal arithmetic), the
+    final state is identical for ANY micro-batch partitioning of the
+    input — the property the batch-equivalence test pins.
+
+    The merged state is localCheckpoint'd before overwriting so the
+    read-modify-write never scans the files it is replacing.
+    """
+    from hours_api_clickup_spark.operators.incremental import (
+        merge_rollup_states,
+        partial_rollup,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = partial_rollup(batch_df, list(keys), val)
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = merge_rollup_states(prev, delta)
+        except Exception:  # first batch: no state yet
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -552,3 +552,65 @@ def test_streaming_dedup_collapses_redeliveries(spark, tmp_path):
     q.awaitTermination(120)
     row = spark.table("dedup_test").head()
     assert row.n_events == 4 and abs(row.sum_value - 10.0) < 1e-9
+
+
+def test_streaming_continuous_rollup_resumes_exactly_once(spark, tmp_path):
+    """Continuous-aggregate state survives across stream RUNS: drain two
+    staged files, stop, stage a third, drain again with the SAME
+    checkpoint — already-committed files must not fold in twice, and the
+    final state equals the batch recompute over all three files."""
+    from hours_api_clickup_spark.operators.incremental import (
+        finalize_rollup,
+        partial_rollup,
+    )
+    from hours_api_clickup_spark.streaming.refresh import (
+        streaming_continuous_rollup,
+    )
+
+    rows = [(i % 5, "t" + str(i % 3), float(i)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    df.filter(F.col("user_id") < 3).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    streaming_continuous_rollup(stream, state, ckpt).awaitTermination(120)
+
+    # second run over the same dir + one appended file, same checkpoint
+    df.filter(F.col("user_id") >= 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    streaming_continuous_rollup(stream2, state, ckpt).awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            finalize_rollup(spark.read.parquet(state), "value").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            finalize_rollup(
+                partial_rollup(df, ["user_id", "event_type"], "value"),
+                "value",
+            ).collect(),
+        )
+    )
+    assert got == want
