@@ -29,10 +29,23 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: append ``right_cols`` from the most recent right
-    row with ``right_ts <= left_ts`` for the same ``on`` key (nulls when
-    no prior right row exists)."""
+    """Left as-of join (the full pandas ``merge_asof`` surface): append
+    ``right_cols`` from the NEAREST right row for the same ``on`` key —
+    ``direction='backward'`` takes the latest right row with
+    ``right_ts <= left_ts``, ``'forward'`` the earliest with
+    ``right_ts >= left_ts``; nulls when none exists. With
+    ``tolerance_seconds``, a nearest match farther than the tolerance
+    counts as no match (all carried columns null) — identical to
+    pandas/kdb tolerance semantics because the nearest row is resolved
+    FIRST, then gated.
+
+    One shuffle on the key either way (union + directional running
+    window) — never the O(n·m) range theta-join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
     )
@@ -53,16 +66,25 @@ def as_of_join(
                 c, F.lit(None).cast(dict(r_tag.dtypes)[c])
             )
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
-    # right rows sort before left rows at equal ts (side 0 < 1), so an
-    # exactly-simultaneous right row is visible to the left row
+    # right rows sort before left rows at equal ts (side 0 < 1) in BOTH
+    # traversal directions, so an exactly-simultaneous right row is
+    # visible to the left row (ties are inclusive, as in merge_asof)
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *[c for c in left.columns],
         "__side",
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__asof_ts"),
         *[
             F.last(
                 F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
@@ -72,11 +94,22 @@ def as_of_join(
             for c in right_cols
         ],
     )
+    if tolerance_seconds is None:
+        within = F.lit(True)
+    else:
+        gap_ms = F.abs(
+            F.unix_millis(F.col(left_ts).cast("timestamp_ltz"))
+            - F.unix_millis(F.col("__asof_ts").cast("timestamp_ltz"))
+        )
+        within = gap_ms <= F.lit(int(tolerance_seconds * 1000))
     return (
         carried.filter(F.col("__side") == 1)
         .select(
             *[c for c in left.columns],
-            *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
+            *[
+                F.when(within, F.col(f"__asof_{c}")).alias(c)
+                for c in right_cols
+            ],
         )
     )
 

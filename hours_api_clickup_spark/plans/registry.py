@@ -3467,6 +3467,91 @@ def q_streaming_continuous_rollup(
     return finalize_rollup(spark.read.parquet(state_path), "value")
 
 
+@register(
+    "unpivot_surface",
+    """
+    WITH wide AS (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE) AS size,
+               p_retailprice AS price,
+               CAST(length(p_name) AS DOUBLE) AS name_len
+        FROM part
+    )
+    SELECT p_partkey, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (size, price, name_len))
+    """,
+    survey_ids="§2.6-unpivot",
+    doc="Native wide→long UNPIVOT (melt) — the inverse of "
+    "native_pivot_revenue: one row per (id, metric) from three typed "
+    "measure columns. Spark compiles unpivot to an Expand node (the "
+    "same operator grouping-sets use) — a projection-only fan-out, "
+    "zero shuffles at any width.",
+)
+def q_unpivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("price"),
+        F.length("p_name").cast("double").alias("name_len"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size", "price", "name_len"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    """
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_ms(signup_ts) - epoch_ms(ts) <= 259200000
+                THEN signup_event_id END AS signup_event_id,
+           CASE WHEN epoch_ms(signup_ts) - epoch_ms(ts) <= 259200000
+                THEN signup_ts END AS signup_ts
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               s.signup_event_id, s.signup_ts
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+            FROM events WHERE event_type = 'signup'
+        ) s ON e.user_id = s.user_id AND e.ts <= s.signup_ts
+    )
+    """,
+    survey_ids="datapipe:asof-join-forward",
+    doc="Forward as-of join with tolerance (the other half of the "
+    "pandas merge_asof surface): each event → the user's NEXT signup, "
+    "but only if it lands within 3 days — the nearest row resolves "
+    "first, then the tolerance gates it (a nearer-than-nothing match "
+    "beyond tolerance is NO match). Same union + directional running "
+    "window, ONE key shuffle; oracle is DuckDB's native ASOF LEFT "
+    "JOIN with the tolerance as a post-CASE.",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    return as_of_join(
+        events.select("event_id", "user_id", "ts"),
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_cols=["signup_event_id", "signup_ts"],
+        direction="forward",
+        tolerance_seconds=3 * 86400,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

@@ -774,3 +774,45 @@ def test_gopher_filter_rules_fire_individually(spark):
     assert out[3].ok_word_len is False and out[3].keep is False
     assert out[4].ok_stopwords is False and out[4].keep is False
     assert out[5].ok_repetition is False and out[5].keep is False
+
+
+def test_asof_join_forward_and_tolerance_semantics(spark):
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"),
+         (3, 2, "2024-01-01 10:00:00")],
+        "event_id long, user_id long, ts_s string",
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [(10, 1, "2024-01-01 10:30:00"),   # 30 min after event 1
+         (11, 1, "2024-01-01 17:00:00")],  # 5 h after event 2
+        "r_id long, user_id long, ts_s string",
+    ).selectExpr("r_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS r_ts")
+
+    out = {
+        r.event_id: r
+        for r in as_of_join(
+            left, right, on="user_id", left_ts="ts", right_ts="r_ts",
+            right_cols=["r_id"], direction="forward",
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out[1].r_id == 10          # nearest following, within 1 h
+    assert out[2].r_id is None        # nearest following is 5 h away
+    assert out[3].r_id is None        # user 2 has no right rows
+
+    # exactly-simultaneous right row is an inclusive match both ways
+    right2 = spark.createDataFrame(
+        [(20, 1, "2024-01-01 10:00:00")],
+        "r_id long, user_id long, ts_s string",
+    ).selectExpr("r_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS r_ts")
+    for direction in ("backward", "forward"):
+        got = {
+            r.event_id: r.r_id
+            for r in as_of_join(
+                left, right2, on="user_id", left_ts="ts", right_ts="r_ts",
+                right_cols=["r_id"], direction=direction,
+            ).collect()
+        }
+        assert got[1] == 20
