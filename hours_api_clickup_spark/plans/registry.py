@@ -3464,7 +3464,9 @@ def q_streaming_continuous_rollup(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return finalize_rollup(spark.read.parquet(state_path), "value")
+    return finalize_rollup(
+        spark.read.parquet(state_path).drop("__last_batch_id"), "value"
+    )
 
 
 @register(

@@ -245,24 +245,19 @@ def streaming_continuous_rollup(
     final state is identical for ANY micro-batch partitioning of the
     input — the property the batch-equivalence test pins.
 
-    The merged state is localCheckpoint'd before overwriting so the
-    read-modify-write never scans the files it is replacing.
+    foreachBatch is AT-LEAST-ONCE: a crash between the state write and
+    the checkpoint commit re-delivers the batch, and a plain fold would
+    double-count it. ``fold_rollup_batch`` therefore stamps the state
+    with the highest applied ``batch_id`` and skips any batch at or
+    below it — re-delivery becomes a no-op, which upgrades the sink to
+    exactly-once (the same idempotence argument merge_upsert makes by
+    key). The merged state is localCheckpoint'd before overwriting so
+    the read-modify-write never scans the files it is replacing.
     """
-    from hours_api_clickup_spark.operators.incremental import (
-        merge_rollup_states,
-        partial_rollup,
-    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        delta = partial_rollup(batch_df, list(keys), val)
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = merge_rollup_states(prev, delta)
-        except Exception:  # first batch: no state yet
-            merged = delta
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        fold_rollup_batch(
+            batch_df.sparkSession, batch_df, state_path, batch_id, keys, val
         )
 
     return (
@@ -271,3 +266,38 @@ def streaming_continuous_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_rollup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    val: str = "value",
+) -> bool:
+    """Fold one micro-batch into the persisted rollup state,
+    idempotently: the state carries ``__last_batch_id`` (same value on
+    every row); a batch at or below it was already applied and is
+    skipped. Returns whether the batch was applied."""
+    from hours_api_clickup_spark.operators.incremental import (
+        merge_rollup_states,
+        partial_rollup,
+    )
+
+    delta = partial_rollup(batch_df, list(keys), val)
+    try:
+        prev = spark.read.parquet(state_path)
+    except Exception:  # first batch: no state yet
+        prev = None
+    if prev is not None:
+        applied = prev.agg(F.max("__last_batch_id")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return False
+        merged = merge_rollup_states(prev.drop("__last_batch_id"), delta)
+    else:
+        merged = delta
+    merged.withColumn(
+        "__last_batch_id", F.lit(int(batch_id))
+    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    return True

@@ -601,7 +601,9 @@ def test_streaming_continuous_rollup_resumes_exactly_once(spark, tmp_path):
     got = sorted(
         map(
             tuple,
-            finalize_rollup(spark.read.parquet(state), "value").collect(),
+            finalize_rollup(
+                spark.read.parquet(state).drop("__last_batch_id"), "value"
+            ).collect(),
         )
     )
     want = sorted(
@@ -614,3 +616,32 @@ def test_streaming_continuous_rollup_resumes_exactly_once(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_fold_rollup_batch_redelivery_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once; the fold must make re-delivery
+    idempotent. Applying the same batch_id twice changes nothing; the
+    next batch_id still folds."""
+    from hours_api_clickup_spark.operators.incremental import (
+        finalize_rollup,
+        partial_rollup,
+    )
+    from hours_api_clickup_spark.streaming.refresh import fold_rollup_batch
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0)],
+        "user_id long, event_type string, value double",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a", 5.0)], "user_id long, event_type string, value double"
+    )
+    assert fold_rollup_batch(spark, b1, state, batch_id=0) is True
+    assert fold_rollup_batch(spark, b1, state, batch_id=0) is False  # replay
+    assert fold_rollup_batch(spark, b2, state, batch_id=1) is True
+    assert fold_rollup_batch(spark, b2, state, batch_id=1) is False  # replay
+
+    [row] = finalize_rollup(
+        spark.read.parquet(state).drop("__last_batch_id"), "value"
+    ).collect()
+    assert (row.n, row.total_value) == (3, 10.0)
