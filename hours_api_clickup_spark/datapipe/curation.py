@@ -915,3 +915,95 @@ def gopher_oracle_sql(table: str, id_col: str, text_col: str) -> str:
                 AND dup_bigram_frac <= {DUP_BIGRAM_FRAC_MAX}) AS keep
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation: per-domain caps
+# ---------------------------------------------------------------------------
+
+DOMAINS = (
+    "news.example.org",
+    "blog.example.io",
+    "docs.example.net",
+    "mega.example.com",  # the hot domain: ids with pmod >= 3 all land here
+)
+
+
+def synthesize_urls(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministically attach a source URL column (the sandbox corpus
+    has none) with a deliberately SKEWED domain mix — most ids land on
+    one hot domain, the regime per-domain caps exist for."""
+    did = _c(id_col)
+    idx = F.least(F.pmod(did, F.lit(8)), F.lit(3))  # 5/8 of ids → hot
+    domain = F.element_at(
+        F.array(*[F.lit(d) for d in DOMAINS]), (idx + 1).cast("int")
+    )
+    return df.withColumn(
+        "url", F.concat(F.lit("https://"), domain, F.lit("/doc/"), did)
+    )
+
+
+def extract_domain(url: Column | str) -> Column:
+    """Registrable host of an URL (scheme://host/...), '' when absent."""
+    return F.regexp_extract(_c(url), r"^[a-z]+://([^/]+)/", 1)
+
+
+def cap_per_domain(
+    df: DataFrame, url_col: str, id_col: str, n: int = 20
+) -> DataFrame:
+    """Common-Crawl-style per-domain document cap: keep at most ``n``
+    documents per registrable domain, chosen by the deterministic Knuth
+    id hash (a reproducible uniform sample of the domain, not "first n
+    crawled" — crawl order is biased). The standard counter to domain
+    skew in web corpora (C4/CCNet keep per-host quotas).
+
+    Scale shape: rank-within-domain is a ranking window, so Spark's
+    WindowGroupLimit keeps ≤ n rows per domain PER PARTITION before the
+    single domain-key shuffle — the hot domain contributes n rows per
+    input partition, never its full row count (plan-gated).
+    """
+    from hours_api_clickup_spark.datapipe.sampling import KNUTH_A, _MOD_31, _MOD_32
+    from pyspark.sql import Window
+
+    did = _c(id_col)
+    bucket = F.pmod(
+        F.pmod(did.cast("long"), F.lit(_MOD_31)) * F.lit(KNUTH_A), F.lit(_MOD_32)
+    )
+    domain = extract_domain(url_col).alias("domain")
+    w = Window.partitionBy("domain").orderBy(F.col("__b").asc(), did.asc())
+    return (
+        df.select(did.alias(id_col), domain, bucket.alias("__b"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .select(id_col, "domain")
+    )
+
+
+def cap_per_domain_oracle_sql(
+    table: str, id_col: str, n: int = 20
+) -> str:
+    """DuckDB twin: same synthesized URLs, same hash order, same cap."""
+    from hours_api_clickup_spark.datapipe.sampling import KNUTH_A, _MOD_31, _MOD_32
+
+    domains = ", ".join(f"'{d}'" for d in DOMAINS)
+    return f"""
+    WITH u AS (
+        SELECT {id_col},
+               'https://' || [{domains}][LEAST({id_col} % 8, 3) + 1]
+                   || '/doc/' || {id_col} AS url
+        FROM {table}
+    ),
+    d AS (
+        SELECT {id_col},
+               regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS domain,
+               (({id_col} % {_MOD_31}) * {KNUTH_A}) % {_MOD_32} AS b
+        FROM u
+    ),
+    r AS (
+        SELECT {id_col}, domain,
+               row_number() OVER (PARTITION BY domain ORDER BY b, {id_col})
+                   AS rk
+        FROM d
+    )
+    SELECT {id_col}, domain FROM r WHERE rk <= {n}
+    """

@@ -3554,6 +3554,39 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domain_cap_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.curation import (
+        cap_per_domain_oracle_sql,
+    )
+
+    return cap_per_domain_oracle_sql("documents", "doc_id", n=20)
+
+
+@register(
+    "domain_cap_sample",
+    _domain_cap_oracle(),
+    survey_ids="datapipe:domain-caps",
+    doc="Common-Crawl-style per-domain document caps (the C4/CCNet "
+    "per-host quota): keep ≤ 20 docs per registrable domain, chosen by "
+    "the deterministic Knuth id hash (a uniform sample of the domain, "
+    "not crawl order). URLs are synthesized deterministically with a "
+    "deliberately skewed mix — one hot domain holds 5/8 of the corpus, "
+    "the regime the cap exists for. Scale shape: WindowGroupLimit "
+    "bounds the hot domain to n rows PER PARTITION before its single "
+    "key shuffle (plan-gated), so domain skew never concentrates.",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.curation import (
+        cap_per_domain,
+        synthesize_urls,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_domain(
+        synthesize_urls(docs, "doc_id"), "url", "doc_id", n=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

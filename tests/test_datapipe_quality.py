@@ -816,3 +816,30 @@ def test_asof_join_forward_and_tolerance_semantics(spark):
             ).collect()
         }
         assert got[1] == 20
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Regenerated-testdata guard: blank/short documents and empty
+    frames must not break the round-3 operators."""
+    from hours_api_clickup_spark.datapipe.curation import gopher_quality_filter
+    from hours_api_clickup_spark.datapipe.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "only four tokens here"),
+         (4, "a a a a a a a a")],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, "doc_id", "text", k=5).collect()
+    # doc 4: every 5-gram is 'a a a a a' (4 positions, all duplicated)
+    assert {r.doc_id for r in spans} == {4}
+    assert spans[0].span_len == 8
+
+    g = {r.doc_id: r for r in gopher_quality_filter(docs, "doc_id", "text").collect()}
+    assert len(g) == 4
+    assert g[1].n_tokens == 0 and g[1].keep is False
+    assert g[2].n_tokens == 0 and g[2].keep is False
+    assert g[4].ok_repetition is False
+
+    empty = docs.filter("doc_id < 0")
+    assert duplicated_spans(empty, "doc_id", "text").count() == 0
+    assert gopher_quality_filter(empty, "doc_id", "text").count() == 0

@@ -310,3 +310,11 @@ def test_incremental_rollup_merges_state_not_history(spark):
     plan = _plan(spark, "rollup_incremental_merge", "formatted")
     assert plan.count("HashAggregate") >= 4, plan  # 2 partials × 2 slices
     assert "Join" not in plan, plan
+
+
+def test_domain_cap_window_group_limit(spark):
+    """The per-domain cap must push the k-heap below the shuffle: the
+    hot domain contributes <= n rows per input partition, never its
+    full row count."""
+    plan = _plan(spark, "domain_cap_sample", "formatted")
+    assert "WindowGroupLimit" in plan, plan
