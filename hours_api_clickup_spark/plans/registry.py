@@ -3588,6 +3588,202 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval family: filtered ANN, lexical search, hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("window", "merge", "vector")
+
+
+def _text_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc lexical score Σ_t tf_t · N / df_t over the fixed query
+    terms (linear idf — IEEE mul/div hash-matches across engines; ln
+    would not, same rationale as doc_tfidf_topk). tf is a projection
+    (no explode); the corpus stats are ONE tiny agg broadcast back."""
+    from hours_api_clickup_spark.datapipe.textstats import tokens
+
+    def _tf(i: int, t: str):
+        # a 2-arg lambda would make F.filter pass the array INDEX as
+        # the second argument — close over the term instead
+        return F.size(
+            F.filter(tokens("text"), lambda x: x == F.lit(t))
+        ).alias(f"tf{i}")
+
+    tf_cols = [_tf(i, t) for i, t in enumerate(_SEARCH_TERMS)]
+    per_doc = docs.select(F.col("doc_id"), *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_SEARCH_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_SEARCH_TERMS)):
+        term = F.when(
+            F.col(f"df{i}") > 0,
+            (F.col(f"tf{i}") * F.col("n")) / F.col(f"df{i}"),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id", score.alias("score")
+    )
+
+
+def _text_scores_ctes() -> str:
+    """CTE prefix shared by the lexical-search oracles: ends at a
+    ``scored(doc_id, score)`` CTE so callers append their own final
+    SELECT (or further CTEs)."""
+    tfs = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_SEARCH_TERMS)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_SEARCH_TERMS))
+    )
+    score = " + ".join(
+        f"CASE WHEN df{i} > 0 THEN (tf{i} * n) / df{i} ELSE 0.0 END"
+        for i in range(len(_SEARCH_TERMS))
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')
+                    ELSE [] END AS t
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id,
+               {tfs}
+        FROM d
+    ),
+    s AS (SELECT COUNT(*) AS n, {dfs} FROM tf),
+    scored AS (SELECT doc_id, {score} AS score FROM tf, s)
+    """
+
+
+@register(
+    "text_search_topk",
+    _text_scores_ctes()
+    + "\n    SELECT doc_id, score FROM scored"
+    + "\n    ORDER BY score DESC, doc_id LIMIT 10",
+    survey_ids="datapipe:text-search",
+    doc="Lexical top-k retrieval (BM25-lite: tf · linear-idf over the "
+    "fixed query terms). tf is a pure projection per term — no explode, "
+    "no token shuffle; corpus df/N is ONE tiny aggregate broadcast "
+    "back; top-k is TakeOrderedAndProject. The linear idf keeps the "
+    "score IEEE-identical in DuckDB so the floats hash-match.",
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _text_scores(docs)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "knn_filtered",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS nbr_id
+    FROM embeddings, q
+    WHERE vec_id <> 0 AND label = 2
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
+    LIMIT 10
+    """,
+    survey_ids="datapipe:similarity-filtered",
+    doc="Metadata-filtered ANN (the vector-store hybrid-filter query): "
+    "exact cosine top-10 restricted to label = 2. The predicate lands "
+    "BEFORE scoring — pushed to the scan, so only the filtered slice "
+    "is ever scored; on the persisted IVF/LSH indexes the same filter "
+    "rides the partition-pruned probe.",
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return brute_force_topk(
+        emb.filter(F.col("label") == 2),
+        "embedding",
+        "vec_id",
+        qv,
+        k=10,
+        exclude_id=0,
+    ).select("nbr_id")
+
+
+@register(
+    "hybrid_search_rrf",
+    _text_scores_ctes().rstrip()
+    + """,
+    t50 AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS rank_text
+        FROM (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id
+              LIMIT 50) ranked_t
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    v50 AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_vec
+        FROM (SELECT vec_id,
+                     list_cosine_similarity(embedding::DOUBLE[], qv) AS cos
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 50) ranked_v
+    )
+    SELECT COALESCE(t50.doc_id, v50.doc_id) AS doc_id,
+           rank_text, rank_vec,
+           COALESCE(1.0 / (60 + rank_text), 0.0)
+               + COALESCE(1.0 / (60 + rank_vec), 0.0) AS rrf
+    FROM t50 FULL OUTER JOIN v50 ON t50.doc_id = v50.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    survey_ids="datapipe:hybrid-search",
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009, the standard lexical+vector fusion): top-50 lexical ranks "
+    "and top-50 cosine ranks (documents ↔ embeddings share ids) fuse "
+    "as Σ 1/(60+rank). Both candidate lists reduce to 50 rows via "
+    "TakeOrderedAndProject BEFORE any single-partition ranking window "
+    "touches them — the global row_number only ever sees k rows. Ranks "
+    "are integers and the RRF sum is two fixed-order IEEE terms, so "
+    "the floats hash-match.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+
+    w_t = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    t50 = (
+        _text_scores(docs)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn("rank_text", F.row_number().over(w_t))
+        .select("doc_id", "rank_text")
+    )
+    w_v = Window.orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    v50 = (
+        brute_force_topk(emb, "embedding", "vec_id", qv, k=50, exclude_id=0)
+        .withColumn("rank_vec", F.row_number().over(w_v))
+        .select(F.col("nbr_id").alias("doc_id"), "rank_vec")
+    )
+    fused = t50.join(v50, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_text",
+        "rank_vec",
+        (
+            F.coalesce(1.0 / (F.lit(60) + F.col("rank_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("rank_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
 # parity gate (tests/test_oracle_parity.py). Round 2 left 28 entries
