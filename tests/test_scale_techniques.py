@@ -686,3 +686,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Long-lived fact tables gain columns over time; readers must see
+    the union schema with nulls for files written before the column
+    existed (mergeSchema read — the parquet schema-evolution path)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, 10.0)], "id long, value double"
+    ).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(2, 20.0, "eu")], "id long, value double, region string"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "value", "region"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].region is None and rows[2].region == "eu"
+    # old-schema filters still prune: predicate on the late column
+    # keeps only files that can match
+    assert merged.filter(F.col("region") == "eu").count() == 1
