@@ -707,3 +707,47 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     # old-schema filters still prune: predicate on the late column
     # keeps only files that can match
     assert merged.filter(F.col("region") == "eu").count() == 1
+
+
+def test_filtered_probe_on_persisted_ivf_index(spark, tmp_path):
+    """Metadata filters compose with the persisted-index probe: the
+    label predicate applies to the pruned candidate scan (index rows
+    keep their metadata columns), and with every cluster probed the
+    filtered probe equals the filtered brute force exactly."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        brute_force_topk,
+        ivf_index_read,
+        ivf_index_write,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, "embedding", "vec_id", path, cents)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    cand = ivf_index_read(spark, path).filter(F.col("label") == 2)
+    got = [
+        r.nbr_id
+        for r in brute_force_topk(
+            cand, "embedding", "vec_id", qv, k=10, exclude_id=0
+        ).collect()
+    ]
+    want = [
+        r.nbr_id
+        for r in brute_force_topk(
+            emb.filter(F.col("label") == 2),
+            "embedding",
+            "vec_id",
+            qv,
+            k=10,
+            exclude_id=0,
+        ).collect()
+    ]
+    assert got == want
+    labels = dict(emb.select("vec_id", "label").collect())
+    assert all(labels[i] == 2 for i in got)
