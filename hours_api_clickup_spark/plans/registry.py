@@ -3783,6 +3783,83 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
 
 
+_FUNNEL_STEP_S = 86400  # each step must follow within 24 h
+
+
+@register(
+    "funnel_analysis",
+    f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+         AND epoch_ms(e.ts) - epoch_ms(v.t1) <= {_FUNNEL_STEP_S} * 1000
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+         AND epoch_ms(e.ts) - epoch_ms(c.t2) <= {_FUNNEL_STEP_S} * 1000
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    survey_ids="datapipe:funnel",
+    doc="Ordered-sequence funnel (view → click-within-24h → purchase-"
+    "within-24h-of-that): per-user first-view, then first click AFTER "
+    "it inside the step window, then first purchase after THAT; counts "
+    "per stage (150 → 60 → 25 at sf0.01 — real drop-off). Each stage "
+    "is one keyed aggregation plus one equi-join on the user key "
+    "carrying ONE row per qualifying user — the chain reuses the key "
+    "partitioning and no stage materializes event pairs. The "
+    "sequential-pattern surface (MATCH_RECOGNIZE-lite) event "
+    "warehouses ship as funnel().",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    step_ms = _FUNNEL_STEP_S * 1000
+
+    def first_after(
+        etype: str, prev: DataFrame | None, t_prev: str, t_out: str
+    ) -> DataFrame:
+        step = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(
+                (F.col("ts") > F.col(t_prev))
+                & (
+                    F.unix_millis(F.col("ts"))
+                    - F.unix_millis(F.col(t_prev))
+                    <= step_ms
+                )
+            )
+        return step.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in (
+            (v, "n_view"),
+            (c, "n_view_click"),
+            (p, "n_view_click_purchase"),
+        )
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
@@ -3823,6 +3900,13 @@ _FRONT = [
     "doc_oov_rate",
     "doc_tfidf_topk",
     "embedding_quantize_int8",
+]
+
+# Green in BOTH r1 and r2 — proven twice; rotate to the back. The
+# once-green blocks lead (r1-only first: oldest evidence) so they take
+# whatever window slots remain after the never-checked entries and
+# this round's new queries.
+_TWICE_GREEN = [
     # -- green in r1 only (rotated out of the r2 window) --
     "time_bucket_rollup",
     "data_quality_report",
@@ -3832,12 +3916,6 @@ _FRONT = [
     "stratified_sample_counts",
     "sequence_packing",
     "weighted_corpus_mix",
-]
-
-# Green in BOTH r1 and r2 — proven twice; rotate to the back. The
-# r2-only block leads so it takes whatever window slots remain after
-# the never-checked entries and this round's new queries.
-_TWICE_GREEN = [
     # -- green in r2 only --
     "dedup_minhash_lsh",
     "dedup_simhash",
