@@ -89,6 +89,23 @@ def main() -> None:
     timings["pipeline_refresh_composite"] = round(comp, 3)
     print(f"# pipeline_refresh_composite: median {comp:.3f}s", file=sys.stderr)
 
+    # The training-data product as ONE timed unit: quality gate → span
+    # dedup → MinHash near-dup manifest → decontaminate → split. Like
+    # the refresh composite it re-times queries already counted, so it
+    # is reported but NOT added to ``value``.
+    CURATION = (
+        "gopher_quality_filter",
+        "dedup_span_ngram",
+        "dedup_corpus_manifest",
+        "decontaminate_corpus",
+        "dataset_split_assign",
+    )
+    cur = statistics.median(
+        sum(run_once(name) for name in CURATION) for _ in range(N_RUNS)
+    )
+    timings["pipeline_curation_composite"] = round(cur, 3)
+    print(f"# pipeline_curation_composite: median {cur:.3f}s", file=sys.stderr)
+
     # Ingest-time artifacts (LSH pair table, persisted ANN indexes) are
     # session-cached, so the medians above measure steady-state QUERY
     # cost. Report the cold build+first-query cost explicitly so the
