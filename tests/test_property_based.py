@@ -411,3 +411,127 @@ def test_exact_quantiles_match_builtin_percentile(spark, values, qs):
     for g, e in zip(got, exp):
         assert g is not None and e is not None
         assert math.isclose(g, e, rel_tol=1e-12, abs_tol=1e-9), (g, e, values, qs)
+
+
+def _spans_reference(docs: dict[int, list[str]], k: int, min_count: int):
+    """Pure-Python reference for duplicated_spans: gram counts over the
+    whole corpus, then per-doc merge of overlapping/adjacent positions."""
+    from collections import Counter
+
+    gram_counts: Counter = Counter()
+    positions: dict[int, list[int]] = {}
+    for did, toks in docs.items():
+        positions[did] = []
+        for i in range(len(toks) - k + 1):
+            gram_counts[" ".join(toks[i : i + k])] += 1
+    dup = {g for g, c in gram_counts.items() if c >= min_count}
+    out = []
+    for did, toks in docs.items():
+        hits = [
+            i + 1  # 1-based
+            for i in range(len(toks) - k + 1)
+            if " ".join(toks[i : i + k]) in dup
+        ]
+        span: list[int] = []
+        for i in hits:
+            if span and i - span[-1] <= k:
+                span.append(i)
+            else:
+                if span:
+                    out.append((did, span[0], span[-1] + k - 1, len(span)))
+                span = [i]
+        if span:
+            out.append((did, span[0], span[-1] + k - 1, len(span)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_duplicated_spans_match_reference(spark, token_lists):
+    from hours_api_clickup_spark.datapipe.dedup import duplicated_spans
+
+    k = 3
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    ).repartition(3)
+    got = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.n_dup_grams)
+        for r in duplicated_spans(df, "doc_id", "text", k=k).collect()
+    )
+    assert got == _spans_reference(docs, k, 2)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key
+            st.integers(min_value=0, max_value=400_000),  # ts seconds
+            st.integers(min_value=0, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): total order
+    )
+)
+def test_gapfill_locf_matches_reference(spark, rows):
+    """Pure-Python gap-fill reference: bucket floor, keep latest obs per
+    bucket, dense grid, carry forward."""
+    import datetime as dt
+
+    from hours_api_clickup_spark.operators.timeseries import gapfill_locf
+
+    step = 3600
+    epoch = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, k, epoch + dt.timedelta(seconds=ts), float(v))
+            for i, (k, ts, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    ).repartition(3)
+
+    base_s = int(epoch.replace(tzinfo=dt.timezone.utc).timestamp())
+    by_key: dict[int, dict[int, tuple]] = {}
+    for i, (k, ts, v) in enumerate(rows):
+        b = base_s + (ts // step) * step
+        cur = by_key.setdefault(k, {})
+        cand = (ts, float(v), i)
+        if b not in cur or cand > cur[b]:
+            cur[b] = cand
+    want = []
+    for k, buckets in by_key.items():
+        lo, hi = min(buckets), max(buckets)
+        last = None
+        for b in range(lo, hi + step, step):
+            if b in buckets:
+                last = buckets[b][1]
+                want.append((k, b, last, False))
+            else:
+                want.append((k, b, last, True))
+    got = sorted(
+        (r.user_id, r.bucket_start_s, r.value_filled, r.is_gap)
+        for r in gapfill_locf(
+            df, "user_id", "ts", "value", step_seconds=step,
+            tiebreak="event_id",
+        ).collect()
+    )
+    assert got == sorted(want)
