@@ -1,0 +1,95 @@
+"""Versioned snapshot store: atomic-publish time travel for managed
+tables.
+
+The reference keeps timestamped CSV backups next to every sync
+(``fetch_clickup_data.py:1780-1782``) — its crude answer to "what did
+the table look like before this run?". The scale-correct form is
+immutable versioned snapshots with an atomically-published pointer
+(the idea behind Delta/Iceberg metadata, reduced to its parquet-only
+core):
+
+- every write lands in a fresh ``{path}/v=N`` directory — existing
+  versions are never mutated, so concurrent readers of any version are
+  safe;
+- readers resolve the CURRENT version through ``_LATEST``, a one-line
+  pointer file written last — a crash mid-write leaves a dangling
+  ``v=N`` directory but never a corrupt table (publish is the pointer
+  rename, effectively atomic);
+- time travel = read an explicit older version;
+- ``prune_snapshots`` bounds storage (never removes the published
+  version).
+
+This intentionally does NOT implement multi-writer commit protocols
+(that is a table format's job); single-writer pipelines — this repo's
+sync model — get crash-safe snapshots and time travel with zero
+dependencies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def latest_version(path: str) -> int | None:
+    """The PUBLISHED version (pointer file), or None for an empty store.
+    Dangling ``v=N`` dirs from interrupted writes are ignored."""
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Write ``df`` as the next immutable version and publish it.
+    Returns the new version number."""
+    current = latest_version(path)
+    next_v = 0 if current is None else current + 1
+    # skip over dangling unpublished dirs from interrupted writes
+    taken = set(_versions(path))
+    while next_v in taken:
+        next_v += 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={next_v}"))
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(next_v))
+    os.replace(tmp, os.path.join(path, _POINTER))  # atomic publish
+    return next_v
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the published version, or time-travel to an explicit one."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published snapshot at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def prune_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` PUBLISHED-or-older
+    versions; the published version itself is always kept. Returns the
+    removed version numbers."""
+    import shutil
+
+    published = latest_version(path)
+    removable = [v for v in _versions(path) if v != published]
+    doomed = removable[: max(0, len(removable) - (keep_last - 1))]
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"v={v}"))
+    return doomed

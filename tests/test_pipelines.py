@@ -645,3 +645,39 @@ def test_fold_rollup_batch_redelivery_is_noop(spark, tmp_path):
         spark.read.parquet(state).drop("__last_batch_id"), "value"
     ).collect()
     assert (row.n, row.total_value) == (3, 10.0)
+
+
+def test_versioned_snapshots_time_travel_and_prune(spark, tmp_path):
+    from hours_api_clickup_spark.sinks.versioned import (
+        latest_version,
+        prune_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    v0 = write_snapshot(spark.range(3).withColumn("tag", F.lit("a")), path)
+    v1 = write_snapshot(spark.range(5).withColumn("tag", F.lit("b")), path)
+    v2 = write_snapshot(spark.range(7).withColumn("tag", F.lit("c")), path)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert latest_version(path) == 2
+
+    # current read sees the newest; time travel sees history unchanged
+    assert read_snapshot(spark, path).count() == 7
+    assert read_snapshot(spark, path, version=0).count() == 3
+    assert read_snapshot(spark, path, version=1).count() == 5
+
+    # a dangling unpublished dir (simulated crash) is skipped, never read
+    import os
+
+    os.makedirs(os.path.join(path, "v=3"))
+    assert latest_version(path) == 2
+    v3 = write_snapshot(spark.range(1).withColumn("tag", F.lit("d")), path)
+    assert v3 == 4  # skipped over the dangling v=3
+    assert read_snapshot(spark, path).count() == 1
+
+    # prune keeps the published version and the most recent history
+    removed = prune_snapshots(path, keep_last=2)
+    assert 4 not in removed
+    assert read_snapshot(spark, path).count() == 1
+    assert latest_version(path) == 4
