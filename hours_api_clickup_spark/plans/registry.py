@@ -3993,6 +3993,59 @@ def q_generator_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "array_functions_surface",
+    """
+    WITH b AS (
+        SELECT p_partkey,
+               string_split(p_type, ' ') AS words,
+               string_split(p_name, ' ') AS name_words
+        FROM part
+    )
+    SELECT p_partkey,
+           list_sort(list_distinct(list_concat(words, name_words)))
+               AS union_sorted,
+           list_sort(list_intersect(words, name_words)) AS intersect_sorted,
+           list_sort(list_filter(words, w -> NOT list_contains(name_words, w)))
+               AS except_sorted,
+           list_contains(words, 'PROMO') AS has_promo,
+           words[1:2] AS head2,
+           CAST(len(flatten([words, name_words])) AS INT) AS n_all,
+           array_to_string(list_reverse_sort(words), '|') AS rev_sorted_csv
+    FROM b
+    """,
+    survey_ids="§2.10-array",
+    doc="Array/set scalar surface: union (distinct ∘ concat), "
+    "intersect, except (filter ∘ NOT contains — the form that works "
+    "identically in both engines), contains, slice, flatten, reverse-"
+    "sorted join. Every array-valued output is explicitly sorted so "
+    "the hash compare never depends on engine-internal set order. "
+    "Projection-only, codegen'd.",
+)
+def q_array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    name_words = F.split("p_name", " ")
+    b = part.select(
+        "p_partkey", words.alias("words"), name_words.alias("name_words")
+    )
+    w, nw = F.col("words"), F.col("name_words")
+    return b.select(
+        "p_partkey",
+        F.array_sort(F.array_distinct(F.concat(w, nw))).alias("union_sorted"),
+        F.array_sort(F.array_intersect(w, nw)).alias("intersect_sorted"),
+        F.array_sort(
+            F.filter(w, lambda x: ~F.array_contains(nw, x))
+        ).alias("except_sorted"),
+        F.array_contains(w, "PROMO").alias("has_promo"),
+        F.slice(w, 1, 2).alias("head2"),
+        F.size(F.flatten(F.array(w, nw))).alias("n_all"),
+        F.array_join(F.reverse(F.array_sort(w)), "|").alias(
+            "rev_sorted_csv"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
@@ -4105,6 +4158,7 @@ _TWICE_GREEN = [
     "regex_surface",
     "conditional_null_surface",
     "generator_surface",
+    "array_functions_surface",
 ]
 
 
