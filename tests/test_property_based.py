@@ -535,3 +535,68 @@ def test_gapfill_locf_matches_reference(spark, rows):
         ).collect()
     )
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=6,
+            max_size=6,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_semantic_dedup_matches_numpy_reference(spark, vectors):
+    """semantic_dedup ≡ a direct numpy SemDeDup: same seed quantizer,
+    argmax-cosine assignment (lowest-index tie-break), and lower-id
+    within-cluster pruning rule."""
+    import numpy as np
+
+    from hours_api_clickup_spark.datapipe.dedup import KNUTH_A, M31
+    from hours_api_clickup_spark.datapipe.similarity import semantic_dedup
+
+    M32 = 2**32
+    n_clusters, threshold = min(4, len(vectors)), 0.9
+    df = spark.createDataFrame(
+        list(enumerate(vectors)), "vec_id long, embedding array<double>"
+    ).repartition(3)
+
+    ids = list(range(len(vectors)))
+    order = sorted(ids, key=lambda i: (((i % M31) * KNUTH_A) % M32, i))
+    x = np.array(vectors, dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = xn[order[:n_clusters]]
+    assign = np.argmax(xn @ cents.T, axis=1)  # ties → lowest index
+    sims = xn @ xn.T
+    want = {
+        i: (
+            int(assign[i]),
+            any(
+                assign[j] == assign[i] and sims[i, j] >= threshold
+                for j in ids
+                if j < i
+            ),
+        )
+        for i in ids
+    }
+    got = {
+        r.vec_id: (r.cluster_id, r.semantic_dup)
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=n_clusters,
+            threshold=threshold,
+        ).collect()
+    }
+    assert got == want
