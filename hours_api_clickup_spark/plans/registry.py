@@ -4046,6 +4046,38 @@ def q_array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l
+WHERE l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+@register(
+    "correlated_subquery_surface",
+    _Q17_SQL,
+    survey_ids="§2.5-correlated",
+    doc="Correlated scalar subquery (TPC-H Q17 shape): lineitems whose "
+    "quantity is below 20% of their part's average. Catalyst "
+    "DECORRELATES the per-row subquery into one per-part aggregate + "
+    "one equi-join — the plan a hand-writer would build, from the "
+    "declarative form (never a per-row re-scan). Exact-decimal average "
+    "finalized to double keeps the threshold compare engine-identical. "
+    "Entered through spark.sql to exercise the SQL front door the "
+    "DataFrame queries bypass.",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q17_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
@@ -4159,6 +4191,7 @@ _TWICE_GREEN = [
     "conditional_null_surface",
     "generator_surface",
     "array_functions_surface",
+    "correlated_subquery_surface",
 ]
 
 

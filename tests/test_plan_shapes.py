@@ -318,3 +318,13 @@ def test_domain_cap_window_group_limit(spark):
     full row count."""
     plan = _plan(spark, "domain_cap_sample", "formatted")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """The per-row scalar subquery must compile to one per-part
+    aggregate + one equi-join — never a re-scan per outer row."""
+    plan = _plan(spark, "correlated_subquery_surface", "formatted")
+    assert "HashAggregate" in plan, plan
+    assert "Join" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
