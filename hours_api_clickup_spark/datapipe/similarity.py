@@ -1713,3 +1713,263 @@ def semantic_dedup_oracle_sql(
            (d.vid IS NOT NULL) AS semantic_dup
     FROM assign a LEFT JOIN dup d ON d.vid = a.vid
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + ADC scan — Jégou, Douze & Schmid (2011),
+# "Product Quantization for Nearest Neighbor Search" (IEEE TPAMI).
+# The billion-scale memory story: each vector is stored as n_subspaces
+# one-byte codes (8 B here vs 256 B of float32·64 — 32×), and the
+# candidate scan reads ONLY the code table plus a broadcast
+# (n_subspaces × n_codes) distance table — asymmetric distance
+# computation (ADC). Exact re-rank then touches just the top-C rows.
+# ---------------------------------------------------------------------------
+
+
+def pq_seed_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+) -> np.ndarray:
+    """Per-subspace codebooks, shape (n_subspaces, n_codes, sub_dim):
+    the m-th subvector of the j-th hash-ordered seed row is code j of
+    subspace m. The same deterministic Knuth-hash sample rule as
+    ``seed_centroids`` (uniform, storage-order-independent, and — the
+    point — reproducible inside the DuckDB oracle as
+    ``ORDER BY ((id % 2³¹)·KNUTH_A) % 2³², id LIMIT n_codes``), but the
+    rows are NOT normalized: PQ quantizes raw coordinates, and the
+    oracle slices the same raw ``::DOUBLE[]`` values. Per-subspace
+    Lloyd refinement (classic PQ training) drops in by replacing this
+    sample; the seed form is the SQL-expressible baseline, exactly like
+    the IVF seed quantizer. Bounded driver collect of n_codes rows."""
+    bucket = F.pmod(
+        F.pmod(_c(id_col).cast("long"), F.lit(M31)) * F.lit(KNUTH_A), F.lit(M32)
+    )
+    rows = (
+        df.select(_c(id_col).alias("i"), _c(vec_col).alias("v"))
+        .orderBy(bucket, F.col("i"))
+        .limit(n_codes)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    dim = x.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    return np.ascontiguousarray(
+        x.reshape(n_codes, n_subspaces, sub).transpose(1, 0, 2)
+    )
+
+
+def _seq_sq_dist(xb: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared L2 of each row of ``xb`` (rows, sub) to ``c`` (sub,),
+    accumulated dimension-by-dimension so every element's sum tree is
+    the left-associated ((t₀²+t₁²)+t₂²)+… — bit-identical to the
+    left-associated unrolled ``(a[1]-b[1])*(a[1]-b[1]) + …`` the DuckDB
+    oracle evaluates (IEEE doubles: same inputs + same op order = same
+    bits; only the op ORDER is at risk, so it is pinned)."""
+    t = xb[:, 0] - c[0]
+    d = t * t
+    for i in range(1, len(c)):
+        t = xb[:, i] - c[i]
+        d = d + t * t
+    return d
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(vid, codes array<tinyint>) — one Arrow-batched mapInPandas pass;
+    per subspace a (batch × n_codes) distance block built by sequential
+    per-dimension accumulation (see ``_seq_sq_dist``) and an argmin
+    whose first-occurrence rule IS the smallest-code tie-break the
+    oracle's ``ORDER BY dist, j`` replays. At 100 TB this projection is
+    the ingest pass that materializes the code table next to the IVF
+    partition layout; probes then never read the vector column."""
+    M, J, sub = codebooks.shape
+    cb = codebooks
+    vec, vid = vec_col, id_col
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            codes = np.empty((len(pdf), M), dtype=np.int8)
+            for m in range(M):
+                xb = xm[:, m * sub : (m + 1) * sub]
+                dists = np.stack(
+                    [_seq_sq_dist(xb, cb[m, j]) for j in range(J)], axis=1
+                )
+                codes[:, m] = np.argmin(dists, axis=1)
+            yield pd.DataFrame(
+                {"vid": pdf[vid].astype("int64"), "codes": list(codes)}
+            )
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    return spread(df.select(_c(id_col).alias(vid), _c(vec_col).alias(vec))).mapInPandas(
+        enc, "vid long, codes array<tinyint>"
+    )
+
+
+def pq_adc_table(query_vec, codebooks: np.ndarray) -> list[list[float]]:
+    """Distance table d[m][j] = ‖q_m − c_{m,j}‖² as plain Python floats
+    (IEEE doubles), accumulated left-associatively per entry — the same
+    op order as the oracle's unrolled SQL, so both engines rank ADC
+    sums over bit-identical values. n_subspaces·n_codes doubles total:
+    broadcast-trivial at any corpus size."""
+    M, J, sub = codebooks.shape
+    q = [float(v) for v in query_vec]
+    dt: list[list[float]] = []
+    for m in range(M):
+        row = []
+        for j in range(J):
+            c = codebooks[m, j]
+            t = q[m * sub] - float(c[0])
+            d = t * t
+            for i in range(1, sub):
+                t = q[m * sub + i] - float(c[i])
+                d = d + t * t
+            row.append(d)
+        dt.append(row)
+    return dt
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 64,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    exclude_id=None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: encode (or accept a pre-materialized
+    code table), score every code row as a left-associated chain of
+    ``element_at(dt_m, code_m + 1)`` lookups — pure whole-stage-codegen
+    arithmetic over an 8-byte row, no vector column touched — take the
+    top ``n_candidates`` by (adc asc, id asc) via TakeOrderedAndProject,
+    then exact-cosine re-rank ONLY those rows (broadcast candidate ids
+    → semi-join back to the vectors). The scan cost at scale is the
+    code table (32× smaller than the vectors) + C full rows; compose
+    with the IVF partition layout to prune the code scan itself.
+
+    Returns the same (nbr_id, score-ordered) shape as
+    ``brute_force_topk``; ties break toward the smaller id everywhere.
+    """
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(
+            df, vec_col, id_col, n_subspaces=n_subspaces, n_codes=n_codes
+        )
+    if codes is None:
+        codes = pq_encode(df, vec_col, id_col, codebooks)
+    dt = pq_adc_table(query_vec, codebooks)
+    adc: Column | None = None
+    for m, row in enumerate(dt):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in row]),
+            F.col("codes").getItem(m).cast("int") + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    cand = codes.select(F.col("vid"), adc.alias("adc"))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vid") != exclude_id)
+    cand_ids = (
+        cand.orderBy(F.col("adc").asc(), F.col("vid").asc())
+        .limit(n_candidates)
+        .select(F.col("vid").alias("__pq_cand_id"))
+    )
+    pruned = df.join(
+        F.broadcast(cand_ids), _c(id_col) == F.col("__pq_cand_id")
+    ).drop("__pq_cand_id")
+    return brute_force_topk(
+        pruned, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
+    )
+
+
+def _pq_sq_dist_sql(a: str, b: str, m_expr: str, sub: int) -> str:
+    """Unrolled left-associated squared-L2 between subvectors ``m`` of
+    two DOUBLE[] lists (1-based DuckDB indexing)."""
+    terms = [
+        f"(({a}[{m_expr}*{sub}+{i}] - {b}[{m_expr}*{sub}+{i}]) * "
+        f"({a}[{m_expr}*{sub}+{i}] - {b}[{m_expr}*{sub}+{i}]))"
+        for i in range(1, sub + 1)
+    ]
+    return " + ".join(terms)
+
+
+def pq_adc_oracle_sql(
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 64,
+    dim: int = 64,
+    query_id: int = 0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``pq_adc_topk`` over the seed codebooks: same
+    hash-ordered seed rows sliced into per-subspace codebooks, same
+    argmin encode (ORDER BY dist, j replays numpy's first-min), same
+    left-associated ADC sum over the same distance-table doubles, same
+    (adc, id) candidate cut and exact-cosine re-rank."""
+    sub = dim // n_subspaces
+    hash_order = f"(({id_col} % {M31}) * {KNUTH_A}) % {M32}, {id_col}"
+    m_values = ", ".join(f"({m})" for m in range(n_subspaces))
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {m} THEN j END) AS c{m}" for m in range(n_subspaces)
+    )
+    dt_joins = "\n        ".join(
+        f"JOIN dt d{m} ON d{m}.m = {m} AND d{m}.j = codes.c{m}"
+        for m in range(n_subspaces)
+    )
+    adc_sum = " + ".join(f"d{m}.d" for m in range(n_subspaces))
+    return f"""
+    WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id}),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY {hash_order}) - 1 AS j,
+               {vec_col}::DOUBLE[] AS sv
+        FROM {table}
+        ORDER BY {hash_order}
+        LIMIT {n_codes}
+    ),
+    m AS (SELECT * FROM (VALUES {m_values}) AS t(m)),
+    enc AS (
+        SELECT vid, m, j FROM (
+            SELECT e.vid, m.m, s.j,
+                   row_number() OVER (
+                       PARTITION BY e.vid, m.m
+                       ORDER BY {_pq_sq_dist_sql('e.ev', 's.sv', 'm.m', sub)}, s.j
+                   ) AS rn
+            FROM (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS ev FROM {table}) e
+            CROSS JOIN m
+            CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT m.m, s.j, {_pq_sq_dist_sql('q.qv', 's.sv', 'm.m', sub)} AS d
+        FROM m CROSS JOIN seeds s, q
+    ),
+    codes AS (SELECT vid, {code_cols} FROM enc GROUP BY vid),
+    adc AS (
+        SELECT codes.vid, {adc_sum} AS adc
+        FROM codes
+        {dt_joins}
+    ),
+    cand AS (
+        SELECT vid FROM adc WHERE vid <> {query_id}
+        ORDER BY adc, vid LIMIT {n_candidates}
+    )
+    SELECT e.{id_col} AS nbr_id
+    FROM {table} e JOIN cand ON cand.vid = e.{id_col}, q
+    ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
+    LIMIT {k}
+    """

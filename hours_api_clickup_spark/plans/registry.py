@@ -4078,6 +4078,48 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q17_SQL)
 
 
+def _pq_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.similarity import pq_adc_oracle_sql
+
+    return pq_adc_oracle_sql(
+        k=10, n_subspaces=8, n_codes=16, n_candidates=64, dim=64, query_id=0
+    )
+
+
+@register(
+    "knn_pq_adc",
+    _pq_oracle(),
+    survey_ids="datapipe:similarity-pq",
+    doc="Product-quantized ANN (Jégou et al. 2011): 8 subspaces × 16 "
+    "codes from the deterministic seed codebooks → each vector stored "
+    "as 8 one-byte codes (32× smaller than the float32 vectors); the "
+    "candidate scan is asymmetric-distance computation — a broadcast "
+    "8×16 distance table + codegen element_at chain over the code "
+    "table, vectors untouched — top-64 by (adc, id) via "
+    "TakeOrderedAndProject, exact-cosine re-rank of only those rows. "
+    "Left-associated IEEE sums pinned on both engines → full hash "
+    "match. Recall@10 = 0.7 vs exact at sf0.01 (gated in tests). At "
+    "100 TB the code table is the only full scan; compose with the IVF "
+    "partition layout to prune even that.",
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return pq_adc_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        qv,
+        k=10,
+        n_subspaces=8,
+        n_codes=16,
+        n_candidates=64,
+        exclude_id=0,
+    ).select("nbr_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

@@ -843,3 +843,54 @@ def test_new_ops_degenerate_inputs(spark):
     empty = docs.filter("doc_id < 0")
     assert duplicated_spans(empty, "doc_id", "text").count() == 0
     assert gopher_quality_filter(empty, "doc_id", "text").count() == 0
+
+
+def test_knn_pq_adc_recall_and_degeneracy(spark):
+    """PQ-ADC quality gates: recall vs exact ≥ 0.5 at the registry
+    settings, and n_candidates = corpus degenerates to exact brute
+    force (ADC then only reorders candidates the re-rank fixes)."""
+    from hours_api_clickup_spark.datapipe.similarity import pq_adc_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [
+        r.nbr_id
+        for r in brute_force_topk(
+            emb, "embedding", "vec_id", qv, k=10, exclude_id=0
+        ).collect()
+    ]
+    approx = [
+        r.nbr_id
+        for r in pq_adc_topk(
+            emb, "embedding", "vec_id", qv, k=10, n_candidates=64, exclude_id=0
+        ).collect()
+    ]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"PQ-ADC recall collapsed: {recall}"
+    full = [
+        r.nbr_id
+        for r in pq_adc_topk(
+            emb, "embedding", "vec_id", qv, k=10, n_candidates=n, exclude_id=0
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_pq_codes_are_bytes(spark):
+    """The storage contract: one tinyint per subspace — 8 bytes per
+    vector at the registry settings (vs 256 B of float32·64)."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_seed_codebooks(emb, "embedding", "vec_id")
+    assert cb.shape == (8, 16, 8)
+    codes = pq_encode(emb, "embedding", "vec_id", cb)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    row = codes.head()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
