@@ -1973,3 +1973,150 @@ def pq_adc_oracle_sql(
     ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
     LIMIT {k}
     """
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 64,
+    exclude_id=None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): coarse quantizer prunes the scan
+    to ``nprobe`` clusters, PQ-ADC scores only those clusters' byte
+    codes, exact re-rank touches only the top ``n_candidates``. The
+    three-tier cost model the billion-scale systems (FAISS IVF-PQ) run:
+    partition pruning (nprobe/n_clusters of the corpus) × code-table
+    bytes (1/32 of vector bytes) × C full rows. Both quantizers are the
+    deterministic hash-ordered seed rows — the same sample serves as
+    coarse centroids (normalized, cosine role) and PQ codebook slices
+    (raw, L2 role) — so the whole structure is reproducible in the
+    DuckDB oracle (``ivfpq_oracle_sql``) with zero stored model state.
+
+    At 100 TB: persist via ``ivf_index_write`` partitionBy(cluster_id)
+    with the code table alongside (``pq_encode`` at ingest); the probe
+    is then a partition-pruned scan of 8-byte rows."""
+    cents = seed_centroids(df, vec_col, id_col, n_clusters)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cents @ qn), kind="stable")[:nprobe].tolist()
+    assigned = ivf_assign(df, vec_col, cents)
+    pruned = assigned.filter(
+        F.col("cluster_id").isin([int(p) for p in probes])
+    ).drop("cluster_id")
+    cb = pq_seed_codebooks(
+        df, vec_col, id_col, n_subspaces=n_subspaces, n_codes=n_codes
+    )
+    return pq_adc_topk(
+        pruned,
+        vec_col,
+        id_col,
+        query_vec,
+        k=k,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        n_candidates=n_candidates,
+        codebooks=cb,
+        exclude_id=exclude_id,
+    )
+
+
+def ivfpq_oracle_sql(
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 64,
+    dim: int = 64,
+    query_id: int = 0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivfpq_topk``: the IVF oracle's assign/probe CTEs
+    composed with the PQ oracle's enc/dt/adc CTEs, encode restricted to
+    the probed clusters' rows."""
+    sub = dim // n_subspaces
+    hash_order = f"(({id_col} % {M31}) * {KNUTH_A}) % {M32}, {id_col}"
+    m_values = ", ".join(f"({m})" for m in range(n_subspaces))
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {m} THEN j END) AS c{m}" for m in range(n_subspaces)
+    )
+    dt_joins = "\n        ".join(
+        f"JOIN dt d{m} ON d{m}.m = {m} AND d{m}.j = codes.c{m}"
+        for m in range(n_subspaces)
+    )
+    adc_sum = " + ".join(f"d{m}.d" for m in range(n_subspaces))
+    return f"""
+    WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id}),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY {hash_order}) - 1 AS j,
+               {vec_col}::DOUBLE[] AS sv
+        FROM {table}
+        ORDER BY {hash_order}
+        LIMIT {max(n_codes, n_clusters)}
+    ),
+    m AS (SELECT * FROM (VALUES {m_values}) AS t(m)),
+    assign AS (
+        SELECT vid, cid FROM (
+            SELECT e.{id_col} AS vid, s.j AS cid,
+                   row_number() OVER (
+                       PARTITION BY e.{id_col}
+                       ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], s.sv) DESC, s.j
+                   ) AS rn
+            FROM {table} e CROSS JOIN seeds s
+            WHERE s.j < {n_clusters}
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT j AS cid FROM seeds, q
+        WHERE j < {n_clusters}
+        ORDER BY list_cosine_similarity(seeds.sv, q.qv) DESC, j
+        LIMIT {nprobe}
+    ),
+    sub AS (
+        SELECT e.vid, e.ev
+        FROM (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS ev FROM {table}) e
+        JOIN assign a ON a.vid = e.vid
+        JOIN probes p ON p.cid = a.cid
+    ),
+    enc AS (
+        SELECT vid, m, j FROM (
+            SELECT e.vid, m.m, s.j,
+                   row_number() OVER (
+                       PARTITION BY e.vid, m.m
+                       ORDER BY {_pq_sq_dist_sql('e.ev', 's.sv', 'm.m', sub)}, s.j
+                   ) AS rn
+            FROM sub e
+            CROSS JOIN m
+            CROSS JOIN seeds s
+            WHERE s.j < {n_codes}
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT m.m, s.j, {_pq_sq_dist_sql('q.qv', 's.sv', 'm.m', sub)} AS d
+        FROM m CROSS JOIN seeds s, q
+        WHERE s.j < {n_codes}
+    ),
+    codes AS (SELECT vid, {code_cols} FROM enc GROUP BY vid),
+    adc AS (
+        SELECT codes.vid, {adc_sum} AS adc
+        FROM codes
+        {dt_joins}
+    ),
+    cand AS (
+        SELECT vid FROM adc WHERE vid <> {query_id}
+        ORDER BY adc, vid LIMIT {n_candidates}
+    )
+    SELECT e.{id_col} AS nbr_id
+    FROM {table} e JOIN cand ON cand.vid = e.{id_col}, q
+    ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
+    LIMIT {k}
+    """

@@ -4120,6 +4120,55 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("nbr_id")
 
 
+def _ivfpq_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.similarity import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(
+        k=10,
+        n_clusters=16,
+        nprobe=6,
+        n_subspaces=8,
+        n_codes=16,
+        n_candidates=64,
+        dim=64,
+        query_id=0,
+    )
+
+
+@register(
+    "knn_ivfpq",
+    _ivfpq_oracle(),
+    survey_ids="datapipe:similarity-ivfpq",
+    doc="IVFADC (Jégou et al. 2011 §V — the FAISS IVF-PQ structure): "
+    "coarse seed quantizer prunes to nprobe=6 of 16 clusters, PQ-ADC "
+    "scores only those clusters' 8-byte code rows against a broadcast "
+    "8×16 distance table, exact-cosine re-rank of the top-64. The "
+    "three-tier 100 TB cost model: nprobe/n_clusters of the corpus × "
+    "1/32 of the bytes × C full rows. One hash-ordered seed sample "
+    "serves both quantizers (normalized for the cosine coarse role, "
+    "raw slices for the L2 codebook role) → the full structure replays "
+    "in the DuckDB oracle with zero stored model state.",
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivfpq_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        qv,
+        k=10,
+        n_clusters=16,
+        nprobe=6,
+        n_subspaces=8,
+        n_codes=16,
+        n_candidates=64,
+        exclude_id=0,
+    ).select("nbr_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

@@ -894,3 +894,37 @@ def test_pq_codes_are_bytes(spark):
     row = codes.head()
     assert len(row["codes"]) == 8
     assert all(0 <= c < 16 for c in row["codes"])
+
+
+def test_knn_ivfpq_recall(spark):
+    """IVFADC composition: recall holds through BOTH approximation
+    tiers, and widening both tiers to full degenerates to exact."""
+    from hours_api_clickup_spark.datapipe.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [
+        r.nbr_id
+        for r in brute_force_topk(
+            emb, "embedding", "vec_id", qv, k=10, exclude_id=0
+        ).collect()
+    ]
+    approx = [
+        r.nbr_id
+        for r in ivfpq_topk(
+            emb, "embedding", "vec_id", qv, k=10, n_clusters=16, nprobe=6,
+            n_candidates=64, exclude_id=0,
+        ).collect()
+    ]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"IVFADC recall collapsed: {recall}"
+    full = [
+        r.nbr_id
+        for r in ivfpq_topk(
+            emb, "embedding", "vec_id", qv, k=10, n_clusters=4, nprobe=4,
+            n_candidates=n, exclude_id=0,
+        ).collect()
+    ]
+    assert full == exact
