@@ -4169,6 +4169,54 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("nbr_id")
 
 
+_SCD2_SQL = """
+    WITH obs AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               row_number() OVER w AS rn,
+               lag(o_orderpriority) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chg AS (
+        SELECT * FROM obs
+        WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register(
+    "scd2_dim_history",
+    _SCD2_SQL,
+    survey_ids="§2.6-scd2,M1-history",
+    doc="Slowly-changing-dimension Type 2 build: the orders log as an "
+    "attribute-observation stream per customer, collapsed into minimal "
+    "half-open [valid_from, valid_to) intervals with is_current — the "
+    "history the reference's current-state-only dim syncs throw away, "
+    "and the build side of time-travel dimension joins (asof_join is "
+    "the probe side). Change-point lag + interval-stitch lead share "
+    "ONE key shuffle; incremental maintenance (operators/scd.py "
+    "scd2_apply) touches only affected keys, property-tested "
+    "equivalent to the batch rebuild.",
+)
+def q_scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.scd import scd2_compact
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_compact(
+        orders,
+        ["o_custkey"],
+        ["o_orderpriority"],
+        "o_orderdate",
+        ["o_orderkey"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

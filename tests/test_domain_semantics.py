@@ -274,3 +274,81 @@ def test_fact_expectations_on_fixture(spark, flat):
     report2 = {r["check"]: r for r in run_expectations(flat, fact_expectations()).collect()}
     assert not report2["unique[id]"]["passed"]
     assert report2["unique[id]"]["n_violations"] == 2
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_orders(spark):
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    return load_table(spark, SF_DIR, "orders")
+
+
+def test_scd2_compact_intervals_partition_time(spark):
+    """Per key: intervals are contiguous half-open [from, to), exactly
+    one current row, and consecutive intervals differ in the attribute
+    (minimality — no no-op segments)."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.scd import scd2_compact
+
+    hist = scd2_compact(
+        _scd2_orders(spark),
+        ["o_custkey"],
+        ["o_orderpriority"],
+        "o_orderdate",
+        ["o_orderkey"],
+    ).cache()
+    per_key = hist.groupBy("o_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.count("*").alias("n"),
+    )
+    assert per_key.filter("n_current <> 1").count() == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("valid_from")
+    gaps = hist.withColumn("next_from", F.lead("valid_from").over(w)).filter(
+        "valid_to IS DISTINCT FROM next_from"
+    )
+    assert gaps.count() == 0
+    noop = hist.withColumn(
+        "next_attr", F.lead("o_orderpriority").over(w)
+    ).filter("o_orderpriority = next_attr")
+    assert noop.count() == 0
+    hist.unpersist()
+
+
+def test_scd2_apply_equals_batch_rebuild(spark):
+    """Fold the log in three forward-only chunks; the incrementally
+    maintained history must equal the one-shot compact bit-for-bit —
+    including when a chunk's first observation repeats the current
+    attributes (no-op change) and when a key first appears mid-stream."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.scd import scd2_apply, scd2_compact
+
+    orders = _scd2_orders(spark).filter(F.col("o_custkey") < 200)
+    cuts = orders.approxQuantile("o_orderkey", [0.33, 0.66], 0.0)
+    c1, c2 = int(cuts[0]), int(cuts[1])
+    # forward-only per-key chunks: split by date rank within key so each
+    # later chunk is entirely later than the earlier ones per key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.withColumn(
+        "__f", F.ntile(3).over(w)
+    ).cache()
+    args = (["o_custkey"], ["o_orderpriority"], "o_orderdate", ["o_orderkey"])
+    hist = scd2_compact(ranked.filter("__f = 1").drop("__f"), *args)
+    for chunk in (2, 3):
+        hist = scd2_apply(
+            hist, ranked.filter(f"__f = {chunk}").drop("__f"), *args
+        ).localCheckpoint()
+    full = scd2_compact(ranked.drop("__f"), *args)
+    sym_diff = hist.exceptAll(full).count() + full.exceptAll(hist).count()
+    assert sym_diff == 0
+    ranked.unpersist()
