@@ -338,3 +338,75 @@ def tfidf_topk_oracle_sql(
         FROM scored
     ) WHERE rn <= {k}
     """
+
+
+def bpe_merge_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """One iteration of BPE merge-candidate counting at corpus scale
+    (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+    Words with Subword Units" §3.2): the top-k most frequent adjacent
+    symbol pairs, weighted by word frequency.
+
+    The scale move is the order of operations: reduce the corpus to the
+    (word, frequency) VOCABULARY first — one map-side-combining groupBy
+    — and only then explode each distinct word into its |w|−1 adjacent
+    pairs. Pair counting is O(vocab · word-length), independent of how
+    many times each word repeats across 100 TB; the naive
+    pairs-from-every-token form explodes the corpus itself. Iterating
+    the full BPE training loop replays this query on the re-segmented
+    vocab (driver loop, one job per merge — the standard distributed
+    formulation).
+
+    Returns (pair, n_occurrences, n_words), top-k by (count desc,
+    pair) — deterministic cut, TakeOrderedAndProject plan."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "w",
+        "wc",
+        F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
+    ).select("w", "wc", F.expr("substring(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("long").alias("n_occurrences"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bpe_merge_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> str:
+    """DuckDB twin of ``bpe_merge_pairs`` (same explicit whitespace
+    class, same vocab-first reduction, same deterministic cut)."""
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+        FROM {table} WHERE length(trim({text_col})) > 0
+    ),
+    words AS (
+        SELECT w, COUNT(*) AS wc FROM toks WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair, w, wc FROM (
+            SELECT w, wc, unnest(range(1, length(w))) AS i FROM words
+        )
+    )
+    SELECT pair,
+           CAST(SUM(wc) AS BIGINT) AS n_occurrences,
+           COUNT(DISTINCT w) AS n_words
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {k}
+    """

@@ -4320,6 +4320,35 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.textstats import (
+        bpe_merge_pairs_oracle_sql,
+    )
+
+    return bpe_merge_pairs_oracle_sql("documents", "doc_id", "text", k=20)
+
+
+@register(
+    "bpe_merge_pairs",
+    _bpe_oracle(),
+    survey_ids="datapipe:tokenizer-bpe",
+    doc="One BPE merge-candidate iteration (Sennrich et al. 2016 §3.2): "
+    "top-20 adjacent symbol pairs weighted by word frequency. The "
+    "scale move is vocab-first reduction: corpus → (word, freq) via "
+    "one map-side-combining groupBy, THEN explode each distinct word "
+    "into its |w|−1 pairs — pair counting is O(vocab·len), independent "
+    "of corpus repetition; the naive per-token form explodes 100 TB. "
+    "Full BPE training iterates this query over the re-segmented "
+    "vocab. Deterministic (count desc, pair) cut, "
+    "TakeOrderedAndProject.",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.textstats import bpe_merge_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, "doc_id", "text", k=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
