@@ -328,3 +328,52 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "Join" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pq_adc_candidate_join_broadcast_no_sort_shuffle(spark):
+    """PQ-ADC: the candidate cut is TakeOrderedAndProject (per-partition
+    heap, no global-sort exchange) and the join back to the vectors
+    broadcasts the 64-row candidate list — the corpus-side vector scan
+    never shuffles."""
+    plan = _plan(spark, "knn_pq_adc")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_same_guarantees(spark):
+    plan = _plan(spark, "knn_ivfpq")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 windows (change-point lag, interval-stitch lead) ride
+    ONE hash exchange on the key — the second sort/window reuses the
+    first's partitioning instead of reshuffling."""
+    plan = _plan(spark, "scd2_dim_history")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_drift_report_windows_on_bin_aggregate_only(spark):
+    """The single-partition windows run on the ≤20-row bin aggregate —
+    the raw events pass through exactly one map-side-combining
+    aggregation (partial + final HashAggregate pair), and the bounds
+    row arrives broadcast."""
+    plan = _plan(spark, "drift_distribution_report")
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the global window's single-partition exchange must sit ABOVE the
+    # bin aggregate (small input), which the SinglePartition marker shows
+    assert "Exchange SinglePartition" in plan, plan
+
+
+def test_bpe_pairs_vocab_first_then_topk(spark):
+    """BPE pair counting: TakeOrderedAndProject for the cut and two
+    aggregation pairs (vocab reduction, pair counts) — no global sort,
+    no cartesian."""
+    plan = _plan(spark, "bpe_merge_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
