@@ -4349,6 +4349,94 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_pairs(docs, "doc_id", "text", k=20)
 
 
+_RECON_SQL = """
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS li_value,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey
+    ),
+    o AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+    ),
+    rec AS (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only'
+                    WHEN li.l_orderkey IS NULL THEN 'order_only'
+                    ELSE 'both' END AS status,
+               o.o_total, li.li_value, li.n_lines
+        FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT status,
+           COUNT(*) AS n_orders,
+           CAST(COALESCE(SUM(o_total), 0) AS DOUBLE) AS sum_order_total,
+           CAST(COALESCE(SUM(li_value), 0) AS DOUBLE) AS sum_lineitem_value,
+           CAST(COALESCE(SUM(n_lines), 0) AS BIGINT) AS n_lineitems
+    FROM rec GROUP BY status
+"""
+
+
+@register(
+    "full_outer_reconciliation",
+    _RECON_SQL,
+    survey_ids="§2.5-full-outer,§5-verification",
+    doc="Fact-vs-rollup reconciliation: shipped-lineitem value per "
+    "order FULL OUTER JOIN recent orders, classified both / "
+    "order_only / lineitem_only with exact-decimal value totals — the "
+    "cross-system audit every sync pipeline runs (the reference's "
+    "manual COUNT checks, docs/setup.md:93-101, generalized to an "
+    "outer reconciliation). Scale: big-big full outer CANNOT "
+    "broadcast — the plan must be a shuffled sort-merge join on the "
+    "key (plan-gated), then the classification aggregate is map-side "
+    "combining on 3 statuses.",
+)
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(
+            _dec(F.sum(_dec("l_extendedprice", "decimal(18,2)")), "decimal(18,2)").alias(
+                "li_value"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1993-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey", _dec("o_totalprice", "decimal(18,2)").alias("o_total")
+        )
+    )
+    rec = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "full_outer"
+    ).select(
+        F.when(F.col("o_orderkey").isNull(), F.lit("lineitem_only"))
+        .when(F.col("l_orderkey").isNull(), F.lit("order_only"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+        "o_total",
+        "li_value",
+        "n_lines",
+    )
+    return rec.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        F.coalesce(F.sum("o_total"), F.lit(0))
+        .cast("double")
+        .alias("sum_order_total"),
+        F.coalesce(F.sum("li_value"), F.lit(0))
+        .cast("double")
+        .alias("sum_lineitem_value"),
+        F.coalesce(F.sum("n_lines"), F.lit(0))
+        .cast("bigint")
+        .alias("n_lineitems"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

@@ -377,3 +377,12 @@ def test_bpe_pairs_vocab_first_then_topk(spark):
     plan = _plan(spark, "bpe_merge_pairs")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_full_outer_reconciliation_is_sort_merge_not_broadcast(spark):
+    """Big-big full outer cannot broadcast at scale — the gate pins the
+    shuffled sort-merge join so a future stats misestimate can't flip
+    it to a broadcast that OOMs on a real corpus."""
+    plan = _plan(spark, "full_outer_reconciliation")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
