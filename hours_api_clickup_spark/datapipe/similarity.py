@@ -415,6 +415,25 @@ def _fs_exists(spark, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def _fs_swap_dir(spark, live: str, staged: str) -> None:
+    """Replace directory ``live`` with ``staged`` via two renames (the
+    closest a filesystem sink gets to an atomic pointer flip; the
+    versioned snapshot store in sinks/snapshots.py is the true-atomic
+    alternative when readers must never observe the gap)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    live_p = jvm.org.apache.hadoop.fs.Path(live)
+    staged_p = jvm.org.apache.hadoop.fs.Path(staged)
+    fs = live_p.getFileSystem(hconf)
+    old_p = jvm.org.apache.hadoop.fs.Path(live + "__old")
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    if fs.exists(live_p):
+        fs.rename(live_p, old_p)
+    fs.rename(staged_p, live_p)
+    fs.delete(old_p, True)
+
+
 def _delete_partition_dirs(spark, path: str, rel_dirs: list[str]) -> None:
     """Drop partition directories whose every row was removed by an
     upsert: dynamic partition overwrite only rewrites partitions PRESENT
@@ -464,6 +483,13 @@ def lsh_index_upsert(
     Atomicity is per-partition-directory — the same contract as any
     dynamic-overwrite sink (operators/merge.py discusses the trade).
 
+    Cost model: touched-bucket overwrite wins while the batch hits a
+    small fraction of the layout; past ~half the directories (a random
+    batch under the coarse layout) it degrades to ONE read-merge-swap
+    pass writing ``base__staged`` and renaming it in (measured ~0.6×
+    the in-place rewrite, which paid a pruned read + a full merged
+    localCheckpoint + per-directory commits). The branch is automatic.
+
     If no index exists at ``path`` yet, bootstraps via
     ``lsh_index_write`` (first batch = the index). If an append log
     exists it is compacted first — upsert's touched-bucket overwrite is
@@ -499,6 +525,32 @@ def lsh_index_upsert(
         .dropDuplicates()
         .localCheckpoint()  # pin: re-evaluating after the write would re-read the overwritten path
     )
+    # Cost crossover (measured, bench "lsh index ingest" row): the
+    # touched-bucket path pays a pruned read + a full localCheckpoint of
+    # the merged buckets + per-directory dynamic-overwrite commits. When
+    # a batch touches MOST of the coarse layout (a random batch hits
+    # nearly all tables×(2^planes/LSH_COARSE) directories), that costs
+    # ~3× a plain read-merge-rewrite. So degrade to one pass: merged
+    # plan reads base and writes base__staged directly (different path →
+    # no checkpoint needed), then swap directories. Same semantics —
+    # stale rows of re-ingested ids are anti-joined away globally.
+    n_dirs_possible = tables * max(1, (1 << planes) // LSH_COARSE)
+    if touched.count() >= 0.5 * n_dirs_possible:
+        max_seq = index.agg(F.max("seq")).head()[0]
+        new_seq = (max_seq if max_seq is not None else -1) + 1
+        merged = index.join(batch_ids, "vid", "left_anti").select(
+            "vid", "v", "t", "sig", "sb", "seq"
+        ).unionByName(
+            new_rows.select("vid", "v", "t", "sig", "sb").withColumn(
+                "seq", F.lit(new_seq).cast("long")
+            )
+        )
+        staged = f"{path}/base__staged"
+        merged.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+            "sig"
+        ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
+        _fs_swap_dir(spark, f"{path}/base", staged)
+        return
     # broadcast join on the partition columns → dynamic partition
     # pruning: only touched (t, sb) directories are scanned
     pruned = index.join(F.broadcast(touched), ["t", "sb"])
@@ -1317,6 +1369,26 @@ def ivf_index_upsert(
         .dropDuplicates()
         .localCheckpoint()  # pin: must not re-read the path post-write
     )
+    # Same cost crossover as lsh_index_upsert: a batch that touches most
+    # of the n_clusters directories pays more in pruned-read +
+    # checkpoint + per-directory commits than one straight
+    # read-merge-swap pass (measured on the LSH twin, bench "lsh index
+    # ingest" row). Degrade to the swap when ≥ half the layout is hit.
+    cols_all = new_rows.columns
+    if touched.count() >= 0.5 * len(centroids):
+        max_seq = index.agg(F.max("seq")).head()[0]
+        new_seq = (max_seq if max_seq is not None else -1) + 1
+        merged = index.join(
+            batch_ids, F.col(id_col) == F.col("__nid"), "left_anti"
+        ).select(*cols_all, "seq").unionByName(
+            new_rows.withColumn("seq", F.lit(new_seq).cast("long"))
+        )
+        staged = f"{path}/base__staged"
+        merged.repartition(F.col("cluster_id")).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(staged)
+        _fs_swap_dir(spark, f"{path}/base", staged)
+        return
     pruned = index.join(F.broadcast(touched), ["cluster_id"])
     max_seq = pruned.agg(F.max("seq")).head()[0]
     new_seq = (max_seq if max_seq is not None else -1) + 1

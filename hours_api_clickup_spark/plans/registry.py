@@ -4437,6 +4437,123 @@ def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NULLS_ORDER_SQL = """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               NULLIF(o_orderstatus, 'O') AS st
+        FROM orders WHERE o_custkey < 200
+    )
+    SELECT DISTINCT o_custkey,
+           first_value(st) OVER (
+               PARTITION BY o_custkey
+               ORDER BY st ASC NULLS LAST, o_orderkey
+           ) AS first_status_nulls_last,
+           first_value(st) OVER (
+               PARTITION BY o_custkey
+               ORDER BY st DESC NULLS FIRST, o_orderkey
+           ) AS first_status_nulls_first,
+           COUNT(CASE WHEN st IS NULL THEN 1 END) OVER (
+               PARTITION BY o_custkey
+           ) AS n_null_status
+    FROM o
+"""
+
+
+@register(
+    "nulls_ordering_surface",
+    _NULLS_ORDER_SQL,
+    survey_ids="§2.7-null-ordering",
+    doc="Explicit NULLS FIRST/LAST window ordering — pinned on BOTH "
+    "engines because the defaults diverge (Spark ASC puts nulls "
+    "first, DuckDB ASC puts them last): an implicit ORDER BY over a "
+    "nullable key silently reorders between engines; this surface "
+    "locks the explicit forms via the hash match. All three windows "
+    "share one key shuffle.",
+)
+def q_nulls_ordering_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+        )
+    )
+    w_last = Window.partitionBy("o_custkey").orderBy(
+        F.col("st").asc_nulls_last(), F.col("o_orderkey")
+    )
+    w_first = Window.partitionBy("o_custkey").orderBy(
+        F.col("st").desc_nulls_first(), F.col("o_orderkey")
+    )
+    w_all = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        F.first("st").over(w_last).alias("first_status_nulls_last"),
+        F.first("st").over(w_first).alias("first_status_nulls_first"),
+        F.count(F.when(F.col("st").isNull(), F.lit(1))).over(w_all).alias(
+            "n_null_status"
+        ),
+    ).dropDuplicates()
+
+
+_MOVING_7D_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE user_id < 100
+    )
+    SELECT user_id, ms,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_7d,
+           COUNT(*) OVER w AS n_7d
+    FROM e
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ms
+        RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+@register(
+    "moving_window_7d",
+    _MOVING_7D_SQL,
+    survey_ids="§2.7-range-frame",
+    doc="Trailing 7-day moving aggregate per user — a RANGE frame over "
+    "event-time milliseconds (every event sees the true trailing "
+    "window, not a row count): the time-series form ROWS frames "
+    "cannot express when events are irregular. Epoch-ms as the frame "
+    "unit keeps the boundary arithmetic integer-exact on both "
+    "engines; decimal value sums finalize to double once. One key "
+    "shuffle; the frame scan is a per-partition sliding pointer, "
+    "never a self-join.",
+)
+def q_moving_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("ms"),
+            _dec("value", "decimal(18,2)").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "ms",
+        F.sum("v").over(w).cast("double").alias("sum_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

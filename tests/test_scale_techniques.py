@@ -751,3 +751,83 @@ def test_filtered_probe_on_persisted_ivf_index(spark, tmp_path):
     assert got == want
     labels = dict(emb.select("vec_id", "label").collect())
     assert all(labels[i] == 2 for i in got)
+
+
+class TestUpsertBranchParity:
+    """lsh_index_upsert picks touched-bucket overwrite vs read-merge-swap
+    by touched fraction; BOTH branches must preserve upsert ≡ rebuild."""
+
+    def _canon(self, spark, path):
+        from hours_api_clickup_spark.datapipe.similarity import lsh_index_read
+
+        return sorted(
+            (r["t"], r["sig"], r["vid"]) for r in lsh_index_read(spark, path).collect()
+        )
+
+    def test_tiny_batch_takes_dynamic_path(self, spark, tmp_path):
+        """One moved vector touches ≤ 2·tables of 96 dirs → the dynamic
+        touched-bucket branch; result still equals a rebuild."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_upsert,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 400)
+        batch = emb.filter(F.col("vec_id") == 3).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: -x).cast("array<float>"),
+        )
+        inc = str(tmp_path / "inc")
+        lsh_index_write(old, "embedding", "vec_id", inc, dim=64)
+        lsh_index_upsert(batch, "embedding", "vec_id", inc, dim=64)
+        full = str(tmp_path / "full")
+        combined = old.filter(F.col("vec_id") != 3).unionByName(batch)
+        lsh_index_write(combined, "embedding", "vec_id", full, dim=64)
+        assert self._canon(spark, inc) == self._canon(spark, full)
+        # and the staged-swap leftover must not exist on this branch
+        import os
+
+        assert not os.path.exists(f"{inc}/base__staged")
+        assert not os.path.exists(f"{inc}/base__old")
+
+    def test_broad_batch_takes_swap_path(self, spark, tmp_path):
+        """A corpus-wide batch touches ~every dir → the swap branch;
+        no stale base__old/staged dirs survive and probes see one
+        version per id."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_read,
+            lsh_index_upsert,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 400)
+        batch = emb.filter(F.col("vec_id") >= 350)  # 150 vectors, 50 re-ingested
+        inc = str(tmp_path / "inc")
+        lsh_index_write(old, "embedding", "vec_id", inc, dim=64)
+        lsh_index_upsert(batch, "embedding", "vec_id", inc, dim=64)
+        full = str(tmp_path / "full")
+        combined = old.filter(F.col("vec_id") < 350).unionByName(batch)
+        lsh_index_write(combined, "embedding", "vec_id", full, dim=64)
+        assert self._canon(spark, inc) == self._canon(spark, full)
+        import os
+
+        assert not os.path.exists(f"{inc}/base__staged")
+        assert not os.path.exists(f"{inc}/base__old")
+        dupes = (
+            lsh_index_read(spark, inc)
+            .groupBy("vid", "t")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dupes == 0
