@@ -1,0 +1,71 @@
+"""Continuous vector ingestion into the persisted ANN indexes.
+
+The batch ingest grades (``lsh_index_append`` O(batch) LSM log /
+``lsh_index_upsert`` exact / ``lsh_index_write`` rebuild) get their
+streaming face here: a vector stream drains through ``foreachBatch``
+and each micro-batch is signed (one O(batch) GEMM) and committed as ONE
+sorted log file with ``seq = batch_id``.
+
+Exactly-once without a transaction log: foreachBatch is at-least-once —
+a crash between the log append and the checkpoint commit re-delivers
+the batch. Re-delivery re-appends the SAME rows at the SAME ``seq``
+(``batch_id`` is stable across restarts from the streaming checkpoint),
+and the index's merge-on-read resolution (max-seq per vid, duplicate
+(vid, t, seq) rows collapsed by ``lsh_index_compact`` /
+the probes' dropDuplicates) makes the duplicate file invisible — the
+same idempotence-by-key argument ``streaming_continuous_rollup`` makes
+for rollup state, here made by the storage format itself.
+
+At 100 TB this is the ingest topology: streams append O(batch) files
+continuously; ``lsh_index_compact`` folds the log on a scheduled
+cadence; probes stay partition-pruned against ``base`` plus a bounded
+log scan throughout (no index downtime, no read-modify-write on the
+hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from hours_api_clickup_spark.datapipe.similarity import (
+    DEFAULT_PLANES,
+    DEFAULT_TABLES,
+    lsh_index_append,
+)
+
+
+def streaming_lsh_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    dim: int | None = None,
+):
+    """Drain a (id, vector) stream into the LSH index's append log,
+    one sorted log file per micro-batch, ``seq = batch_id``. Returns
+    the started StreamingQuery (availableNow trigger — production runs
+    swap in a processing-time trigger)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        lsh_index_append(
+            batch_df,
+            vec_col,
+            id_col,
+            index_path,
+            planes=planes,
+            tables=tables,
+            dim=dim,
+            seq=int(batch_id),
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -681,3 +681,85 @@ def test_versioned_snapshots_time_travel_and_prune(spark, tmp_path):
     assert 4 not in removed
     assert read_snapshot(spark, path).count() == 1
     assert latest_version(path) == 4
+
+
+def test_streaming_lsh_ingest_equals_batch_index(spark, tmp_path):
+    """Vectors drained through the streaming foreachBatch ingest must
+    produce an index whose live view (base ∪ log, max-seq resolved)
+    equals a one-shot batch build; re-running the stream over the same
+    checkpoint must be a no-op (exactly-once), and probes over both
+    indexes return identical neighbors."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        lsh_index_compact,
+        lsh_index_read,
+        lsh_index_write,
+        lsh_probe_topk,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import streaming_lsh_ingest
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    # stage as 3 files so the file stream delivers multiple micro-batches
+    stage = str(tmp_path / "stage")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_lsh_ingest(stream, idx, ckpt, dim=64)
+    q.awaitTermination(300)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    lsh_index_write(emb, "embedding", "vec_id", batch_idx, dim=64)
+
+    def canon(path):
+        from pyspark.sql import Window
+
+        live = lsh_index_read(spark, path)
+        w = Window.partitionBy("vid")
+        live = (
+            live.withColumn("_mx", F.max("seq").over(w))
+            .filter(F.col("seq") == F.col("_mx"))
+            .dropDuplicates(["vid", "t"])
+        )
+        return sorted((r["t"], r["sig"], r["vid"]) for r in live.collect())
+
+    assert canon(idx) == canon(batch_idx)
+
+    # restart over the same checkpoint: nothing pending → no new files
+    import os
+
+    n_log = len(os.listdir(f"{idx}/log")) if os.path.exists(f"{idx}/log") else 0
+    q2 = streaming_lsh_ingest(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        idx,
+        ckpt,
+        dim=64,
+    )
+    q2.awaitTermination(300)
+    n_log2 = len(os.listdir(f"{idx}/log")) if os.path.exists(f"{idx}/log") else 0
+    assert n_log2 == n_log
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    a = [r["nbr_id"] for r in lsh_probe_topk(spark, idx, qv, k=5, exclude_id=0).collect()]
+    b = [
+        r["nbr_id"]
+        for r in lsh_probe_topk(spark, batch_idx, qv, k=5, exclude_id=0).collect()
+    ]
+    assert a == b
+
+    # compaction folds the streamed log; live view unchanged
+    lsh_index_compact(spark, idx)
+    assert not os.path.exists(f"{idx}/log")
+    assert canon(idx) == canon(batch_idx)
