@@ -4554,6 +4554,67 @@ def q_moving_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COHORT_SQL = """
+    WITH e AS (
+        SELECT user_id,
+               epoch_ms(ts) // 604800000 AS wk,
+               min(epoch_ms(ts) // 604800000)
+                   OVER (PARTITION BY user_id) AS cohort_wk
+        FROM events
+    ),
+    r AS (
+        SELECT cohort_wk, wk - cohort_wk AS week_offset,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM e GROUP BY 1, 2
+    ),
+    c AS (SELECT cohort_wk, n_active AS cohort_size FROM r WHERE week_offset = 0)
+    SELECT r.cohort_wk, r.week_offset, r.n_active, c.cohort_size,
+           CAST(r.n_active AS DOUBLE) / c.cohort_size AS retention
+    FROM r JOIN c ON c.cohort_wk = r.cohort_wk
+"""
+
+
+@register(
+    "cohort_retention",
+    _COHORT_SQL,
+    survey_ids="§2.6-cohort",
+    doc="Weekly cohort-retention matrix: users cohorted by first-seen "
+    "week, per-offset distinct-active counts and retention rate. The "
+    "first-seen week comes from a WINDOW MIN sharing the user-key "
+    "shuffle with the event rows — never a self-join of events to its "
+    "own firsts (the naive form doubles the biggest table's shuffle). "
+    "Week arithmetic is integer epoch-ms division (engine-exact); the "
+    "rate is one double division of exact counts. The offset=0 join "
+    "back is |cohorts| rows — broadcast. At 100 TB COUNT(DISTINCT "
+    "user) per cell would swap to approx_count_distinct exactly as "
+    "agg_approx_stats demonstrates.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # integer epoch-ms floor-division (`div`, not `/`+cast — rounding
+    # differs); DuckDB's // floor-divides the same way on positives
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 604800000").alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    e = e.withColumn("cohort_wk", F.min("wk").over(w))
+    r = (
+        e.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    c = r.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return r.join(F.broadcast(c), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

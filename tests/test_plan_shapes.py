@@ -386,3 +386,13 @@ def test_full_outer_reconciliation_is_sort_merge_not_broadcast(spark):
     plan = _plan(spark, "full_outer_reconciliation")
     assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_cohort_retention_single_event_shuffle_no_self_join(spark):
+    """First-seen week is a window MIN riding the user-key shuffle —
+    the events table is shuffled ONCE; the cohort-size join back is a
+    broadcast of |cohorts| rows, and no sort-merge self-join of events
+    appears."""
+    plan = _plan(spark, "cohort_retention")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
