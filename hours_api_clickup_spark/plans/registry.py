@@ -4615,6 +4615,138 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAKS_SQL = """
+    WITH d AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        FROM events WHERE user_id < 300
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, grp, COUNT(*) AS streak_days
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(streak_days) AS longest_streak_days,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(streak_days) AS BIGINT) AS total_active_days
+    FROM s GROUP BY user_id
+"""
+
+
+@register(
+    "activity_streaks",
+    _STREAKS_SQL,
+    survey_ids="§2.7-gaps-islands",
+    doc="Gaps-and-islands consecutive-day streaks per user (the "
+    "engagement metric behind 'N-day streak' features): distinct "
+    "active days → island id via the day − dense_rank constant-offset "
+    "trick → per-island lengths → per-user longest/count/total. "
+    "Integer day arithmetic end-to-end. The distinct, the window, and "
+    "both groupBys all ride ONE user-key shuffle.",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 300)
+        .select("user_id", F.expr("unix_millis(ts) div 86400000").alias("day"))
+        .dropDuplicates()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.dense_rank().over(w))
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak_days"))
+    return s.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak_days"),
+        F.count("*").alias("n_streaks"),
+        F.sum("streak_days").cast("bigint").alias("total_active_days"),
+    )
+
+
+_IQR_SQL = """
+    WITH q AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 4) AS q1,
+               ROUND(quantile_cont(value, 0.75), 4) AS q3
+        FROM events GROUP BY event_type
+    ),
+    f AS (
+        SELECT event_type,
+               (q1 - (1.5 * (q3 - q1))) AS lo_fence,
+               (q3 + (1.5 * (q3 - q1))) AS hi_fence
+        FROM q
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                      THEN 1 END) AS n_outliers,
+           CAST(COUNT(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                           THEN 1 END) AS DOUBLE) / COUNT(*) AS outlier_rate,
+           f.lo_fence, f.hi_fence
+    FROM events e JOIN f ON f.event_type = e.event_type
+    GROUP BY e.event_type, f.lo_fence, f.hi_fence
+"""
+
+
+@register(
+    "outlier_iqr_flags",
+    _IQR_SQL,
+    survey_ids="datapipe:outlier-iqr",
+    doc="Tukey-fence outlier report per event type: EXACT per-group "
+    "quartiles (the distributed rank machinery of "
+    "exact_quantiles_by_type — never a single-buffer percentile), "
+    "fences q1∓1.5·IQR with a pinned expression tree over "
+    "4-decimal-rounded quartiles (fence vs data compares stay "
+    "engine-identical: data granularity 0.01 ≫ ulp), broadcast of the "
+    "|types|-row fence table back over the stream, one conditional "
+    "aggregate. The robust-statistics complement of the drift report.",
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    q = grouped_exact_quantiles(
+        events, "event_type", "value", [0.25, 0.75], out_names=["q1", "q3"]
+    ).select(
+        "event_type",
+        F.round("q1", 4).alias("q1"),
+        F.round("q3", 4).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        (F.col("q1") - (F.lit(1.5) * (F.col("q3") - F.col("q1")))).alias(
+            "lo_fence"
+        ),
+        (F.col("q3") + (F.lit(1.5) * (F.col("q3") - F.col("q1")))).alias(
+            "hi_fence"
+        ),
+    )
+    flagged = events.join(F.broadcast(f), "event_type")
+    is_out = (F.col("value") < F.col("lo_fence")) | (
+        F.col("value") > F.col("hi_fence")
+    )
+    return flagged.groupBy("event_type", "lo_fence", "hi_fence").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(is_out, F.lit(1))).alias("n_outliers"),
+        (
+            F.count(F.when(is_out, F.lit(1))).cast("double") / F.count("*")
+        ).alias("outlier_rate"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_outliers",
+        "outlier_rate",
+        "lo_fence",
+        "hi_fence",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
