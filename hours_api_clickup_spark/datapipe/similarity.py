@@ -2192,3 +2192,99 @@ def ivfpq_oracle_sql(
     ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFPQ index: the production IVFADC layout — vectors
+# partitioned by coarse cluster with an 8-byte PQ-code SIDECAR per
+# cluster. A probe reads (a) the code sidecar of nprobe partitions
+# (pruned, 1/32 the bytes of the vectors), ADC-scores it, and (b)
+# fetches ONLY the top-C candidate vectors for the exact re-rank.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_write(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> None:
+    """Materialize the IVFADC index: one assignment pass + one encode
+    pass at ingest; ``{path}/base`` holds the vectors partitioned by
+    cluster_id (identical layout to ``ivf_index_write`` — all its
+    append/compact maintenance applies), ``{path}/codes`` holds
+    (vid, codes) partitioned the same way. The sidecar is what probes
+    scan; the base is what the re-rank fetches C rows from."""
+    assigned = ivf_assign(df, vec_col, centroids).withColumn(
+        "seq", F.lit(0).cast("long")
+    ).localCheckpoint()  # one assignment job feeds both writes
+    assigned.repartition(F.col("cluster_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(f"{path}/base")
+    codes = pq_encode(
+        assigned.select(_c(id_col).alias(id_col), _c(vec_col).alias(vec_col)),
+        vec_col,
+        id_col,
+        codebooks,
+    ).join(
+        assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
+    )
+    codes.repartition(F.col("cluster_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(f"{path}/codes")
+
+
+def ivfpq_probe_topk(
+    spark,
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    n_candidates: int = 64,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe the persisted IVFADC index: nprobe partitions of the CODE
+    sidecar are scanned (partition-pruned, 8 B/row), ADC-scored against
+    the broadcast distance table, cut to ``n_candidates`` by (adc, id)
+    — and only those ids are fetched from the vector base (again
+    partition-pruned to the probed clusters) for the exact cosine
+    re-rank. Candidates are identical to ``ivfpq_topk`` with the same
+    quantizers; scan bytes are nprobe/n_clusters × (codes + C vectors).
+    """
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(p) for p in np.argsort(-(centroids @ qn), kind="stable")[:nprobe]]
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cluster_id").isin(probes)
+    )
+    dt = pq_adc_table(query_vec, codebooks)
+    adc: Column | None = None
+    for m, row in enumerate(dt):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in row]),
+            F.col("codes").getItem(m).cast("int") + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    cand = codes.select(F.col("vid"), adc.alias("adc"))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vid") != exclude_id)
+    cand_ids = (
+        cand.orderBy(F.col("adc").asc(), F.col("vid").asc())
+        .limit(n_candidates)
+        .select(F.col("vid").alias("__pq_cand_id"))
+    )
+    base = spark.read.parquet(f"{index_path}/base").filter(
+        F.col("cluster_id").isin(probes)
+    )
+    pruned = base.join(
+        F.broadcast(cand_ids), _c(id_col) == F.col("__pq_cand_id")
+    ).drop("__pq_cand_id")
+    return brute_force_topk(
+        pruned, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
+    )

@@ -4747,6 +4747,54 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_ivfpq_probe",
+    _ivfpq_oracle(),
+    survey_ids="datapipe:similarity-ivfpq-index",
+    doc="The persisted form of knn_ivfpq (the production IVFADC "
+    "layout): vectors partitioned by cluster_id with an 8-byte PQ-code "
+    "SIDECAR per cluster, both materialized at ingest. The probe scans "
+    "the code sidecar of nprobe partitions only (partition-pruned, "
+    "plan-gated — 1/32 the bytes of the vectors), ADC-scores against "
+    "the broadcast distance table, and fetches ONLY the top-64 "
+    "candidate vectors from the pruned base for the exact re-rank. "
+    "Same candidate set as knn_ivfpq, same DuckDB oracle.",
+)
+def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivfpq_index_write,
+        ivfpq_probe_topk,
+        pq_seed_codebooks,
+        seed_centroids,
+    )
+
+    key = ("ivfpq", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+        cb = pq_seed_codebooks(emb, "embedding", "vec_id")
+        index_path = tempfile.mkdtemp(prefix="ivfpq_index_") + "/emb"
+        ivfpq_index_write(emb, "embedding", "vec_id", index_path, cents, cb)
+        _ANN_INDEX_CACHE[key] = (index_path, cents, cb)
+    index_path, cents, cb = _ANN_INDEX_CACHE[key]
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivfpq_probe_topk(
+        spark,
+        index_path,
+        "embedding",
+        "vec_id",
+        qv,
+        cents,
+        cb,
+        k=10,
+        nprobe=6,
+        n_candidates=64,
+        exclude_id=0,
+    ).select("nbr_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

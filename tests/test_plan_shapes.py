@@ -396,3 +396,36 @@ def test_cohort_retention_single_event_shuffle_no_self_join(spark):
     plan = _plan(spark, "cohort_retention")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_probe_code_sidecar_partition_pruned(spark, tmp_path):
+    """The IVFADC probe's code-sidecar scan must carry cluster_id IN
+    (probes) as a PartitionFilter (reads nprobe directories of 8-byte
+    rows), and the vector base scan must be pruned the same way."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivfpq_index_write,
+        ivfpq_probe_topk,
+        pq_seed_codebooks,
+        seed_centroids,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+    cb = pq_seed_codebooks(emb, "embedding", "vec_id")
+    path = str(tmp_path / "ivfpq")
+    ivfpq_index_write(emb, "embedding", "vec_id", path, cents, cb)
+    df = ivfpq_probe_topk(
+        spark, path, "embedding", "vec_id", qv, cents, cb, k=10, nprobe=6
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # both scans (codes sidecar + vector base) partition-pruned
+    pf_sections = plan.split("PartitionFilters")[1:]
+    assert len(pf_sections) >= 2, plan
+    assert all("cluster_id" in s.split("\n")[0] for s in pf_sections[:2]), plan
