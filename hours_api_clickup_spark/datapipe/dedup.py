@@ -208,6 +208,60 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _sig_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(did, m0..m{K-1}, gset): the codegen'd shingle→minhash reduction
+    shared by the one-shot pair query and the persisted doc index —
+    grams exploded as offsets (no shingle arrays materialized), K
+    min-aggregates + the distinct gram-hash set through ONE shuffle."""
+    consts = affine_constants(num_hashes, MINHASH_SALT)
+    texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
+    grams = (
+        texts.filter(F.length("txt") >= k)
+        .select(
+            "did",
+            "txt",
+            F.explode(F.sequence(F.lit(0), F.length("txt") - k)).alias("i"),
+        )
+        .select("did", portable_gram_hash(F.col("txt"), F.col("i"), k).alias("h"))
+    )
+    min_aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(M31))).alias(f"m{s}")
+        for s, (a, b) in enumerate(consts)
+    ]
+    return grams.groupBy("did").agg(*min_aggs, F.collect_set("h").alias("gset"))
+
+
+def _band_frame(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(did, band, bucket) rows from a signature frame: Horner fold of
+    each band's minhashes mod 2³¹ — portable integer algebra."""
+    rows_per_band = num_hashes // bands
+
+    def band_bucket(cols: list[Column]) -> Column:
+        acc = F.lit(0).cast("long")
+        for m in cols:
+            acc = F.pmod(acc * F.lit(KNUTH_A) + m, F.lit(M31))
+        return acc
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            band_bucket(
+                [F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "did", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("did", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -237,24 +291,13 @@ def minhash_lsh_pairs(
     ``minhash_lsh_oracle_sql`` generates a DuckDB query that reproduces
     this exact output, including the banding and the sketch prefilter.
     """
-    rows_per_band = num_hashes // bands
-    consts = affine_constants(num_hashes, MINHASH_SALT)
-    texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
-
-    # Gram stream without materializing shingle arrays: explode the
-    # offset sequence, then the unrolled polynomial gram hash — stays in
-    # whole-stage codegen (array-lambda HOFs run interpreted and were
-    # ~5× slower here). Duplicate grams are fine: min() over a multiset
-    # == min() over its set, so MinHash needs no distinct.
-    grams = (
-        texts.filter(F.length("txt") >= k)
-        .select("did", "txt", F.explode(F.sequence(F.lit(0), F.length("txt") - k)).alias("i"))
-        .select("did", portable_gram_hash(F.col("txt"), F.col("i"), k).alias("h"))
-    )
     # ONE shuffle computes both the K-minhash signature and the distinct
-    # gram-hash set. Shipping collect_set(h) through this shuffle is a
-    # measured trade (O(distinct-grams) longs per doc ≈ doc length ·8 B —
-    # roughly the text itself): it funds exact-Jaccard verification
+    # gram-hash set (_sig_frame: explode-offset grams + K min-aggregates,
+    # all codegen'd — array-lambda HOFs run interpreted and were ~5×
+    # slower here; duplicate grams are fine since min over a multiset ==
+    # min over its set). Shipping collect_set(h) through this shuffle is
+    # a measured trade (O(distinct-grams) longs per doc ≈ doc length·8 B
+    # — roughly the text itself): it funds exact-Jaccard verification
     # without a second join back to the corpus, and compares long arrays
     # JVM-side instead of rebuilding string shingles. Jaccard over gram
     # hashes equals Jaccard over the grams up to a ~len²/2³¹ collision
@@ -262,34 +305,10 @@ def minhash_lsh_pairs(
     # hashes. (Re-joining gram sets only for post-prefilter candidates
     # would shrink this shuffle but re-scan + re-shingle the corpus; at
     # sf0.1 the one-shuffle form benches faster.)
-    min_aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(M31))).alias(f"m{s}")
-        for s, (a, b) in enumerate(consts)
-    ]
-    sig = grams.groupBy("did").agg(
-        *min_aggs, F.collect_set("h").alias("gset")
-    ).localCheckpoint(eager=False)
-
-    def band_bucket(cols: list[Column]) -> Column:
-        # Horner fold of the band's minhashes, mod 2³¹ each step —
-        # portable integer algebra in place of xxhash64(m0, m1, ...).
-        acc = F.lit(0).cast("long")
-        for m in cols:
-            acc = F.pmod(acc * F.lit(KNUTH_A) + m, F.lit(M31))
-        return acc
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            band_bucket(
-                [F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "did", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("did", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint(
+        eager=False
+    )
+    banded = _band_frame(sig, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -884,3 +903,148 @@ def duplicated_spans_oracle_sql(
            CAST(MAX(i) + {k - 1} - MIN(i) + 1 AS BIGINT) AS span_len
     FROM sp GROUP BY did, span_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted document near-dup index: incremental MinHash+LSH at ingest.
+# The one-shot `minhash_lsh_pairs` re-shingles the whole corpus per run;
+# at 100 TB the corpus is signed ONCE and each arriving batch is checked
+# against (and folded into) the persisted signatures — the document-side
+# twin of the LSM vector index (`lsh_index_append`).
+# ---------------------------------------------------------------------------
+
+
+def doc_neardup_index_write(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Materialize the corpus signatures: ``{path}/sig`` holds
+    (did, sa minhash-array, gset gram-hash set) — everything candidate
+    prefilter + exact-Jaccard verification need, so the TEXT column is
+    never read again; ``{path}/bands`` holds the narrow
+    (did, band, bucket) rows the candidate join scans, sorted by
+    (band, bucket) for row-group pruning. One signing pass total."""
+    sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint()
+    sig.select(
+        "did",
+        F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa"),
+        "gset",
+    ).write.mode("overwrite").parquet(f"{path}/sig")
+    _band_frame(sig, num_hashes, bands).sortWithinPartitions(
+        "band", "bucket"
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def doc_neardup_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Fold a batch of NEW documents into the persisted index and
+    return every near-dup pair the batch introduces — (batch × corpus)
+    and (batch × batch), exact-Jaccard verified, (id_a < id_b)
+    normalized. Corpus × corpus pairs are unchanged by construction, so
+    incremental-append pair sets sum to exactly the one-shot
+    ``minhash_lsh_pairs`` of the union (property-tested).
+
+    Scale shape: only the BATCH is shingled (O(batch) text read); its
+    band rows are BROADCAST against the persisted bands scan, so the
+    corpus side never shuffles — and the corpus bytes touched are the
+    narrow (did, band, bucket) rows plus sig/gset rows of candidate
+    dids only (semi-join pruned), never the corpus text. Precondition:
+    batch ids are new (the standard ingest contract; re-ingest goes
+    through a rebuild, as with the vector-index compaction cadence).
+    """
+    spark = batch.sparkSession
+    est_margin = 0.2
+    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+
+    bsig = _sig_frame(batch, id_col, text_col, k, num_hashes).localCheckpoint()
+    bband = _band_frame(bsig, num_hashes, bands)
+    bsig_arr = bsig.select(
+        "did",
+        F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa"),
+        "gset",
+    ).localCheckpoint()
+    bband = bband.localCheckpoint()
+
+    old_bands = spark.read.parquet(f"{path}/bands")
+    # batch bands broadcast → the corpus bands scan stays map-side
+    cross = (
+        old_bands.join(
+            F.broadcast(bband.select(
+                F.col("did").alias("bdid"), "band", "bucket"
+            )),
+            ["band", "bucket"],
+        )
+        .select(
+            F.least(F.col("did"), F.col("bdid")).alias("id_a"),
+            F.greatest(F.col("did"), F.col("bdid")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = bband.alias("a")
+    b = bband.alias("b")
+    self_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cross.unionByName(self_pairs).dropDuplicates(["id_a", "id_b"])
+
+    old_sig = spark.read.parquet(f"{path}/sig")
+    all_sig = old_sig.unionByName(bsig_arr)
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sa_a"), F.col("sa_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    verified = (
+        cand.join(
+            all_sig.select(
+                F.col("did").alias("id_a"),
+                F.col("sa").alias("sa_a"),
+                F.col("gset").alias("gs_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            all_sig.select(
+                F.col("did").alias("id_b"),
+                F.col("sa").alias("sa_b"),
+                F.col("gset").alias("gs_b"),
+            ),
+            "id_b",
+        )
+        .filter(matches >= F.lit(min_matches))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_sim(F.col("gs_a"), F.col("gs_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint()  # pin before the index files grow below
+    )
+    bsig_arr.write.mode("append").parquet(f"{path}/sig")
+    bband.sortWithinPartitions("band", "bucket").write.mode("append").parquet(
+        f"{path}/bands"
+    )
+    return verified

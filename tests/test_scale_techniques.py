@@ -831,3 +831,43 @@ class TestUpsertBranchParity:
             .count()
         )
         assert dupes == 0
+
+
+def test_doc_neardup_index_incremental_equals_one_shot(spark, tmp_path):
+    """Persisted document near-dup index: pairs(write corpus) ∪
+    pairs(append batch₁) ∪ pairs(append batch₂) must equal the one-shot
+    minhash_lsh_pairs over the full corpus — same ids, same jaccard
+    values (the index stores the same gram-hash sets the one-shot form
+    verifies with)."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.dedup import (
+        doc_neardup_index_append,
+        doc_neardup_index_write,
+        minhash_lsh_pairs,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    path = str(tmp_path / "docidx")
+    doc_neardup_index_write(corpus, "doc_id", "text", path)
+    base_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    }
+    inc = dict(base_pairs)
+    for b in (b1, b2):
+        got = doc_neardup_index_append(b, path, "doc_id", "text")
+        for r in got.collect():
+            inc[(r.id_a, r.id_b)] = r.jaccard
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert inc == full
