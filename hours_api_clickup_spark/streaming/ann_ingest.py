@@ -26,6 +26,7 @@ hot path).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from hours_api_clickup_spark.datapipe.similarity import (
     DEFAULT_PLANES,
@@ -65,6 +66,64 @@ def streaming_lsh_ingest(
 
     return (
         vec_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_doc_neardup_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+):
+    """Continuous near-duplicate detection at document-ingest time: each
+    micro-batch is shingled once (O(batch)), checked against the
+    persisted signature index (corpus text never re-read, corpus side
+    never shuffles — batch band rows broadcast), the new verified pairs
+    appended to ``pairs_path``, and the batch folded into the index.
+
+    The running pair table therefore always equals the one-shot
+    ``minhash_lsh_pairs`` over everything ingested so far (the
+    incremental-≡-batch property of ``doc_neardup_index_append``,
+    property-tested), which makes downstream cluster resolution
+    (``datapipe/clusters``) runnable at any point without a corpus
+    rescan. Ordering note: micro-batches commit serially within the
+    query, which the fold requires — this is the single-writer contract
+    every index maintenance path here shares.
+
+    First batch bootstraps the index (no pairs — a corpus of one batch
+    has only its self-pairs, which append computes from batch 2 on; the
+    bootstrap's internal pairs are emitted too, via an append against
+    the empty-initialized index)."""
+    from hours_api_clickup_spark.datapipe.dedup import (
+        doc_neardup_index_append,
+        doc_neardup_index_write,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/sig")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            # bootstrap with an EMPTY index so the first batch's own
+            # near-dup pairs are emitted by the same append path
+            empty = batch_df.filter(F.lit(False))
+            doc_neardup_index_write(empty, id_col, text_col, index_path)
+        pairs = doc_neardup_index_append(
+            batch_df, index_path, id_col, text_col, threshold=threshold
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -763,3 +763,45 @@ def test_streaming_lsh_ingest_equals_batch_index(spark, tmp_path):
     lsh_index_compact(spark, idx)
     assert not os.path.exists(f"{idx}/log")
     assert canon(idx) == canon(batch_idx)
+
+
+def test_streaming_doc_neardup_equals_one_shot(spark, tmp_path):
+    """Documents drained through the streaming near-dup ingest: the
+    accumulated pair table must equal the one-shot minhash_lsh_pairs
+    over everything ingested (ids AND jaccard values)."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.dedup import minhash_lsh_pairs
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_doc_neardup_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stage = str(tmp_path / "stage")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    idx = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    q = streaming_doc_neardup_ingest(
+        stream, idx, pairs_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert streamed == full
