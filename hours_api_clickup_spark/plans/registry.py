@@ -4795,6 +4795,44 @@ def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("nbr_id")
 
 
+_BITWISE_SQL = """
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS agg_and,
+           bit_or(o_orderkey) AS agg_or,
+           bit_xor(o_orderkey) AS agg_xor,
+           MIN((o_orderkey & 255) | 4096) AS min_masked,
+           MAX((o_orderkey % 1024) << 3) AS max_shifted,
+           CAST(SUM(xor(o_orderkey % 256, 170)) AS BIGINT) AS sum_xored
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "bitwise_surface",
+    _BITWISE_SQL,
+    survey_ids="§2.10-bitwise",
+    doc="Bitwise scalar + aggregate surface: bit_and/bit_or/bit_xor "
+    "aggregates, mask/shift scalars — the arithmetic behind bitmap "
+    "flags, feature hashing, and the engine's own LSH band math, all "
+    "order-free integer-exact. Dialect trap pinned by the oracle: "
+    "Spark's ^ is XOR but DuckDB's ^ is POWER — the SQL twin must use "
+    "xor(). One map-side-combining groupBy on 5 priorities.",
+)
+def q_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("agg_and"),
+        F.bit_or("o_orderkey").alias("agg_or"),
+        F.bit_xor("o_orderkey").alias("agg_xor"),
+        F.min(
+            F.expr("(o_orderkey & 255) | 4096")
+        ).alias("min_masked"),
+        F.max(F.expr("shiftleft(o_orderkey % 1024, 3)")).alias("max_shifted"),
+        F.sum(F.expr("(o_orderkey % 256) ^ 170")).cast("bigint").alias("sum_xored"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
