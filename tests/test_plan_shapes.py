@@ -429,3 +429,81 @@ def test_ivfpq_probe_code_sidecar_partition_pruned(spark, tmp_path):
     pf_sections = plan.split("PartitionFilters")[1:]
     assert len(pf_sections) >= 2, plan
     assert all("cluster_id" in s.split("\n")[0] for s in pf_sections[:2]), plan
+
+
+class TestPlanAuditLibrary:
+    """plans/audit.py — the guardrail checks themselves."""
+
+    def test_flagship_is_clean(self, spark):
+        from hours_api_clickup_spark.plans.audit import audit_plan
+
+        df = QUERIES["flagship_hours_by_user_day"].fn(spark, SF_DIR)
+        assert audit_plan(df) == []
+
+    def test_cartesian_flagged_and_allowlistable(self, spark):
+        from hours_api_clickup_spark.plans.audit import (
+            PlanAuditError,
+            assert_scalable,
+            audit_plan,
+        )
+
+        df = spark.range(10).crossJoin(spark.range(10).withColumnRenamed("id", "b"))
+        problems = audit_plan(df)
+        assert problems and problems[0].startswith("cartesian")
+        import pytest as _pytest
+
+        with _pytest.raises(PlanAuditError):
+            assert_scalable(df)
+        assert_scalable(df, allow=("cartesian",))  # bounded side, waived
+
+    def test_global_window_flagged(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.plans.audit import audit_plan
+
+        df = spark.range(100).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        problems = audit_plan(df)
+        assert any(p.startswith("global-window") for p in problems), problems
+
+    def test_row_udf_flagged_but_pandas_udf_clean(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf, udf
+
+        from hours_api_clickup_spark.plans.audit import audit_plan
+
+        slow = udf(lambda x: x + 1, "bigint")
+        df_bad = spark.range(10).select(slow(F.col("id")).alias("y"))
+        assert any(
+            p.startswith("python-row-udf") for p in audit_plan(df_bad)
+        )
+
+        import pandas as pd
+
+        def fast(s):
+            return s + 1
+
+        # this module uses `from __future__ import annotations`, which
+        # stringifies hints and defeats pandas_udf's inference — attach
+        # real type objects instead
+        fast.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        fast_u = pandas_udf(fast, "bigint")
+        df_ok = spark.range(10).select(fast_u(F.col("id")).alias("y"))
+        assert not any(
+            p.startswith("python-row-udf") for p in audit_plan(df_ok)
+        )
+
+    def test_full_sort_flagged_topk_clean(self, spark):
+        from hours_api_clickup_spark.plans.audit import audit_plan
+
+        from pyspark.sql import functions as F
+
+        # desc: an asc orderBy on Range is elided (source already sorted)
+        df_sort = spark.range(1000).orderBy(F.col("id").desc())
+        assert any(p.startswith("global-sort") for p in audit_plan(df_sort))
+        df_topk = spark.range(1000).orderBy(F.col("id").desc()).limit(5)
+        assert not any(
+            p.startswith("global-sort") for p in audit_plan(df_topk)
+        )
