@@ -2230,10 +2230,53 @@ def ivfpq_index_write(
         codebooks,
     ).join(
         assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
-    )
+    ).withColumn("seq", F.lit(0).cast("long"))
     codes.repartition(F.col("cluster_id")).write.mode(
         "overwrite"
     ).partitionBy("cluster_id").parquet(f"{path}/codes")
+
+
+def ivfpq_index_append(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    seq: int | None = None,
+) -> None:
+    """O(batch) merge-on-read ingest for the IVFADC index: ONE
+    assignment GEMM + ONE encode pass over the batch, committed as one
+    vector-log file (``{path}/log`` — the same LSM contract as
+    ``ivf_index_append``) and one code-log file (``{path}/codes_log``)
+    at the same monotonic ``seq``. Probes resolve max-seq per vid on
+    BOTH tiers; the staleness contract for moved re-ingests matches the
+    other append paths (compaction = rebuild of both tiers)."""
+    spark = df.sparkSession
+    df = df.dropDuplicates([id_col])
+    if not _fs_exists(spark, f"{path}/base"):
+        ivfpq_index_write(df, vec_col, id_col, path, centroids, codebooks)
+        return
+    if seq is None:
+        max_seq = ivf_index_read(spark, path).agg(F.max("seq")).head()[0]
+        seq = (max_seq if max_seq is not None else -1) + 1
+    assigned = ivf_assign(df, vec_col, centroids).withColumn(
+        "seq", F.lit(int(seq)).cast("long")
+    ).localCheckpoint()  # one GEMM feeds both log files
+    assigned.repartition(1).sortWithinPartitions("cluster_id").write.mode(
+        "append"
+    ).parquet(f"{path}/log")
+    codes = pq_encode(
+        assigned.select(_c(id_col).alias(id_col), _c(vec_col).alias(vec_col)),
+        vec_col,
+        id_col,
+        codebooks,
+    ).join(
+        assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
+    ).withColumn("seq", F.lit(int(seq)).cast("long"))
+    codes.repartition(1).sortWithinPartitions("cluster_id").write.mode(
+        "append"
+    ).parquet(f"{path}/codes_log")
 
 
 def ivfpq_probe_topk(
@@ -2257,11 +2300,26 @@ def ivfpq_probe_topk(
     re-rank. Candidates are identical to ``ivfpq_topk`` with the same
     quantizers; scan bytes are nprobe/n_clusters × (codes + C vectors).
     """
+    from pyspark.sql import Window
+
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(p) for p in np.argsort(-(centroids @ qn), kind="stable")[:nprobe]]
-    codes = spark.read.parquet(f"{index_path}/codes").filter(
-        F.col("cluster_id").isin(probes)
+    codes = spark.read.parquet(f"{index_path}/codes")
+    codes = codes.select(
+        "vid",
+        "codes",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+    if _fs_exists(spark, f"{index_path}/codes_log"):
+        codes = codes.unionByName(
+            spark.read.parquet(f"{index_path}/codes_log").select(*codes.columns)
+        )
+    codes = codes.filter(F.col("cluster_id").isin(probes))
+    w_seq = Window.partitionBy("vid")
+    codes = codes.withColumn("_mx", F.max("seq").over(w_seq)).filter(
+        F.col("seq") == F.col("_mx")
     )
     dt = pq_adc_table(query_vec, codebooks)
     adc: Column | None = None
@@ -2279,9 +2337,12 @@ def ivfpq_probe_topk(
         .limit(n_candidates)
         .select(F.col("vid").alias("__pq_cand_id"))
     )
-    base = spark.read.parquet(f"{index_path}/base").filter(
+    base = ivf_index_read(spark, index_path).filter(
         F.col("cluster_id").isin(probes)
     )
+    base = base.withColumn(
+        "_bmx", F.max("seq").over(Window.partitionBy(id_col))
+    ).filter(F.col("seq") == F.col("_bmx"))
     pruned = base.join(
         F.broadcast(cand_ids), _c(id_col) == F.col("__pq_cand_id")
     ).drop("__pq_cand_id")

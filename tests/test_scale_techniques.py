@@ -871,3 +871,52 @@ def test_doc_neardup_index_incremental_equals_one_shot(spark, tmp_path):
         for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert inc == full
+
+
+def test_ivfpq_append_equals_rebuild_probe(spark, tmp_path):
+    """IVFADC merge-on-read ingest: probing (write corpus + append
+    batch) must return the same neighbors as probing a from-scratch
+    index over the union — both code and vector tiers resolved at
+    max-seq."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_write,
+        ivfpq_probe_topk,
+        pq_seed_codebooks,
+        seed_centroids,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    # quantizers frozen on the full corpus (the offline-trained model)
+    cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+    cb = pq_seed_codebooks(emb, "embedding", "vec_id")
+
+    inc = str(tmp_path / "inc")
+    ivfpq_index_write(old, "embedding", "vec_id", inc, cents, cb)
+    ivfpq_index_append(batch, "embedding", "vec_id", inc, cents, cb)
+
+    full = str(tmp_path / "full")
+    ivfpq_index_write(emb, "embedding", "vec_id", full, cents, cb)
+
+    got_inc = [
+        r.nbr_id
+        for r in ivfpq_probe_topk(
+            spark, inc, "embedding", "vec_id", qv, cents, cb, k=10, nprobe=6,
+            exclude_id=0,
+        ).collect()
+    ]
+    got_full = [
+        r.nbr_id
+        for r in ivfpq_probe_topk(
+            spark, full, "embedding", "vec_id", qv, cents, cb, k=10, nprobe=6,
+            exclude_id=0,
+        ).collect()
+    ]
+    assert got_inc == got_full and len(got_inc) == 10
