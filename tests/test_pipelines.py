@@ -805,3 +805,32 @@ def test_streaming_doc_neardup_equals_one_shot(spark, tmp_path):
         for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert streamed == full
+
+
+def test_json_quarantine_routes_malformed_lines(spark, tmp_path):
+    """Corrupt NDJSON lines land in the quarantine frame with their raw
+    text; valid rows parse cleanly; nothing is dropped or fatal."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from hours_api_clickup_spark.sources.readers import (
+        read_json_with_quarantine,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    p = tmp_path / "in.ndjson"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2 "name": "missing comma"}\n'
+        '{"id": 3, "name": "fine"}\n'
+        "not json at all\n"
+    )
+    valid, quarantine = read_json_with_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 3]
+    qrows = quarantine.collect()
+    assert len(qrows) == 2
+    raws = {r["raw_line"] for r in qrows}
+    assert any("missing comma" in r for r in raws)
+    assert any("not json at all" in r for r in raws)
+    assert all(r["source_file"].endswith("in.ndjson") for r in qrows)
