@@ -600,3 +600,142 @@ def test_semantic_dedup_matches_numpy_reference(spark, vectors):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 compact vs a pure-Python reference on random observation logs
+# ---------------------------------------------------------------------------
+
+
+def _scd2_reference(rows):
+    """rows: (key, attr, eff, tie) → {(key, attr, vf, vt, is_current)}"""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, a, eff, tie in rows:
+        by_key[k].append((eff, tie, a))
+    out = set()
+    for k, obs in by_key.items():
+        obs.sort()
+        segs = []
+        prev = object()
+        for eff, tie, a in obs:
+            if a != prev:
+                segs.append([a, eff])
+                prev = a
+        for i, (a, vf) in enumerate(segs):
+            vt = segs[i + 1][1] if i + 1 < len(segs) else None
+            out.add((k, a, vf, vt, vt is None))
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),          # key
+            st.sampled_from("ABC"),     # attribute value
+            st.integers(0, 20),         # effective time
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_scd2_compact_matches_reference(spark, raw):
+    from hours_api_clickup_spark.operators.scd import scd2_compact
+
+    rows = [(k, a, eff, i) for i, (k, a, eff) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k long, a string, eff long, tie long")
+    got = {
+        (r["k"], r["a"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_compact(df, ["k"], ["a"], "eff", ["tie"]).collect()
+    }
+    assert got == _scd2_reference(rows)
+
+
+# ---------------------------------------------------------------------------
+# PQ encode: partitioning-invariant and equal to a direct numpy reference
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.integers(0, 2**31 - 1))
+def test_pq_encode_partition_invariant_and_matches_numpy(spark, seed):
+    import numpy as np
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    n, dim = 40, 16
+    vecs = rng.randn(n, dim).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vid long, embedding array<float>")
+    cb = pq_seed_codebooks(df, "embedding", "vid", n_subspaces=4, n_codes=8)
+
+    def codes_of(frame):
+        return {
+            r["vid"]: tuple(r["codes"])
+            for r in pq_encode(frame, "embedding", "vid", cb).collect()
+        }
+
+    c1 = codes_of(df.repartition(1))
+    c32 = codes_of(df.repartition(32))
+    assert c1 == c32  # partitioning must not change codes
+
+    # direct numpy argmin reference (same left-assoc accumulation)
+    x = vecs.astype("float64")
+    sub = dim // 4
+    for i in range(n):
+        for m in range(4):
+            dists = []
+            for j in range(8):
+                d = 0.0
+                for t in range(sub):
+                    diff = x[i, m * sub + t] - cb[m, j, t]
+                    d = d + diff * diff
+                dists.append(d)
+            expect = min(range(8), key=lambda jj: (dists[jj], jj))
+            assert c1[i][m] == expect
+
+
+# ---------------------------------------------------------------------------
+# Drift report: exact TVD equals a numpy reference computed in rationals
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 19), min_size=2, max_size=100),
+    st.lists(st.integers(0, 19), min_size=2, max_size=100),
+)
+def test_exact_tvd_arithmetic_matches_fractions(spark, ref_bins, cur_bins):
+    """The integer TVD numerator used by drift_distribution_report,
+    recomputed with exact Fractions: |n_r·N_c − n_c·N_r| summed then
+    divided by 2·N_r·N_c must equal ½·Σ|p_r − p_c| exactly."""
+    from collections import Counter
+    from fractions import Fraction
+
+    cr, cc = Counter(ref_bins), Counter(cur_bins)
+    nr, nc = len(ref_bins), len(cur_bins)
+    bins = set(cr) | set(cc)
+    num = sum(abs(cr[b] * nc - cc[b] * nr) for b in bins)
+    got = Fraction(num, 2 * nr * nc)
+    expect = sum(
+        abs(Fraction(cr[b], nr) - Fraction(cc[b], nc)) for b in bins
+    ) / 2
+    assert got == expect
