@@ -195,6 +195,32 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Document near-dup ingest, same two grades: fold a 10% batch into
+    # the persisted signature index (O(batch) text read, corpus side
+    # never reshingled) vs the one-shot rebuild the *_cold row above
+    # pays. Reported, not added to ``value``.
+    from pyspark.sql import functions as _F2
+
+    from hours_api_clickup_spark.datapipe.dedup import (
+        doc_neardup_index_append,
+        doc_neardup_index_write,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(_F2.col("doc_id") % 10 != 0)
+    batch = docs.filter(_F2.col("doc_id") % 10 == 0)
+    didx = tempfile.mkdtemp(prefix="bench_docidx_") + "/idx"
+    doc_neardup_index_write(corpus, "doc_id", "text", didx)
+    t0 = time.perf_counter()
+    doc_neardup_index_append(batch, didx, "doc_id", "text").count()
+    t_doc_append = time.perf_counter() - t0
+    timings["doc_index_append_batch"] = round(t_doc_append, 3)
+    print(
+        f"# doc near-dup index: 10% batch fold {t_doc_append:.3f}s vs "
+        f"cold one-shot (dedup_minhash_lsh_cold row)",
+        file=sys.stderr,
+    )
+
     # The driver tail-captures only the last ~2 KB of stdout; round 2's
     # 79-query line overflowed it and BENCH_r02.json recorded parsed:null.
     # Full per-query detail goes to BENCH_DETAIL.json; the final stdout

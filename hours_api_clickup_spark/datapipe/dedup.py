@@ -934,7 +934,9 @@ def doc_neardup_index_write(
         "did",
         F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa"),
         "gset",
-    ).write.mode("overwrite").parquet(f"{path}/sig")
+    ).repartitionByRange(8, "did").sortWithinPartitions("did").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sig")
     _band_frame(sig, num_hashes, bands).sortWithinPartitions(
         "band", "bucket"
     ).write.mode("overwrite").parquet(f"{path}/bands")
@@ -1007,8 +1009,18 @@ def doc_neardup_index_append(
     )
     cand = cross.unionByName(self_pairs).dropDuplicates(["id_a", "id_b"])
 
+    # Two-stage verification, same structure as the one-shot form —
+    # bucket collisions on repetitive corpora yield tens of thousands of
+    # candidates for a 10% batch, and fetching their gram sets directly
+    # would stream the index's heavy bytes. Stage 1 joins only the
+    # narrow ``sa`` arrays (column-pruned sig scan, 64 longs/row) and
+    # applies the integer match-count prefilter; stage 2 fetches gram
+    # sets for the surviving pairs ONLY, via a bounded IN pushdown onto
+    # the did-sorted sig files (row-group pruned).
     old_sig = spark.read.parquet(f"{path}/sig")
-    all_sig = old_sig.unionByName(bsig_arr)
+    all_sa = old_sig.select("did", "sa").unionByName(
+        bsig_arr.select("did", "sa")
+    )
     matches = F.aggregate(
         F.zip_with(
             F.col("sa_a"), F.col("sa_b"),
@@ -1017,24 +1029,38 @@ def doc_neardup_index_append(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    verified = (
+    survivors = (
         cand.join(
-            all_sig.select(
-                F.col("did").alias("id_a"),
-                F.col("sa").alias("sa_a"),
-                F.col("gset").alias("gs_a"),
-            ),
+            all_sa.select(F.col("did").alias("id_a"), F.col("sa").alias("sa_a")),
             "id_a",
         )
         .join(
-            all_sig.select(
-                F.col("did").alias("id_b"),
-                F.col("sa").alias("sa_b"),
-                F.col("gset").alias("gs_b"),
-            ),
+            all_sa.select(F.col("did").alias("id_b"), F.col("sa").alias("sa_b")),
             "id_b",
         )
         .filter(matches >= F.lit(min_matches))
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    surv_ids = [
+        r[0]
+        for r in survivors.select(F.explode(F.array("id_a", "id_b")).alias("d"))
+        .dropDuplicates()
+        .collect()
+    ]
+    gsets = spark.read.parquet(f"{path}/sig").select("did", "gset")
+    if len(surv_ids) <= 200_000:
+        gsets = gsets.filter(F.col("did").isin(surv_ids))
+    gsets = gsets.unionByName(bsig_arr.select("did", "gset"))
+    verified = (
+        survivors.join(
+            gsets.select(F.col("did").alias("id_a"), F.col("gset").alias("gs_a")),
+            "id_a",
+        )
+        .join(
+            gsets.select(F.col("did").alias("id_b"), F.col("gset").alias("gs_b")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
