@@ -920,3 +920,58 @@ def test_ivfpq_append_equals_rebuild_probe(spark, tmp_path):
         ).collect()
     ]
     assert got_inc == got_full and len(got_inc) == 10
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime evidence (not just plan strings) that AQE's skew-join
+    mitigation engages on this session's config lineage: a join where
+    half the probe side hits ONE key must execute as
+    SortMergeJoin(skew=true) with an 'AQEShuffleRead ... skewed' child
+    — the hot partition split across tasks instead of one straggler.
+    This is the automatic complement of the explicit two-phase salted
+    path (operators/skew.py): salting for aggregations, AQE for joins.
+    Thresholds are shrunk to make local data 'big'; restored after."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        assert j.collect()  # execute so AQE finalizes the plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
