@@ -4833,6 +4833,81 @@ def q_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_SQL = """
+    WITH e AS (
+        SELECT event_type,
+               epoch_ms(ts) // 86400000 AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS slope_per_day,
+           ((CAST(sy AS DOUBLE) / 100.0) / n)
+           - (((CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0)
+              * (CAST(sx AS DOUBLE) / n)) AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r
+    FROM s
+"""
+
+
+@register(
+    "linear_trend_by_type",
+    _TREND_SQL,
+    survey_ids="§2.6-regression",
+    doc="Per-type least-squares trend (value vs time) + Pearson r — "
+    "the metric-drift regression a monitoring pipeline fits per "
+    "series. The whole computation is INTEGER-EXACT sufficient "
+    "statistics: x = epoch-day, y = value in cents (both int64, so "
+    "Σx, Σy, Σxy, Σx², Σy² are order-free exact sums — the float "
+    "Σ that makes builtin regr_slope/corr un-hash-matchable never "
+    "appears), with the textbook closed forms evaluated in ONE double "
+    "division/sqrt at the end over pinned expression trees. One "
+    "map-side-combining groupBy; scale-invariant cents cancel in r.",
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = (num / den) / F.lit(100.0)
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_day"),
+        (
+            ((F.col("sy").cast("double") / F.lit(100.0)) / F.col("n"))
+            - (slope * (F.col("sx").cast("double") / F.col("n")))
+        ).alias("intercept"),
+        (num / F.sqrt(den * deny)).alias("pearson_r"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
