@@ -4908,6 +4908,105 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_PIT_SQL = """
+    WITH obs AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               row_number() OVER w AS rn,
+               lag(o_orderpriority) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chg AS (
+        SELECT * FROM obs
+        WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+    ),
+    hist0 AS (
+        SELECT o_custkey, o_orderpriority,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w2 AS valid_to
+        FROM chg
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    hist AS (
+        SELECT * FROM hist0 WHERE valid_to IS NULL OR valid_to > valid_from
+    ),
+    li AS (
+        SELECT DISTINCT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ),
+    base AS (
+        SELECT li.*, o.o_custkey
+        FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    ),
+    cand AS (
+        SELECT b.l_orderkey, b.l_linenumber, b.o_custkey, b.l_shipdate,
+               h.o_orderpriority, h.valid_from,
+               row_number() OVER (
+                   PARTITION BY b.l_orderkey, b.l_linenumber, b.l_shipdate
+                   ORDER BY h.valid_from DESC
+               ) AS rn
+        FROM base b
+        LEFT JOIN hist h
+          ON h.o_custkey = b.o_custkey AND h.valid_from <= b.l_shipdate
+    )
+    SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate,
+           o_orderpriority AS priority_at_ship,
+           valid_from AS interval_start
+    FROM cand WHERE rn = 1
+"""
+
+
+@register(
+    "scd2_pit_join",
+    _SCD2_PIT_SQL,
+    survey_ids="§2.6-scd2-pit",
+    doc="Point-in-time dimension join — the consumption side of SCD2: "
+    "each (sampled) lineitem resolves the customer's prevailing "
+    "priority AT SHIP TIME from the interval history built by "
+    "scd2_dim_history. Zero-length same-instant intervals are "
+    "collapsed to the prevailing one first (valid_to > valid_from OR "
+    "current), making the as-of deterministic; the probe itself is "
+    "the union+window as-of join (ONE shuffle on the key — never the "
+    "O(n·m) interval theta-join the naive BETWEEN join plans).",
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.scd import scd2_compact
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_compact(
+        orders, ["o_custkey"], ["o_orderpriority"], "o_orderdate", ["o_orderkey"]
+    ).filter("valid_to IS NULL OR valid_to > valid_from")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        # the synthetic lineitem repeats (orderkey, linenumber) — the
+        # probe set must be unique rows for a deterministic PIT result
+        .dropDuplicates()
+    )
+    base = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).drop("o_orderkey")
+    out = as_of_join(
+        base,
+        hist.select("o_custkey", "o_orderpriority", "valid_from"),
+        on="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        right_cols=["o_orderpriority", "valid_from"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "l_shipdate",
+        F.col("o_orderpriority").alias("priority_at_ship"),
+        F.col("valid_from").alias("interval_start"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
