@@ -93,3 +93,65 @@ def prune_snapshots(path: str, keep_last: int = 2) -> list[int]:
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"v={v}"))
     return doomed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """What changed between two snapshot versions, per key: one row per
+    key present in either version with ``change`` in {added, removed,
+    changed, unchanged} -- the anti-entropy / audit answer the
+    reference's timestamped CSV backups can only give by manual diffing.
+
+    Change detection hashes each row's full non-key column set (sha2
+    over the concatenated, null-sentineled values -- computed
+    identically on both sides, so schema must match; a schema change IS
+    a full-table ``changed`` and should be, since every row's bytes
+    changed).
+
+    Plan shape: full outer join on the key -- co-keyed and
+    shuffle-partitioned on both sides, no broadcast assumption (both
+    versions are table-sized); the hash is a projection inside each
+    scan. Filter ``change <> 'unchanged'`` before collecting -- the
+    common case returns a tiny frame from two big scans.
+    """
+    from pyspark.sql import functions as F
+
+    def hashed(version: int) -> DataFrame:
+        df = read_snapshot(spark, path, version=version)
+        others = [c for c in df.columns if c not in key_cols]
+        row_hash = F.sha2(
+            F.concat_ws(
+                "",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(" "))
+                    for c in sorted(others)
+                ],
+            ),
+            256,
+        )
+        return df.select(*key_cols, row_hash.alias("__h"))
+
+    if to_version is None:
+        to_version = latest_version(path)
+    a = hashed(from_version)
+    b = hashed(to_version)
+    on = [a[k].eqNullSafe(b[k]) for k in key_cols]
+    joined = a.alias("a").join(b.alias("b"), on, "full_outer")
+    change = (
+        F.when(F.col("a.__h").isNull(), F.lit("added"))
+        .when(F.col("b.__h").isNull(), F.lit("removed"))
+        .when(F.col("a.__h") != F.col("b.__h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change"),
+    )

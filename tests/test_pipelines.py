@@ -834,3 +834,33 @@ def test_json_quarantine_routes_malformed_lines(spark, tmp_path):
     assert any("missing comma" in r for r in raws)
     assert any("not json at all" in r for r in raws)
     assert all(r["source_file"].endswith("in.ndjson") for r in qrows)
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from hours_api_clickup_spark.sinks.versioned import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, s string, v double",
+    )
+    v1 = write_snapshot(v1_df, path)
+    v2_df = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    v2 = write_snapshot(v2_df, path)
+    diff = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(spark, path, ["id"], v1, v2).collect()
+    }
+    assert diff == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # default to_version = latest
+    diff2 = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(spark, path, ["id"], v1).collect()
+    }
+    assert diff2 == diff
