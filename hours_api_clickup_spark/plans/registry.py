@@ -5007,6 +5007,73 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OSLO_MONTH_SQL = """
+    SELECT user_id,
+           date_trunc('month',
+               CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE)
+           ) AS month_oslo,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hours,
+           COUNT(*) AS n_entries,
+           COUNT(DISTINCT CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE))
+               AS active_days
+    FROM events
+    WHERE user_id < 100
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "oslo_monthly_rollup",
+    _OSLO_MONTH_SQL,
+    survey_ids="P6,A2-monthly",
+    doc="Calendar-month rollup in Europe/Oslo CIVIL time — the "
+    "flagship's monthly reporting form: month boundaries fall at Oslo "
+    "midnight, not UTC midnight, so rows within ±2h of a month edge "
+    "land in the month a Norwegian invoice expects (the DST-shift "
+    "cases are exactly where a UTC trunc gets it wrong). Same "
+    "session-TZ-independent timezone algebra as the flagship, one "
+    "hash shuffle, distinct-day count rides the same grouping.",
+)
+def q_oslo_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    day = oslo_date(F.col("ts"))
+    return ev.groupBy(
+        "user_id", F.trunc(day, "month").alias("month_oslo")
+    ).agg(
+        F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("hours"),
+        F.count("*").alias("n_entries"),
+        F.countDistinct(day).alias("active_days"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+"""
+
+
+@register(
+    "grouping_sets_surface",
+    _GROUPING_SETS_SQL,
+    survey_ids="§2.6-grouping-sets",
+    doc="Explicit GROUPING SETS (the arbitrary-subset form ROLLUP/CUBE "
+    "are sugar for) + GROUPING() markers disambiguating real NULLs "
+    "from subtotal rows. Spark expands to ONE Expand + a single "
+    "aggregation — one shuffle for all three groupings, not one pass "
+    "each. Entered through spark.sql (the DataFrame API has no "
+    "grouping-sets builder).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
