@@ -114,7 +114,12 @@ def main() -> None:
     # and are reported but NOT added to ``value``.
     from hours_api_clickup_spark.plans import registry as _registry
 
-    for name in ("dedup_minhash_lsh", "knn_lsh_probe", "knn_ivf_probe"):
+    for name in (
+        "dedup_minhash_lsh",
+        "knn_lsh_probe",
+        "knn_ivf_probe",
+        "knn_ivfpq_probe",
+    ):
         _registry._LSH_PAIRS_CACHE.clear()
         _registry._ANN_INDEX_CACHE.clear()
         cold = run_once(name)
