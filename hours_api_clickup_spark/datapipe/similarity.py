@@ -403,6 +403,7 @@ def lsh_index_read(spark, path: str) -> DataFrame:
             F.col("seq").cast("long").alias("seq"),
         )
 
+    _fs_recover_swap(spark, f"{path}/base")
     base = _norm(spark.read.parquet(f"{path}/base"))
     if not _fs_exists(spark, f"{path}/log"):
         return base
@@ -419,7 +420,13 @@ def _fs_swap_dir(spark, live: str, staged: str) -> None:
     """Replace directory ``live`` with ``staged`` via two renames (the
     closest a filesystem sink gets to an atomic pointer flip; the
     versioned snapshot store in sinks/snapshots.py is the true-atomic
-    alternative when readers must never observe the gap)."""
+    alternative when readers must never observe the gap).
+
+    Crash window: between the two renames the live directory is absent
+    and only ``live__old`` exists. Every reader/writer entry point
+    calls ``_fs_recover_swap`` first, which rolls the old directory
+    back in — so the worst case of a mid-swap crash is the UPDATE being
+    lost (retryable), never the index."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     live_p = jvm.org.apache.hadoop.fs.Path(live)
@@ -432,6 +439,21 @@ def _fs_swap_dir(spark, live: str, staged: str) -> None:
         fs.rename(live_p, old_p)
     fs.rename(staged_p, live_p)
     fs.delete(old_p, True)
+
+
+def _fs_recover_swap(spark, live: str) -> None:
+    """Roll back a crashed ``_fs_swap_dir``: if ``live`` is missing but
+    ``live__old`` survives, rename it back (the pre-swap index state).
+    A leftover ``live__old`` NEXT TO a live dir means the crash hit
+    after the forward rename — the old copy is garbage and the next
+    swap deletes it; only the missing-live case needs action here."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    live_p = jvm.org.apache.hadoop.fs.Path(live)
+    old_p = jvm.org.apache.hadoop.fs.Path(live + "__old")
+    fs = live_p.getFileSystem(hconf)
+    if not fs.exists(live_p) and fs.exists(old_p):
+        fs.rename(old_p, live_p)
 
 
 def _delete_partition_dirs(spark, path: str, rel_dirs: list[str]) -> None:
@@ -495,6 +517,7 @@ def lsh_index_upsert(
     exists it is compacted first — upsert's touched-bucket overwrite is
     defined on the partitioned base layout only."""
     spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
     # A batch may carry the same id more than once; bucket rewrite logic
     # assumes one row per id, so collapse first (arbitrary survivor — an
     # unordered batch defines no "latest").
@@ -625,6 +648,7 @@ def lsh_index_append(
     read; a production deployment tracks it in a manifest instead and
     passes it in."""
     spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
     df = df.dropDuplicates([id_col])
     if not _fs_exists(spark, f"{path}/base"):
         lsh_index_write(df, vec_col, id_col, path, planes, tables, dim=dim)
@@ -1255,6 +1279,7 @@ def ivf_index_read(spark, path: str) -> DataFrame:
     """Live IVF index view: ``base`` ∪ append ``log`` (see
     ``lsh_index_read`` — same contract: base keeps cluster_id partition
     pruning, the log is a bounded full scan)."""
+    _fs_recover_swap(spark, f"{path}/base")
     base = spark.read.parquet(f"{path}/base")
     base = base.select(
         *[c for c in base.columns if c not in ("cluster_id", "seq")],
@@ -1284,6 +1309,7 @@ def ivf_index_append(
     value moves clusters can serve stale from its old cluster until
     compaction); append of NEW ids is exact immediately."""
     spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
     df = df.dropDuplicates([id_col])
     if not _fs_exists(spark, f"{path}/base"):
         ivf_index_write(df, vec_col, id_col, path, centroids)
@@ -1349,6 +1375,7 @@ def ivf_index_upsert(
     append log is compacted first (the overwrite is defined on the
     partitioned base only)."""
     spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
     df = df.dropDuplicates([id_col])  # one row per id in the batch
     if not _fs_exists(spark, f"{path}/base"):
         ivf_index_write(df, vec_col, id_col, path, centroids)
@@ -2253,6 +2280,7 @@ def ivfpq_index_append(
     BOTH tiers; the staleness contract for moved re-ingests matches the
     other append paths (compaction = rebuild of both tiers)."""
     spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
     df = df.dropDuplicates([id_col])
     if not _fs_exists(spark, f"{path}/base"):
         ivfpq_index_write(df, vec_col, id_col, path, centroids, codebooks)

@@ -975,3 +975,44 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mid_swap_crash_recovers_prior_index(spark, tmp_path):
+    """Simulate a crash in the _fs_swap_dir window (base renamed to
+    base__old, staged rename never happened): the next read OR upsert
+    must roll the prior index back in — never bootstrap-from-batch
+    (which would silently discard the corpus)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        lsh_index_read,
+        lsh_index_upsert,
+        lsh_index_write,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "idx")
+    lsh_index_write(old, "embedding", "vec_id", path, dim=64)
+    n_before = lsh_index_read(spark, path).count()
+
+    # crash state: live dir gone, __old holds the index
+    os.rename(f"{path}/base", f"{path}/base__old")
+
+    # a reader recovers transparently
+    assert lsh_index_read(spark, path).count() == n_before
+
+    # crash again, then an UPSERT of a small batch must fold into the
+    # RECOVERED corpus, not bootstrap an index of just the batch
+    os.rename(f"{path}/base", f"{path}/base__old")
+    batch = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310))
+    lsh_index_upsert(batch, "embedding", "vec_id", path, dim=64)
+    vids = {
+        r["vid"]
+        for r in lsh_index_read(spark, path).select("vid").distinct().collect()
+    }
+    assert len(vids) == 310
