@@ -5074,6 +5074,75 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+_SLIDING_HLL_SQL = """
+    WITH d AS (
+        SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+    ),
+    ends AS (SELECT DISTINCT day AS wend FROM d),
+    win AS (
+        SELECT e.wend, COUNT(DISTINCT d.user_id) AS exact_distinct
+        FROM ends e JOIN d ON d.day BETWEEN e.wend - 6 AND e.wend
+        GROUP BY e.wend
+    )
+    SELECT wend AS window_end_day, exact_distinct, TRUE AS sketch_within_5pct
+    FROM win
+"""
+
+
+@register(
+    "sliding_hll_distinct",
+    _SLIDING_HLL_SQL,
+    survey_ids="A5-sliding,datapipe:sketches-window",
+    doc="Sliding 7-day DISTINCT users via windowed sketch merge — the "
+    "only shape sliding distinct takes at scale (distincts don't sum: "
+    "per-day HLL sketches merge across the window via hll_union_agg "
+    "where per-day counts cannot). One shuffle builds |days| "
+    "fixed-size sketches; the window merges 7 of them per row. "
+    "Oracled through the accuracy contract (agg_approx_stats "
+    "pattern): exact windowed distinct as the value plus a "
+    "within-5%-of-exact boolean the oracle emits as literal TRUE — "
+    "sketch drift fails the hash match. The exact verification side "
+    "fans each day into the ≤7 windows it serves (bounded ×7 "
+    "row growth), never a per-window rescan.",
+)
+def q_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_millis(ts) div 86400000").alias("day"), "user_id")
+        .dropDuplicates()
+    )
+    sk = d.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rangeBetween(-6, Window.currentRow)
+    est = sk.select(
+        F.col("day").alias("window_end_day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    )
+    exact = (
+        d.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+                "window_end_day"
+            ),
+        )
+        .join(
+            d.select(F.col("day").alias("window_end_day")).dropDuplicates(),
+            "window_end_day",
+        )
+        .groupBy("window_end_day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return exact.join(est, "window_end_day").select(
+        "window_end_day",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct")
+        ).alias("sketch_within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
