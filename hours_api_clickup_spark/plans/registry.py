@@ -5143,6 +5143,86 @@ def q_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZSCORE_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE user_id < 50
+    ),
+    w AS (
+        SELECT user_id, ms, y,
+               COUNT(*) OVER win AS n,
+               CAST(SUM(y) OVER win AS BIGINT) AS sy,
+               CAST(SUM(y * y) OVER win AS BIGINT) AS syy
+        FROM e
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY ms
+            RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id, ms,
+           CAST(y AS DOUBLE) / 100.0 AS value,
+           n AS n_window,
+           CASE WHEN n * syy - sy * sy > 0 THEN
+               (CAST(n * y - sy AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+           END AS zscore_7d
+    FROM w
+"""
+
+
+@register(
+    "moving_zscore_7d",
+    _ZSCORE_SQL,
+    survey_ids="§2.7-moving-zscore,datapipe:anomaly",
+    doc="Rolling 7-day z-score per event (the streaming-metrics anomaly "
+    "flag): trailing mean/std from INTEGER window sums (cents and "
+    "cents², order-free exact over the RANGE frame), the z closed "
+    "form algebraically rearranged to (n·y−Σy)/√(n·Σy²−(Σy)²) so "
+    "every intermediate stays int64 until ONE double division/sqrt — "
+    "cents scale cancels. Zero-variance windows yield NULL via the "
+    "positivity guard, exactly on both engines. Shares "
+    "moving_window_7d's single key shuffle shape.",
+)
+def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("ms"),
+            F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        )
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    w = e.select(
+        "user_id",
+        "ms",
+        "y",
+        F.count("*").over(win).alias("n"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
+    )
+    den_sq = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.select(
+        "user_id",
+        "ms",
+        (F.col("y").cast("double") / F.lit(100.0)).alias("value"),
+        F.col("n").alias("n_window"),
+        F.when(
+            den_sq > 0,
+            (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+            / F.sqrt(den_sq.cast("double")),
+        ).alias("zscore_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
