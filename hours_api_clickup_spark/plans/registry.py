@@ -5223,6 +5223,79 @@ def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_Q_SQL = """
+    WITH e AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, price, wt,
+               CAST(SUM(wt) OVER (
+                   PARTITION BY flag
+                   ORDER BY price, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        FROM e
+    )
+    SELECT flag,
+           MIN(CASE WHEN 2 * cum >= tot THEN price END) AS weighted_median,
+           MIN(CASE WHEN 10 * cum >= 9 * tot THEN price END) AS weighted_p90,
+           MIN(tot) AS total_weight
+    FROM c GROUP BY flag
+"""
+
+
+@register(
+    "weighted_quantiles",
+    _WEIGHTED_Q_SQL,
+    survey_ids="datapipe:weighted-quantiles",
+    doc="Quantity-WEIGHTED median/p90 of price per return flag — the "
+    "'median unit actually shipped' statistic unweighted quantiles "
+    "misstate. Step form: smallest price whose cumulative weight "
+    "crosses q·W, with the crossing test kept INTEGER "
+    "(2·cum ≥ tot, 10·cum ≥ 9·tot — no rational q·W float ever "
+    "materializes), cumulative weights from ONE totally-ordered "
+    "key-partitioned window, and the pick a conditional MIN aggregate "
+    "(no second window, no row_number). Price ties at the crossing "
+    "emit the identical price either way — tie-break order only "
+    "affects which equal row crosses.",
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = e.select(
+        "flag",
+        "price",
+        F.sum("wt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("wt").over(w_all).cast("bigint").alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))
+        ).alias("weighted_median"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("price"))
+        ).alias("weighted_p90"),
+        F.min("tot").alias("total_weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
