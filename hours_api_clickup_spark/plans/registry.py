@@ -5296,6 +5296,98 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_LIFT_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS l
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(l) AS w,
+               unnest(range(1, len(l) + 1)) AS i
+        FROM toks
+    ),
+    big AS (
+        SELECT w AS a,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        FROM pos
+    ),
+    pair_counts AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM big WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+    tot AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n1,
+               (SELECT CAST(SUM(c_ab) AS BIGINT) FROM pair_counts) AS n2
+    )
+    SELECT a, b, c_ab,
+           CAST(c_ab * n1 * n1 AS DOUBLE) / (CAST(n2 AS DOUBLE) * ua.c * ub.c)
+               AS lift
+    FROM pair_counts
+    JOIN uni ua ON ua.w = a
+    JOIN uni ub ON ub.w = b, tot
+    WHERE c_ab >= 5
+    ORDER BY lift DESC, a, b
+    LIMIT 20
+"""
+
+
+@register(
+    "bigram_lift_topk",
+    _BIGRAM_LIFT_SQL,
+    survey_ids="datapipe:collocations",
+    doc="Collocation mining: top-20 adjacent word pairs by LIFT "
+    "P(ab)/(P(a)·P(b)) with min support 5 — PMI's ranking without its "
+    "log (libm ulp drift breaks hash matches; lift ranks identically "
+    "and stays ONE double division over exact int64 products). "
+    "Adjacency from a lead window per doc (one doc-key shuffle), "
+    "counts map-side combining, unigram joins on the bounded vocab, "
+    "TakeOrderedAndProject cut.",
+)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hours_api_clickup_spark.datapipe.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("i", "w")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    big = pos.select(
+        F.col("w").alias("a"), F.lead("w").over(w_doc).alias("b")
+    ).filter(F.col("b").isNotNull())
+    pair_counts = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = pos.groupBy("w").agg(F.count("*").alias("c"))
+    n1 = uni.agg(F.sum("c").cast("bigint").alias("n1"))
+    n2 = pair_counts.agg(F.sum("c_ab").cast("bigint").alias("n2"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        pair_counts.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            (
+                (F.col("c_ab") * F.col("n1") * F.col("n1")).cast("double")
+                / (
+                    F.col("n2").cast("double")
+                    * F.col("c_a")
+                    * F.col("c_b")
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
