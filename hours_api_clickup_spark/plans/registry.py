@@ -5388,6 +5388,103 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coreset_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.similarity import KNUTH_A, M31, M32
+
+    hash_order = f"((vec_id % {M31}) * {KNUTH_A}) % {M32}, vec_id"
+    return f"""
+    WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY {hash_order}) - 1 AS cid,
+               embedding::DOUBLE[] AS sv
+        FROM embeddings
+        ORDER BY {hash_order}
+        LIMIT 16
+    ),
+    assign AS (
+        SELECT vid, cid, sim FROM (
+            SELECT e.vec_id AS vid, s.cid,
+                   list_cosine_similarity(e.embedding::DOUBLE[], s.sv) AS sim,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.sv) DESC,
+                                s.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, vid AS vec_id, rank FROM (
+        SELECT cid, vid,
+               CAST(row_number() OVER (
+                   PARTITION BY cid ORDER BY sim ASC, vid
+               ) AS BIGINT) AS rank
+        FROM assign
+    ) WHERE rank <= 3
+    """
+
+
+@register(
+    "coreset_diverse_sample",
+    _coreset_oracle(),
+    survey_ids="datapipe:diversity-coreset",
+    doc="Diversity coreset for training-data curation (k-center-style "
+    "coverage, scalable form): per coarse cluster, the 3 vectors "
+    "FARTHEST from their centroid — the edge-of-distribution examples "
+    "random sampling under-picks and dedup never surfaces. One GEMM "
+    "assignment pass + per-cluster bottom-k by cosine "
+    "(WindowGroupLimit: each partition forwards ≤3 rows per cluster "
+    "before the shuffle). Same deterministic seed quantizer as the "
+    "IVF family → full hash-match oracle.",
+)
+def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql import Window
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivf_assign,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+
+    # cosine to own centroid: reuse the assignment GEMM's normalization
+    # by scoring against every centroid and keeping the assigned one
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cm = cents
+
+    def _sim_fn(v, cid):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cm.T
+        return pd.Series(sims[np.arange(len(cid)), cid.values.astype(int)])
+
+    # registry.py uses `from __future__ import annotations`, which
+    # stringifies hints and defeats pandas_udf inference — attach real
+    # type objects and use the call form
+    _sim_fn.__annotations__ = {
+        "v": pd.Series,
+        "cid": pd.Series,
+        "return": pd.Series,
+    }
+    _sim_to_assigned = pandas_udf(_sim_fn, "double")
+
+    assigned = ivf_assign(emb, "embedding", cents).select(
+        "vec_id",
+        "cluster_id",
+        _sim_to_assigned(F.col("embedding"), F.col("cluster_id")).alias("sim"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("sim").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("cluster_id", "vec_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
