@@ -166,3 +166,61 @@ def merge_full_reindex(fact: DataFrame, staging: DataFrame) -> DataFrame:
             f"{sorted(set(fact.columns) ^ set(staging.columns))}"
         )
     return staging.select(*fact.columns)
+
+
+def merge_refresh_with_changelog(
+    fact: DataFrame,
+    staging: DataFrame,
+    window_pred: Column,
+    key: str = "id",
+    hash_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``merge_refresh`` plus a CDC-out changelog: returns
+    ``(fact', changes)`` where ``changes`` has one row per key whose
+    state the refresh altered, ``change`` in {inserted, updated,
+    deleted} -- the event stream a downstream cache/index/webhook
+    consumer needs, derived IN the same pass contract as the merge
+    (window-scoped, so history outside W is provably untouched and
+    never scanned for the diff).
+
+    Classification over the window slice only:
+      inserted -- key in staging-window, not in fact-window
+      deleted  -- key in fact-window, not in staging-window
+      updated  -- key in both, row content hash differs (hash over
+                  ``hash_cols`` or all non-key columns, null-sentineled)
+    Unchanged keys emit nothing -- the common case costs no output.
+
+    Scale: both sides of the diff are the WINDOW slices (each a filtered
+    scan; at 100 TB the partition-pruned months), joined full-outer on
+    the key they are both hash-partitioned by. The changelog is
+    idempotent per refresh: re-running the same staging yields an empty
+    changelog, property the tests pin.
+    """
+    cols = hash_cols or [c for c in fact.columns if c != key]
+    row_hash = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(cols)],
+        ),
+        256,
+    )
+    f_w = fact.filter(F.coalesce(window_pred, F.lit(False))).select(
+        key, row_hash.alias("__fh")
+    )
+    s_w = staging.filter(window_pred).select(key, row_hash.alias("__sh"))
+    j = f_w.alias("f").join(
+        s_w.alias("s"), F.col(f"f.{key}") == F.col(f"s.{key}"), "full_outer"
+    )
+    change = (
+        F.when(F.col("__fh").isNull(), F.lit("inserted"))
+        .when(F.col("__sh").isNull(), F.lit("deleted"))
+        .when(F.col("__fh") != F.col("__sh"), F.lit("updated"))
+    )
+    changes = (
+        j.select(
+            F.coalesce(F.col(f"f.{key}"), F.col(f"s.{key}")).alias(key),
+            change.alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+    return merge_refresh(fact, staging, window_pred, key=key), changes

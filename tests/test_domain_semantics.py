@@ -352,3 +352,51 @@ def test_scd2_apply_equals_batch_rebuild(spark):
     sym_diff = hist.exceptAll(full).count() + full.exceptAll(hist).count()
     assert sym_diff == 0
     ranked.unpersist()
+
+
+def test_merge_refresh_changelog_classifies_and_is_idempotent(spark):
+    """CDC-out merge: the changelog names exactly the keys whose state
+    changed (inserted/updated/deleted, window-scoped); re-running the
+    same staging yields an EMPTY changelog; and fact' matches the plain
+    merge_refresh bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh,
+        merge_refresh_with_changelog,
+    )
+
+    fact = spark.createDataFrame(
+        [
+            (1, "2024-01-05", 10.0),   # in window, survives (same in staging)
+            (2, "2024-01-06", 20.0),   # in window, updated by staging
+            (3, "2024-01-07", 30.0),   # in window, absent from staging -> deleted
+            (4, "2023-12-01", 40.0),   # outside window, untouched
+            (5, None, 50.0),           # null date: must be preserved + not in changelog
+        ],
+        "id long, d string, v double",
+    )
+    staging = spark.createDataFrame(
+        [
+            (1, "2024-01-05", 10.0),
+            (2, "2024-01-06", 21.0),
+            (6, "2024-01-08", 60.0),   # new -> inserted
+            (7, "2023-11-30", 70.0),   # outside window: ignored entirely
+        ],
+        "id long, d string, v double",
+    )
+    pred = F.col("d").between("2024-01-01", "2024-01-31")
+    merged, changes = merge_refresh_with_changelog(fact, staging, pred, key="id")
+    got = {r["id"]: r["change"] for r in changes.collect()}
+    assert got == {2: "updated", 3: "deleted", 6: "inserted"}
+
+    plain = merge_refresh(fact, staging, pred, key="id")
+    assert merged.exceptAll(plain).count() == 0
+    assert plain.exceptAll(merged).count() == 0
+
+    # idempotence: refresh again with the same staging -> empty changelog
+    merged2, changes2 = merge_refresh_with_changelog(
+        merged, staging, pred, key="id"
+    )
+    assert changes2.count() == 0
+    assert merged2.exceptAll(merged).count() == 0
