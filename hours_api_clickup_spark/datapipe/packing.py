@@ -51,8 +51,19 @@ def global_prefix_offsets(
     with SUM, which is correct for negative sizes too; max(running sum)
     would not be)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, _c(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # The per-row local-cumsum branch and the per-partition totals branch
+    # BOTH consume this range exchange, and the downstream join stitches
+    # their results together BY __pid. If the planner materializes two
+    # separate exchanges (ReuseExchange is an optimization, not a
+    # guarantee — observed to split under a struct sort key), each
+    # samples its own range boundaries and the two branches disagree on
+    # which rows live in which __pid → silently corrupt offsets. Pin the
+    # partitioning by materializing the ranged rows once (eager
+    # localCheckpoint) — same hazard and fix as operators/quantiles.py.
+    ranged = (
+        df.repartitionByRange(n, _c(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("__pid")

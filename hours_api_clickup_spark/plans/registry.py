@@ -5486,6 +5486,376 @@ def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 late additions: CDC-out merge, sweep-line concurrency, Markov
+# transitions, rank-based winsorization, positional phrase search.
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = f"""
+    WITH w AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_MERGE_WINDOW_START} 00:00:00'
+    ),
+    stg AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 <> 1 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM w WHERE o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice FROM w
+        WHERE o_orderkey % 7 = 0
+    ),
+    diff AS (
+        SELECT COALESCE(f.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN f.o_orderkey IS NULL THEN 'inserted'
+                    WHEN s.o_orderkey IS NULL THEN 'deleted'
+                    WHEN f.o_totalprice <> s.o_totalprice THEN 'updated'
+               END AS change
+        FROM w f FULL OUTER JOIN stg s ON f.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderkey, change FROM diff WHERE change IS NOT NULL
+"""
+
+
+@register(
+    "merge_cdc_changelog",
+    _CDC_SQL,
+    survey_ids="M1-cdc,§2.12-changelog",
+    doc="CDC-out merge: the windowed refresh's inserted/updated/deleted "
+    "changelog (operators/merge.py merge_refresh_with_changelog) — the "
+    "event stream a downstream cache/index/webhook consumer needs. "
+    "Staging exercises all four classes: ×2-price updates, %5==1 "
+    "unchanged (emit nothing), %3==0 window deletes, +1e8-key inserts. "
+    "Scale: both diff sides are the WINDOW slices (partition-pruned at "
+    "100 TB), full-outer on the key both are hash-partitioned by; "
+    "history outside W is never scanned. Spark classifies via a row "
+    "hash over non-key columns; the oracle compares values directly — "
+    "same classes by construction.",
+)
+def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh_with_changelog,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    w_pred = F.col("o_orderdate") >= F.lit(_MERGE_WINDOW_START).cast("timestamp")
+    w_orders = orders.filter(w_pred)
+    upd = w_orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 != 1, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = w_orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    staging = upd.unionByName(ins)
+    _, changes = merge_refresh_with_changelog(
+        orders, staging, w_pred, key="o_orderkey"
+    )
+    return changes
+
+
+_CONCURRENCY_SQL = """
+    WITH iv AS (
+        SELECT event_id, event_type, epoch_ms(ts) AS s,
+               epoch_ms(ts) + CAST(FLOOR(value * 60000) AS BIGINT) AS e
+        FROM events
+        WHERE value IS NOT NULL AND FLOOR(value * 60000) > 0
+    ),
+    pts AS (
+        SELECT event_type, s AS pt, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS pt, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+        SELECT event_type,
+               CAST(SUM(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY pt, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS c
+        FROM pts
+    )
+    SELECT r.event_type,
+           MAX(r.c) AS max_concurrency,
+           MIN(n.n_intervals) AS n_intervals
+    FROM run r
+    JOIN (SELECT event_type, COUNT(*) AS n_intervals FROM iv GROUP BY event_type) n
+      ON r.event_type = n.event_type
+    GROUP BY r.event_type
+"""
+
+
+@register(
+    "interval_overlap_concurrency",
+    _CONCURRENCY_SQL,
+    survey_ids="datapipe:sweep-line,§2.7-interval",
+    doc="Peak concurrent intervals per event type (capacity planning / "
+    "overlap audit): each event opens a [ts, ts+value-minutes) interval "
+    "(closed-open: at a tie the −1 end sorts before the +1 start), "
+    "sweep-line ±1 deltas, running sum, MAX. The prefix sum is the "
+    "two-phase distributed form (packing.global_prefix_offsets) over a "
+    "(type, pt, delta, id) range key — NOT a per-type single-partition "
+    "window: per-type deltas telescope to zero, so the concatenated "
+    "global running sum IS each type's concurrency, and the sweep "
+    "scales by ms-range, immune to one type dominating. Integer "
+    "endpoints via FLOOR (exact IEEE) keep both engines bit-identical.",
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.packing import global_prefix_offsets
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("s"),
+        (
+            F.unix_millis("ts")
+            + F.floor(F.col("value") * 60000).cast("bigint")
+        ).alias("e"),
+        "value",
+    )
+    iv = ev.filter(
+        F.col("value").isNotNull() & (F.floor(F.col("value") * 60000) > 0)
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("pt"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e").alias("pt"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    keyed = pts.withColumn(
+        "__k", F.struct("event_type", "pt", "delta", "event_id")
+    )
+    run = global_prefix_offsets(keyed, "__k", "delta")
+    n_per_type = iv.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals")
+    )
+    return (
+        run.groupBy("event_type")
+        .agg(F.max("end_offset").cast("bigint").alias("max_concurrency"))
+        .join(F.broadcast(n_per_type), "event_type")
+        .select("event_type", "max_concurrency", "n_intervals")
+    )
+
+
+_TRANSITION_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pairs
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n_pairs,
+           CAST(n_pairs AS DOUBLE)
+               / CAST(SUM(n_pairs) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p_transition
+    FROM pairs
+"""
+
+
+@register(
+    "event_transition_matrix",
+    _TRANSITION_SQL,
+    survey_ids="datapipe:markov,§2.7-lag",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the behavioral-model / next-event-prediction feed): "
+    "lag over (ts, event_id) within user — ONE hash shuffle on "
+    "user_id — then a map-side-combining groupBy on (prev, next) whose "
+    "result is |types|² rows; the row-probability normalization windows "
+    "over that tiny aggregate, never the raw events. p = one double "
+    "division of two exact int64 counts → IEEE-identical across "
+    "engines.",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_row).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+_WINSORIZE_SQL = """
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS r,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM c
+    ),
+    cuts AS (
+        SELECT flag,
+               MIN(CASE WHEN r = (n + 19) // 20 THEN cents END) AS lo,
+               MIN(CASE WHEN r = (19 * n + 19) // 20 THEN cents END) AS hi,
+               MIN(n) AS n
+        FROM ranked GROUP BY flag
+    )
+    SELECT c.flag,
+           MIN(k.n) AS n_rows,
+           CAST(MIN(k.lo) AS DOUBLE) / 100.0 AS p05_cut,
+           CAST(MIN(k.hi) AS DOUBLE) / 100.0 AS p95_cut,
+           CAST(SUM(LEAST(GREATEST(c.cents, k.lo), k.hi)) AS DOUBLE) / 100.0
+               AS winsorized_sum,
+           CAST(SUM(LEAST(GREATEST(c.cents, k.lo), k.hi)) AS DOUBLE)
+               / (100.0 * MIN(k.n)) AS winsorized_mean
+    FROM c JOIN cuts k ON c.flag = k.flag
+    GROUP BY c.flag
+"""
+
+
+@register(
+    "winsorized_stats",
+    _WINSORIZE_SQL,
+    survey_ids="datapipe:winsorize,A2-robust",
+    doc="Rank-based winsorized sum/mean per group (the robust-metrics "
+    "variant of the revenue rollup: clamp to the nearest-rank p05/p95 "
+    "order statistics, so one fat-finger price can't move the mean). "
+    "Nearest-rank — ceil(n/20) via integer (n+19)//20, NO float "
+    "interpolation — keeps every intermediate int64-exact; cents sums "
+    "are order-free exact with ONE double division at the end. Plan: "
+    "ranking rides one hash shuffle on the group key; cutoffs are a "
+    "3-row broadcast joined back. A single giant group degenerates to "
+    "one partition — operators/quantiles.py's range-partitioned global "
+    "rank is the drop-in for that regime.",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # floor(x*100 + 0.5), not F.round: Spark rounds the decimal string
+    # repr, DuckDB the binary value — they diverge at .xx5; floor is
+    # exact IEEE on both.
+    c = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_rank = Window.partitionBy("flag").orderBy("cents")
+    w_all = Window.partitionBy("flag")
+    ranked = c.select(
+        "flag",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    cuts = ranked.groupBy("flag").agg(
+        F.min(
+            F.when(F.col("r") == F.expr("(n + 19) div 20"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("r") == F.expr("(19 * n + 19) div 20"), F.col("cents")
+            )
+        ).alias("hi"),
+        F.min("n").alias("n"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(F.broadcast(cuts), "flag")
+        .groupBy("flag")
+        .agg(
+            F.min("n").alias("n_rows"),
+            (F.min("lo").cast("double") / F.lit(100.0)).alias("p05_cut"),
+            (F.min("hi").cast("double") / F.lit(100.0)).alias("p95_cut"),
+            (F.sum(clamped).cast("double") / F.lit(100.0)).alias(
+                "winsorized_sum"
+            ),
+            (
+                F.sum(clamped).cast("double")
+                / (F.lit(100.0) * F.min("n").cast("double"))
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+_PHRASE_SQL = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN CAST(len(list_filter(
+                   range(1, len(toks)),
+                   i -> toks[i] = 'table' AND toks[i + 1] = 'scan'
+               )) AS BIGINT) ELSE 0 END AS n_hits
+        FROM t
+    )
+    SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "phrase_search_topk",
+    _PHRASE_SQL,
+    survey_ids="datapipe:phrase-search",
+    doc='Positional phrase search ("table scan", adjacency-exact) — the '
+    "retrieval mode tf scoring (text_search_topk) cannot express. "
+    "Occurrences counted INSIDE the row with a higher-order array "
+    "filter over token positions: pure projection, zero shuffles, no "
+    "posexplode → no token-level self-join shuffle at any scale; top-k "
+    "is TakeOrderedAndProject. 1-indexed element_at matches DuckDB "
+    "list indexing exactly.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+")
+    hits = docs.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= 2,
+            F.expr(
+                "size(filter(sequence(1, size(split(lower(trim(text)),"
+                " '[^a-z0-9]+')) - 1),"
+                " i -> element_at(split(lower(trim(text)), '[^a-z0-9]+'), i)"
+                " = 'table' AND"
+                " element_at(split(lower(trim(text)), '[^a-z0-9]+'), i + 1)"
+                " = 'scan'))"
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("n_hits"),
+    )
+    return (
+        hits.filter(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
 # parity gate (tests/test_oracle_parity.py). Round 2 left 28 entries
