@@ -1,0 +1,179 @@
+"""Persisted inverted text index: token-hash-bucketed postings with
+partition-pruned probes — the lexical counterpart of the persisted ANN
+index family (datapipe/similarity.py).
+
+The scan-form retrieval queries (``text_search_topk``,
+``phrase_search_topk``) re-tokenize the corpus per query. At 100 TB a
+search service cannot: tokenization is materialized ONCE at ingest into
+a postings table
+
+    {path}/base/tb=<bucket>/part-*.parquet
+    (token string, doc_id long, tf long, positions array<long>)
+
+partitioned by ``tb = pmod(xxhash64(token), n_buckets)``, with each
+bucket's files sorted by token so the probe's ``token IN (...)``
+predicate also prunes parquet row groups via min/max stats. A probe
+enumerates its query terms' buckets (|terms| rows of driver-side work,
+bounded by the query) and reads ONLY those partitions — cost scales
+with the postings of the queried terms, never the corpus.
+
+``positions`` are 1-based offsets into the document's full split array
+(empty tokens from leading/repeated delimiters occupy a slot but are
+never stored), so phrase adjacency is ``pos_b == pos_a + 1`` — the same
+convention the scan-form phrase query and its DuckDB oracle use, which
+is what lets the index probe hash-match the scan form's oracle.
+
+Standard IR postings design (Manning/Raghavan/Schütze, Introduction to
+Information Retrieval ch. 1-2); the reference engine has no text index
+— its filtering is row-at-a-time Python (fetch_clickup_data.py) — so
+this is part of the beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+DEFAULT_TEXT_BUCKETS = 64
+
+
+def tokenize(text_col: str = "text"):
+    """The engine-wide tokenizer: lower → trim → split on non-alnum.
+    Kept in one place so index build, scan-form queries, and oracles
+    cannot drift apart."""
+    return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+
+
+def inverted_index_write(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n_buckets: int = DEFAULT_TEXT_BUCKETS,
+) -> None:
+    """Materialize the postings table. One posting row per (token, doc)
+    with term frequency and the sorted 1-based position list.
+
+    Scale shape: posexplode → one shuffle keyed on (token, doc_id) for
+    the position collect — token keys are zipf-skewed, but the key
+    includes doc_id so no single reducer sees more than one document's
+    occurrences of a term. sortWithinPartitions(token) gives row-group
+    locality for the probe's token IN-list pushdown."""
+    toks = tokenize(text_col)
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(toks))
+        .filter(F.col("col") != "")
+        .select(
+            "doc_id",
+            F.col("col").alias("token"),
+            (F.col("pos") + 1).cast("long").alias("position"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("positions"),
+        )
+        .withColumn(
+            "tb", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    (
+        postings.repartition("tb")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/base")
+    )
+
+
+def inverted_index_read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/base")
+
+
+def _term_buckets(
+    spark: SparkSession, terms: list[str], n_buckets: int
+) -> list[int]:
+    """Bucket ids for the query terms, computed WITH Spark's own
+    xxhash64 so probe-side bucketing can never drift from build-side.
+    Driver-side cost is |terms| rows — bounded by the query."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "token string")
+        .select(F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("tb"))
+        .collect()
+    )
+    return sorted({r["tb"] for r in rows})
+
+
+def term_postings(
+    spark: SparkSession,
+    index: DataFrame,
+    terms: list[str],
+    n_buckets: int = DEFAULT_TEXT_BUCKETS,
+) -> DataFrame:
+    """Postings rows for ``terms``: partition-pruned to the terms'
+    buckets (tb IN ...) with the token IN-list pushed to the parquet
+    reader (row-group pruning via the sorted token column)."""
+    buckets = _term_buckets(spark, terms, n_buckets)
+    return index.filter(
+        F.col("tb").isin(buckets) & F.col("token").isin(terms)
+    )
+
+
+def index_term_topk(
+    spark: SparkSession,
+    index: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    n_buckets: int = DEFAULT_TEXT_BUCKETS,
+) -> DataFrame:
+    """Multi-term tf-sum retrieval from the persisted index: score(doc)
+    = Σ_t tf(t, doc) over the query terms, top-k by (score, doc_id).
+    One map-side-combining groupBy over the pruned postings slice, then
+    TakeOrderedAndProject."""
+    p = term_postings(spark, index, terms, n_buckets)
+    return (
+        p.groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def index_phrase_topk(
+    spark: SparkSession,
+    index: DataFrame,
+    first: str,
+    second: str,
+    k: int = 10,
+    n_buckets: int = DEFAULT_TEXT_BUCKETS,
+) -> DataFrame:
+    """Adjacency-exact two-token phrase retrieval from the persisted
+    index: join the two terms' postings on doc_id and count positions
+    where ``second`` directly follows ``first``. The join inputs are
+    the pruned postings of exactly two tokens — at any corpus scale the
+    work is proportional to those two postings lists. Emits the same
+    (doc_id, n_hits) surface as the scan-form phrase query, so the same
+    oracle hash-matches both."""
+    p = term_postings(spark, index, [first, second], n_buckets)
+    a = p.filter(F.col("token") == first).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = p.filter(F.col("token") == second).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    hits = (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform("pa", lambda x: x + 1), F.col("pb")
+                )
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    return hits.orderBy(F.col("n_hits").desc(), F.col("doc_id").asc()).limit(k)

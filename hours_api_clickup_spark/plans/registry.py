@@ -5855,6 +5855,88 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXT_INDEX_SQL_TERMS = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> x = 'merge'))
+                  + len(list_filter(toks, x -> x = 'vector')) AS BIGINT)
+                   AS score
+        FROM t
+    )
+    SELECT doc_id, score FROM s WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "text_index_term_probe",
+    _TEXT_INDEX_SQL_TERMS,
+    survey_ids="datapipe:text-index",
+    doc="Persisted inverted-index retrieval (tf-sum over query terms "
+    "'merge'+'vector'): postings materialized once at ingest, bucketed "
+    "by pmod(xxhash64(token), 64) and token-sorted within buckets; the "
+    "probe enumerates the terms' buckets and reads ONLY those "
+    "partitions (plan-gated PartitionFilters) with the token IN-list "
+    "pushed to row groups — cost scales with the queried terms' "
+    "postings, never the corpus. Oracle recomputes from the raw text, "
+    "so the hash match proves index build + probe ≡ scan.",
+)
+def q_text_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hours_api_clickup_spark.datapipe.textindex import (
+        index_term_topk,
+        inverted_index_read,
+        inverted_index_write,
+    )
+
+    key = ("textidx", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        index_path = tempfile.mkdtemp(prefix="text_index_") + "/docs"
+        inverted_index_write(docs, "text", "doc_id", index_path)
+        _ANN_INDEX_CACHE[key] = inverted_index_read(spark, index_path)
+    return index_term_topk(
+        spark, _ANN_INDEX_CACHE[key], ["merge", "vector"], k=10
+    )
+
+
+@register(
+    "text_index_phrase_probe",
+    _PHRASE_SQL,
+    survey_ids="datapipe:text-index-phrase",
+    doc="The persisted-index form of phrase_search_topk: adjacency "
+    "resolved from the stored 1-based position lists of the two terms' "
+    "postings (join on doc_id, count pos_b == pos_a + 1) — work "
+    "proportional to two postings lists at any corpus scale, and the "
+    "SAME oracle as the scan form hash-matches both (the index-ingest "
+    "analog of the knn_lsh_bucketed / knn_lsh_probe pairing).",
+)
+def q_text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hours_api_clickup_spark.datapipe.textindex import (
+        index_phrase_topk,
+        inverted_index_read,
+        inverted_index_write,
+    )
+
+    key = ("textidx", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        index_path = tempfile.mkdtemp(prefix="text_index_") + "/docs"
+        inverted_index_write(docs, "text", "doc_id", index_path)
+        _ANN_INDEX_CACHE[key] = inverted_index_read(spark, index_path)
+    return index_phrase_topk(
+        spark, _ANN_INDEX_CACHE[key], "table", "scan", k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

@@ -171,6 +171,39 @@ def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
     assert plan.count("MapInPandas") <= 1  # scoring UDF only, no re-sign
 
 
+def test_text_index_probe_scan_is_partition_pruned(spark, tmp_path):
+    # The inverted-index probe must read only the query terms' tb
+    # buckets (PartitionFilters) and push the token IN-list into the
+    # parquet reader (PushedFilters → row-group pruning on the sorted
+    # token column) — never re-tokenize the corpus (no Generate/
+    # posexplode in the probe plan).
+    import contextlib
+    import io
+
+    from hours_api_clickup_spark.datapipe.textindex import (
+        index_term_topk,
+        inverted_index_read,
+        inverted_index_write,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "text_index")
+    inverted_index_write(docs, "text", "doc_id", path)
+    df = index_term_topk(
+        spark, inverted_index_read(spark, path), ["merge", "vector"], k=10
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "tb#" in pf, plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "token" in pushed, plan
+    assert "Generate" not in plan, plan
+
+
 def test_minhash_pair_generation_no_all_pairs_join(spark):
     # dedup_cluster_lsh's edge set comes from the banded bucket join:
     # equi-join on (band, bucket) — never a cartesian / nested-loop
