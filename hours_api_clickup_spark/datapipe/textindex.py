@@ -31,11 +31,13 @@ this is part of the beyond-reference scale surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"[^a-z0-9]+"
 DEFAULT_TEXT_BUCKETS = 64
+
+_POSTING_COLS = ("token", "doc_id", "tf", "positions", "seq", "tb")
 
 
 def tokenize(text_col: str = "text"):
@@ -43,6 +45,31 @@ def tokenize(text_col: str = "text"):
     Kept in one place so index build, scan-form queries, and oracles
     cannot drift apart."""
     return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+
+
+def _posting_rows(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int, seq: int
+) -> DataFrame:
+    toks = tokenize(text_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(toks))
+        .filter(F.col("col") != "")
+        .select(
+            "doc_id",
+            F.col("col").alias("token"),
+            (F.col("pos") + 1).cast("long").alias("position"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("positions"),
+        )
+        .withColumn(
+            "tb", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+        )
+        .withColumn("seq", F.lit(int(seq)).cast("long"))
+        .select(*_POSTING_COLS)
+    )
 
 
 def inverted_index_write(
@@ -60,24 +87,7 @@ def inverted_index_write(
     includes doc_id so no single reducer sees more than one document's
     occurrences of a term. sortWithinPartitions(token) gives row-group
     locality for the probe's token IN-list pushdown."""
-    toks = tokenize(text_col)
-    postings = (
-        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(toks))
-        .filter(F.col("col") != "")
-        .select(
-            "doc_id",
-            F.col("col").alias("token"),
-            (F.col("pos") + 1).cast("long").alias("position"),
-        )
-        .groupBy("token", "doc_id")
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.sort_array(F.collect_list("position")).alias("positions"),
-        )
-        .withColumn(
-            "tb", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
-        )
-    )
+    postings = _posting_rows(docs, text_col, id_col, n_buckets, seq=0)
     (
         postings.repartition("tb")
         .sortWithinPartitions("token", "doc_id")
@@ -87,8 +97,86 @@ def inverted_index_write(
     )
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def inverted_index_append(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n_buckets: int = DEFAULT_TEXT_BUCKETS,
+    seq: int | None = None,
+) -> None:
+    """Append-only (merge-on-read) document ingest — the steady-state
+    path for a growing corpus: tokenize ONLY the batch and commit it as
+    one sorted file under ``{path}/log`` with a monotonically
+    increasing ``seq`` (the L0 of an LSM tree; same contract as
+    similarity.py's ``lsh_index_append``). Nothing is read back or
+    rewritten; write cost is O(batch).
+
+    Read side: probes keep, per (token, doc), the max-``seq`` posting
+    among the PRUNED rows. Bounded staleness, stated honestly: if a
+    re-ingested document's new version DROPPED a token, the old posting
+    for that token survives until ``inverted_index_compact`` folds the
+    log — the same trade the ANN append makes for signature-moving
+    re-ingest. Appending NEW documents (corpus growth, the common case)
+    is exact immediately."""
+    spark = docs.sparkSession
+    if not _fs_exists(spark, f"{path}/base"):
+        inverted_index_write(docs, text_col, id_col, path, n_buckets)
+        return
+    if seq is None:
+        # stats-read fallback; a production deployment passes ``seq``
+        # from its ingest manifest and skips this scan
+        max_seq = (
+            inverted_index_read(spark, path).agg(F.max("seq")).head()[0]
+        )
+        seq = (max_seq if max_seq is not None else -1) + 1
+    rows = _posting_rows(docs, text_col, id_col, n_buckets, seq=int(seq))
+    # one file per batch; repartition(1), not coalesce(1) — coalesce
+    # would serialize the upstream explode into a single task
+    rows.repartition(1).sortWithinPartitions("tb", "token", "doc_id").write.mode(
+        "append"
+    ).parquet(f"{path}/log")
+
+
+def inverted_index_compact(spark: SparkSession, path: str) -> None:
+    """Fold the log into the base: per document keep only its newest
+    version (max ``seq`` across ALL its postings — a token absent from
+    the new version is dropped, restoring exact reads after
+    re-ingest-with-changed-text appends), rewrite ``{path}/base``,
+    drop ``{path}/log``. O(corpus), run on the compaction cadence."""
+    index = inverted_index_read(spark, path)
+    w = Window.partitionBy("doc_id")
+    latest = (
+        index.withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+        .select(*_POSTING_COLS)
+        .dropDuplicates(["token", "doc_id"])
+        .localCheckpoint()  # the rewrite below overwrites its own input
+    )
+    latest.repartition("tb").sortWithinPartitions(
+        "token", "doc_id"
+    ).write.mode("overwrite").partitionBy("tb").parquet(f"{path}/base")
+    jvm = spark._jvm
+    log_path = jvm.org.apache.hadoop.fs.Path(f"{path}/log")
+    fs = log_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(log_path):
+        fs.delete(log_path, True)
+
+
 def inverted_index_read(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/base")
+    """Base ∪ log merge-on-read view (duplicates resolved at probe
+    time by max-seq per (token, doc) — see ``term_postings``)."""
+    base = spark.read.parquet(f"{path}/base").select(*_POSTING_COLS)
+    if _fs_exists(spark, f"{path}/log"):
+        log = spark.read.parquet(f"{path}/log").select(*_POSTING_COLS)
+        return base.unionByName(log)
+    return base
 
 
 def _term_buckets(
@@ -113,10 +201,19 @@ def term_postings(
 ) -> DataFrame:
     """Postings rows for ``terms``: partition-pruned to the terms'
     buckets (tb IN ...) with the token IN-list pushed to the parquet
-    reader (row-group pruning via the sorted token column)."""
+    reader (row-group pruning via the sorted token column). Merge-on-
+    read resolution: keep the max-``seq`` row per (token, doc) among
+    the pruned slice — O(pruned postings), never the corpus."""
     buckets = _term_buckets(spark, terms, n_buckets)
-    return index.filter(
+    pruned = index.filter(
         F.col("tb").isin(buckets) & F.col("token").isin(terms)
+    )
+    w = Window.partitionBy("token", "doc_id")
+    return (
+        pruned.withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+        .drop("_mx")
+        .dropDuplicates(["token", "doc_id"])
     )
 
 

@@ -1016,3 +1016,110 @@ def test_mid_swap_crash_recovers_prior_index(spark, tmp_path):
         for r in lsh_index_read(spark, path).select("vid").distinct().collect()
     }
     assert len(vids) == 310
+
+
+class TestInvertedIndexAppend:
+    """Merge-on-read contract of the persisted inverted text index
+    (datapipe/textindex.py): O(batch) appends resolve correctly at
+    probe time, and compaction restores exact single-version reads —
+    the lexical mirror of TestLshIndexUpsert."""
+
+    TERMS = ["merge", "vector"]
+
+    def _probe(self, spark, path):
+        from hours_api_clickup_spark.datapipe.textindex import (
+            index_term_topk,
+            inverted_index_read,
+        )
+
+        return sorted(
+            tuple(r)
+            for r in index_term_topk(
+                spark, inverted_index_read(spark, path), self.TERMS, k=1000
+            ).collect()
+        )
+
+    def test_append_new_docs_equals_rebuild(self, spark, tmp_path):
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_append,
+            inverted_index_write,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        old = docs.filter(F.col("doc_id") < 400)
+        new = docs.filter(F.col("doc_id") >= 400)
+
+        p_inc = str(tmp_path / "inc")
+        inverted_index_write(old, "text", "doc_id", p_inc)
+        inverted_index_append(new, "text", "doc_id", p_inc)
+
+        p_full = str(tmp_path / "full")
+        inverted_index_write(docs, "text", "doc_id", p_full)
+
+        assert self._probe(spark, p_inc) == self._probe(spark, p_full)
+
+    def test_append_reingested_tf_change_new_wins(self, spark, tmp_path):
+        # re-ingest doc 0 with extra occurrences of a queried term while
+        # the term stays present: append alone must already serve the
+        # NEW tf (max-seq resolution), no compaction needed
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_append,
+            inverted_index_write,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        p = str(tmp_path / "idx")
+        inverted_index_write(docs, "text", "doc_id", p)
+        bumped = docs.filter(F.col("doc_id") == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" merge merge merge"))
+        )
+        inverted_index_append(bumped, "text", "doc_id", p)
+
+        scores = dict(self._probe(spark, p))
+        base_scores = {}
+        p2 = str(tmp_path / "ref")
+        current = docs.filter(F.col("doc_id") != 0).unionByName(bumped)
+        inverted_index_write(current, "text", "doc_id", p2)
+        base_scores = dict(self._probe(spark, p2))
+        assert scores.get(0) == base_scores.get(0)
+        assert scores.get(0, 0) >= 3
+
+    def test_compact_restores_exact_after_token_drop(self, spark, tmp_path):
+        # re-ingested doc DROPS a queried token: append-only reads may
+        # serve the stale posting (documented bound); compaction must
+        # restore probe == rebuild-of-current-corpus, and remove log/
+        from hours_api_clickup_spark.datapipe.textindex import (
+            _fs_exists,
+            inverted_index_append,
+            inverted_index_compact,
+            inverted_index_write,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        p = str(tmp_path / "idx")
+        inverted_index_write(docs, "text", "doc_id", p)
+        replaced = docs.filter(F.col("doc_id") == 1).withColumn(
+            "text", F.lit("only stopwords here now")
+        )
+        inverted_index_append(replaced, "text", "doc_id", p)
+        inverted_index_compact(spark, p)
+
+        p2 = str(tmp_path / "ref")
+        current = docs.filter(F.col("doc_id") != 1).unionByName(replaced)
+        inverted_index_write(current, "text", "doc_id", p2)
+
+        assert self._probe(spark, p) == self._probe(spark, p2)
+        assert not _fs_exists(spark, f"{p}/log")
+
+    def test_append_bootstraps_missing_index(self, spark, tmp_path):
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_append,
+            inverted_index_write,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        p = str(tmp_path / "boot")
+        inverted_index_append(docs, "text", "doc_id", p)
+        p2 = str(tmp_path / "ref")
+        inverted_index_write(docs, "text", "doc_id", p2)
+        assert self._probe(spark, p) == self._probe(spark, p2)
