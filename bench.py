@@ -226,6 +226,70 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Inverted text index: ingest grades + the probe-vs-scan payoff on
+    # a 100k-doc corpus (sf0.1 documents replicated 20×). Reported, not
+    # added to ``value``. The scan form re-tokenizes the corpus per
+    # query; the probe reads two terms' pruned postings — the gap is
+    # the reason the index exists.
+    from hours_api_clickup_spark.datapipe.textindex import (
+        index_term_topk,
+        inverted_index_append,
+        inverted_index_read,
+        inverted_index_write,
+        tokenize,
+    )
+
+    REP_T = 20
+    bigdocs = (
+        docs.crossJoin(
+            _F2.broadcast(spark.range(REP_T).withColumnRenamed("id", "rep"))
+        )
+        .select(
+            (_F2.col("doc_id") * REP_T + _F2.col("rep")).alias("doc_id"),
+            "text",
+        )
+        .localCheckpoint()
+    )
+    t_corpus = bigdocs.filter(_F2.col("doc_id") % 10 != 0)
+    t_batch = bigdocs.filter(_F2.col("doc_id") % 10 == 0)
+    tidx = tempfile.mkdtemp(prefix="bench_textidx_") + "/idx"
+    t0 = time.perf_counter()
+    inverted_index_write(t_corpus, "text", "doc_id", tidx)
+    t_text_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    inverted_index_append(t_batch, "text", "doc_id", tidx, seq=1)
+    t_text_append = time.perf_counter() - t0
+    reader = inverted_index_read(spark, tidx)
+    t0 = time.perf_counter()
+    index_term_topk(spark, reader, ["merge", "vector"], k=10).collect()
+    t_text_probe = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    toks = tokenize("text")
+    (
+        bigdocs.select(
+            "doc_id",
+            (
+                _F2.size(_F2.filter(toks, lambda x: x == "merge"))
+                + _F2.size(_F2.filter(toks, lambda x: x == "vector"))
+            ).cast("bigint").alias("score"),
+        )
+        .filter(_F2.col("score") > 0)
+        .orderBy(_F2.col("score").desc(), _F2.col("doc_id").asc())
+        .limit(10)
+        .collect()
+    )
+    t_text_scan = time.perf_counter() - t0
+    timings["text_index_build_90k"] = round(t_text_build, 3)
+    timings["text_index_append_batch"] = round(t_text_append, 3)
+    timings["text_index_term_probe_100k"] = round(t_text_probe, 3)
+    timings["text_scan_term_topk_100k"] = round(t_text_scan, 3)
+    print(
+        f"# text index (100k docs): build {t_text_build:.3f}s, 10% "
+        f"batch append {t_text_append:.3f}s, term probe "
+        f"{t_text_probe:.3f}s vs scan-form {t_text_scan:.3f}s",
+        file=sys.stderr,
+    )
+
     # The driver tail-captures only the last ~2 KB of stdout; round 2's
     # 79-query line overflowed it and BENCH_r02.json recorded parsed:null.
     # Full per-query detail goes to BENCH_DETAIL.json; the final stdout

@@ -5937,6 +5937,184 @@ def q_text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_degree_sql() -> str:
+    from hours_api_clickup_spark.datapipe.dedup import minhash_lsh_oracle_sql
+
+    pairs_sql = minhash_lsh_oracle_sql(
+        "documents", "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
+    )
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL
+            SELECT id_b AS id FROM pairs
+        ) GROUP BY id
+    )
+    SELECT COALESCE(deg.degree, 0) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
+    GROUP BY COALESCE(deg.degree, 0)
+    """
+
+
+@register(
+    "neardup_degree_histogram",
+    _neardup_degree_sql(),
+    survey_ids="datapipe:dedup-graph-shape",
+    doc="Degree distribution of the MinHash near-dup graph (the health "
+    "check run before trusting a dedup pass: a fat tail means a "
+    "boilerplate template is stitching unrelated docs into one giant "
+    "cluster and the survivor policy will over-delete). Reuses the "
+    "ingest-time verified pair table (no re-shingle), one agg over the "
+    "bounded edge list, LEFT JOIN back to count degree-0 docs; the "
+    "histogram is |distinct degrees| rows. Oracle rides the generated "
+    "pair CTE chain, so the edge set can never drift.",
+)
+def q_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(deg, docs["doc_id"] == deg["id"], "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+_MAD_SQL = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN r = (n + 1) // 2 THEN cents END) AS med
+        FROM (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM c
+        ) GROUP BY event_type
+    ),
+    dev AS (
+        SELECT c.event_type, c.cents, m.med, ABS(c.cents - m.med) AS d
+        FROM c JOIN med m ON c.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               MIN(med) AS med,
+               MIN(CASE WHEN r = (n + 1) // 2 THEN d END) AS mad
+        FROM (
+            SELECT event_type, med, d,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(k.med) AS DOUBLE) / 100.0 AS median_value,
+           CAST(MIN(k.mad) AS DOUBLE) / 100.0 AS mad_value,
+           CAST(COUNT(CASE WHEN v.d * 10000 > 44478 * k.mad THEN 1 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(CASE WHEN v.d * 10000 > 44478 * k.mad THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS outlier_rate
+    FROM dev v JOIN mad k ON v.event_type = k.event_type
+    GROUP BY v.event_type
+"""
+
+
+@register(
+    "outlier_mad_robust",
+    _MAD_SQL,
+    survey_ids="datapipe:outlier-mad",
+    doc="MAD-based robust outlier report per event type — the "
+    "breakdown-point-0.5 complement of the Tukey-fence query (IQR "
+    "breaks down at 25% contamination, MAD not until 50%). Both order "
+    "statistics are NEAREST-RANK over integer cents (no interpolation "
+    "anywhere), and the 3·1.4826·MAD threshold is applied as the "
+    "integer cross-product |x−med|·10000 > 44478·MAD — every "
+    "comparison int64-exact, doubles appear only in the final report "
+    "columns. Two ranking windows and the joins all ride the same "
+    "event_type key shuffle.",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        c.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w_rank).alias("r"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).alias("med")
+        )
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("d"),
+    )
+    w_rank_d = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.select(
+            "event_type",
+            "med",
+            "d",
+            F.row_number().over(w_rank_d).alias("r"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min(
+                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("d"))
+            ).alias("mad"),
+        )
+    )
+    is_out = F.col("d") * 10000 > 44478 * F.col("mad")
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.min("med").cast("double") / F.lit(100.0)).alias("median_value"),
+            (F.min("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
+            F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
+            (
+                F.count(F.when(is_out, 1)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("outlier_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local

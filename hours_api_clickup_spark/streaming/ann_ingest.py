@@ -128,3 +128,38 @@ def streaming_doc_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_text_index_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous document ingest into the persisted inverted text
+    index (datapipe/textindex.py): each micro-batch is tokenized once
+    (O(batch)) and committed as one sorted log file with
+    ``seq = batch_id`` — the lexical twin of ``streaming_lsh_ingest``,
+    with the identical exactly-once argument: re-delivered batches
+    re-append the same rows at the same seq, which merge-on-read
+    resolution makes invisible. Probes stay partition-pruned against
+    ``base`` plus the bounded log throughout; ``inverted_index_compact``
+    folds the log on a scheduled cadence."""
+    from hours_api_clickup_spark.datapipe.textindex import (
+        inverted_index_append,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        inverted_index_append(
+            batch_df, text_col, id_col, index_path, seq=int(batch_id)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -864,3 +864,53 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
         for r in snapshot_diff(spark, path, ["id"], v1).collect()
     }
     assert diff2 == diff
+
+
+def test_streaming_text_index_ingest_equals_one_shot(spark, tmp_path):
+    """Documents drained through the streaming inverted-index ingest:
+    term probes against the accumulated index must equal probes against
+    a one-shot build over everything ingested."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.textindex import (
+        index_term_topk,
+        inverted_index_read,
+        inverted_index_write,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_text_index_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stage = str(tmp_path / "stage")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    idx = str(tmp_path / "idx")
+    q = streaming_text_index_ingest(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    ref = str(tmp_path / "ref")
+    inverted_index_write(docs, "text", "doc_id", ref)
+    terms = ["merge", "vector"]
+    got = sorted(
+        tuple(r)
+        for r in index_term_topk(
+            spark, inverted_index_read(spark, idx), terms, k=10000
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in index_term_topk(
+            spark, inverted_index_read(spark, ref), terms, k=10000
+        ).collect()
+    )
+    assert got == want
