@@ -224,11 +224,24 @@ def test_minhash_pair_generation_no_all_pairs_join(spark):
 
 
 def test_sequence_packing_range_partitioned_not_single_window(spark):
-    # the global prefix sum must be the two-phase scan: a RANGE exchange
-    # + per-partition windows — never one global-orderBy window that
-    # collapses the table into a single partition
-    plan = _plan(spark, "sequence_packing")
-    assert "rangepartitioning" in plan, plan
+    # the global prefix sum must be the two-phase scan: per-__pid local
+    # cumsum windows over the range-partitioned rows, stitched by a
+    # BROADCAST offsets join — never one global-orderBy window that
+    # collapses the table into a single partition. The range exchange
+    # itself is pinned behind an eager localCheckpoint (packing.py's
+    # ReuseExchange fix), so it appears as the materialized LogicalRDD
+    # scan rather than a rangepartitioning node; the per-partition
+    # window spec and the broadcast stitch are the observable shape.
+    plan = _plan(spark, "sequence_packing", "extended")
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the only empty-partitionBy window allowed is the P-row totals
+    # prefix (ordered by __pid); the data-sized windows all carry __pid
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in spec, (spec, plan)
 
 
 def test_lsh_near_dup_pairs_no_all_pairs_join(spark):
