@@ -6121,6 +6121,95 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TERM_DRIFT_SQL = """
+    WITH tok AS (
+        SELECT lang,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+'))
+                   AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_other
+        FROM tok WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_en) AS BIGINT) AS ta,
+               CAST(SUM(n_other) AS BIGINT) AS tb
+        FROM counts
+    )
+    SELECT c.token, c.n_en, c.n_other,
+           CAST(CAST(c.n_en AS HUGEINT) * t.tb
+                - CAST(c.n_other AS HUGEINT) * t.ta AS DOUBLE)
+               / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) AS share_diff
+    FROM counts c, tot t
+    WHERE c.n_en + c.n_other >= 10
+    ORDER BY ABS(CAST(c.n_en AS HUGEINT) * t.tb
+                 - CAST(c.n_other AS HUGEINT) * t.ta) DESC, c.token
+    LIMIT 20
+"""
+
+
+@register(
+    "term_drift_by_lang",
+    _TERM_DRIFT_SQL,
+    survey_ids="datapipe:corpus-compare",
+    doc="Corpus-comparison term drift (the keyness/log-odds report a "
+    "curation team runs before mixing corpora): tokens ranked by how "
+    "far their relative frequency in the 'en' slice departs from the "
+    "rest. Ranking key is the EXACT cross-product |n_a·T_b − n_b·T_a| "
+    "(wide-integer arithmetic — HUGEINT in the oracle, decimal(38,0) "
+    "in Spark — no log-odds float whose libm drift would break the "
+    "hash match); the signed share difference is ONE double division "
+    "in the report column. Plan: one token-key map-side-combining "
+    "shuffle for counts, corpus totals are a 1-row broadcast, top-20 "
+    "is TakeOrderedAndProject.",
+)
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_other"),
+    )
+    tot = counts.agg(
+        F.sum("n_en").cast("bigint").alias("ta"),
+        F.sum("n_other").cast("bigint").alias("tb"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    cross = F.col("n_en").cast("decimal(38,0)") * F.col("tb") - F.col(
+        "n_other"
+    ).cast("decimal(38,0)") * F.col("ta")
+    return (
+        j.filter(F.col("n_en") + F.col("n_other") >= 10)
+        .select(
+            "token",
+            "n_en",
+            "n_other",
+            (
+                cross.cast("double")
+                / (F.col("ta").cast("double") * F.col("tb").cast("double"))
+            ).alias("share_diff"),
+            F.abs(cross).alias("_rank"),
+        )
+        .orderBy(F.col("_rank").desc(), F.col("token").asc())
+        .limit(20)
+        .drop("_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver checks the FIRST 50
 # registered entries each round; everything later gets only the local
