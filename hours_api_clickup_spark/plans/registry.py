@@ -6227,6 +6227,15 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bench.py, __spark_entry__.py, tests) see the same ordering.
 # ---------------------------------------------------------------------------
 
+# ROUND-4 ROTATION TODO: the 11 round-3 late additions below were
+# registered after the 50-slot window filled and have ONLY local-parity
+# coverage — rotate them into _FRONT at the start of round 4 (swapping
+# out entries that will then be twice-green):
+#   merge_cdc_changelog, interval_overlap_concurrency,
+#   event_transition_matrix, winsorized_stats, phrase_search_topk,
+#   text_index_term_probe, text_index_phrase_probe,
+#   neardup_degree_histogram, outlier_mad_robust, term_drift_by_lang
+#   (plus any entries of THIS list the round-3 driver run reports red).
 _FRONT = [
     "flagship_hours_by_user_day",
     # -- never driver-checked in any round (r2 positions 51-78) --
