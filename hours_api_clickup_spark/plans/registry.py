@@ -6227,7 +6227,7 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bench.py, __spark_entry__.py, tests) see the same ordering.
 # ---------------------------------------------------------------------------
 
-# ROUND-4 ROTATION TODO: the 11 round-3 late additions below were
+# ROUND-4 ROTATION TODO: the 10 round-3 late additions below were
 # registered after the 50-slot window filled and have ONLY local-parity
 # coverage — rotate them into _FRONT at the start of round 4 (swapping
 # out entries that will then be twice-green):
