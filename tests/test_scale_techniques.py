@@ -1123,3 +1123,85 @@ class TestInvertedIndexAppend:
         p2 = str(tmp_path / "ref")
         inverted_index_write(docs, "text", "doc_id", p2)
         assert self._probe(spark, p) == self._probe(spark, p2)
+
+
+def test_inverted_index_matches_python_recount(spark, tmp_path):
+    """Adversarial-corpus gate for the inverted index: term scores and
+    phrase counts from the persisted index must equal a pure-Python
+    recount over the same tokenizer spec (lower → trim → split on
+    non-[a-z0-9] runs, empties dropped, 1-based positions over the full
+    split array). Covers the edge shapes the synthetic corpus never
+    hits: empty text, delimiter-only text, leading/trailing/multiple
+    delimiters, case folding, digits, control chars, self-adjacent
+    phrase tokens."""
+    import re
+
+    from hours_api_clickup_spark.datapipe.textindex import (
+        index_phrase_topk,
+        index_term_topk,
+        inverted_index_read,
+        inverted_index_write,
+    )
+
+    texts = [
+        "",
+        "   ",
+        ",,,;;;",
+        "table scan",
+        "  table   scan  ",
+        "TABLE Scan tAbLe scan",
+        "table,scan;table\tscan",
+        "table9scan table scan9",
+        "scan scan scan",
+        "merge vector merge vector merge",
+        "x" * 500 + " table scan",
+        "table\x0bscan",  # vertical tab is a delimiter
+        "vector",
+        "merge",
+        "tablescan table  scan",
+        "a table scan b table scan c",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    inverted_index_write(docs, "text", "doc_id", path)
+    reader = inverted_index_read(spark, path)
+
+    def py_tokens(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower().strip())]
+
+    # term tf-sum scores (docs with score 0 absent)
+    got = {
+        r.doc_id: r.score
+        for r in index_term_topk(
+            spark, reader, ["table", "merge"], k=1000
+        ).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = py_tokens(t)
+        s = sum(1 for x in toks if x in ("table", "merge"))
+        if s > 0:
+            want[i] = s
+    assert got == want
+
+    # adjacency-exact phrase counts, incl. the self-adjacent case
+    for first, second in [("table", "scan"), ("scan", "scan")]:
+        got_p = {
+            r.doc_id: r.n_hits
+            for r in index_phrase_topk(
+                spark, reader, first, second, k=1000
+            ).collect()
+        }
+        want_p = {}
+        for i, t in enumerate(texts):
+            toks = py_tokens(t)
+            n = sum(
+                1
+                for j in range(len(toks) - 1)
+                if toks[j] == first and toks[j + 1] == second
+            )
+            if n > 0:
+                want_p[i] = n
+        assert got_p == want_p, (first, second, got_p, want_p)
