@@ -400,3 +400,64 @@ def test_merge_refresh_changelog_classifies_and_is_idempotent(spark):
     )
     assert changes2.count() == 0
     assert merged2.exceptAll(merged).count() == 0
+
+
+def test_merge_changelog_replay_reconstructs_window(spark):
+    """A downstream consumer holding only the OLD window slice plus the
+    changelog (with row payloads joined from staging for upserts) must
+    be able to reconstruct the NEW window slice exactly — the property
+    that makes the changelog a sufficient replication feed:
+        new_w = (old_w minus deleted/updated keys)
+                union staging rows of inserted/updated keys."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh_with_changelog,
+    )
+
+    fact = spark.createDataFrame(
+        [
+            (1, "2024-01-05", 10.0),
+            (2, "2024-01-06", 20.0),
+            (3, "2024-01-07", 30.0),
+            (4, "2023-12-01", 40.0),
+            (5, None, 50.0),
+        ],
+        "id long, d string, v double",
+    )
+    staging = spark.createDataFrame(
+        [
+            (1, "2024-01-05", 10.0),
+            (2, "2024-01-06", 21.0),
+            (6, "2024-01-08", 60.0),
+            (7, "2023-11-30", 70.0),
+        ],
+        "id long, d string, v double",
+    )
+    pred = F.col("d").between("2024-01-01", "2024-01-31")
+    merged, changes = merge_refresh_with_changelog(
+        fact, staging, pred, key="id"
+    )
+
+    old_w = fact.filter(F.coalesce(pred, F.lit(False)))
+    stg_w = staging.filter(pred)
+    removed = changes.filter(
+        F.col("change").isin("deleted", "updated")
+    ).select("id")
+    upserted = changes.filter(
+        F.col("change").isin("inserted", "updated")
+    ).select("id")
+    replayed = old_w.join(removed, "id", "left_anti").unionByName(
+        stg_w.join(upserted, "id", "left_semi")
+    )
+
+    new_w = merged.filter(F.coalesce(pred, F.lit(False)))
+    assert replayed.exceptAll(new_w).count() == 0
+    assert new_w.exceptAll(replayed).count() == 0
+    # and history outside the window is bit-identical to the original
+    assert (
+        merged.filter(~F.coalesce(pred, F.lit(False)))
+        .exceptAll(fact.filter(~F.coalesce(pred, F.lit(False))))
+        .count()
+        == 0
+    )
