@@ -6227,14 +6227,90 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bench.py, __spark_entry__.py, tests) see the same ordering.
 # ---------------------------------------------------------------------------
 
-# ROUND-4 ROTATION TODO: the 10 round-3 late additions below were
+_DAILY_BANDS_SQL = """
+    WITH c AS (
+        SELECT epoch_ms(ts) // 86400000 AS day,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT day, cents,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents) AS r,
+               COUNT(*) OVER (PARTITION BY day) AS n
+        FROM c
+    )
+    SELECT day,
+           MIN(n) AS n_events,
+           CAST(MIN(CASE WHEN r = (n + 1) // 2 THEN cents END) AS DOUBLE)
+               / 100.0 AS p50,
+           CAST(MIN(CASE WHEN r = (19 * n + 19) // 20 THEN cents END)
+                AS DOUBLE) / 100.0 AS p95,
+           CAST(MAX(cents) AS DOUBLE) / 100.0 AS p100
+    FROM ranked GROUP BY day
+"""
+
+
+@register(
+    "daily_latency_bands",
+    _DAILY_BANDS_SQL,
+    survey_ids="datapipe:percentile-bands,§2.6-daily",
+    doc="Per-day P50/P95/max bands of the value metric — the SLO "
+    "dashboard feed. Nearest-rank order statistics over integer cents "
+    "(no interpolation; (n+1)//2 and ceil(19n/20) picked by integer "
+    "arithmetic), doubles only in the report columns. One hash shuffle "
+    "on the day key carries the ranking window, the count window, and "
+    "the final groupBy; days are plentiful so per-task state stays "
+    "bounded at any scale (the grouped-quantiles scale argument).",
+)
+def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr("unix_millis(ts) div 86400000").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    w_rank = Window.partitionBy("day").orderBy("cents")
+    w_all = Window.partitionBy("day")
+    ranked = c.select(
+        "day",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    return ranked.groupBy("day").agg(
+        F.min("n").alias("n_events"),
+        (
+            F.min(
+                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("p50"),
+        (
+            F.min(
+                F.when(
+                    F.col("r") == F.expr("(19 * n + 19) div 20"),
+                    F.col("cents"),
+                )
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("p95"),
+        (F.max("cents").cast("double") / F.lit(100.0)).alias("p100"),
+    )
+
+
+# ROUND-4 ROTATION TODO: the round-3 late additions below were
 # registered after the 50-slot window filled and have ONLY local-parity
 # coverage — rotate them into _FRONT at the start of round 4 (swapping
 # out entries that will then be twice-green):
 #   merge_cdc_changelog, interval_overlap_concurrency,
 #   event_transition_matrix, winsorized_stats, phrase_search_topk,
 #   text_index_term_probe, text_index_phrase_probe,
-#   neardup_degree_histogram, outlier_mad_robust, term_drift_by_lang
+#   neardup_degree_histogram, outlier_mad_robust, term_drift_by_lang,
+#   daily_latency_bands
 #   (plus any entries of THIS list the round-3 driver run reports red).
 _FRONT = [
     "flagship_hours_by_user_day",

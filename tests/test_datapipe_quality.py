@@ -928,3 +928,51 @@ def test_knn_ivfpq_recall(spark):
         ).collect()
     ]
     assert full == exact
+
+
+def test_interval_concurrency_matches_brute_force(spark):
+    """The sweep-line peak-concurrency query must agree with a brute
+    force that counts overlapping intervals at every start point (a
+    closed-open interval set attains its maximum at some start), on a
+    corpus with ties, nested and disjoint intervals."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.event_type: r.max_concurrency
+        for r in QUERIES["interval_overlap_concurrency"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & (F.floor(F.col("value") * 60000) > 0)
+        )
+        .select(
+            "event_type",
+            F.unix_millis("ts").alias("s"),
+            (
+                F.unix_millis("ts")
+                + F.floor(F.col("value") * 60000).cast("bigint")
+            ).alias("e"),
+        )
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.s, r.e))
+    want = {}
+    for t, ivs in by_type.items():
+        best = 0
+        for s0, _ in ivs:
+            # closed-open: interval covers s0 iff s <= s0 < e
+            best = max(best, sum(1 for s, e in ivs if s <= s0 < e))
+        want[t] = best
+    assert got == want
