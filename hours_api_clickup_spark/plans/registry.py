@@ -6302,6 +6302,90 @@ def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARETO_SQL = """
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT nationkey, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nationkey ORDER BY cents DESC, custkey
+               ) AS r,
+               COUNT(*) OVER (PARTITION BY nationkey) AS n
+        FROM rev
+    )
+    SELECT nationkey,
+           MIN(n) AS n_customers,
+           CAST(SUM(CASE WHEN r <= (n + 9) // 10 THEN cents ELSE 0 END)
+                AS BIGINT) AS top_decile_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN r <= (n + 9) // 10 THEN cents ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(cents) AS DOUBLE) AS top_decile_share
+    FROM ranked GROUP BY nationkey
+"""
+
+
+@register(
+    "revenue_concentration_pareto",
+    _PARETO_SQL,
+    survey_ids="datapipe:concentration,A2-pareto",
+    doc="Revenue concentration per nation (the 80/20 report): share of "
+    "order revenue held by the top decile of customers, decile cut by "
+    "nearest-rank ceil(n/10) over integer cents (ties broken by "
+    "custkey so both engines pick the identical customer set). Two "
+    "aggregation levels and the ranking window all hash-partition on "
+    "their group keys; the per-customer rollup is the only "
+    "corpus-sized shuffle. One double division per output row.",
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    # no broadcast hint: customer is dim-sized here and Catalyst
+    # broadcasts it on its own, but at extreme SF the dim outgrows the
+    # threshold and the planner must be free to fall back to a shuffled
+    # join — forcing the hint would pin an OOM at that scale
+    rev = (
+        orders.join(cust, "o_custkey")
+        .groupBy("nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w_rank = Window.partitionBy("nationkey").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    w_all = Window.partitionBy("nationkey")
+    ranked = rev.select(
+        "nationkey",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    top = F.when(F.col("r") <= F.expr("(n + 9) div 10"), F.col("cents")).otherwise(
+        F.lit(0)
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.min("n").alias("n_customers"),
+        F.sum(top).cast("bigint").alias("top_decile_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        (
+            F.sum(top).cast("double") / F.sum("cents").cast("double")
+        ).alias("top_decile_share"),
+    )
+
+
 # ROUND-4 ROTATION TODO: the round-3 late additions below were
 # registered after the 50-slot window filled and have ONLY local-parity
 # coverage — rotate them into _FRONT at the start of round 4 (swapping
@@ -6310,7 +6394,7 @@ def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   event_transition_matrix, winsorized_stats, phrase_search_topk,
 #   text_index_term_probe, text_index_phrase_probe,
 #   neardup_degree_histogram, outlier_mad_robust, term_drift_by_lang,
-#   daily_latency_bands
+#   daily_latency_bands, revenue_concentration_pareto
 #   (plus any entries of THIS list the round-3 driver run reports red).
 _FRONT = [
     "flagship_hours_by_user_day",
