@@ -6386,128 +6386,73 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ROUND-4 ROTATION TODO: the round-3 late additions below were
-# registered after the 50-slot window filled and have ONLY local-parity
-# coverage — rotate them into _FRONT at the start of round 4 (swapping
-# out entries that will then be twice-green):
-#   merge_cdc_changelog, interval_overlap_concurrency,
-#   event_transition_matrix, winsorized_stats, phrase_search_topk,
-#   text_index_term_probe, text_index_phrase_probe,
-#   neardup_degree_histogram, outlier_mad_robust, term_drift_by_lang,
-#   daily_latency_bands, revenue_concentration_pareto
-#   (plus any entries of THIS list the round-3 driver run reports red).
-_FRONT = [
-    "flagship_hours_by_user_day",
-    # -- never driver-checked in any round (r2 positions 51-78) --
-    "agg_approx_stats",
-    "knn_batch_queries",
-    "dedup_exact_normalized",
-    "decontaminate_embeddings",
-    "exact_quantiles_distributed",
-    "salted_skew_rollup",
-    "sliding_window_rollup",
-    "exact_quantiles_by_type",
-    "stratified_topn_rows",
-    "doc_repetition_stats",
-    "decontaminate_corpus",
-    "epoch_shuffle_shards",
-    "pii_scan_redact",
-    "streaming_dedup_exact",
-    "json_props_extract",
-    "doc_chunking",
-    "vocab_topk",
-    "doc_oov_rate",
-    "doc_tfidf_topk",
-    "embedding_quantize_int8",
-]
 
-# Green in BOTH r1 and r2 — proven twice; rotate to the back. The
-# once-green blocks lead (r1-only first: oldest evidence) so they take
-# whatever window slots remain after the never-checked entries and
-# this round's new queries.
-_TWICE_GREEN = [
-    # -- green in r1 only (rotated out of the r2 window) --
-    "time_bucket_rollup",
-    "data_quality_report",
-    "set_ops_surface",
-    "topk_per_group",
-    "dataset_split_assign",
-    "stratified_sample_counts",
-    "sequence_packing",
-    "weighted_corpus_mix",
-    # -- green in r2 only --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_lsh",
-    "dedup_corpus_manifest",
-    "embedding_near_dups_lsh",
-    "knn_lsh_bucketed",
-    "knn_lsh_probe",
-    "knn_ivf",
-    "knn_ivf_probe",
-    "multimodal_frame_sample",
-    "streaming_enriched_rollup",
-    "streaming_attribution_join",
-    "streaming_finalized_buckets",
-    "semi_anti_join_surface",
-    "native_pivot_revenue",
-    "agg_cube_hierarchy",
-    # -- green in both r1 and r2 --
-    "transform_projection",
-    "dedupe_keep_latest",
-    "merge_refresh_window",
-    "merge_full_reindex",
-    "join_revenue_by_priority",
-    "pricing_summary_q1",
-    "agg_minmax_distinct",
-    "pivot_conditional_counts",
-    "rollup_having_variance",
-    "split_explode_bridge",
-    "array_join_group",
-    "hierarchy_flatten",
-    "union_two_passes",
-    "safe_cast_surface",
-    "scalar_string_surface",
-    "doc_text_stats",
-    "doc_langid",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "embedding_near_dups",
-    "embedding_dup_clusters",
-    "knn_brute_force",
-    "multimodal_features",
-    "streaming_hours_by_user_day",
-    "streaming_event_sessions",
-    "scan_chunk_plan",
-    "custom_field_probe",
-    "window_analytics",
-    "event_sessions",
-    "asof_join_signup",
-    "range_join_signup_window",
-    "agg_rollup_hierarchy",
-    # -- pinned to the back: added after the round-3 window filled; the
-    # -- local parity suite covers them until a future round's rotation
-    "regex_surface",
-    "conditional_null_surface",
-    "generator_surface",
-    "array_functions_surface",
-    "correlated_subquery_surface",
-]
+# --------------------------------------------------------------------------
+# Driver-window rotation — DERIVED from the committed CORRECTNESS_r*.json
+# history (repo root), not hand-maintained lists. The driver checks only
+# the first 50 registry entries per round, so ordering is coverage policy:
+#   1. the flagship is pinned first (smoke-checked every round),
+#   2. queries with NO green driver row in any round come next, in
+#      registration order (these are the ones the window must prove),
+#   3. green queries follow, ordered by how stale their evidence is —
+#      most-recently-green last — so remaining slots re-verify the
+#      oldest proofs first.
+# A query is "driver-green" in a round when its row has a true value
+# hash match, or (for non-SQL-expressible ops the driver checks
+# rows-only) err == "no_oracle" with a recorded row count.
+
+
+def _driver_green_rounds() -> dict[str, list[int]]:
+    """Map query name -> sorted list of rounds with a green driver row."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    greens: dict[str, list[int]] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                greens.setdefault(name, []).append(rnd)
+    return {k: sorted(v) for k, v in greens.items()}
+
+
+_FLAGSHIP = "flagship_hours_by_user_day"
+
+
+def derive_driver_order(
+    names: list[str], greens: dict[str, list[int]]
+) -> list[str]:
+    """Pure ordering policy, unit-testable without the filesystem."""
+    reg_pos = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        if n == _FLAGSHIP:
+            return (0, 0, 0)
+        rounds = greens.get(n, [])
+        if not rounds:
+            return (1, 0, reg_pos[n])
+        return (2, rounds[-1], reg_pos[n])
+
+    return sorted(names, key=key)
 
 
 def _reorder_for_driver_window() -> None:
-    listed = set(_FRONT) | set(_TWICE_GREEN)
-    new_this_round = [n for n in QUERIES if n not in listed]
-    ordered = (
-        [n for n in _FRONT if n in QUERIES]
-        + new_this_round
-        + [n for n in _TWICE_GREEN if n in QUERIES]
-    )
-    assert len(ordered) == len(QUERIES), (
-        sorted(set(QUERIES) - set(ordered)),
-        sorted(set(ordered) - set(QUERIES)),
-    )
+    ordered = derive_driver_order(list(QUERIES), _driver_green_rounds())
     snapshot = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(snapshot)
