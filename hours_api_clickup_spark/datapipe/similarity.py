@@ -307,6 +307,14 @@ def lsh_bucketed_topk(
 # additional pruning power.
 LSH_COARSE = 16
 
+# Exact-grade index upsert degrades from touched-bucket dynamic
+# overwrite to ONE read-merge-swap pass once a batch touches this
+# fraction of the partition layout: past it, the pruned read + merged
+# localCheckpoint + per-directory commits of the in-place path cost
+# more than rewriting the base once (measured on the bench "lsh index
+# ingest" row — in-place at near-full touch ran ~3x the swap).
+UPSERT_DEGRADE_FRACTION = 0.2
+
 
 def _signature_rows(
     df: DataFrame,
@@ -534,20 +542,6 @@ def lsh_index_upsert(
     ).localCheckpoint()
     batch_ids = new_rows.select("vid").dropDuplicates()
 
-    # Buckets the new rows land in, PLUS the buckets currently holding
-    # any re-ingested id (its value may have changed its signature — the
-    # stale row must be rewritten away, ADVICE r2).
-    old_locs = (
-        index.select("vid", "t", "sb")
-        .join(F.broadcast(batch_ids), "vid")
-        .select("t", "sb")
-    )
-    touched = (
-        new_rows.select("t", "sb")
-        .unionByName(old_locs)
-        .dropDuplicates()
-        .localCheckpoint()  # pin: re-evaluating after the write would re-read the overwritten path
-    )
     # Cost crossover (measured, bench "lsh index ingest" row): the
     # touched-bucket path pays a pruned read + a full localCheckpoint of
     # the merged buckets + per-directory dynamic-overwrite commits. When
@@ -557,11 +551,20 @@ def lsh_index_upsert(
     # plan reads base and writes base__staged directly (different path →
     # no checkpoint needed), then swap directories. Same semantics —
     # stale rows of re-ingested ids are anti-joined away globally.
+    #
+    # The branch is decided in two steps so the heavy-touch regime never
+    # pays index scans it won't use: the batch's OWN bucket fan-out
+    # (O(batch), on the checkpointed signatures) is a lower bound on the
+    # touched set, so if it alone crosses the threshold we degrade
+    # without ever locating old buckets; only below it do we pay the
+    # column-pruned (vid, t, sb) scan for re-ingested ids' old homes.
     n_dirs_possible = tables * max(1, (1 << planes) // LSH_COARSE)
-    if touched.count() >= 0.5 * n_dirs_possible:
+    threshold = UPSERT_DEGRADE_FRACTION * n_dirs_possible
+
+    def _degrade_swap() -> None:
         max_seq = index.agg(F.max("seq")).head()[0]
         new_seq = (max_seq if max_seq is not None else -1) + 1
-        merged = index.join(batch_ids, "vid", "left_anti").select(
+        merged = index.join(F.broadcast(batch_ids), "vid", "left_anti").select(
             "vid", "v", "t", "sig", "sb", "seq"
         ).unionByName(
             new_rows.select("vid", "v", "t", "sig", "sb").withColumn(
@@ -573,6 +576,27 @@ def lsh_index_upsert(
             "sig"
         ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
         _fs_swap_dir(spark, f"{path}/base", staged)
+
+    new_dirs = new_rows.select("t", "sb").dropDuplicates()
+    if new_dirs.count() >= threshold:
+        _degrade_swap()
+        return
+
+    # Buckets the new rows land in, PLUS the buckets currently holding
+    # any re-ingested id (its value may have changed its signature — the
+    # stale row must be rewritten away, ADVICE r2).
+    old_locs = (
+        index.select("vid", "t", "sb")
+        .join(F.broadcast(batch_ids), "vid")
+        .select("t", "sb")
+    )
+    touched = (
+        new_dirs.unionByName(old_locs)
+        .dropDuplicates()
+        .localCheckpoint()  # pin: re-evaluating after the write would re-read the overwritten path
+    )
+    if touched.count() >= threshold:
+        _degrade_swap()
         return
     # broadcast join on the partition columns → dynamic partition
     # pruning: only touched (t, sb) directories are scanned
@@ -584,7 +608,10 @@ def lsh_index_upsert(
     new_seq = (max_seq if max_seq is not None else -1) + 1
     existing = (
         pruned
-        .join(batch_ids, "vid", "left_anti")  # re-ingested ids: new wins
+        # re-ingested ids: new wins; broadcast — the batch id set is
+        # small by construction, a shuffled anti-join would move every
+        # touched bucket's vector bytes twice
+        .join(F.broadcast(batch_ids), "vid", "left_anti")
         .select("vid", "v", "t", "sig", "sb", "seq")
     )
     # materialize before the write: the merged plan reads the same path
@@ -1385,28 +1412,21 @@ def ivf_index_upsert(
     index = spark.read.parquet(f"{path}/base")
     new_rows = ivf_assign(df, vec_col, centroids).localCheckpoint()
     batch_ids = new_rows.select(_c(id_col).alias("__nid")).dropDuplicates()
-    old_locs = (
-        index.select(_c(id_col).alias("__nid"), "cluster_id")
-        .join(F.broadcast(batch_ids), "__nid")
-        .select("cluster_id")
-    )
-    touched = (
-        new_rows.select("cluster_id")
-        .unionByName(old_locs)
-        .dropDuplicates()
-        .localCheckpoint()  # pin: must not re-read the path post-write
-    )
     # Same cost crossover as lsh_index_upsert: a batch that touches most
     # of the n_clusters directories pays more in pruned-read +
     # checkpoint + per-directory commits than one straight
     # read-merge-swap pass (measured on the LSH twin, bench "lsh index
-    # ingest" row). Degrade to the swap when ≥ half the layout is hit.
+    # ingest" row). Two-step decision, same rationale as the LSH twin:
+    # the batch's own cluster fan-out is a lower bound on the touched
+    # set, so the heavy-touch regime degrades without any index scan.
     cols_all = new_rows.columns
-    if touched.count() >= 0.5 * len(centroids):
+    threshold = UPSERT_DEGRADE_FRACTION * len(centroids)
+
+    def _degrade_swap() -> None:
         max_seq = index.agg(F.max("seq")).head()[0]
         new_seq = (max_seq if max_seq is not None else -1) + 1
         merged = index.join(
-            batch_ids, F.col(id_col) == F.col("__nid"), "left_anti"
+            F.broadcast(batch_ids), F.col(id_col) == F.col("__nid"), "left_anti"
         ).select(*cols_all, "seq").unionByName(
             new_rows.withColumn("seq", F.lit(new_seq).cast("long"))
         )
@@ -1415,13 +1435,32 @@ def ivf_index_upsert(
             "overwrite"
         ).partitionBy("cluster_id").parquet(staged)
         _fs_swap_dir(spark, f"{path}/base", staged)
+
+    new_dirs = new_rows.select("cluster_id").dropDuplicates()
+    if new_dirs.count() >= threshold:
+        _degrade_swap()
+        return
+    old_locs = (
+        index.select(_c(id_col).alias("__nid"), "cluster_id")
+        .join(F.broadcast(batch_ids), "__nid")
+        .select("cluster_id")
+    )
+    touched = (
+        new_dirs.unionByName(old_locs)
+        .dropDuplicates()
+        .localCheckpoint()  # pin: must not re-read the path post-write
+    )
+    if touched.count() >= threshold:
+        _degrade_swap()
         return
     pruned = index.join(F.broadcast(touched), ["cluster_id"])
     max_seq = pruned.agg(F.max("seq")).head()[0]
     new_seq = (max_seq if max_seq is not None else -1) + 1
     cols = new_rows.columns
     existing = (
-        pruned.join(batch_ids, F.col(id_col) == F.col("__nid"), "left_anti")
+        pruned.join(
+            F.broadcast(batch_ids), F.col(id_col) == F.col("__nid"), "left_anti"
+        )
         .select(*cols, "seq")
     )
     merged = existing.unionByName(

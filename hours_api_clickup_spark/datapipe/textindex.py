@@ -34,6 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hours_api_clickup_spark.datapipe.similarity import (
+    _fs_recover_swap,
+    _fs_swap_dir,
+)
+
 TOKEN_SPLIT_RE = r"[^a-z0-9]+"
 DEFAULT_TEXT_BUCKETS = 64
 
@@ -86,21 +91,42 @@ def inverted_index_write(
     the position collect — token keys are zipf-skewed, but the key
     includes doc_id so no single reducer sees more than one document's
     occurrences of a term. sortWithinPartitions(token) gives row-group
-    locality for the probe's token IN-list pushdown."""
+    locality for the probe's token IN-list pushdown.
+
+    Crash safety: postings land in ``{path}/base__staged`` and are
+    renamed in (``_fs_swap_dir``, the ANN-family protocol) — an
+    interrupted build/rebuild never leaves a half-written directory
+    where ``{path}/base`` used to be (ADVICE r3)."""
+    spark = docs.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
     postings = _posting_rows(docs, text_col, id_col, n_buckets, seq=0)
+    staged = f"{path}/base__staged"
     (
         postings.repartition("tb")
         .sortWithinPartitions("token", "doc_id")
         .write.mode("overwrite")
         .partitionBy("tb")
-        .parquet(f"{path}/base")
+        .parquet(staged)
     )
+    _fs_swap_dir(spark, f"{path}/base", staged)
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _base_committed(spark: SparkSession, path: str) -> bool:
+    """True only when ``{path}/base`` holds a COMMITTED write. A failed
+    or interrupted build can leave the directory present (e.g.
+    ``_temporary`` remnants) with no committed data; gating bootstrap on
+    bare existence would then take the append path against an
+    incomplete base and silently lose postings (ADVICE r3). The
+    ``_SUCCESS`` marker is written by the Hadoop committer only after
+    the job commits, and survives the staged-dir rename."""
+    _fs_recover_swap(spark, f"{path}/base")
+    return _fs_exists(spark, f"{path}/base/_SUCCESS")
 
 
 def inverted_index_append(
@@ -126,7 +152,10 @@ def inverted_index_append(
     re-ingest. Appending NEW documents (corpus growth, the common case)
     is exact immediately."""
     spark = docs.sparkSession
-    if not _fs_exists(spark, f"{path}/base"):
+    if not _base_committed(spark, path):
+        # no base, or only the wreck of an uncommitted one — (re)build.
+        # Covers the streaming first-batch retry in
+        # streaming_text_index_ingest, which funnels through here.
         inverted_index_write(docs, text_col, id_col, path, n_buckets)
         return
     if seq is None:
@@ -149,7 +178,16 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
     version (max ``seq`` across ALL its postings — a token absent from
     the new version is dropped, restoring exact reads after
     re-ingest-with-changed-text appends), rewrite ``{path}/base``,
-    drop ``{path}/log``. O(corpus), run on the compaction cadence."""
+    drop ``{path}/log``. O(corpus), run on the compaction cadence.
+
+    Crash safety: the compacted postings go to ``{path}/base__staged``
+    and replace the base via ``_fs_swap_dir`` AFTER the write commits —
+    an in-place overwrite would delete the live base before the job
+    finishes, so a mid-compact crash destroyed the base while only the
+    about-to-be-deleted log survived (ADVICE r3). The log is deleted
+    only after the swap lands; a crash between swap and delete leaves a
+    base∪log view that double-counts nothing (max-seq resolution is
+    idempotent over the re-folded rows)."""
     index = inverted_index_read(spark, path)
     w = Window.partitionBy("doc_id")
     latest = (
@@ -157,11 +195,12 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
         .filter(F.col("seq") == F.col("_mx"))
         .select(*_POSTING_COLS)
         .dropDuplicates(["token", "doc_id"])
-        .localCheckpoint()  # the rewrite below overwrites its own input
     )
+    staged = f"{path}/base__staged"
     latest.repartition("tb").sortWithinPartitions(
         "token", "doc_id"
-    ).write.mode("overwrite").partitionBy("tb").parquet(f"{path}/base")
+    ).write.mode("overwrite").partitionBy("tb").parquet(staged)
+    _fs_swap_dir(spark, f"{path}/base", staged)
     jvm = spark._jvm
     log_path = jvm.org.apache.hadoop.fs.Path(f"{path}/log")
     fs = log_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -172,6 +211,7 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
 def inverted_index_read(spark: SparkSession, path: str) -> DataFrame:
     """Base ∪ log merge-on-read view (duplicates resolved at probe
     time by max-seq per (token, doc) — see ``term_postings``)."""
+    _fs_recover_swap(spark, f"{path}/base")
     base = spark.read.parquet(f"{path}/base").select(*_POSTING_COLS)
     if _fs_exists(spark, f"{path}/log"):
         log = spark.read.parquet(f"{path}/log").select(*_POSTING_COLS)

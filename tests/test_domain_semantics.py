@@ -461,3 +461,41 @@ def test_merge_changelog_replay_reconstructs_window(spark):
         .count()
         == 0
     )
+
+
+def test_day_bucket_div_matches_duckdb_pre_1970(spark, duck):
+    """Registry day bucketing pairs Spark `unix_millis(ts) div 86400000`
+    with DuckDB `epoch_ms(ts) // 86400000`. ADVICE r3 flagged this as a
+    floor-vs-truncate mismatch for pre-1970 (negative-epoch) rows, but
+    DuckDB's `//` on INTEGER operands truncates toward zero exactly
+    like Spark's `div` (`-1 // 86400000 = 0`; floor division in DuckDB
+    applies to floats only) — so the pair agrees on every input,
+    negatives included. This test pins that agreement so a DuckDB
+    semantics change or a registry edit to floor would be caught."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("1969-12-31 23:59:59.999",),
+        ("1969-12-31 00:00:00",),
+        ("1807-03-04 12:00:00",),
+        ("1970-01-01 00:00:00",),
+        ("1970-01-02 00:00:00.001",),
+        ("2024-06-01 13:37:00",),
+    ]
+    sdf = spark.createDataFrame(rows, "s string").select(
+        F.to_timestamp("s").alias("ts")
+    )
+    got = sorted(
+        r["day"]
+        for r in sdf.select(
+            F.expr("unix_millis(ts) div 86400000").alias("day")
+        ).collect()
+    )
+    vals = ", ".join(f"(TIMESTAMP '{s}')" for (s,) in rows)
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            f"SELECT epoch_ms(ts) // 86400000 FROM (VALUES {vals}) t(ts)"
+        ).fetchall()
+    )
+    assert got == want

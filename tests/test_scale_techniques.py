@@ -832,6 +832,101 @@ class TestUpsertBranchParity:
         )
         assert dupes == 0
 
+    def test_heavy_touch_routes_to_swap(self, spark, tmp_path, monkeypatch):
+        """The r3 bench regime (~100-vector random batch over a coarse
+        96-dir layout — touches nearly every directory): the router must
+        take the read-merge-swap branch, not the per-directory dynamic
+        overwrite that measured ~3x a rebuild there, and the result
+        still equals a from-scratch build. Routing is observed via the
+        swap call itself."""
+        from pyspark.sql import functions as F
+
+        import hours_api_clickup_spark.datapipe.similarity as S
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        swaps = []
+        real_swap = S._fs_swap_dir
+        monkeypatch.setattr(
+            S, "_fs_swap_dir", lambda *a: (swaps.append(a), real_swap(*a))
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 900)
+        batch = emb.filter(F.col("vec_id") % 9 == 0)  # ~100 random ids
+        inc = str(tmp_path / "inc")
+        S.lsh_index_write(old, "embedding", "vec_id", inc, dim=64)
+        S.lsh_index_upsert(batch, "embedding", "vec_id", inc, dim=64)
+        assert swaps, "heavy-touch batch must take the read-merge-swap branch"
+
+        full = str(tmp_path / "full")
+        combined = old.join(
+            batch.select("vec_id"), "vec_id", "left_anti"
+        ).unionByName(batch)
+        S.lsh_index_write(combined, "embedding", "vec_id", full, dim=64)
+        assert self._canon(spark, inc) == self._canon(spark, full)
+
+    def test_tiny_batch_does_not_swap(self, spark, tmp_path, monkeypatch):
+        """Converse routing pin: a single-vector batch stays on the
+        touched-bucket dynamic overwrite (no directory swap)."""
+        from pyspark.sql import functions as F
+
+        import hours_api_clickup_spark.datapipe.similarity as S
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        swaps = []
+        real_swap = S._fs_swap_dir
+        monkeypatch.setattr(
+            S, "_fs_swap_dir", lambda *a: (swaps.append(a), real_swap(*a))
+        )
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 400)
+        batch = emb.filter(F.col("vec_id") == 401)
+        inc = str(tmp_path / "inc")
+        S.lsh_index_write(old, "embedding", "vec_id", inc, dim=64)
+        S.lsh_index_upsert(batch, "embedding", "vec_id", inc, dim=64)
+        assert not swaps
+
+    def test_ivf_heavy_touch_routes_to_swap(self, spark, tmp_path, monkeypatch):
+        """IVF twin of the heavy-touch routing pin: a batch spread over
+        every cluster takes the swap branch and equals a rebuild."""
+        from pyspark.sql import functions as F
+
+        import hours_api_clickup_spark.datapipe.similarity as S
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        swaps = []
+        real_swap = S._fs_swap_dir
+        monkeypatch.setattr(
+            S, "_fs_swap_dir", lambda *a: (swaps.append(a), real_swap(*a))
+        )
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = S.seed_centroids(
+            emb.filter(F.col("vec_id") < 900), "embedding", "vec_id", n_clusters=8
+        )
+        old = emb.filter(F.col("vec_id") < 900)
+        batch = emb.filter(F.col("vec_id") % 9 == 0)
+        inc = str(tmp_path / "inc")
+        S.ivf_index_write(old, "embedding", "vec_id", inc, cents)
+        S.ivf_index_upsert(batch, "embedding", "vec_id", inc, cents)
+        assert swaps
+
+        full = str(tmp_path / "full")
+        combined = old.join(
+            batch.select("vec_id"), "vec_id", "left_anti"
+        ).unionByName(batch)
+        S.ivf_index_write(combined, "embedding", "vec_id", full, cents)
+
+        def canon(path):
+            return sorted(
+                (r["vec_id"], r["cluster_id"])
+                for r in S.ivf_index_read(spark, path).collect()
+            )
+
+        assert canon(inc) == canon(full)
+
 
 def test_doc_neardup_index_incremental_equals_one_shot(spark, tmp_path):
     """Persisted document near-dup index: pairs(write corpus) ∪
@@ -1123,6 +1218,121 @@ class TestInvertedIndexAppend:
         p2 = str(tmp_path / "ref")
         inverted_index_write(docs, "text", "doc_id", p2)
         assert self._probe(spark, p) == self._probe(spark, p2)
+
+    def test_mid_swap_crash_recovers_prior_postings(self, spark, tmp_path):
+        """Crash in the compact/rebuild swap window (base renamed to
+        base__old, staged rename never landed): the next read recovers
+        the prior postings, and the next append folds into the
+        RECOVERED corpus instead of bootstrapping from the batch —
+        the textindex mirror of the ANN-family guarantee (ADVICE r3)."""
+        import os
+
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_append,
+            inverted_index_read,
+            inverted_index_write,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        old = docs.filter(F.col("doc_id") < 300)
+        p = str(tmp_path / "idx")
+        inverted_index_write(old, "text", "doc_id", p)
+        n_before = inverted_index_read(spark, p).count()
+
+        os.rename(f"{p}/base", f"{p}/base__old")
+        assert inverted_index_read(spark, p).count() == n_before
+
+        os.rename(f"{p}/base", f"{p}/base__old")
+        batch = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 320))
+        inverted_index_append(batch, "text", "doc_id", p)
+        dids = {
+            r["doc_id"]
+            for r in inverted_index_read(spark, p)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert dids == set(range(320))
+
+    def test_uncommitted_base_is_rebuilt_not_appended(self, spark, tmp_path):
+        """A base directory that EXISTS but holds no committed write
+        (no _SUCCESS — e.g. _temporary remnants of an interrupted
+        build) must not be mistaken for a valid index: the next append
+        rebuilds instead of appending against the wreck (ADVICE r3)."""
+        import os
+
+        from hours_api_clickup_spark.datapipe.textindex import (
+            _fs_exists,
+            inverted_index_append,
+            inverted_index_write,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        p = str(tmp_path / "idx")
+        os.makedirs(f"{p}/base/_temporary/0")
+        with open(f"{p}/base/_temporary/0/junk", "w") as fh:
+            fh.write("half-written")
+        inverted_index_append(docs, "text", "doc_id", p)
+        assert _fs_exists(spark, f"{p}/base/_SUCCESS")
+        p2 = str(tmp_path / "ref")
+        inverted_index_write(docs, "text", "doc_id", p2)
+        assert self._probe(spark, p) == self._probe(spark, p2)
+
+    def test_compact_mid_stream_and_double_compact(self, spark, tmp_path):
+        """Compaction boundary cadences (VERDICT r3 #7): compact
+        between appends that re-ingest documents WITH token drops, then
+        append more, compact again, and compact twice in a row — every
+        checkpoint along the way must probe identically to a
+        from-scratch build of the then-current corpus."""
+        from hours_api_clickup_spark.datapipe.textindex import (
+            _fs_exists,
+            inverted_index_append,
+            inverted_index_compact,
+            inverted_index_write,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        p = str(tmp_path / "idx")
+        inverted_index_write(docs, "text", "doc_id", p)
+
+        def ref_probe(current):
+            import uuid
+
+            rp = str(tmp_path / f"ref_{uuid.uuid4().hex[:8]}")
+            inverted_index_write(current, "text", "doc_id", rp)
+            return self._probe(spark, rp)
+
+        # round 1: drop every queried token from doc 2, compact mid-stream
+        r1 = docs.filter(F.col("doc_id") == 2).withColumn(
+            "text", F.lit("nothing relevant remains")
+        )
+        inverted_index_append(r1, "text", "doc_id", p)
+        inverted_index_compact(spark, p)
+        cur = docs.filter(F.col("doc_id") != 2).unionByName(r1)
+        assert self._probe(spark, p) == ref_probe(cur)
+
+        # round 2: re-ingest the SAME doc again (tokens return) plus a
+        # second doc losing its tokens, then compact again
+        r2a = docs.filter(F.col("doc_id") == 2).withColumn(
+            "text", F.lit("merge vector merge")
+        )
+        r2b = docs.filter(F.col("doc_id") == 3).withColumn(
+            "text", F.lit("empty now")
+        )
+        inverted_index_append(r2a.unionByName(r2b), "text", "doc_id", p)
+        inverted_index_compact(spark, p)
+        cur = (
+            docs.filter(~F.col("doc_id").isin(2, 3))
+            .unionByName(r2a)
+            .unionByName(r2b)
+        )
+        want = ref_probe(cur)
+        assert self._probe(spark, p) == want
+
+        # double compact: idempotent, log stays absent
+        inverted_index_compact(spark, p)
+        assert self._probe(spark, p) == want
+        assert not _fs_exists(spark, f"{p}/log")
 
 
 def test_inverted_index_matches_python_recount(spark, tmp_path):
