@@ -6387,6 +6387,297 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ---------------------------------------------------------------------------
+# Round-4 SQL-surface additions: recursive CTE, LATERAL join, LISTAGG,
+# VARIANT — the Spark 4 front-door features the §2 surface tables map to
+# when a consumer outgrows the reference's flat SQL (docs/*.md doc-SQL).
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT s_suppkey AS suppkey, s_suppkey AS root, 0 AS depth
+        FROM supplier WHERE s_suppkey < 10
+        UNION ALL
+        SELECT s.s_suppkey, c.root, c.depth + 1
+        FROM supplier s JOIN chain c ON s.s_suppkey {div} 10 = c.suppkey
+        WHERE s.s_suppkey >= 10
+    )
+    SELECT root, depth, COUNT(*) AS n_members,
+           CAST(SUM(suppkey) AS BIGINT) AS sum_keys
+    FROM chain GROUP BY root, depth
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    _RECURSIVE_CTE_SQL.format(div="//"),
+    survey_ids="§2.8-recursive",
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4) computing the "
+    "transitive closure of a supplier forest (parent = suppkey div 10 "
+    "— the decimal-trie hierarchy): every node labeled with its root "
+    "and depth, then rolled up per (root, depth). The iterative form "
+    "S3's space→folder→list walk takes when the tree depth is not "
+    "known at plan time (fetch_clickup_data.py:196-279 hardcodes 3 "
+    "levels). Scale: breadth-first UnionLoop — one equi-join per "
+    "level, ⌈log10 n⌉ iterations, total work linear in nodes; never "
+    "a per-row driver walk. Oracle is the same WITH RECURSIVE in "
+    "DuckDB (// vs div integer division is the only dialect delta).",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_RECURSIVE_CTE_SQL.format(div="div"))
+
+
+@register(
+    "listagg_surface",
+    """
+    SELECT c_nationkey AS nationkey,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+               AS segments,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+    survey_ids="§2.6-listagg,E2-native",
+    doc="Native LISTAGG(DISTINCT …) WITHIN GROUP (ORDER BY …) — the "
+    "ISO form of the reference's ', '.join denormalization "
+    "(fetch_clickup_data.py:596-598,742-748) as ONE aggregate instead "
+    "of collect_set→array_sort→array_join. Deterministic because the "
+    "WITHIN GROUP order is total; DuckDB twin is string_agg(DISTINCT "
+    "… ORDER BY …). One hash shuffle on the group key; per-group "
+    "state is the distinct-segment set (bounded by the domain, not "
+    "the row count). Known engine edge pinned by this round's "
+    "regression hunt: combining listagg(DISTINCT) WITHIN GROUP with a "
+    "second COUNT(DISTINCT) in the same SELECT trips a Spark 4.1 "
+    "distinct-rewrite ClassCastException — the companion aggregate "
+    "here is deliberately non-distinct.",
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nationkey,
+               listagg(DISTINCT c_mktsegment, '|')
+                   WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+        """
+    )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT o.o_orderkey AS orderkey, t.l_quantity AS qty,
+           t.l_linenumber AS lineno
+    FROM orders o,
+    LATERAL (
+        SELECT l.l_quantity, l.l_linenumber FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l.l_quantity DESC, l.l_linenumber LIMIT 2
+    ) t
+    WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+@register(
+    "lateral_join_topk",
+    _LATERAL_TOPK_SQL,
+    survey_ids="§2.5-lateral,D2",
+    doc="Correlated LATERAL subquery with ORDER BY … LIMIT 2 — top-2 "
+    "line items per urgent order written as the per-row subquery a "
+    "SQL author reaches for. Catalyst DECORRELATES it: the per-order "
+    "LIMIT becomes a row_number window (WindowGroupLimit pushes the "
+    "2-heap below the shuffle) joined back on the equi-key — the "
+    "identical physical plan to the hand-built topk_per_group, from "
+    "the naive declarative form (plan-gated: no nested-loop, no "
+    "per-row re-scan). Same SQL text runs on DuckDB as the oracle.",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "variant_json_surface",
+    """
+    SELECT
+        priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(j->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(SUM(CAST(j->>'$.items[1]' AS BIGINT)) AS BIGINT) AS sum_item1,
+        SUM(CASE WHEN (j->>'$.absent') IS NULL THEN 1 ELSE 0 END) AS n_absent,
+        MIN(j->>'$.st') AS min_status
+    FROM (
+        SELECT o_orderpriority AS priority,
+               CONCAT('{"k":', o_orderkey, ',"st":"', o_orderstatus,
+                      '","items":[', o_custkey, ',', o_orderkey % 7, ']}')
+                   AS j
+        FROM orders
+    )
+    GROUP BY priority
+    """,
+    survey_ids="P2-variant,§2.10-json",
+    doc="Spark 4 VARIANT ingestion: parse_json into the binary VARIANT "
+    "type, then typed variant_get path extraction (object field, "
+    "array index, absent-path → NULL) aggregated per priority. The "
+    "schema-on-read form of P2's nested-struct access for payloads "
+    "whose shape drifts (the reference's custom_fields values, "
+    "fetch_clickup_data.py:547-549, are exactly such a column). "
+    "VARIANT keeps extraction JVM-side on a binary-encoded tree — no "
+    "per-row JSON re-parse per path, no Python. Oracle extracts the "
+    "same paths with DuckDB's ->> JSON operators. Grouped result: "
+    "the driver compares 5 rows however large the corpus.",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+            priority,
+            COUNT(*) AS n,
+            CAST(SUM(variant_get(v, '$.k', 'long')) AS BIGINT) AS sum_k,
+            CAST(SUM(variant_get(v, '$.items[1]', 'long')) AS BIGINT)
+                AS sum_item1,
+            SUM(CASE WHEN variant_get(v, '$.absent', 'string') IS NULL
+                     THEN 1 ELSE 0 END) AS n_absent,
+            MIN(variant_get(v, '$.st', 'string')) AS min_status
+        FROM (
+            SELECT o_orderpriority AS priority,
+                   parse_json(concat('{"k":', CAST(o_orderkey AS STRING),
+                       ',"st":"', o_orderstatus,
+                       '","items":[', CAST(o_custkey AS STRING), ',',
+                       CAST(o_orderkey % 7 AS STRING), ']}')) AS v
+            FROM orders
+        )
+        GROUP BY priority
+        """
+    )
+
+
+def _pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic per-sf fixture dir for the paged-events source,
+    rebuilt (overwrite) on every call so layout changes never leak."""
+    import os
+    import re as _re
+    import tempfile
+
+    from hours_api_clickup_spark.sources.pyds import (
+        write_fixture_from_events,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hours_pyds_fixture_" + _re.sub(r"\W", "_", sf_dir),
+    )
+    write_fixture_from_events(spark, sf_dir, path, n_chunks=5)
+    return path
+
+
+_PYDS_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "python_datasource_scan",
+    _PYDS_ORACLE,
+    survey_ids="S1,S2,S4,S6,P13",
+    doc="The REST scan mounted INSIDE the engine: a Spark 4 Python "
+    "DataSource (sources/pyds.py) whose input partitions are the "
+    "30-day-window chunks (fetch_clickup_data.py:124-147), each "
+    "paged 100 rows per request in-partition with the reference's "
+    "termination policies (:403-465, :516-624), the event_type "
+    "filter applied server-side (query-param pushdown analog, "
+    ":96-104) and failed chunks skipped not fatal (:140-144). "
+    "Chunks fetch in PARALLEL across executors with Spark task "
+    "retry — the property the reference's sequential driver loop "
+    "gives up. Fixture-backed like the rest of the ingest layer "
+    "(JSONL per chunk, written distributed; epoch-ms int64 + "
+    "shortest-roundtrip doubles make the hop lossless), then "
+    "rolled up per event type; the oracle computes the same "
+    "aggregate straight from the parquet — proving the whole "
+    "source path bit-exact.",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.sources.pyds import read_paged_events
+
+    path = _pyds_fixture(spark, sf_dir)
+    df = read_paged_events(spark, path)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        F.max("ts_ms").alias("max_ts_ms"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "streaming_python_datasource",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    survey_ids="§2.11,S1,S2",
+    doc="The same paged source as a STREAM: SimpleDataSourceStreamReader "
+    "exposes chunk i as micro-batch i with {chunk} offsets, committed "
+    "ranges replayable via readBetweenOffsets — the reference's "
+    "cron-rerun 'streaming' (deploy.sh:66-136) as a real incremental "
+    "source with exactly-once offset accounting. The bounded drain "
+    "runs a fast processing-time trigger until the end offset covers "
+    "every chunk (the simple reader prefetches one batch per trigger, "
+    "so availableNow would under-read); the drained rollup equals the "
+    "batch aggregate over the raw parquet, which is the oracle.",
+)
+def q_streaming_python_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid
+
+    from hours_api_clickup_spark.sources.pyds import (
+        drain_paged_stream,
+        read_paged_events_stream,
+    )
+
+    path = _pyds_fixture(spark, sf_dir)
+    sink = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    out = (
+        read_paged_events_stream(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        drain_paged_stream(q, n_chunks=5)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
 # --------------------------------------------------------------------------
 # Driver-window rotation — DERIVED from the committed CORRECTNESS_r*.json
 # history (repo root), not hand-maintained lists. The driver checks only

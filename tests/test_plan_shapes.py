@@ -553,3 +553,30 @@ class TestPlanAuditLibrary:
         assert not any(
             p.startswith("global-sort") for p in audit_plan(df_topk)
         )
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT 2 subquery must
+    decorrelate into a ranking window whose per-group 2-heap runs
+    below the shuffle (WindowGroupLimit), joined back on the equi-key
+    — never a nested-loop per outer row."""
+    plan = _plan(spark, "lateral_join_topk", "formatted")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_recursive_cte_is_union_loop_equi_join(spark):
+    """WITH RECURSIVE must compile to the breadth-first loop with an
+    equi-join per iteration, not a cartesian expansion."""
+    plan = _plan(spark, "recursive_cte_hierarchy", "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_variant_extraction_stays_jvm_side(spark):
+    """VARIANT path extraction must not fall back to Python — no
+    BatchEvalPython / ArrowEvalPython in the plan."""
+    plan = _plan(spark, "variant_json_surface", "formatted")
+    assert "EvalPython" not in plan, plan
+    assert "variant_get" in plan, plan

@@ -1,0 +1,140 @@
+"""Spark 4 Python DataSource (sources/pyds.py): the reference's REST
+scan semantics — chunked windows as input partitions, in-partition
+pagination under both termination policies, server-side filter
+pushdown, per-chunk failure tolerance — plus the streaming twin.
+
+Reference semantics: fetch_clickup_data.py:124-147 (chunk loop,
+skip-on-failure), :403-465 (page-until-empty), :516-624
+(page-until-short), :96-104 (query-param filters).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.plans.registry import load_table
+from hours_api_clickup_spark.sources.pyds import (
+    drain_paged_stream,
+    read_paged_events,
+    read_paged_events_stream,
+    write_fixture_from_events,
+)
+from tests.conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pyds") / "fixture")
+    write_fixture_from_events(spark, SF_DIR_SMOKE, path, n_chunks=5)
+    return path
+
+
+def _direct(spark):
+    return load_table(spark, SF_DIR_SMOKE, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_millis(ts)").alias("ts_ms"),
+        "event_type",
+        "value",
+    )
+
+
+def test_source_equals_direct_parquet(spark, fixture_dir):
+    df = read_paged_events(spark, fixture_dir)
+    direct = _direct(spark)
+    assert df.count() == direct.count()
+    assert df.exceptAll(direct).count() == 0
+    assert direct.exceptAll(df).count() == 0
+
+
+def test_scan_parallelism_is_one_partition_per_chunk(spark, fixture_dir):
+    df = read_paged_events(spark, fixture_dir)
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_both_page_policies_read_everything(spark, fixture_dir):
+    n = _direct(spark).count()
+    for policy in ("empty_page", "short_page"):
+        got = read_paged_events(
+            spark, fixture_dir, stop_policy=policy, page_size=37
+        ).count()
+        assert got == n, policy
+
+
+def test_server_side_filter_pushdown(spark, fixture_dir):
+    want = (
+        _direct(spark).filter(F.col("event_type") == "click").count()
+    )
+    got = read_paged_events(spark, fixture_dir, event_type="click")
+    assert got.count() == want
+    # the filter ran inside the source (API-side), not as a Spark
+    # Filter over the full feed
+    assert (
+        got.select("event_type").distinct().collect()[0][0] == "click"
+    )
+
+
+def test_failed_chunk_is_skipped_not_fatal(spark, fixture_dir):
+    total = _direct(spark).count()
+    chunk2 = spark.read.json(os.path.join(fixture_dir, "chunk=2")).count()
+    got = read_paged_events(spark, fixture_dir, fail_chunks="2").count()
+    assert got == total - chunk2
+
+
+def test_strict_mode_propagates_chunk_failure(spark, fixture_dir):
+    with pytest.raises(Exception, match="simulated fetch failure"):
+        read_paged_events(
+            spark,
+            fixture_dir,
+            fail_chunks="1",
+            tolerate_failures="false",
+        ).count()
+
+
+def test_stream_drain_equals_batch(spark, fixture_dir):
+    out = (
+        read_paged_events_stream(spark, fixture_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pyds_test_stream")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    drain_paged_stream(q, n_chunks=5)
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT * FROM pyds_test_stream").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in _direct(spark)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_offset_replay_is_deterministic(spark, fixture_dir):
+    """readBetweenOffsets must reproduce a committed range exactly —
+    the contract that makes checkpoint recovery exactly-once."""
+    from hours_api_clickup_spark.sources.pyds import (
+        PagedEventsStreamReader,
+    )
+
+    r = PagedEventsStreamReader({"path": fixture_dir})
+    rows_live, end = r.read({"chunk": 0})
+    live = sorted(rows_live)
+    assert end == {"chunk": 1}
+    replay = sorted(r.readBetweenOffsets({"chunk": 0}, {"chunk": 1}))
+    assert live == replay
+    # past-the-end read is a clean no-op
+    empty, same = r.read({"chunk": 99})
+    assert list(empty) == [] and same == {"chunk": 99}
