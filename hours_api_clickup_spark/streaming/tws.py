@@ -1,0 +1,162 @@
+"""Custom stateful streaming operator on the Spark 4 ``transformWithState``
+API: a per-user running ledger with TYPED state variables.
+
+``applyInPandasWithState`` (streaming/sessions.py) carries one flat
+state tuple per key; ``transformWithStateInPandas`` is its Spark 4
+successor — a ``StatefulProcessor`` declares multiple independently
+typed state variables (ValueState / ListState / MapState, optional TTL
+and timers) that the state store tracks separately. This operator uses
+two:
+
+- ``totals``  ValueState  (n bigint, cents bigint) — running count and
+  integer-cents sum;
+- ``by_type`` MapState    event_type → cnt — per-type counters, i.e.
+  the running DISTINCT event-type set with multiplicities.
+
+Each micro-batch emits one updated ledger row per user seen in that
+batch (Update semantics): ``n_events`` is strictly monotone per user,
+so the final ledger is the max_by(n_events) row per user — a
+deterministic bounded-replay resolution that equals the batch
+``GROUP BY user_id`` aggregate regardless of how rows were split into
+micro-batches (all state folds are commutative).
+
+The reference has no stateful processing at all (its closest analog is
+the BigQuery MERGE re-run on a cron, fetch_clickup_data.py:1273-1333);
+this is the idiomatic-extension lane of SURVEY §2.11. State is
+O(users × event types), watermark-independent because the ledger never
+expires (a TTL'd variant is one ``ttlDurationMs`` argument away, but
+processing-time TTL would break deterministic replay, so the tested
+form keeps state unbounded-in-time and bounded-in-keys).
+
+SANDBOX BOUNDARY: transformWithState's state-server protocol speaks
+protobuf (``pyspark.sql.streaming.proto``), and ``google.protobuf`` is
+not installed in this container — so the end-to-end streaming run is
+gated on ``tws_available()`` (the equivalence test auto-skips without
+it, the same stance as the multimodal decode stub). The processor's
+fold logic itself is plain pandas and is tested directly against the
+batch aggregate through a fake-state harness, so the state-variable
+semantics are pinned even where the transport can't run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_cents bigint, n_types bigint"
+)
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """True when transformWithState can actually execute: its typed
+    state variables require the RocksDB state store AND the Python
+    state-server protocol requires google.protobuf."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class UserLedgerProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.totals = handle.getValueState(
+            "totals", "n bigint, cents bigint"
+        )
+        self.by_type = handle.getMapState(
+            "by_type", "event_type string", "cnt bigint"
+        )
+
+    def handleInputRows(
+        self, key, rows, timer_values
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, cents = (
+            tuple(self.totals.get()) if self.totals.exists() else (0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self.by_type.getValue((etype,))[0]
+                    if self.by_type.containsKey((etype,))
+                    else 0
+                )
+                self.by_type.updateValue((etype,), (prev + int(cnt),))
+        self.totals.update((n, cents))
+        n_types = sum(1 for _ in self.by_type.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "sum_cents": pd.Series([cents], dtype="int64"),
+                "n_types": pd.Series([n_types], dtype="int64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_ledger(events_stream: DataFrame) -> DataFrame:
+    """Running per-user ledger over a stream with columns
+    ``user_id, event_type, value`` (Update output mode).
+
+    The cents projection happens JVM-side before the Python processor,
+    so the Arrow hop carries exactly the three columns the state folds
+    need.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (the "
+            "state-server wire format) — unavailable in this "
+            "environment; see module docstring"
+        )
+    # the processor class ships cloudpickled to the streaming Python
+    # runner, which has no guarantee of this package on sys.path —
+    # by-value serialization makes it self-contained (same stance as
+    # sources/pyds.py).
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    prepared = events_stream.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint"), F.lit(0)
+        ).alias("cents"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserLedgerProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def resolve_final_ledger(emissions: DataFrame) -> DataFrame:
+    """Collapse per-batch ledger emissions to the final row per user
+    (n_events is strictly monotone per user, so max_by is exact)."""
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+        F.max_by("n_types", "n_events").alias("n_types"),
+    )
