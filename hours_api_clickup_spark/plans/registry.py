@@ -1,6681 +1,43 @@
-"""Driver-facing query registry: every operator from SURVEY.md §2 as a
-named (Spark callable, DuckDB oracle SQL) pair over the driver's
-synthetic tables (TESTDATA.md).
+"""Driver-facing query registry: façade + driver-window rotation.
 
-Determinism rules (so the order-insensitive value-hash matches DuckDB):
-- Money/fractional sums go through DECIMAL casts (exact, order-independent)
-  and are cast to DOUBLE only once at the end. A double .005 boundary is
-  never exactly representable, so double→decimal rounding agrees across
-  engines.
-- Timezone math uses session-TZ-independent forms on both engines
-  (from_utc_timestamp ↔ timezone('Europe/Oslo', timezone('UTC', ts))).
-- Every computed column is aliased identically in Spark and SQL.
+The query definitions live in the family modules (split round 4):
 
-Scale notes are attached per query: these run at sf0.01 for correctness
-and sf0.1 for bench, but each plan is written for the 100 TB shape
-(broadcast dims, key-partitioned windows, no driver-side collection).
+- ``registry_core``       shared plumbing: QUERIES, register, load_table
+- ``registry_reference``  SURVEY §2 staples + SQL-surface queries
+- ``registry_datapipe``   training-data pipeline (dedup/ANN/text/sampling)
+- ``registry_streaming``  Structured Streaming queries
+- ``registry_analytics``  time-series / robust-stats / scale techniques
+
+Importing this module imports them all (registration is an import
+side-effect), then applies the driver-window rotation derived from the
+committed CORRECTNESS_r*.json history. Public names are re-exported so
+``from ...plans.registry import QUERIES, load_table`` keeps working.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass, field
-
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from hours_api_clickup_spark.functions.casts import safe_bool, safe_float, safe_int
-from hours_api_clickup_spark.functions.datetime_fns import oslo_date
-from hours_api_clickup_spark.operators.dedupe import dedupe_latest
-from hours_api_clickup_spark.operators.explode import split_tokens_with_empty
-from hours_api_clickup_spark.operators.merge import merge_full_reindex, merge_refresh
-
-TABLE_NAMES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
-
-
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's parquet reader
-# rejects by default. We read them as long (legacy conf) and truncate
-# ns → µs with integer division (`div`, not `/` — ns-since-epoch exceeds
-# 2^53 so double division would lose precision). DuckDB truncates the
-# same way when reading nanos into its µs timestamps.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
-
-
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    nanos_cols = _NANOS_TS_COLS.get(name, ())
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    # tz-less parquet timestamps arrive as TIMESTAMP_NTZ, which half the
-    # timestamp builtins (unix_millis, casts to numeric) reject. The
-    # session timezone is pinned to UTC, so NTZ → LTZ keeps the same
-    # wall-clock instant DuckDB sees for the same file.
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → driver records rows-only check
-    survey_ids: str = ""  # SURVEY.md §2 operator ids this query covers
-    doc: str = ""
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None, survey_ids: str = "", doc: str = ""):
-    def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, survey_ids=survey_ids, doc=doc)
-        return fn
-
-    return deco
-
-
-def _dec(c: Column | str, spec: str = "decimal(12,2)") -> Column:
-    c = F.col(c) if isinstance(c, str) else c
-    return c.cast(spec)
-
-
-# ---------------------------------------------------------------------------
-# Flagship: hours per user per Oslo civil date (the reference's namesake
-# query — epoch timestamps → Europe/Oslo dating → grouped hour totals;
-# P4/P6 + A2 over the events stream table).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "flagship_hours_by_user_day",
-    """
-    SELECT user_id,
-           CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) AS day_oslo,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hours,
-           COUNT(*) AS n_entries
-    FROM events
-    GROUP BY 1, 2
-    """,
-    survey_ids="P4,P6,A2",
-    doc="Hours per user per Europe/Oslo civil date. Scale: single hash "
-    "shuffle on (user_id, day); partial aggregation map-side.",
-)
-def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            "user_id", oslo_date(F.col("ts")).alias("day_oslo")
-        ).agg(
-            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("hours"),
-            F.count("*").alias("n_entries"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Wide flattening projection (P1-P11 composite): one declarative select
-# covering id stringify, epoch-ms round trip, Oslo dating, SHA-256 PII
-# hashing, scaling + rounding, and JSON field extraction.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "transform_projection",
-    """
-    SELECT CAST(event_id AS VARCHAR) AS id,
-           epoch_ms(ts) AS epoch_ms,
-           make_timestamp(epoch_ms(ts) * 1000) AS ts_ms,
-           CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) AS day_oslo,
-           sha256(CAST(user_id AS VARCHAR)) AS user_sha256,
-           floor(value / 3.6 * 100 + 0.5) / 100 AS value_scaled,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-           event_type
-    FROM events
-    """,
-    survey_ids="P1,P2,P4,P6,P7,P11,P15",
-    doc="Flagship-style wide projection; whole-stage-codegen single pass, "
-    "no shuffle, column-pruned scan.",
-)
-def q_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    ms = F.unix_millis("ts")
-    return events.select(
-        F.col("event_id").cast("string").alias("id"),
-        ms.alias("epoch_ms"),
-        F.timestamp_millis(ms).alias("ts_ms"),
-        oslo_date(F.col("ts")).alias("day_oslo"),
-        F.sha2(F.col("user_id").cast("string"), 256).alias("user_sha256"),
-        # round-half-up via floor: pure IEEE double ops, so Spark and the
-        # DuckDB oracle agree bit-for-bit (F.round rounds the decimal
-        # string repr of the double and can differ at .xx5 boundaries)
-        (F.floor(F.col("value") / F.lit(3.6) * 100 + 0.5) / F.lit(100.0)).alias(
-            "value_scaled"
-        ),
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
-        "event_type",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Keep-latest-per-key dedup (D1) — latest event per (user, event_type),
-# null-ts-wins tiebreak per the reference's pandas semantics.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedupe_keep_latest",
-    """
-    SELECT user_id, event_type, event_id, ts, value
-    FROM events
-    QUALIFY row_number() OVER (
-        PARTITION BY user_id, event_type
-        ORDER BY ts DESC NULLS FIRST, event_id DESC
-    ) = 1
-    """,
-    survey_ids="D1",
-    doc="Ranking window partitioned by key: one shuffle on the key, "
-    "no global sort. null-wins via desc_nulls_first "
-    "(fetch_clickup_data.py:1774-1777).",
-)
-def q_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return dedupe_latest(
-        events,
-        key=["user_id", "event_type"],
-        ts="ts",
-        tiebreak=[F.col("event_id").desc()],
-    ).select("user_id", "event_type", "event_id", "ts", "value")
-
-
-# ---------------------------------------------------------------------------
-# MERGE upserts (M1/M2): fact = orders; staging simulates a re-fetch where
-# prices changed (×2) and every 3rd entry disappeared. Window = orderdate
-# ≥ 1997-01-01. merge_refresh must update/insert/delete inside the window
-# and preserve history outside it (the BUG_FIX_SUMMARY.md regression).
-# ---------------------------------------------------------------------------
-
-_ORDER_COLS = (
-    "o_orderkey",
-    "o_custkey",
-    "o_orderstatus",
-    "o_totalprice",
-    "o_orderdate",
-    "o_orderpriority",
-)
-_MERGE_WINDOW_START = "1997-01-01"
-
-
-def _staging_orders(orders: DataFrame) -> DataFrame:
-    return orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
-        "o_orderdate",
-        "o_orderpriority",
-    )
-
-
-@register(
-    "merge_refresh_window",
-    f"""
-    WITH stg_w AS (
-        SELECT o_orderkey, o_custkey, o_orderstatus,
-               o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
-        FROM orders
-        WHERE o_orderkey % 3 <> 0
-          AND o_orderdate >= TIMESTAMP '{_MERGE_WINDOW_START} 00:00:00'
-    )
-    SELECT * FROM stg_w
-    UNION ALL
-    SELECT f.*
-    FROM orders f ANTI JOIN stg_w s ON f.o_orderkey = s.o_orderkey
-    WHERE f.o_orderdate < TIMESTAMP '{_MERGE_WINDOW_START} 00:00:00'
-    """,
-    survey_ids="M1,J1",
-    doc="Windowed-refresh MERGE via SURVEY §4.3 algebra: "
-    "fact' = S_w ∪ (fact ▷ S_w).filter(¬W). Scale: W prunes fact "
-    "partitions before the anti-join; S_w broadcasts.",
-)
-def q_merge_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
-    staging = _staging_orders(orders)
-    w = F.col("o_orderdate") >= F.lit(_MERGE_WINDOW_START).cast("timestamp")
-    return merge_refresh(orders, staging, w, key="o_orderkey")
-
-
-@register(
-    "merge_full_reindex",
-    """
-    SELECT o_orderkey, o_custkey, o_orderstatus,
-           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
-    FROM orders
-    WHERE o_orderkey % 3 <> 0
-    """,
-    survey_ids="M2",
-    doc="Full-reindex MERGE ≡ staging overwrite (SURVEY §4.3; "
-    "fetch_clickup_data.py:1335-1399).",
-)
-def q_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
-    return merge_full_reindex(orders, _staging_orders(orders))
-
-
-# ---------------------------------------------------------------------------
-# Joins + aggregations (J2-J4, A1-A6) — the doc-SQL analytical surface.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "join_revenue_by_priority",
-    """
-    SELECT o.o_orderpriority,
-           COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-                AS DOUBLE) AS revenue
-    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-    """,
-    survey_ids="J2,J3,A2",
-    doc="fact ⟕ dim + grouped multi-agg (docs/LISTS_SYNC_FEATURE.md:155-166 "
-    "analog). orders is broadcast — no shuffle on the fact side.",
-)
-def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    revenue = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
-    )
-    return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(revenue).cast("double").alias("revenue"),
-        )
-    )
-
-
-@register(
-    "pricing_summary_q1",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-                         AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-                         AS DECIMAL(20,4))
-                    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
-                AS DOUBLE) AS sum_charge,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    survey_ids="A2,A3",
-    doc="TPC-H Q1-shaped pricing summary: partial aggregation map-side, "
-    "one shuffle on the tiny group key; ship-date filter pushed to scan.",
-)
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(12,2)")
-    disc_price = (_dec("l_extendedprice") * (one - _dec("l_discount"))).cast(
-        "decimal(20,4)"
-    )
-    charge = disc_price * (one + _dec("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@register(
-    "agg_minmax_distinct",
-    """
-    SELECT COUNT(*) AS n_events,
-           COUNT(DISTINCT user_id) AS n_users,
-           MIN(ts) AS min_ts,
-           MAX(ts) AS max_ts
-    FROM events
-    """,
-    survey_ids="A1,A4,A5",
-    doc="Verification aggregates (docs/setup.md:93-101 analog). At 100 TB "
-    "COUNT DISTINCT would switch to approx_count_distinct; exact here "
-    "for oracle parity.",
-)
-def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.agg(
-        F.count("*").alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
-    )
-
-
-@register(
-    "pivot_conditional_counts",
-    """
-    SELECT o_orderpriority,
-           COUNT(*) AS n_total,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
-           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS pct_open
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    survey_ids="A3",
-    doc="Pivot-style conditional aggregation "
-    "(docs/TASKS_SYNC_FEATURE.md:176-177 analog).",
-)
-def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    n_open = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
-    return orders.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_total"),
-        n_open.alias("n_open"),
-        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
-        (n_open.cast("double") / F.count("*")).alias("pct_open"),
-    )
-
-
-@register(
-    "rollup_having_variance",
-    """
-    SELECT l.l_orderkey, o.o_orderpriority,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
-           COUNT(*) AS n_lines
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY l.l_orderkey, o.o_orderpriority
-    HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150
-    """,
-    survey_ids="J4,A6",
-    doc="Estimate-vs-actual rollup with HAVING "
-    "(docs/TASKS_SYNC_FEATURE.md:230-245 analog): join → groupBy → "
-    "agg → post-agg filter.",
-)
-def q_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderpriority")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
-            F.count("*").alias("n_lines"),
-        )
-        .filter(F.col("total_qty") > 150)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Row-multiplying ops (E1-E4) and set ops.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "split_explode_bridge",
-    """
-    WITH base AS (
-        SELECT p_partkey,
-               CASE WHEN p_size % 5 = 0 THEN '' ELSE p_type END AS src
-        FROM part
-    ), toks AS (
-        SELECT p_partkey,
-               list_filter(list_transform(string_split(src, ' '), x -> trim(x)),
-                           x -> x <> '') AS tokens
-        FROM base
-    )
-    SELECT p_partkey,
-           unnest(CASE WHEN len(tokens) > 0 THEN tokens ELSE [''] END) AS token
-    FROM toks
-    """,
-    survey_ids="E1",
-    doc="Accounts-bridge fan-out semantics (fetch_clickup_data.py:552-558,"
-    "600-611): one row per trimmed token; empty input emits exactly one "
-    "''-row (not null). explode is per-partition — no shuffle.",
-)
-def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    src = F.when(F.col("p_size") % 5 == 0, F.lit("")).otherwise(F.col("p_type"))
-    return part.select(
-        "p_partkey",
-        F.explode(split_tokens_with_empty(src, " ")).alias("token"),
-    )
-
-
-@register(
-    "array_join_group",
-    """
-    SELECT n.n_name,
-           string_agg(c.c_name, ', ' ORDER BY c.c_name) AS customer_names,
-           COUNT(*) AS n_customers
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-    survey_ids="E2,E3",
-    doc="', '-joined denormalized string per group "
-    "(fetch_clickup_data.py:596-598,742-748 analog). sort_array makes "
-    "collect_list order-deterministic.",
-)
-def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.array_join(F.sort_array(F.collect_list("c_name")), ", ").alias(
-                "customer_names"
-            ),
-            F.count("*").alias("n_customers"),
-        )
-    )
-
-
-@register(
-    "hierarchy_flatten",
-    """
-    SELECT r.r_name AS region_name,
-           n.n_name AS nation_name,
-           c.c_custkey,
-           c.c_name,
-           COALESCE(s.s_name, '') AS supplier_name
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    LEFT JOIN supplier s
-      ON c.c_custkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
-    """,
-    survey_ids="E4",
-    doc="Tree → one flat row per leaf with ancestors as columns; missing "
-    "level → '' fill (fetch_clickup_data.py:245-272,268-269). All dims "
-    "broadcast.",
-)
-def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    s = load_table(spark, sf_dir, "supplier")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(
-            F.broadcast(s),
-            (c.c_custkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
-            "left",
-        )
-        .select(
-            F.col("r_name").alias("region_name"),
-            F.col("n_name").alias("nation_name"),
-            "c_custkey",
-            "c_name",
-            F.coalesce(F.col("s_name"), F.lit("")).alias("supplier_name"),
-        )
-    )
-
-
-@register(
-    "union_two_passes",
-    """
-    SELECT o_orderkey, 'active' AS pass_name, o_orderstatus FROM orders
-    WHERE o_orderstatus = 'O'
-    UNION ALL
-    SELECT o_orderkey, 'archived' AS pass_name, o_orderstatus FROM orders
-    WHERE o_orderstatus = 'F'
-    """,
-    survey_ids="S5,§2.8",
-    doc="Two-pass archived scan → UNION ALL "
-    "(fetch_clickup_data.py:326-401,344).",
-)
-def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "O").select(
-        "o_orderkey", F.lit("active").alias("pass_name"), "o_orderstatus"
-    )
-    b = orders.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", F.lit("archived").alias("pass_name"), "o_orderstatus"
-    )
-    return a.unionByName(b)
-
-
-# ---------------------------------------------------------------------------
-# Safe-cast scalar surface (P8/P9/P10) on synthesized mixed-type strings.
-# ---------------------------------------------------------------------------
-
-_SAFE_SRC_SQL = """CASE event_id % 5
-        WHEN 0 THEN 'true' WHEN 1 THEN '3.7' WHEN 2 THEN 'x'
-        WHEN 3 THEN '' ELSE '-2.9' END"""
-
-
-@register(
-    "safe_cast_surface",
-    f"""
-    WITH base AS (SELECT event_id, {_SAFE_SRC_SQL} AS src FROM events)
-    SELECT event_id, src,
-           CASE WHEN src IS NULL THEN FALSE
-                WHEN lower(trim(src)) IN ('true','1','yes','on') THEN TRUE
-                WHEN TRY_CAST(src AS DOUBLE) IS NOT NULL
-                     AND NOT isnan(TRY_CAST(src AS DOUBLE))
-                    THEN TRY_CAST(src AS DOUBLE) <> 0
-                ELSE FALSE END AS as_bool,
-           CASE WHEN TRY_CAST(src AS DOUBLE) IS NOT NULL
-                     AND NOT isnan(TRY_CAST(src AS DOUBLE))
-                THEN CAST(trunc(TRY_CAST(src AS DOUBLE)) AS BIGINT) END AS as_int,
-           COALESCE(TRY_CAST(src AS DOUBLE), 0.0) AS as_float_default,
-           TRY_CAST(src AS DOUBLE) AS as_float_null
-    FROM base
-    """,
-    survey_ids="P8,P9,P10",
-    doc="safe_bool/safe_int/safe_float semantics "
-    "(fetch_clickup_data.py:783-801,560-580) incl. truncation toward "
-    "zero and the truthy-string set.",
-)
-def q_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    m = F.col("event_id") % 5
-    src = (
-        F.when(m == 0, "true")
-        .when(m == 1, "3.7")
-        .when(m == 2, "x")
-        .when(m == 3, "")
-        .otherwise("-2.9")
-    )
-    return events.select(
-        "event_id",
-        src.alias("src"),
-        safe_bool(src).alias("as_bool"),
-        safe_int(src).alias("as_int"),
-        safe_float(src, default=0.0).alias("as_float_default"),
-        safe_float(src).alias("as_float_null"),
-    )
-
-
-@register(
-    "scalar_string_surface",
-    """
-    SELECT p_partkey,
-           lower(p_name) AS name_lower,
-           string_split(p_type, ' ')[1] AS type_head,
-           sha256(p_brand) AS brand_sha256,
-           md5(p_name) AS name_md5,
-           floor(p_retailprice / 100 * 100 + 0.5) / 100 AS price_scaled,
-           length(p_name) AS name_len,
-           concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
-           substring(p_name, 1, 5) AS name_head
-    FROM part
-    """,
-    survey_ids="§2.10",
-    doc="Consolidated scalar-function surface: split/lower/substr/concat/"
-    "sha2/md5/round/length (SURVEY §2.10).",
-)
-def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.lower("p_name").alias("name_lower"),
-        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
-        F.sha2(F.col("p_brand"), 256).alias("brand_sha256"),
-        F.md5(F.col("p_name")).alias("name_md5"),
-        (F.floor(F.col("p_retailprice") / 100 * 100 + 0.5) / F.lit(100.0)).alias(
-            "price_scaled"
-        ),
-        F.length("p_name").alias("name_len"),
-        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias(
-            "brand_size"
-        ),
-        F.substring("p_name", 1, 5).alias("name_head"),
-    )
-
-
-# ===========================================================================
-# Beyond-reference: training-data-pipeline operators (SURVEY §7 step 8 /
-# BASELINE.json north star) over documents + embeddings.
-# ===========================================================================
-
-from hours_api_clickup_spark.datapipe.dedup import (  # noqa: E402
-    char_shingles,
-    exact_dedup,
-    minhash_cluster_oracle_sql,
-    minhash_corpus_oracle_sql,
-    minhash_lsh_oracle_sql,
-    minhash_lsh_pairs,
-    ngram_jaccard_pairs,
-    simhash_oracle_sql,
-    simhash_pairs,
-)
-from hours_api_clickup_spark.datapipe.multimodal import (  # noqa: E402
-    extract_features,
-    synthesize_media,
-)
-from hours_api_clickup_spark.datapipe.similarity import (  # noqa: E402
-    brute_force_topk,
-    embedding_near_dup_pairs,
-    ivf_topk_oracle_sql,
-    lsh_bucketed_topk,
-    lsh_topk_oracle_sql,
-)
-from hours_api_clickup_spark.datapipe.textstats import (  # noqa: E402
-    LANG_MARKERS,
-    avg_token_len,
-    alpha_ratio,
-    bpe_token_count,
-    punct_ratio,
-    predict_language,
-    quality_score,
-    stopword_ratio,
-    tokens,
-)
-from hours_api_clickup_spark.functions.hashing import (  # noqa: E402
-    rolling_fingerprint,
-)
-
-
-@register(
-    "doc_text_stats",
-    r"""
-    WITH t AS (
-        SELECT doc_id, text,
-               CASE WHEN length(trim(text)) > 0
-                    THEN string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')
-                    ELSE [] END AS toks
-        FROM documents
-    )
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(toks) AS n_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
-           CAST(length(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE)
-               / greatest(len(toks), 1) AS avg_token_len,
-           CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE)
-               / greatest(len(toks), 1) AS stopword_ratio,
-           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) AS punct_ratio,
-           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) AS alpha_ratio
-    FROM t
-    """,
-    survey_ids="datapipe:text-analysis",
-    doc="Token counting (whitespace + BPE-ish regex) and quality ratios. "
-    "Pure projection: zero shuffles at any scale.",
-)
-def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    g1 = F.greatest(F.size(toks), F.lit(1)).cast("double")
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        avg_token_len(toks).alias("avg_token_len"),
-        stopword_ratio(toks).alias("stopword_ratio"),
-        punct_ratio(F.col("text")).alias("punct_ratio"),
-        alpha_ratio(F.col("text")).alias("alpha_ratio"),
-    )
-
-
-_LANG_CASE_SQL = r"""
-    WITH t AS (
-        SELECT doc_id, lang,
-               CASE WHEN length(trim(text)) > 0
-                    THEN string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')
-                    ELSE [] END AS toks
-        FROM documents
-    ), h AS (
-        SELECT doc_id, lang,
-           len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS h_en,
-           len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS h_de,
-           len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS h_fr,
-           len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una'], x))) AS h_es
-        FROM t
-    )
-    SELECT doc_id, lang AS true_lang,
-           CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-                WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
-                WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
-                WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
-                ELSE 'und' END AS pred_lang
-    FROM h
-"""
-
-
-@register(
-    "doc_langid",
-    _LANG_CASE_SQL,
-    survey_ids="datapipe:lang-id",
-    doc="Stopword-marker language-ID heuristic; deterministic CASE "
-    "priority on tie. Projection-only.",
-)
-def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        predict_language(F.col("text")).alias("pred_lang"),
-    )
-
-
-@register(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-                                  c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint,
-           md5(text) AS content_md5
-    FROM documents
-    """,
-    survey_ids="datapipe:fingerprint",
-    doc="Polynomial rolling hash (mod 1e9+7) + md5 content digest; both "
-    "reproduced exactly by the DuckDB oracle.",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        rolling_fingerprint(F.col("text")).alias("fingerprint"),
-        F.md5("text").alias("content_md5"),
-    )
-
-
-@register(
-    "dedup_exact",
-    """
-    SELECT md5(text) AS content_md5,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
-    FROM documents
-    GROUP BY md5(text)
-    """,
-    survey_ids="datapipe:dedup-exact",
-    doc="Exact dedup: hash-groupBy on content digest, min-id survivor. "
-    "One shuffle keyed on the digest — uniform by construction, no skew.",
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs, "text", "doc_id")
-
-
-@register(
-    "dedup_ngram_jaccard",
-    """
-    WITH sh AS (
-        SELECT doc_id,
-               CASE WHEN length(text) >= 5
-                    THEN list_distinct(list_transform(range(0, length(text) - 4),
-                                                      i -> substring(text, i + 1, 5)))
-                    ELSE [] END AS s
-        FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.3
-    """,
-    survey_ids="datapipe:dedup-jaccard",
-    doc="Exact all-pairs char-5-gram Jaccard ≥ 0.3. O(n²) verifier form — "
-    "the scale path is dedup_minhash_lsh, which verifies candidates with "
-    "this same measure.",
-)
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.3)
-
-
-# LSH near-dup pairs, keyed by sf_dir: like the ANN index cache below,
-# signature + banding + verification is an INGEST-time artifact that the
-# three downstream consumers (pair list, cluster resolution, corpus
-# manifest) share — at 100 TB you compute the pair table once per corpus
-# landing, not once per consumer. localCheckpoint truncates the lineage
-# so each consumer plans against the materialized pairs.
-_LSH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _LSH_PAIRS_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = minhash_lsh_pairs(
-            docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
-        ).select("id_a", "id_b", "jaccard")
-        _LSH_PAIRS_CACHE[key] = pairs.localCheckpoint(eager=True)
-    return _LSH_PAIRS_CACHE[key]
-
-
-@register(
-    "dedup_minhash_lsh",
-    minhash_lsh_oracle_sql(
-        k=5, num_hashes=64, bands=16, threshold=0.7
-    ),
-    survey_ids="datapipe:dedup-minhash",
-    doc="MinHash(64)+LSH(16 bands) candidate generation, exact-Jaccard "
-    "verified at 0.7. Engine-portable int64 hashing (polynomial gram "
-    "hash + affine permutations), so the DuckDB oracle replays banding, "
-    "prefilter, and verification exactly — full hash-match, not "
-    "rows-only. Scale path: bucket-join shuffle, never n². Recall vs "
-    "exact checked in tests/.",
-)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_pairs(spark, sf_dir)
-
-
-@register(
-    "dedup_simhash",
-    simhash_oracle_sql(max_hamming=12),
-    survey_ids="datapipe:dedup-simhash",
-    doc="64-bit SimHash near-dup candidates, hamming ≤ 12, via 16-bit "
-    "chunk blocking (pigeonhole: hamming ≤ 3 shares a chunk; wider "
-    "radius still blocks well on near-dups). Portable md5-derived token "
-    "hashes + affine bit hashes → DuckDB oracle reproduces signatures, "
-    "blocking, and hamming exactly (full hash-match).",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", tokens(F.col("text")), max_hamming=12)
-
-
-@register(
-    "dedup_cluster_lsh",
-    minhash_cluster_oracle_sql(k=5, num_hashes=64, bands=16, threshold=0.7),
-    survey_ids="datapipe:dedup-clusters-lsh",
-    doc="The production-shaped cluster pipeline: near-dup edges come "
-    "from MinHash+LSH banding (bucket joins, no all-pairs stage "
-    "anywhere in the plan), then iterative min-label connected "
-    "components pick min-id survivors. This is the at-scale form of "
-    "embedding_dup_clusters, whose GEMM pair generator is a bounded "
-    "verifier. Oracle: the generated MinHash pair SQL + a recursive "
-    "reachability closure — full hash-match.",
-)
-def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
-    nodes = docs.select("doc_id")
-    return resolve_dup_clusters(nodes, pairs, "doc_id")
-
-
-@register(
-    "dedup_corpus_manifest",
-    minhash_corpus_oracle_sql(k=5, num_hashes=64, bands=16, threshold=0.7),
-    survey_ids="datapipe:dedup-corpus",
-    doc="The end product of the dedup family: the deduplicated-corpus "
-    "manifest — one row per SURVIVING document (min-id of its LSH "
-    "near-dup cluster) with how many corpus rows it absorbs. Downstream "
-    "training jobs join this manifest to the corpus to materialize the "
-    "clean dataset. Same LSH edge pipeline as dedup_cluster_lsh (no "
-    "all-pairs stage); one extra tiny aggregation.",
-)
-def q_dedup_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
-    clusters = resolve_dup_clusters(docs.select("doc_id"), pairs, "doc_id")
-    return clusters.groupBy("cluster_id").agg(
-        F.count("*").alias("n_members")
-    ).select(F.col("cluster_id").alias("doc_id"), "n_members")
-
-
-@register(
-    "embedding_near_dups",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
-    """,
-    survey_ids="datapipe:dedup-embedding",
-    doc="Embedding-cosine near-dup pairs ≥ 0.45 (ids only — score floats "
-    "stay internal). Bounded O(n²) verifier; LSH buckets are the scale "
-    "path.",
-)
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45).select(
-        "id_a", "id_b"
-    )
-
-
-def _lsh_near_dup_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.similarity import (
-        lsh_near_dup_oracle_sql,
-    )
-
-    return lsh_near_dup_oracle_sql(dim=64, threshold=0.45)
-
-
-@register(
-    "embedding_near_dups_lsh",
-    _lsh_near_dup_oracle(),
-    survey_ids="datapipe:dedup-embedding-lsh",
-    doc="LSH-prefiltered embedding near-dup pairs: radius-1 multiprobe "
-    "pair join over 6 deterministic-hyperplane signature tables, exact "
-    "cosine verification — the 100 TB shape (no all-pairs stage; the "
-    "GEMM verifier embedding_near_dups is the bounded oracle of this "
-    "path). Precision 1.0 by construction; recall follows the "
-    "hyperplane S-curve and is tuned by the table count.",
-)
-def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.similarity import lsh_near_dup_pairs
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45)
-
-
-@register(
-    "embedding_dup_clusters",
-    """
-    WITH RECURSIVE ev AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    p AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
-    ),
-    sym AS (
-        SELECT id_a AS u, id_b AS v FROM p
-        UNION ALL
-        SELECT id_b, id_a FROM p
-    ),
-    reach(node, lbl) AS (
-        SELECT vec_id, vec_id FROM embeddings
-        UNION
-        SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
-    )
-    SELECT node AS vec_id,
-           CAST(MIN(lbl) AS BIGINT) AS cluster_id,
-           MIN(lbl) = node AS is_survivor
-    FROM reach
-    GROUP BY node
-    """,
-    survey_ids="datapipe:dedup-clusters",
-    doc="Near-dup pairs → duplicate clusters (iterative min-label "
-    "connected components, Pregel-style) → min-id survivor per cluster. "
-    "The step that actually drops duplicates from a corpus; singletons "
-    "survive as their own cluster. Oracle: DuckDB recursive-CTE "
-    "reachability closure over the same edge set.",
-)
-def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.clusters import resolve_dup_clusters
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45)
-    nodes = emb.select(F.col("vec_id").alias("vec_id"))
-    return resolve_dup_clusters(nodes, pairs, "vec_id")
-
-
-def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
-    return [float(x) for x in row["embedding"]]
-
-
-@register(
-    "knn_brute_force",
-    """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id AS nbr_id
-    FROM embeddings, q
-    WHERE vec_id <> 0
-    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
-    LIMIT 10
-    """,
-    survey_ids="datapipe:similarity-knn",
-    doc="Exact cosine top-10 for query vec_id=0. TakeOrderedAndProject: "
-    "per-partition heap top-k + tiny driver merge, no global sort.",
-)
-def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return brute_force_topk(
-        emb, "embedding", "vec_id", qv, k=10, exclude_id=0
-    ).select("nbr_id")
-
-
-@register(
-    "knn_lsh_bucketed",
-    lsh_topk_oracle_sql(dim=64, k=10, query_id=0),
-    survey_ids="datapipe:similarity-ann",
-    doc="Random-hyperplane LSH ANN (8 planes × 6 tables, radius-1 "
-    "multiprobe), exact cosine re-rank of bucket candidates. "
-    "Hyperplane signs come from a pure-int64 parity hash, so the DuckDB "
-    "oracle rebuilds the identical signatures and candidate set — full "
-    "hash-match (ids-only output keeps float scores out of the hash). "
-    "Scale path: signatures persisted at ingest + partitioned index → "
-    "knn_lsh_probe.",
-)
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return lsh_bucketed_topk(
-        emb, "embedding", "vec_id", qv, k=10, exclude_id=0
-    ).select("nbr_id")
-
-
-# Built ANN indexes, keyed by sf_dir: index construction is INGEST-time
-# cost (once per corpus landing), so repeated query invocations in one
-# process — the bench's n-run median in particular — reuse it and
-# measure what a query actually costs: the partition-pruned probe.
-_ANN_INDEX_CACHE: dict[tuple, object] = {}
-
-
-@register(
-    "knn_lsh_probe",
-    lsh_topk_oracle_sql(dim=64, k=10, query_id=0),
-    survey_ids="datapipe:similarity-ann-index",
-    doc="The persisted-index form of knn_lsh_bucketed: signatures are "
-    "materialized once at ingest into a table partitioned by "
-    "(table, sig); the query enumerates the radius-1 multiprobe bucket "
-    "keys and reads only those partitions (partition-pruned scan, "
-    "plan-gated) — at 100 TB a probe touches tables·(planes+1) "
-    "directories, never the corpus. Same candidate set as the scan "
-    "form, so the same DuckDB oracle hash-matches it.",
-)
-def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from hours_api_clickup_spark.datapipe.similarity import (
-        lsh_index_read,
-        lsh_index_write,
-        lsh_probe_topk,
-    )
-
-    key = ("lsh", sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        index_path = tempfile.mkdtemp(prefix="lsh_index_") + "/emb"
-        lsh_index_write(emb, "embedding", "vec_id", index_path, dim=64)
-        # cache the READER, not just the path: listing tables·2^planes
-        # partition dirs dominates probe latency if repeated per query
-        # (the metastore-partition-catalog analog; see lsh_probe_topk)
-        _ANN_INDEX_CACHE[key] = lsh_index_read(spark, index_path)
-    qv = _query_vec(spark, sf_dir, 0)
-    return lsh_probe_topk(
-        spark, _ANN_INDEX_CACHE[key], qv, k=10, exclude_id=0
-    ).select("nbr_id")
-
-
-@register(
-    "multimodal_features",
-    """
-    SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-                WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                ELSE 'video/mp4' END AS media_type,
-           length(text) + 4 AS n_bytes,
-           sha256('IMG0' || text) AS content_sha256
-    FROM documents
-    """,
-    survey_ids="datapipe:multimodal",
-    doc="Opaque-binary media column + Arrow-batched mapInPandas feature "
-    "extraction (decode step stubbed; sha256/byte-count path is real and "
-    "oracle-checked end-to-end through the Python worker).",
-)
-def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs, "doc_id", "text")
-    return extract_features(media).select(
-        "media_id", "media_type", "n_bytes", "content_sha256"
-    )
-
-
-@register(
-    "multimodal_frame_sample",
-    """
-    SELECT doc_id AS media_id,
-           CAST(unnest(range(0, (length(text) + 4) % 100 + 1, 10)) AS BIGINT)
-               AS frame_idx
-    FROM documents WHERE doc_id % 3 = 2
-    """,
-    survey_ids="datapipe:multimodal-frames",
-    doc="Video frame-sampling plumbing: one row per every-10th frame "
-    "index of each video row (explode of the frame-index sequence — "
-    "the decode of each sampled frame is the stubbed codec step). The "
-    "explode-then-decode shape video takes at scale; frame counts here "
-    "derive deterministically from the synthetic payload so the "
-    "fan-out is oracle-checked.",
-)
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.multimodal import frame_sample_plan
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs, "doc_id", "text")
-    return frame_sample_plan(media, every_n=10).select(
-        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Structured Streaming surface (§2.11 idiomatic extension): the flagship
-# aggregate as a watermarked event-time stream, replayed bounded via
-# availableNow — which must equal the batch answer exactly.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "streaming_hours_by_user_day",
-    """
-    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-           user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hours,
-           COUNT(*) AS n_entries
-    FROM events
-    GROUP BY 1, 2
-    """,
-    survey_ids="§2.11,streaming",
-    doc="Watermarked 1-day event-time window over a file stream of the "
-    "events table, availableNow trigger, memory sink. Late data beyond "
-    "the watermark is dropped with bounded state; a bounded replay "
-    "equals the batch aggregate (decimal-exact sums).",
-)
-def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    from hours_api_clickup_spark.streaming.refresh import (
-        streaming_hours_by_user_day,
-    )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file-stream source needs a directory; stage the (read-only)
-    # table into one via symlink
-    stage_dir = tempfile.mkdtemp(prefix="stream_events_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = streaming_hours_by_user_day(stream)
-    return _run_bounded_stream(spark, out, f"stream_hours_{uuid.uuid4().hex[:8]}", "complete")
-
-
-@register(
-    "streaming_enriched_rollup",
-    """
-    SELECT c.c_mktsegment,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY 1
-    """,
-    survey_ids="§2.11,datapipe:streaming-enrichment",
-    doc="Stream-static join: each event micro-batch joins the BROADCAST "
-    "customer dimension (the stream side never shuffles for the join) "
-    "and rolls up per market segment — the standard enrichment "
-    "topology; the static side is re-planned per micro-batch so dim "
-    "refreshes apply without a stream restart. Bounded replay equals "
-    "the batch join+aggregate (decimal-exact sums).",
-)
-def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    from hours_api_clickup_spark.streaming.refresh import (
-        streaming_enriched_rollup,
-    )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_enrich_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    customer = load_table(spark, sf_dir, "customer")
-    out = streaming_enriched_rollup(stream, customer)
-    return _run_bounded_stream(
-        spark, out, f"stream_enrich_{uuid.uuid4().hex[:8]}", "complete"
-    )
-
-
-@register(
-    "streaming_attribution_join",
-    """
-    SELECT a.event_id AS click_id,
-           b.event_id AS purchase_id,
-           a.user_id
-    FROM events a JOIN events b
-      ON a.user_id = b.user_id
-     AND a.event_type = 'click' AND b.event_type = 'purchase'
-     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-    """,
-    survey_ids="§2.11,datapipe:streaming-join",
-    doc="STREAM-STREAM inner self-join: purchases attributed to same-"
-    "user clicks within the preceding hour. Watermarks on both sides + "
-    "the event-time range in the join condition bound the join state "
-    "to the horizon (a click is evicted once the purchase watermark "
-    "passes click_ts + 1 h). Inner matches emit as they form, so a "
-    "bounded replay equals the batch time-range self-join exactly.",
-)
-def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    from hours_api_clickup_spark.streaming.refresh import (
-        streaming_attribution_pairs,
-    )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_attr_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = streaming_attribution_pairs(stream)
-    return _run_bounded_stream(
-        spark, out, f"stream_attr_{uuid.uuid4().hex[:8]}", "append"
-    )
-
-
-@register(
-    "streaming_finalized_buckets",
-    """
-    WITH mx AS (SELECT max(ts) AS m FROM events),
-    agg AS (
-        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
-               event_type,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-               COUNT(*) AS n
-        FROM events GROUP BY 1, 2
-    )
-    SELECT bucket_start, event_type, total_value, n
-    FROM agg, mx
-    WHERE bucket_start + INTERVAL 6 HOUR <= m - INTERVAL 30 MINUTE
-    """,
-    survey_ids="§2.11,datapipe:streaming-append",
-    doc="APPEND-mode watermarked 6h-bucket rollup: each bucket emits "
-    "EXACTLY ONCE when the watermark (max event time - 30 min) passes "
-    "its end — finalized immutable rows a downstream sink ingests "
-    "idempotently (complete/update re-emit; this is the production "
-    "continuous-aggregate shape). The oracle reproduces the emission "
-    "cutoff in plain SQL; buckets still open at end-of-replay are "
-    "correctly absent.",
-)
-def q_streaming_finalized_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    from hours_api_clickup_spark.streaming.refresh import (
-        streaming_finalized_buckets,
-    )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_buckets_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = streaming_finalized_buckets(stream)
-    return _run_bounded_stream(
-        spark, out, f"stream_buckets_{uuid.uuid4().hex[:8]}", "append"
-    )
-
-
-def _run_bounded_stream(
-    spark: SparkSession, out: DataFrame, sink: str, mode: str
-) -> DataFrame:
-    """Run a bounded (availableNow) stream into a memory sink and return
-    the result table. Stateful operators commit one state-store file per
-    shuffle partition per micro-batch — at a vanilla session's 200
-    partitions that is pure fixed overhead for a bounded replay, so the
-    partition count is pinned small for the stream (state partitioning
-    is fixed at query start) and the session value restored after. On a
-    real cluster this is sized to the executor count; state VOLUME is
-    watermark-bounded either way."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
-
-
-@register(
-    "streaming_session_window",
-    """
-    WITH g AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 30 * 60 * 1000
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ),
-    s AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
-        FROM g
-    ),
-    sess AS (
-        SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-               COUNT(*) AS n_events
-        FROM s GROUP BY user_id, sid
-    ),
-    wm AS (
-        -- Spark's watermark: floor-to-ms of max event time minus the
-        -- 2h delay, compared in microseconds against session end
-        SELECT (epoch_ms(MAX(ts)) - 2 * 3600 * 1000) * 1000 AS w_us
-        FROM events
-    )
-    SELECT user_id, session_start, session_end, CAST(n_events AS BIGINT) AS n_events
-    FROM sess, wm
-    WHERE epoch_us(session_end) <= w_us
-    """,
-    survey_ids="§2.11,streaming:session-window",
-    doc="Native session_window gap sessionization (30-min gap, 2h "
-    "watermark, append mode): the built-in-operator twin of "
-    "streaming_event_sessions' applyInPandasWithState form — prefer "
-    "this one when per-session logic is pure aggregation (state "
-    "merging, eviction, and emission are JVM-side; no Python in the "
-    "loop). Append emits only FINALIZED sessions (end ≤ watermark); "
-    "the oracle replays batch gap sessions filtered by the same "
-    "ms-floored watermark arithmetic — full hash match, and the "
-    "emitted window is pinned to [first_ts, last_ts + gap).",
-)
-def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_sesswin_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-        )
-    )
-    return _run_bounded_stream(
-        spark, out, f"stream_sesswin_{uuid.uuid4().hex[:8]}", "append"
-    )
-
-
-@register(
-    "streaming_event_sessions",
-    """
-    WITH g AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 30 * 60 * 1000
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ),
-    s AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
-        FROM g
-    )
-    SELECT user_id,
-           CAST(sid AS BIGINT) AS session_id,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM s
-    GROUP BY user_id, sid
-    """,
-    survey_ids="§2.11,datapipe:sessionize-streaming",
-    doc="Custom stateful streaming operator (applyInPandasWithState): "
-    "gap-based sessions with O(active-users) state, event-time timeout "
-    "flush in production, per-user sentinel flush for the bounded "
-    "availableNow replay — which makes the emission deterministic and "
-    "equal to the batch sessionizer (DuckDB-oracled).",
-)
-def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    from hours_api_clickup_spark.streaming.sessions import (
-        SENTINEL_TYPE,
-        streaming_sessionize,
-    )
-
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    # per-user far-future sentinel: closes every open session at the end
-    # of the bounded replay (see streaming/sessions.py docstring)
-    max_ts = events.agg(F.max("ts")).head()[0]
-    sentinels = (
-        events.select("user_id")
-        .distinct()
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
-            F.col("user_id"),
-            F.lit(SENTINEL_TYPE).alias("event_type"),
-            F.lit(0.0).alias("value"),
-        )
-    )
-    stage_dir = tempfile.mkdtemp(prefix="stream_sessions_")
-    events.unionByName(sentinels).write.mode("overwrite").parquet(stage_dir)
-
-    stream = (
-        spark.readStream.schema(events.schema).format("parquet").load(stage_dir)
-    ).withWatermark("ts", "30 minutes")
-    out = streaming_sessionize(stream, gap_minutes=30.0)
-    return _run_bounded_stream(
-        spark, out, f"stream_sessions_{uuid.uuid4().hex[:8]}", "append"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scan chunk planning (S2) and custom-field map probing (P17) as queries.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "scan_chunk_plan",
-    """
-    SELECT CAST(i AS BIGINT) AS chunk_id,
-           TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 30 DAY) AS chunk_start,
-           least(TIMESTAMP '2024-01-01 00:00:00' + (i + 1) * (INTERVAL 30 DAY),
-                 TIMESTAMP '2024-12-15 06:30:00') AS chunk_end
-    FROM generate_series(0, 11) t(i)
-    """,
-    survey_ids="S1,S2",
-    doc="30-day scan-window chunk plan as data (fetch_clickup_data.py:"
-    "124-147): chunk bounds become a DataFrame that a REST source fans "
-    "out across executors; the short tail chunk is clamped to the range "
-    "end.",
-)
-def q_scan_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-
-    from hours_api_clickup_spark.sources.chunks import window_chunks
-
-    return window_chunks(
-        spark,
-        dt.datetime(2024, 1, 1),
-        dt.datetime(2024, 12, 15, 6, 30),
-        chunk_days=30,
-    )
-
-
-@register(
-    "custom_field_probe",
-    """
-    WITH base AS (
-        SELECT p_partkey,
-               [{'id': 'arr', 'value': CAST(p_retailprice AS VARCHAR)},
-                {'id': 'size', 'value': CAST(p_size AS VARCHAR)},
-                {'id': 'brand', 'value': p_brand}] AS custom_fields
-        FROM part
-    )
-    SELECT p_partkey,
-           list_filter(custom_fields, f -> f.id = 'arr')[1].value AS arr_raw,
-           TRY_CAST(list_filter(custom_fields, f -> f.id = 'arr')[1].value AS DOUBLE) AS arr,
-           list_filter(custom_fields, f -> f.id = 'brand')[1].value AS brand,
-           list_filter(custom_fields, f -> f.id = 'missing')[1].value AS absent
-    FROM base
-    """,
-    survey_ids="P10,P17",
-    doc="Custom-field array → map → probe-by-id (fetch_clickup_data.py:"
-    "546-549): map_from_entries + key lookup, null for absent ids, with "
-    "the safe-float parse on top. Array synthesized from part columns.",
-)
-def q_custom_field_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.functions.casts import safe_float
-
-    part = load_table(spark, sf_dir, "part")
-    cf = F.array(
-        F.struct(F.lit("arr").alias("id"), F.col("p_retailprice").cast("string").alias("value")),
-        F.struct(F.lit("size").alias("id"), F.col("p_size").cast("string").alias("value")),
-        F.struct(F.lit("brand").alias("id"), F.col("p_brand").alias("value")),
-    )
-    m = F.map_from_entries(cf)
-    return part.select(
-        "p_partkey",
-        m["arr"].alias("arr_raw"),
-        safe_float(m["arr"]).alias("arr"),
-        m["brand"].alias("brand"),
-        m["missing"].alias("absent"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Window analytics, sessionization, as-of join, rollup — the analytical
-# surface beyond the reference's doc-SQL, still oracle-checked.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "window_analytics",
-    """
-    SELECT event_id, user_id, ts, value,
-           lag(value) OVER w AS prev_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
-           CAST(row_number() OVER w AS BIGINT) AS seq,
-           CAST(rank() OVER (PARTITION BY user_id ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id)
-                AS BIGINT) AS value_rank
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    survey_ids="§2.7",
-    doc="Ranking + analytic + frame-spec windows (lag, running decimal "
-    "sum, row_number, rank) sharing one key partitioning — a single "
-    "shuffle serves all four.",
-)
-def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_rank = Window.partitionBy("user_id").orderBy(
-        _dec("value", "decimal(18,2)").desc(), F.col("event_id")
-    )
-    return events.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.sum(_dec("value", "decimal(18,2)")).over(w_run).cast("double").alias(
-            "running_total"
-        ),
-        F.row_number().over(w).cast("long").alias("seq"),
-        F.rank().over(w_rank).cast("long").alias("value_rank"),
-    )
-
-
-@register(
-    "event_sessions",
-    """
-    WITH g AS (
-        SELECT event_id, user_id, ts,
-               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 30 * 60 * 1000
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    )
-    SELECT event_id, user_id, ts,
-           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
-               AS session_id
-    FROM g
-    """,
-    survey_ids="datapipe:sessionize",
-    doc="Gap-based sessionization (30-min inactivity): lag → flag → "
-    "running sum, both windows share one key shuffle. The batch analog "
-    "of Structured Streaming session windows.",
-)
-def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.timeseries import sessionize
-
-    events = load_table(spark, sf_dir, "events")
-    return sessionize(events, "user_id", "ts", gap_minutes=30.0).select(
-        "event_id", "user_id", "ts", "session_id"
-    )
-
-
-@register(
-    "asof_join_signup",
-    """
-    SELECT e.event_id, e.user_id, e.ts,
-           s.signup_event_id, s.signup_ts
-    FROM events e
-    ASOF LEFT JOIN (
-        SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
-        FROM events WHERE event_type = 'signup'
-    ) s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
-    """,
-    survey_ids="datapipe:asof-join",
-    doc="As-of join: each event → the user's latest signup at-or-before "
-    "it. Union+window trick: ONE shuffle on the key; never the O(n*m) "
-    "range theta-join.",
-)
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.timeseries import as_of_join
-
-    events = load_table(spark, sf_dir, "events")
-    signups = events.filter(F.col("event_type") == "signup").select(
-        "user_id",
-        F.col("ts").alias("signup_ts"),
-        F.col("event_id").alias("signup_event_id"),
-    )
-    return as_of_join(
-        events.select("event_id", "user_id", "ts"),
-        signups,
-        on="user_id",
-        left_ts="ts",
-        right_ts="signup_ts",
-        right_cols=["signup_event_id", "signup_ts"],
-    )
-
-
-@register(
-    "range_join_signup_window",
-    """
-    SELECT s.event_id AS signup_event_id,
-           CAST(COUNT(e.event_id) AS BIGINT) AS n_events
-    FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
-    LEFT JOIN events e
-      ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 6 HOUR
-    GROUP BY s.event_id
-    """,
-    survey_ids="datapipe:range-join",
-    doc="Range join (point-in-interval): site-wide events landing in each "
-    "signup's 6-hour onboarding window. Bucketized equi-join on "
-    "floor(ts/6h) — one hash shuffle, Σ per-bucket cross products — "
-    "never the O(n·m) broadcast nested loop a raw theta-join plans. "
-    "Inner join suffices: every window contains its own signup event.",
-)
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.timeseries import interval_join
-
-    events = load_table(spark, sf_dir, "events")
-    windows = events.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("signup_event_id"),
-        F.col("ts").alias("win_start"),
-        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
-    )
-    points = events.select("event_id", "ts")
-    joined = interval_join(
-        points, windows, "ts", "win_start", "win_end", bucket_seconds=21600
-    )
-    return joined.groupBy("signup_event_id").agg(
-        F.count("*").alias("n_events")
-    )
-
-
-@register(
-    "agg_rollup_hierarchy",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-    survey_ids="§2.6-rollup",
-    doc="ROLLUP grouping sets (subtotals + grand total). Spark expands "
-    "to one Expand + single aggregation — one shuffle for all levels.",
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.count("*").alias("n"),
-    )
-
-
-@register(
-    "native_pivot_revenue",
-    """
-    SELECT l_linestatus,
-           CAST(SUM(CASE WHEN l_returnflag = 'A'
-                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
-           CAST(SUM(CASE WHEN l_returnflag = 'N'
-                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
-           CAST(SUM(CASE WHEN l_returnflag = 'R'
-                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS R
-    FROM lineitem
-    GROUP BY l_linestatus
-    """,
-    survey_ids="§2.6-pivot",
-    doc="Native pivot (long → wide): revenue per linestatus pivoted "
-    "over the return flags. With the pivot values given explicitly the "
-    "plan is ONE aggregation pass (no value-discovery pre-query) and "
-    "compiles to the same conditional aggregates the oracle spells "
-    "out — long→wide costs one shuffle, same as any groupBy.",
-)
-def q_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_linestatus")
-        .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum(_dec("l_extendedprice", "decimal(18,2)")).cast("double"))
-    )
-
-
-@register(
-    "agg_cube_hierarchy",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-    survey_ids="§2.6-cube",
-    doc="CUBE grouping sets (every subset of the keys, incl. the "
-    "per-linestatus marginals ROLLUP omits). Same Expand + single "
-    "aggregation plan — one shuffle for all 2^k levels.",
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.count("*").alias("n"),
-    )
-
-
-@register(
-    "semi_anti_join_surface",
-    """
-    SELECT 'has_order' AS cohort, COUNT(*) AS n_customers,
-           CAST(MIN(c_custkey) AS BIGINT) AS min_key
-    FROM customer c WHERE EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-    )
-    UNION ALL
-    SELECT 'no_order', COUNT(*),
-           CAST(MIN(c_custkey) AS BIGINT)
-    FROM customer c WHERE NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-    )
-    """,
-    survey_ids="§2.5-semi-anti",
-    doc="LEFT SEMI + LEFT ANTI join surface (EXISTS / NOT EXISTS): "
-    "customers with vs without orders. Semi/anti ship only the probe "
-    "side's rows — no fact columns ever cross the shuffle, and the "
-    "build side reduces to its distinct keys.",
-)
-def q_semi_anti_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    with_orders = cust.join(
-        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
-    )
-    without = cust.join(
-        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
-    )
-
-    def _summ(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(
-            F.lit(label).alias("cohort"),
-            F.count("*").alias("n_customers"),
-            F.min("c_custkey").alias("min_key"),
-        ).select("cohort", "n_customers", "min_key")
-
-    return _summ(with_orders, "has_order").unionByName(
-        _summ(without, "no_order")
-    )
-
-
-@register(
-    "knn_ivf",
-    ivf_topk_oracle_sql(k=10, n_clusters=16, nprobe=6, query_id=0),
-    survey_ids="datapipe:similarity-ivf",
-    doc="IVF ANN: deterministic hash-sampled coarse quantizer (seed "
-    "centroids — the SQL-expressible IVF baseline; Lloyd-trained "
-    "k-means stays available as quantizer='kmeans'), GEMM cluster "
-    "assignment, nprobe-cluster exact re-rank. DuckDB oracle replays "
-    "seeds → assignment → probes → re-rank for a full hash-match. "
-    "Scale path: corpus partitioned by cluster_id → knn_ivf_probe.",
-)
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return ivf_topk(
-        emb, "embedding", "vec_id", qv, k=10, n_clusters=16, nprobe=6,
-        quantizer="seeds", exclude_id=0,
-    ).select("nbr_id")
-
-
-@register(
-    "knn_ivf_probe",
-    ivf_topk_oracle_sql(k=10, n_clusters=16, nprobe=6, query_id=0),
-    survey_ids="datapipe:similarity-ivf-index",
-    doc="The persisted-index form of knn_ivf: cluster assignment is "
-    "materialized once at ingest into a table partitioned by "
-    "cluster_id; the probe filters cluster_id IN (nprobe nearest) and "
-    "reads only those partitions (partition-pruned, plan-gated) — scan "
-    "cost nprobe/n_clusters of the corpus at any scale. Same candidate "
-    "set as knn_ivf, same DuckDB oracle.",
-)
-def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from hours_api_clickup_spark.datapipe.similarity import (
-        ivf_index_write,
-        ivf_probe_topk,
-        seed_centroids,
-    )
-
-    key = ("ivf", sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
-        index_path = tempfile.mkdtemp(prefix="ivf_index_") + "/emb"
-        ivf_index_write(emb, "embedding", "vec_id", index_path, cents)
-        _ANN_INDEX_CACHE[key] = (index_path, cents)
-    index_path, cents = _ANN_INDEX_CACHE[key]
-    qv = _query_vec(spark, sf_dir, 0)
-    return ivf_probe_topk(
-        spark, index_path, "embedding", "vec_id", qv, cents, k=10, nprobe=6,
-        exclude_id=0,
-    ).select("nbr_id")
-
-
-@register(
-    "agg_approx_stats",
-    """
-    SELECT COUNT(*) AS n_events,
-           COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS hll_within_2pct,
-           ROUND(quantile_cont(value, 0.5), 4)  AS q50,
-           ROUND(quantile_cont(value, 0.95), 4) AS q95,
-           ROUND(quantile_cont(value, 0.99), 4) AS q99,
-           TRUE AS q50_within_1pct,
-           TRUE AS q95_within_1pct,
-           TRUE AS q99_within_1pct
-    FROM events
-    """,
-    survey_ids="A5-scale,datapipe:sketches",
-    doc="The at-scale forms of the verification aggregates: HLL++ "
-    "approx_count_distinct (rsd 1%) and approx_percentile sketch — "
-    "fixed-size state per group vs O(distinct) exact state. Sketch "
-    "outputs are algorithm-specific, so the oracled surface is the "
-    "accuracy CONTRACT: exact stats as values (Spark exact percentile "
-    "and DuckDB quantile_cont share the p*(n-1) linear-interpolation "
-    "definition, bit-identical on this data) plus booleans asserting "
-    "each sketch lands within its documented tolerance — the oracle "
-    "emits literal TRUE, so a sketch drifting out of tolerance fails "
-    "the hash match. Measured drift: HLL (rsd 0.014) <=0.4%, quantiles "
-    "<=0.33% across sf0.001-0.1 vs 2%/1% gates. Extra accuracy gates "
-    "live in tests/test_datapipe_quality.py.",
-)
-def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    qs = [0.5, 0.95, 0.99]
-    # COUNT(DISTINCT) is kept OUT of the sketch aggregate: mixing a
-    # distinct aggregate with the object-hash sketch functions forces an
-    # Expand (input ×2) through a non-codegen ObjectHashAggregate —
-    # measured 1.9-3.0 s at sf0.1 vs 0.37 s for two independent
-    # single-row aggs crossJoined (each scan column-pruned; the distinct
-    # path stays whole-stage-codegen HashAggregate). Same shape at
-    # 100 TB: two scans beat one Expand-doubled non-codegen scan.
-    agg = events.agg(
-        F.count("*").alias("n_events"),
-        # rsd 0.014 ≈ 8k HLL registers — half the sketch state and ~4×
-        # less agg time than rsd 0.01 for the same green 2% contract
-        # (measured drift ≤0.4% at sf0.01-0.1; HLL is deterministic).
-        F.approx_count_distinct("user_id", rsd=0.014).alias("_hll"),
-        F.percentile("value", F.lit(qs)).alias("_qex"),
-        # accuracy 1000 (rank error 0.1%) is 10× under the 1% value
-        # contract on this distribution; 10000 bought nothing but a
-        # bigger KLL merge buffer (the r2 regression).
-        F.percentile_approx("value", qs, 1000).alias("_qap"),
-    ).crossJoin(
-        F.broadcast(events.agg(F.countDistinct("user_id").alias("exact_users")))
-    )
-
-    def _within(approx: Column, exact: Column, tol: float) -> Column:
-        return F.abs(approx - exact) <= tol * F.greatest(F.abs(exact), F.lit(1.0))
-
-    return agg.select(
-        "n_events",
-        "exact_users",
-        _within(
-            F.col("_hll").cast("double"), F.col("exact_users").cast("double"), 0.02
-        ).alias("hll_within_2pct"),
-        F.round(F.element_at("_qex", 1), 4).alias("q50"),
-        F.round(F.element_at("_qex", 2), 4).alias("q95"),
-        F.round(F.element_at("_qex", 3), 4).alias("q99"),
-        _within(F.element_at("_qap", 1), F.element_at("_qex", 1), 0.01).alias(
-            "q50_within_1pct"
-        ),
-        _within(F.element_at("_qap", 2), F.element_at("_qex", 2), 0.01).alias(
-            "q95_within_1pct"
-        ),
-        _within(F.element_at("_qap", 3), F.element_at("_qex", 3), 0.01).alias(
-            "q99_within_1pct"
-        ),
-    )
-
-
-def _batch_knn_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.similarity import batch_knn_oracle_sql
-
-    return batch_knn_oracle_sql(k=10, n_queries=8)
-
-
-@register(
-    "knn_batch_queries",
-    _batch_knn_oracle(),
-    survey_ids="datapipe:similarity-knn-batch",
-    doc="Exact cosine top-10 for a batch of 8 query vectors in ONE "
-    "corpus pass (per-query scans multiply corpus reads by |Q|): one "
-    "(batch x Q) GEMM per Arrow batch, posexplode fan-out, per-query "
-    "top-k via WindowGroupLimit so the shuffle carries O(|Q|*k) per "
-    "partition, never the scored cross product.",
-)
-def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.sampling import _MOD_31, _MOD_32, KNUTH_A
-    from hours_api_clickup_spark.datapipe.similarity import batch_knn
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.pmod(
-        F.pmod(F.col("vec_id").cast("long"), F.lit(_MOD_31)) * F.lit(KNUTH_A),
-        F.lit(_MOD_32),
-    )
-    queries = emb.orderBy(bucket, F.col("vec_id")).limit(8)
-    return batch_knn(emb, "embedding", "vec_id", queries, "embedding", "vec_id", k=10)
-
-
-def _norm_dedup_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.curation import (
-        normalized_dedup_oracle_sql,
-    )
-
-    return normalized_dedup_oracle_sql("documents", "doc_id", "text")
-
-
-@register(
-    "dedup_exact_normalized",
-    _norm_dedup_oracle(),
-    survey_ids="datapipe:dedup-normalized",
-    doc="Exact dedup over CANONICALIZED text (lowercase, punctuation "
-    "stripped, whitespace collapsed): catches trivially-reformatted "
-    "duplicates byte-exact dedup misses without paying near-dup "
-    "machinery. Normalization is a codegen'd projection — same single "
-    "digest-keyed shuffle as dedup_exact.",
-)
-def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.curation import (
-        normalized_exact_dedup,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return normalized_exact_dedup(docs, "text", "doc_id")
-
-
-def _decon_emb_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.curation import (
-        decontaminate_embeddings_oracle_sql,
-    )
-
-    return decontaminate_embeddings_oracle_sql(
-        "embeddings", "vec_id", "embedding", n_bench=25, threshold=0.4
-    )
-
-
-@register(
-    "decontaminate_embeddings",
-    _decon_emb_oracle(),
-    survey_ids="datapipe:decontaminate-semantic",
-    doc="Embedding-space decontamination: corpus vectors with cosine "
-    ">= 0.4 to any of 25 hash-sampled 'benchmark' vectors are flagged — "
-    "the semantic complement of the exact n-gram decontaminate pass "
-    "(catches paraphrased eval leakage). Benchmark matrix is a bounded "
-    "driver collect closed over by an Arrow-batched GEMM UDF; corpus "
-    "streams with zero shuffles.",
-)
-def q_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.curation import (
-        decontaminate_embeddings,
-    )
-    from hours_api_clickup_spark.datapipe.sampling import _MOD_31, _MOD_32, KNUTH_A
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.pmod(
-        F.pmod(F.col("vec_id").cast("long"), F.lit(_MOD_31)) * F.lit(KNUTH_A),
-        F.lit(_MOD_32),
-    )
-    bench = emb.orderBy(bucket, F.col("vec_id")).limit(25)
-    corpus = emb.join(bench.select("vec_id"), "vec_id", "left_anti")
-    return decontaminate_embeddings(
-        corpus, bench, "embedding", "vec_id", threshold=0.4
-    )
-
-
-@register(
-    "exact_quantiles_distributed",
-    """
-    SELECT ROUND(quantile_cont(value, 0.25), 4) AS q_25,
-           ROUND(quantile_cont(value, 0.5), 4)  AS q_50,
-           ROUND(quantile_cont(value, 0.95), 4) AS q_95,
-           ROUND(quantile_cont(value, 0.99), 4) AS q_99
-    FROM events
-    """,
-    survey_ids="datapipe:exact-quantiles",
-    doc="EXACT interpolated quantiles with bounded per-task state: "
-    "two-phase global rank (range exchange + P-row offset broadcast), "
-    "then at most 2 rows per requested quantile reach the final "
-    "aggregate. The scale path Spark's single-buffer exact percentile "
-    "aggregate cannot take at 100 TB; same p*(n-1) interpolation as "
-    "DuckDB quantile_cont. Plan-gated on rangepartitioning.",
-)
-def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.quantiles import exact_quantiles
-
-    events = load_table(spark, sf_dir, "events")
-    out = exact_quantiles(
-        events, "value", [0.25, 0.5, 0.95, 0.99],
-        out_names=["q_25", "q_50", "q_95", "q_99"],
-    )
-    return out.select(*[F.round(c, 4).alias(c) for c in out.columns])
-
-
-@register(
-    "salted_skew_rollup",
-    """
-    SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n,
-           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS max_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    survey_ids="scale:skew-salting",
-    doc="Two-phase salted aggregation on a 3-value (maximally hot) "
-    "group key: phase 1 aggregates on (key, salt) so each hot key "
-    "spreads over 16 reducers, phase 2 combines the partials. The "
-    "oracle is the PLAIN aggregate — result-equivalence of the salted "
-    "plan IS the contract (decimal sums are reorder-safe, which is "
-    "what makes the two-phase split legal).",
-)
-def q_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.skew import salted_agg
-
-    li = load_table(spark, sf_dir, "lineitem")
-    out = salted_agg(
-        li,
-        ["l_returnflag"],
-        {
-            "sum_qty": (
-                F.sum(_dec("l_quantity", "decimal(18,2)")),
-                F.sum("sum_qty"),
-            ),
-            "n": (F.count("*"), F.sum("n")),
-            "max_price": (
-                F.max(_dec("l_extendedprice", "decimal(18,2)")),
-                F.max("max_price"),
-            ),
-        },
-        n_salts=16,
-    )
-    return out.select(
-        "l_returnflag",
-        F.col("sum_qty").cast("double").alias("sum_qty"),
-        "n",
-        F.col("max_price").cast("double").alias("max_price"),
-    )
-
-
-@register(
-    "sliding_window_rollup",
-    """
-    SELECT bucket_start, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM (
-        SELECT value,
-               time_bucket(INTERVAL 1 HOUR, ts)
-                   - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS bucket_start
-        FROM events
-    )
-    GROUP BY bucket_start
-    """,
-    survey_ids="datapipe:sliding-windows",
-    doc="SLIDING event-time windows (2 h wide, 1 h slide): every event "
-    "lands in exactly window/slide = 2 overlapping buckets — the "
-    "moving-average shape tumbling buckets cannot express. Spark's "
-    "window() generates the per-event bucket fan-out then aggregates "
-    "(one shuffle on bucket start); the oracle replays the fan-out "
-    "with explicit interval arithmetic.",
-)
-def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
-        )
-        .select(F.col("w.start").alias("bucket_start"), "n", "total_value")
-    )
-
-
-@register(
-    "exact_quantiles_by_type",
-    """
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 4)  AS q_50,
-           ROUND(quantile_cont(value, 0.95), 4) AS q_95
-    FROM events
-    GROUP BY event_type
-    """,
-    survey_ids="datapipe:exact-quantiles-grouped",
-    doc="Exact per-group quantiles (p50/p95 of value per event type): "
-    "rank and group-count windows share ONE hash shuffle on the group "
-    "key; only the <= 2 picked rows per quantile per group reach the "
-    "final aggregate. The grouped complement of the range-partitioned "
-    "global form.",
-)
-def q_exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.quantiles import (
-        grouped_exact_quantiles,
-    )
-
-    events = load_table(spark, sf_dir, "events")
-    out = grouped_exact_quantiles(
-        events, "event_type", "value", [0.5, 0.95], out_names=["q_50", "q_95"]
-    )
-    return out.select(
-        "event_type",
-        F.round("q_50", 4).alias("q_50"),
-        F.round("q_95", 4).alias("q_95"),
-    )
-
-
-@register(
-    "time_bucket_rollup",
-    """
-    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_6h,
-           event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events
-    GROUP BY 1, 2
-    """,
-    survey_ids="datapipe:hypertable-rollup",
-    doc="Hypertable-style time-bucket rollup (6-hour buckets × type): "
-    "window-less event-time bucketing via timestamp arithmetic, one "
-    "hash shuffle. The continuous-aggregate analog of the reference's "
-    "6-hourly refresh cadence (deploy.sh:68-76).",
-)
-def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    bucket_s = 6 * 3600
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(bucket_s)))
-    )
-    return events.groupBy(
-        bucket.alias("bucket_6h"), F.col("event_type")
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("total_value"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-
-
-@register(
-    "data_quality_report",
-    """
-    WITH v AS (
-        SELECT CAST(count_if(o_orderkey IS NULL) AS BIGINT) AS nn,
-               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq,
-               CAST(count_if(NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT) AS pos,
-               CAST(count_if(o_orderstatus IS NOT NULL
-                             AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS st,
-               COUNT(*) AS n
-        FROM orders
-    )
-    SELECT 'not_null[o_orderkey]' AS check, nn AS n_violations, nn = 0 AS passed, n AS n_rows_scanned FROM v
-    UNION ALL
-    SELECT 'unique[o_orderkey]', uq, uq = 0, n FROM v
-    UNION ALL
-    SELECT 'condition[positive_price]', pos, pos = 0, n FROM v
-    UNION ALL
-    SELECT 'in_set[o_orderstatus]', st, st = 0, n FROM v
-    """,
-    survey_ids="§5-verification",
-    doc="The reference's manual verification SQL as a declarative "
-    "expectation suite — whole suite in ONE aggregate pass over the "
-    "table (docs/setup.md:93-101 automated).",
-)
-def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.validate import (
-        expect_condition,
-        expect_in_set,
-        expect_not_null,
-        expect_unique,
-        run_expectations,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    report = run_expectations(
-        orders,
-        [
-            expect_not_null("o_orderkey"),
-            expect_unique("o_orderkey"),
-            expect_condition("positive_price", F.col("o_totalprice") > 0),
-            expect_in_set("o_orderstatus", ["O", "F", "P"]),
-        ],
-    )
-    return report
-
-
-@register(
-    "set_ops_surface",
-    """
-    SELECT o_custkey, 'intersect' AS set_op FROM (
-        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
-        INTERSECT
-        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-    )
-    UNION ALL
-    SELECT o_custkey, 'except' AS set_op FROM (
-        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
-        EXCEPT
-        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-    )
-    """,
-    survey_ids="§2.8",
-    doc="INTERSECT / EXCEPT set operations (absent from the reference, "
-    "SURVEY §2.8 — provided because any engine user expects them): "
-    "customers active in both 1995 and 1996 vs 1995-only. Catalyst "
-    "compiles both to aggregate + left-semi/anti hash joins, so each "
-    "branch is one shuffle keyed on the (already-distinct) key — no "
-    "global sort, broadcast-able when one side is small.",
-)
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
-    both = y95.intersect(y96).select(
-        "o_custkey", F.lit("intersect").alias("set_op")
-    )
-    only95 = y95.subtract(y96).select(
-        "o_custkey", F.lit("except").alias("set_op")
-    )
-    return both.unionByName(only95)
-
-
-@register(
-    "topk_per_group",
-    """
-    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
-    FROM (
-        SELECT o_orderpriority, o_orderkey, o_totalprice,
-               row_number() OVER (PARTITION BY o_orderpriority
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
-        FROM orders
-    )
-    WHERE rk <= 3
-    """,
-    survey_ids="§2.7,D2",
-    doc="Top-k per group (3 highest-value orders per priority) — the "
-    "grouped form of D2's global ordering, deterministic via the "
-    "o_orderkey tiebreak. At scale Spark's WindowGroupLimit rule "
-    "(rank-filter pushdown) keeps a per-partition k-heap BEFORE the "
-    "shuffle, so the exchange carries ≤ k rows per group per input "
-    "partition, never the full table sort.",
-)
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    )
-    return (
-        orders.select(
-            "o_orderpriority",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("long").alias("rk"),
-        )
-        .filter(F.col("rk") <= 3)
-    )
-
-
-@register(
-    "dataset_split_assign",
-    """
-    SELECT doc_id,
-           CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
-                     < 3435973836 THEN 'train'
-                WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
-                     < 3865470566 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    """,
-    survey_ids="datapipe:sampling-split",
-    doc="Deterministic train/val/test split (80/10/10) by multiplicative "
-    "hashing on the stable id (Knuth golden-ratio multiplier) — "
-    "reproducible across engines and repartitioning, unlike seeded "
-    "df.sample. Pure projection: zero shuffles at any scale; the DuckDB "
-    "oracle reproduces the assignment bit-for-bit from the same int64 "
-    "arithmetic.",
-)
-def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.sampling import assign_split
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        assign_split(
-            "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
-        ).alias("split"),
-    )
-
-
-@register(
-    "stratified_sample_counts",
-    """
-    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_sampled
-    FROM documents
-    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
-          < CASE WHEN lang = 'en' THEN 429496729
-                 WHEN lang = 'de' THEN 2147483648
-                 ELSE 0 END
-    GROUP BY lang, source
-    """,
-    survey_ids="datapipe:sampling-stratified",
-    doc="Per-stratum deterministic sampling (the reproducible form of "
-    "sampleBy) for corpus rebalancing: keep 10% of 'en', 50% of 'de', "
-    "drop the rest — then count by (lang, source). Filter + one small "
-    "aggregate shuffle; the sample predicate is a codegen'd scan filter.",
-)
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.sampling import (
-        stratified_hash_sample,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    sampled = stratified_hash_sample(
-        docs, "doc_id", "lang", {"en": 0.1, "de": 0.5}
-    )
-    return sampled.groupBy("lang", "source").agg(
-        F.count("*").alias("n_sampled")
-    )
-
-
-def _stratified_topn_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.sampling import (
-        stratified_topn_oracle_sql,
-    )
-
-    return stratified_topn_oracle_sql(
-        "documents", "doc_id", "lang", 20,
-        "doc_id, lang, source, n_chars", seed=3,
-    )
-
-
-@register(
-    "stratified_topn_rows",
-    _stratified_topn_oracle(),
-    survey_ids="datapipe:sampling-reservoir",
-    doc="Exactly-20-per-language deterministic row sample (the "
-    "distributed, reproducible replacement for per-group reservoir "
-    "sampling): rank by seeded Knuth hash within stratum, ties by id, "
-    "keep rank <= 20. One shuffle on the stratum key; WindowGroupLimit "
-    "keeps <= 20 rows per stratum per partition before the exchange.",
-)
-def q_stratified_topn_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.sampling import stratified_topn_rows
-
-    docs = load_table(spark, sf_dir, "documents")
-    return stratified_topn_rows(docs, "doc_id", "lang", 20, seed=3).select(
-        "doc_id", "lang", "source", "n_chars", "sample_rank"
-    )
-
-
-@register(
-    "sequence_packing",
-    """
-    WITH c AS (
-        SELECT doc_id, n_chars,
-               CAST(SUM(n_chars) OVER (ORDER BY doc_id
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
-        FROM documents WHERE n_chars > 0
-    )
-    SELECT doc_id,
-           n_chars,
-           end_offset - n_chars AS start_offset,
-           end_offset,
-           (end_offset - n_chars) // 2048 AS start_chunk,
-           (end_offset - 1) // 2048 AS end_chunk
-    FROM c
-    """,
-    survey_ids="datapipe:sequence-packing",
-    doc="GPT-style sequence packing: each document's [start,end) offset "
-    "in the concatenated corpus stream and its 2048-unit context-chunk "
-    "span. The global prefix sum is the two-phase distributed scan "
-    "(range exchange → local running sum → P-row broadcast offsets, "
-    "Blelloch CMU-CS-90-190) — NEVER a single-partition global window; "
-    "wall-clock stays one local pass per executor at any corpus size.",
-)
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.packing import pack_into_chunks
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return pack_into_chunks(docs, "doc_id", "n_chars", chunk_size=2048)
-
-
-@register(
-    "weighted_corpus_mix",
-    """
-    WITH c AS (
-        SELECT lang,
-               CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'fr' THEN 1
-                    ELSE 0 END
-               + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
-                           < CASE lang WHEN 'en' THEN 1073741824
-                                       WHEN 'de' THEN 2147483648
-                                       ELSE 0 END
-                      THEN 1 ELSE 0 END AS n_copies
-        FROM documents
-    )
-    SELECT lang, CAST(SUM(n_copies) AS BIGINT) AS n_rows
-    FROM c WHERE n_copies > 0 GROUP BY lang
-    """,
-    survey_ids="datapipe:corpus-mix",
-    doc="Weighted corpus mixing with epoch-weighting rates that may "
-    "exceed 1 (en 0.25×, de 2.5×, fr 1.0×, rest dropped): integer "
-    "copies via explode + hash-thresholded fractional copy — the mixed "
-    "corpus is deterministic row-for-row. Projection + explode, zero "
-    "shuffles before the tiny count aggregate.",
-)
-def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.sampling import weighted_mix
-
-    docs = load_table(spark, sf_dir, "documents")
-    mixed = weighted_mix(
-        docs, "doc_id", "lang", {"en": 0.25, "de": 2.5, "fr": 1.0}
-    )
-    return mixed.groupBy("lang").agg(F.count("*").alias("n_rows"))
-
-
-# ---------------------------------------------------------------------------
-# Corpus curation: repetition filtering, decontamination, epoch shuffle, PII
-# ---------------------------------------------------------------------------
-
-from hours_api_clickup_spark.datapipe.curation import (  # noqa: E402
-    chunk_oracle_sql,
-    decontaminate,
-    decontaminate_oracle_sql,
-    epoch_shuffle,
-    epoch_shuffle_oracle_sql,
-    pii_oracle_sql,
-    pii_scan,
-    repetition_oracle_sql,
-    repetition_stats,
-    synthesize_pii,
-)
-
-
-@register(
-    "doc_repetition_stats",
-    repetition_oracle_sql("documents", "doc_id", "text"),
-    survey_ids="datapipe:quality-repetition",
-    doc="Gopher-style repetition quality filter (Rae et al. 2021 §A1.1): "
-    "top-token fraction, duplicate-token fraction, duplicate-2-gram "
-    "fraction per document, plus the keep/drop flag at the standard "
-    "thresholds. Scale shape: one explode of tagged grams, two map-side-"
-    "combining aggregations keyed by doc id — skew bounded by document "
-    "length, never corpus size; no Python anywhere.",
-)
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return repetition_stats(docs, "doc_id", "text")
-
-
-@register(
-    "decontaminate_corpus",
-    decontaminate_oracle_sql(
-        "documents", "doc_id", "text", bench_pred="doc_id % 19 = 3", n=4
-    ),
-    survey_ids="datapipe:decontamination",
-    doc="Benchmark n-gram decontamination (the GPT-3 13-gram / PaLM "
-    "8-gram exact-overlap pass): corpus documents sharing any n-token "
-    "gram with the held-out benchmark slice (doc_id % 19 = 3 here) are "
-    "flagged before training. n=4 on this synthetic ~30-word vocabulary "
-    "so collisions actually occur; real corpora use 8-13. Scale shape: "
-    "the benchmark gram set is deduplicated and BROADCAST (eval suites "
-    "are MBs vs a TB corpus), so corpus grams never shuffle — map-side "
-    "semi-join, then one per-doc count agg. Broadcast is plan-gated.",
-)
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    is_bench = F.pmod(F.col("doc_id"), F.lit(19)) == 3
-    return decontaminate(
-        docs.filter(~is_bench), docs.filter(is_bench), "doc_id", "text", n=4
-    )
-
-
-@register(
-    "decontaminate_bloom",
-    decontaminate_oracle_sql(
-        "documents", "doc_id", "text", bench_pred="doc_id % 19 = 3", n=4
-    ),
-    survey_ids="datapipe:decontamination-bloom",
-    doc="decontaminate_corpus's scale form for benchmark sets too big "
-    "to broadcast as an exact gram set: a relationally-built Bloom "
-    "filter (k xxhash64 positions bit-packed into (bucket, word) rows "
-    "via bit_or — fixed ≤ k·m/64-row broadcast REGARDLESS of benchmark "
-    "size) prefilters the corpus gram stream map-side; the tiny "
-    "survivor set is exact-verified in a plain shuffled semi-join. No "
-    "false negatives + exact verify → bit-identical to the exact pass, "
-    "so the SAME oracle hash-matches both. Plan-gated: the bit-test "
-    "joins are broadcast.",
-)
-def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.curation import decontaminate_bloom
-
-    docs = load_table(spark, sf_dir, "documents")
-    is_bench = F.pmod(F.col("doc_id"), F.lit(19)) == 3
-    return decontaminate_bloom(
-        docs.filter(~is_bench), docs.filter(is_bench), "doc_id", "text", n=4
-    )
-
-
-def _zorder_oracle() -> str:
-    from hours_api_clickup_spark.operators.zorder import z_value_sql
-
-    zv = z_value_sql(
-        "user_id % 256", "(epoch_ms(ts) // 3600000) % 256", 8, "//"
-    )
-    return f"""
-    WITH z AS (SELECT {zv} AS zv FROM events)
-    SELECT CAST(zv // 64 AS BIGINT) AS cell,
-           COUNT(*) AS n,
-           CAST(MIN(zv) AS BIGINT) AS z_min,
-           CAST(MAX(zv) AS BIGINT) AS z_max
-    FROM z GROUP BY zv // 64
-    """
-
-
-@register(
-    "zorder_cell_stats",
-    _zorder_oracle(),
-    survey_ids="datapipe:zorder-layout",
-    doc="Z-order (Morton) interleave of two bucketized dimensions "
-    "(user bucket x epoch-hour bucket) plus per-curve-cell stats — the "
-    "integer core of Z-ORDER table layout (Delta/Iceberg style): "
-    "writing range-partitioned+sorted on this value bounds BOTH "
-    "columns' min/max per file so footer stats skip files for "
-    "predicates on either dimension (locality property tested in "
-    "test_scale_techniques.py::test_zorder_layout_bounds_both_dims; "
-    "writer in operators/zorder.py::zorder_write). Pure codegen'd "
-    "shift/mask arithmetic, one agg shuffle; identical bit math in the "
-    "DuckDB oracle - full hash match.",
-)
-def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.zorder import z_value_sql
-
-    ev = load_table(spark, sf_dir, "events")
-    zv = z_value_sql(
-        "pmod(user_id, 256)",
-        "pmod(unix_millis(ts) div 3600000, 256)",
-        8,
-        "div",
-    )
-    return (
-        ev.selectExpr(f"{zv} AS zv")
-        .groupBy(F.expr("zv div 64").alias("cell"))
-        .agg(
-            F.count("*").alias("n"),
-            F.min("zv").alias("z_min"),
-            F.max("zv").alias("z_max"),
-        )
-    )
-
-
-@register(
-    "epoch_shuffle_shards",
-    epoch_shuffle_oracle_sql("documents", "doc_id", epochs=2, n_shards=8, seed=7),
-    survey_ids="datapipe:epoch-shuffle",
-    doc="Deterministic per-epoch training shuffle: every epoch draws a "
-    "fresh seeded-hash order, hash-split into shards, row-numbered "
-    "within the shard — a reproducible global shuffle with no RNG "
-    "state. The only exchange is the (epoch, shard)-partitioned window; "
-    "parallelism scales with shard count and nothing ever needs a "
-    "global order (the single-partition window trap, cf. "
-    "sequence_packing's two-phase prefix sum for when a total order IS "
-    "required). Same two-round multiplicative hash family as the "
-    "sampling operators, epoch folded into the salt.",
-)
-def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8, seed=7)
-
-
-@register(
-    "pii_scan_redact",
-    pii_oracle_sql("documents", "doc_id", "text"),
-    survey_ids="datapipe:pii",
-    doc="PII scan + redaction over deterministically injected synthetic "
-    "spans (the sandbox corpus contains none — same stand-in pattern as "
-    "the multimodal synthesizer): email/phone counts and the md5 of the "
-    "redacted text. Pure projection — regex builtins, JVM-side, zero "
-    "shuffles at any corpus size. Patterns are dialect-portable "
-    "(character classes + bounded repetition, identical in Java regex "
-    "and RE2), which is what makes the redacted-text digest "
-    "hash-matchable in DuckDB.",
-)
-def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return pii_scan(
-        synthesize_pii(docs, "doc_id", "text"), "doc_id", "text"
-    )
-
-
-@register(
-    "streaming_dedup_exact",
-    """
-    WITH d AS (SELECT DISTINCT ON (event_id) event_type, value FROM events)
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM d GROUP BY event_type
-    """,
-    survey_ids="§2.11,datapipe:dedup-streaming",
-    doc="Streaming exact dedup (dropDuplicatesWithinWatermark): the "
-    "events file is staged TWICE into the stream source, so every row "
-    "is re-delivered and the operator must collapse it — state is "
-    "O(ids-inside-watermark) keyed by event_id, bounded by the 1-day "
-    "horizon, never by stream lifetime. This is the reference's "
-    "overlapping-refresh collapse (fetch_clickup_data.py:1273-1333) as "
-    "a stream. Bounded replay equals batch DISTINCT, so the oracle is "
-    "plain SQL over the single-copy table.",
-)
-def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    from hours_api_clickup_spark.streaming.refresh import streaming_dedup_events
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # stage the table twice: two source files with identical rows → the
-    # stream genuinely observes duplicate deliveries of every event
-    stage_dir = tempfile.mkdtemp(prefix="stream_dup_events_")
-    for copy in ("a", "b"):
-        link = os.path.join(stage_dir, f"events_{copy}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = streaming_dedup_events(stream)
-    return _run_bounded_stream(
-        spark, out, f"stream_dedup_{uuid.uuid4().hex[:8]}", "complete"
-    )
-
-
-@register(
-    "json_props_extract",
-    """
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
-               AS sum_k,
-           MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
-           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
-           COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END)
-               AS n_unparsed
-    FROM events GROUP BY event_type
-    """,
-    survey_ids="P2,§2.10,datapipe:semistructured",
-    doc="Semi-structured JSON payload parsing — the reference's core "
-    "ingest step (every ClickUp REST response is a JSON document, "
-    "fetch_clickup_data.py:54-147) as a typed Spark surface: "
-    "from_json with an explicit schema projects the payload to typed "
-    "columns JVM-side (malformed rows null out, counted per the "
-    "reference's tolerant-parse policy, P3), then a grouped rollup. "
-    "Projection + one small agg; the JSON parse is codegen'd, no "
-    "Python.",
-)
-def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k int")["k"]
-    return (
-        events.withColumn("k", k)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("k").cast("bigint").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-            F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparsed"),
-        )
-    )
-
-
-@register(
-    "doc_chunking",
-    chunk_oracle_sql("documents", "doc_id", "text", chunk_tokens=64, overlap=16),
-    survey_ids="datapipe:chunking",
-    doc="Fixed-size token chunking with overlap (64-token windows, "
-    "stride 48) — the pre-tokenization window split for context-window "
-    "training and RAG indexing. Every token covered, consecutive chunks "
-    "share exactly the overlap, digest per chunk. Pure codegen "
-    "projection + explode: chunking a 100 TB corpus is one map pass, "
-    "zero shuffles.",
-)
-def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.curation import chunk_documents
-
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
-
-
-@register(
-    "vocab_topk",
-    """
-    WITH toks AS (
-        SELECT doc_id AS did,
-               unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
-        FROM documents WHERE length(trim(text)) > 0
-    ),
-    pd AS (SELECT tok, did, COUNT(*) AS c FROM toks GROUP BY tok, did)
-    SELECT tok,
-           CAST(SUM(c) AS BIGINT) AS n_occurrences,
-           COUNT(*) AS n_docs
-    FROM pd GROUP BY tok
-    ORDER BY n_occurrences DESC, tok
-    LIMIT 100
-    """,
-    survey_ids="datapipe:vocab",
-    doc="Corpus vocabulary head (top-100 tokens with occurrence count "
-    "and document frequency) — the first step of a tokenizer/vocab "
-    "build. Two map-side-combining aggregations; the top-k is "
-    "TakeOrderedAndProject (per-partition heaps + tiny driver merge), "
-    "never a global sort. Deterministic tie-break by token.",
-)
-def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.textstats import vocab_topk
-
-    docs = load_table(spark, sf_dir, "documents")
-    return vocab_topk(docs, "doc_id", "text", k=100)
-
-
-def _oov_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.textstats import oov_rate_oracle_sql
-
-    return oov_rate_oracle_sql("documents", "doc_id", "text", vocab_k=100)
-
-
-@register(
-    "doc_oov_rate",
-    _oov_oracle(),
-    survey_ids="datapipe:vocab-coverage",
-    doc="Per-document out-of-vocabulary rate vs the corpus top-100 "
-    "vocabulary — the pre-tokenizer coverage report. Vocabulary head "
-    "is broadcast (k rows); corpus streams through one conditional "
-    "count keyed by doc id; zero-token docs report 0.0 via the id "
-    "join-back, never a second text scan.",
-)
-def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.textstats import oov_rate
-
-    docs = load_table(spark, sf_dir, "documents")
-    return oov_rate(docs, "doc_id", "text", vocab_k=100)
-
-
-def _tfidf_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.textstats import tfidf_topk_oracle_sql
-
-    return tfidf_topk_oracle_sql("documents", "doc_id", "text", k=5)
-
-
-@register(
-    "doc_tfidf_topk",
-    _tfidf_oracle(),
-    survey_ids="datapipe:tfidf",
-    doc="Top-5 characteristic tokens per document by TF-IDF (linear-idf "
-    "variant tf*N/df — IEEE mul/div are correctly rounded so the score "
-    "hash-matches across engines; ln is only 1-ulp-accurate and would "
-    "not). tf and df aggs both map-side combining; corpus size joins "
-    "as a broadcast one-row agg; per-doc top-k is a WindowGroupLimit "
-    "(rank pushdown) window, ties toward the smaller token.",
-)
-def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.textstats import tfidf_topk
-
-    docs = load_table(spark, sf_dir, "documents")
-    return tfidf_topk(docs, "doc_id", "text", k=5)
-
-
-@register(
-    "embedding_quantize_int8",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    m AS (SELECT vec_id, v,
-                 list_max(list_transform(v, x -> abs(x))) AS max_abs
-          FROM e),
-    q AS (SELECT vec_id, max_abs,
-                 list_transform(
-                     v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT)
-                 ) AS qv
-          FROM m)
-    SELECT vec_id,
-           max_abs,
-           CAST(list_sum(qv) AS BIGINT) AS q_sum,
-           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
-    FROM q
-    """,
-    survey_ids="datapipe:quantization",
-    doc="Symmetric int8 embedding quantization (scale 127/max|x|, "
-    "round-half-up) — the standard 4x storage/IO reduction before ANN "
-    "serving. Verified via integer-exact checksums (sum + L1 of the "
-    "quantized vector) plus the exact scale denominator, so the op is "
-    "hash-matched without shipping an array column. Pure projection, "
-    "zero shuffles.",
-)
-def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.similarity import (
-        quantize_embeddings_int8,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings_int8(emb, "embedding", "vec_id")
-
-
-def _random_project_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.similarity import (
-        random_project_oracle_sql,
-    )
-
-    return random_project_oracle_sql(out_dim=16)
-
-
-@register(
-    "embedding_random_projection",
-    _random_project_oracle(),
-    survey_ids="datapipe:dim-reduction",
-    doc="Johnson-Lindenstrauss dimensionality reduction 64 -> 16 dims "
-    "with the deterministic ±1 Achlioptas matrix (sign = the same "
-    "affine parity hash family as the LSH hyperplanes — no RNG state, "
-    "no stored model). The oracled surface is the sequential-fold form "
-    "(identical left-to-right double addition order as the DuckDB "
-    "list_reduce → full hash match; out_dim=16 makes the 1/sqrt scale "
-    "exactly 0.25). The at-scale path is similarity.random_project "
-    "(one Arrow-batched GEMM pass, zero shuffles), equality-tested "
-    "against this fold to 1e-9 in pytest.",
-)
-def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.similarity import (
-        random_project_fold,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return random_project_fold(emb, "embedding", "vec_id", out_dim=16)
-
-
-@register(
-    "vocab_heavy_hitters",
-    """
-    WITH toks AS (
-        SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
-        FROM documents WHERE length(trim(text)) > 0
-    ),
-    cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
-    SELECT tok, n, TRUE AS in_sketch, TRUE AS sketch_count_exact
-    FROM cnt ORDER BY n DESC, tok LIMIT 10
-    """,
-    survey_ids="datapipe:heavy-hitters",
-    doc="Heavy-hitters / frequent-items surface: Spark's native "
-    "approx_top_k sketch (fixed-size state; the at-scale form of 'top "
-    "tokens by frequency' when the vocabulary no longer fits an exact "
-    "groupBy) cross-checked against the exact top-10. Sketch internals "
-    "are algorithm-specific, so — like agg_approx_stats — the oracled "
-    "surface is the accuracy CONTRACT: exact counts as values plus "
-    "booleans asserting every true top-10 token is in the sketch with "
-    "its exact count (capacity is sized above the vocabulary here, "
-    "making the sketch lossless; at real scale you size capacity to "
-    "the heavy-hitter cut and the booleans become the epsilon gate). "
-    "A sketch regression flips a boolean and fails the hash match.",
-)
-def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("tok").asc())
-        .limit(10)
-    )
-    sketch = toks.agg(
-        F.expr("approx_top_k(tok, 100, 65536)").alias("sk")
-    ).select(
-        F.map_from_entries(
-            F.expr("transform(sk, s -> struct(s.item as k, s.count as c))")
-        ).alias("skm")
-    )
-    return exact.crossJoin(F.broadcast(sketch)).select(
-        "tok",
-        "n",
-        F.col("skm").getItem(F.col("tok")).isNotNull().alias("in_sketch"),
-        (F.col("skm").getItem(F.col("tok")) == F.col("n")).alias(
-            "sketch_count_exact"
-        ),
-    )
-
-
-def _span_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.dedup import duplicated_spans_oracle_sql
-
-    return duplicated_spans_oracle_sql("documents", "doc_id", "text", k=5)
-
-
-@register(
-    "dedup_span_ngram",
-    _span_oracle(),
-    survey_ids="datapipe:dedup-spans",
-    doc="Maximal duplicated token spans — the token-granular distributed "
-    "form of suffix-array substring dedup (Lee et al., ACL 2022): "
-    "5-token windows whose exact text recurs anywhere in the corpus, "
-    "merged into maximal per-document spans for span-level cutting. "
-    "Scale shape: grams fold to int64 md5 hashes BEFORE the corpus-wide "
-    "shuffle (no gram strings move), one map-side-combining count on the "
-    "hash, a semi-join back, and span assembly (lag → flag → running "
-    "sum → agg) on ONE doc-id shuffle. Full hash-match oracle.",
-)
-def q_dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.dedup import duplicated_spans
-
-    docs = load_table(spark, sf_dir, "documents")
-    return duplicated_spans(docs, "doc_id", "text", k=5)
-
-
-def _semantic_dedup_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.similarity import (
-        semantic_dedup_oracle_sql,
-    )
-
-    return semantic_dedup_oracle_sql(n_clusters=16, threshold=0.4)
-
-
-@register(
-    "dedup_semantic_clusters",
-    _semantic_dedup_oracle(),
-    survey_ids="datapipe:dedup-semantic",
-    doc="SemDeDup (Abbas et al. 2023): coarse k-clustering of the "
-    "embedding space (deterministic hash-sampled seed quantizer shared "
-    "with knn_ivf), then near-duplicate pruning WITHIN clusters only — "
-    "min-id survivor at cosine ≥ 0.4. Pairwise work is Σ|cluster|², "
-    "never n²: the paper's own scale answer, with the pair join hash-"
-    "keyed on cluster_id and scoring in the vectorized pair-cosine "
-    "UDF. Assignment + pair rule replayed exactly by the DuckDB oracle "
-    "(threshold margin 1.3e-3 at sf0.01 — far above float noise).",
-)
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.similarity import semantic_dedup
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "embedding", "vec_id", n_clusters=16, threshold=0.4)
-
-
-_GAPFILL_STEP = 3600
-
-
-def _gapfill_oracle() -> str:
-    s = _GAPFILL_STEP
-    return f"""
-    WITH o AS (
-        SELECT user_id, (epoch_ms(ts) // {s * 1000}) * {s} AS bucket_start_s,
-               value,
-               row_number() OVER (
-                   PARTITION BY user_id, epoch_ms(ts) // {s * 1000}
-                   ORDER BY ts DESC, value DESC, event_id DESC) AS rn
-        FROM events
-    ),
-    obs AS (SELECT user_id, bucket_start_s, value FROM o WHERE rn = 1),
-    b AS (SELECT user_id, MIN(bucket_start_s) AS lo, MAX(bucket_start_s) AS hi
-          FROM obs GROUP BY user_id),
-    grid AS (SELECT user_id, unnest(range(lo, hi + {s}, {s})) AS bucket_start_s
-             FROM b),
-    j AS (SELECT g.user_id, g.bucket_start_s, obs.value
-          FROM grid g LEFT JOIN obs USING (user_id, bucket_start_s))
-    SELECT user_id, bucket_start_s,
-           LAST_VALUE(value IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY bucket_start_s
-               ROWS UNBOUNDED PRECEDING) AS value_filled,
-           value IS NULL AS is_gap
-    FROM j
-    """
-
-
-@register(
-    "gapfill_locf",
-    _gapfill_oracle(),
-    survey_ids="datapipe:gapfill-locf",
-    doc="Hypertable gap-fill + last-observation-carried-forward "
-    "(TimescaleDB time_bucket_gapfill/locf): per-user hourly grid "
-    "between first and last observation, missing buckets filled with "
-    "the latest prior value, is_gap flagged. Scale shape: grid bounds "
-    "from a map-side min/max agg (never a global calendar cross join), "
-    "fan-out ≤ span/step per key; bucket keep-latest, grid join, and "
-    "the LOCF window all hash on the key family. Full hash match.",
-)
-def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.timeseries import gapfill_locf
-
-    ev = load_table(spark, sf_dir, "events")
-    return gapfill_locf(
-        ev, "user_id", "ts", "value", step_seconds=_GAPFILL_STEP, tiebreak="event_id"
-    )
-
-
-def _gopher_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.curation import gopher_oracle_sql
-
-    return gopher_oracle_sql("documents", "doc_id", "text")
-
-
-@register(
-    "gopher_quality_filter",
-    _gopher_oracle(),
-    survey_ids="datapipe:quality-gopher",
-    doc="The full Gopher/MassiveText document gate (Rae et al. 2021 "
-    "§A1.1) as one keep/drop row per document: token-count bounds, mean-"
-    "word-length band, stop-word evidence, repetition caps — every rule "
-    "reported separately plus the final verdict. Rides the SAME single "
-    "gram explode + two map-side-combining doc-keyed aggs as "
-    "doc_repetition_stats; zero corpus joins, zero Python.",
-)
-def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.curation import gopher_quality_filter
-
-    docs = load_table(spark, sf_dir, "documents")
-    return gopher_quality_filter(docs, "doc_id", "text")
-
-
-@register(
-    "rollup_incremental_merge",
-    """
-    SELECT user_id, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-               AS avg_value
-    FROM events GROUP BY user_id, event_type
-    """,
-    survey_ids="scale:incremental-rollup",
-    doc="Incremental materialized-rollup maintenance: per-group "
-    "ALGEBRAIC STATE (count, exact decimal sum) kept from the "
-    "historical slice, the delta batch aggregated to the same state, "
-    "states merged by a keyed sum over |groups| rows — history is "
-    "never rescanned. The oracle is the full recompute over all "
-    "events: state-merge ≡ recompute is the contract (same family as "
-    "salted_skew_rollup's equivalence oracle). DECIMAL state makes the "
-    "merge order-insensitive; finalization to DOUBLE happens once. "
-    "COUNT(DISTINCT) is deliberately absent — its mergeable form is "
-    "the HLL sketch (agg_approx_stats).",
-)
-def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.incremental import (
-        finalize_rollup,
-        merge_rollup_states,
-        partial_rollup,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-15").cast("timestamp")
-    base = partial_rollup(
-        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "value"
-    )
-    delta = partial_rollup(
-        ev.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "value"
-    )
-    return finalize_rollup(merge_rollup_states(base, delta), "value")
-
-
-@register(
-    "window_rank_surface",
-    """
-    SELECT o_custkey, o_orderkey,
-           row_number() OVER w AS rn,
-           dense_rank() OVER (PARTITION BY o_custkey
-                              ORDER BY CAST(o_orderdate AS DATE)) AS drk,
-           percent_rank() OVER w AS prk,
-           cume_dist() OVER w AS cd,
-           ntile(4) OVER w AS quartile,
-           first_value(o_orderkey) OVER w AS first_key,
-           nth_value(o_orderkey, 2) OVER (
-               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
-               o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS second_key
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
-    """,
-    survey_ids="§2.7",
-    doc="Ranking/distribution window surface beyond window_analytics: "
-    "dense_rank, percent_rank, cume_dist, ntile, first/nth_value — all "
-    "sharing ONE customer-key shuffle (every window clause uses the "
-    "same partitioning). Ordering is total ((date, orderkey) unique) so "
-    "every function is deterministic; percent_rank/cume_dist are exact "
-    "rational arithmetic in double — identical across engines. "
-    "dense_rank deliberately orders by date alone to exercise peer "
-    "groups (ties), which rank functions must handle identically.",
-)
-def q_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    od = F.col("o_orderdate").cast("date")
-    w = Window.partitionBy("o_custkey").orderBy(od, "o_orderkey")
-    w_peers = Window.partitionBy("o_custkey").orderBy(od)
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.dense_rank().over(w_peers).alias("drk"),
-        F.percent_rank().over(w).alias("prk"),
-        F.cume_dist().over(w).alias("cd"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.first("o_orderkey").over(w).alias("first_key"),
-        F.nth_value("o_orderkey", 2).over(w_run).alias("second_key"),
-    )
-
-
-@register(
-    "string_distance_surface",
-    """
-    SELECT c_custkey,
-           levenshtein(c_name, c_mktsegment) AS lev_name_seg,
-           levenshtein(c_name, reverse(c_name)) AS lev_palindrome,
-           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-           reverse(c_mktsegment) AS seg_rev,
-           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
-           repeat(left(c_mktsegment, 1), 3) AS seg_initial_x3,
-           strpos(c_name, '0') AS first_zero_pos,
-           right(c_name, 4) AS name_tail
-    FROM customer
-    """,
-    survey_ids="§2.10",
-    doc="String-distance + padding/positional surface: levenshtein "
-    "(fuzzy key matching — both engines implement the standard "
-    "Wagner-Fischer distance), lpad zero-padding for sortable keys, "
-    "translate, repeat, strpos (1-based in both), left/right slices. "
-    "Projection-only; codegen'd JVM execution.",
-)
-def q_string_distance_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey",
-        F.levenshtein("c_name", "c_mktsegment").alias("lev_name_seg"),
-        F.levenshtein(F.col("c_name"), F.reverse("c_name")).alias(
-            "lev_palindrome"
-        ),
-        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
-        F.reverse("c_mktsegment").alias("seg_rev"),
-        F.translate("c_mktsegment", "AEIOU", "aeiou").alias(
-            "seg_lower_vowels"
-        ),
-        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("seg_initial_x3"),
-        F.instr("c_name", "0").alias("first_zero_pos"),
-        F.substring("c_name", -4, 4).alias("name_tail"),
-    )
-
-
-@register(
-    "datetime_scalar_surface",
-    """
-    SELECT o_orderkey,
-           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
-               AS plus_3_months,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
-           quarter(CAST(o_orderdate AS DATE)) AS qtr,
-           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
-           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-               AS days_since_95,
-           make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start
-    FROM orders
-    """,
-    survey_ids="§2.10",
-    doc="Date/time scalar surface beyond the reference's epoch-ms/Oslo "
-    "core: month truncation, calendar-aware add_months (both engines "
-    "clamp Jan 31 + 1mo → Feb 29), last_day, quarter, day-of-week "
-    "(Spark is 1=Sunday, DuckDB 0=Sunday — the oracle shifts by one: "
-    "a REAL cross-engine semantic difference pinned by the hash "
-    "match), datediff against an epoch date, make_date roundtrip. "
-    "Projection-only.",
-)
-def q_datetime_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    od = F.col("o_orderdate").cast("date")
-    return orders.select(
-        "o_orderkey",
-        F.trunc(od, "month").alias("month_start"),
-        F.add_months(od, 3).alias("plus_3_months"),
-        F.last_day(od).alias("month_end"),
-        F.quarter(od).alias("qtr"),
-        F.dayofweek(od).alias("dow"),
-        F.datediff(od, F.lit("1995-01-01").cast("date")).alias(
-            "days_since_95"
-        ),
-        F.make_date(F.year(od), F.lit(1), F.lit(1)).alias("year_start"),
-    )
-
-
-@register(
-    "rollup_incremental_distinct",
-    """
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS n_users_exact,
-           TRUE AS sketch_within_2pct
-    FROM events GROUP BY event_type
-    """,
-    survey_ids="scale:incremental-distinct,A5-scale",
-    doc="COUNT(DISTINCT) made incrementally maintainable — the piece "
-    "rollup_incremental_merge deliberately excludes: per-slice HLL "
-    "sketches (hll_sketch_agg, Apache DataSketches) are the MERGEABLE "
-    "state exact distinct lacks; slices union via hll_union_agg "
-    "without rescanning history, estimates finalize per group. Oracled "
-    "by the accuracy contract (agg_approx_stats convention): exact "
-    "distinct as the value column, the merged-sketch estimate gated "
-    "within 2% as a boolean the oracle emits as literal TRUE — sketch "
-    "drift fails the hash match. State is KBs per group at ANY history "
-    "size; the exact column is a verification-only full pass.",
-)
-def q_rollup_incremental_distinct(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-15").cast("timestamp")
-    sliced = [
-        ev.filter(F.col("ts") < cutoff),
-        ev.filter(F.col("ts") >= cutoff),
-    ]
-    states = [
-        s.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
-        for s in sliced
-    ]
-    merged = (
-        states[0]
-        .unionByName(states[1])
-        .groupBy("event_type")
-        .agg(F.hll_union_agg("sk").alias("sk"))
-        .select("event_type", F.hll_sketch_estimate("sk").alias("est"))
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users_exact")
-    )
-    return exact.join(merged, "event_type").select(
-        "event_type",
-        "n_users_exact",
-        (
-            F.abs(F.col("est") - F.col("n_users_exact"))
-            <= 0.02 * F.col("n_users_exact")
-        ).alias("sketch_within_2pct"),
-    )
-
-
-@register(
-    "streaming_continuous_rollup",
-    """
-    SELECT user_id, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-               AS avg_value
-    FROM events GROUP BY user_id, event_type
-    """,
-    survey_ids="§2.11,scale:continuous-aggregate",
-    doc="Continuous-aggregate maintenance: a file stream of the events "
-    "table (3 staged files, maxFilesPerTrigger=1 → 3 real micro-"
-    "batches) folds each batch's algebraic (count, decimal-sum) state "
-    "into a persisted rollup via foreachBatch — the TimescaleDB "
-    "continuous-aggregate pattern on Spark primitives. History is "
-    "never rescanned; per-batch cost is one map-side agg over the "
-    "batch + a keyed merge over |groups| rows. The oracle is the full "
-    "batch recompute: exact-decimal state makes the replayed stream "
-    "bit-equal to it regardless of how files split into batches.",
-)
-def q_streaming_continuous_rollup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import tempfile
-
-    from hours_api_clickup_spark.operators.incremental import finalize_rollup
-    from hours_api_clickup_spark.streaming.refresh import (
-        streaming_continuous_rollup,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "value"
-    )
-    stage_dir = tempfile.mkdtemp(prefix="stream_cagg_src_")
-    ev.repartition(3).write.mode("overwrite").parquet(stage_dir)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(stage_dir)
-    )
-    state_path = tempfile.mkdtemp(prefix="stream_cagg_state_") + "/rollup"
-    ckpt = tempfile.mkdtemp(prefix="stream_cagg_ckpt_")
-    # pin the per-batch merge's shuffle width for the bounded replay
-    # (same rationale as _run_bounded_stream: fixed cost per micro-batch)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = streaming_continuous_rollup(stream, state_path, ckpt)
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return finalize_rollup(
-        spark.read.parquet(state_path).drop("__last_batch_id"), "value"
-    )
-
-
-@register(
-    "unpivot_surface",
-    """
-    WITH wide AS (
-        SELECT p_partkey,
-               CAST(p_size AS DOUBLE) AS size,
-               p_retailprice AS price,
-               CAST(length(p_name) AS DOUBLE) AS name_len
-        FROM part
-    )
-    SELECT p_partkey, metric, value
-    FROM wide
-    UNPIVOT (value FOR metric IN (size, price, name_len))
-    """,
-    survey_ids="§2.6-unpivot",
-    doc="Native wide→long UNPIVOT (melt) — the inverse of "
-    "native_pivot_revenue: one row per (id, metric) from three typed "
-    "measure columns. Spark compiles unpivot to an Expand node (the "
-    "same operator grouping-sets use) — a projection-only fan-out, "
-    "zero shuffles at any width.",
-)
-def q_unpivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    wide = part.select(
-        "p_partkey",
-        F.col("p_size").cast("double").alias("size"),
-        F.col("p_retailprice").alias("price"),
-        F.length("p_name").cast("double").alias("name_len"),
-    )
-    return wide.unpivot(
-        ids=["p_partkey"],
-        values=["size", "price", "name_len"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    )
-
-
-@register(
-    "asof_join_forward_tolerance",
-    """
-    SELECT event_id, user_id, ts,
-           CASE WHEN epoch_ms(signup_ts) - epoch_ms(ts) <= 259200000
-                THEN signup_event_id END AS signup_event_id,
-           CASE WHEN epoch_ms(signup_ts) - epoch_ms(ts) <= 259200000
-                THEN signup_ts END AS signup_ts
-    FROM (
-        SELECT e.event_id, e.user_id, e.ts,
-               s.signup_event_id, s.signup_ts
-        FROM events e
-        ASOF LEFT JOIN (
-            SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
-            FROM events WHERE event_type = 'signup'
-        ) s ON e.user_id = s.user_id AND e.ts <= s.signup_ts
-    )
-    """,
-    survey_ids="datapipe:asof-join-forward",
-    doc="Forward as-of join with tolerance (the other half of the "
-    "pandas merge_asof surface): each event → the user's NEXT signup, "
-    "but only if it lands within 3 days — the nearest row resolves "
-    "first, then the tolerance gates it (a nearer-than-nothing match "
-    "beyond tolerance is NO match). Same union + directional running "
-    "window, ONE key shuffle; oracle is DuckDB's native ASOF LEFT "
-    "JOIN with the tolerance as a post-CASE.",
-)
-def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.timeseries import as_of_join
-
-    events = load_table(spark, sf_dir, "events")
-    signups = events.filter(F.col("event_type") == "signup").select(
-        "user_id",
-        F.col("ts").alias("signup_ts"),
-        F.col("event_id").alias("signup_event_id"),
-    )
-    return as_of_join(
-        events.select("event_id", "user_id", "ts"),
-        signups,
-        on="user_id",
-        left_ts="ts",
-        right_ts="signup_ts",
-        right_cols=["signup_event_id", "signup_ts"],
-        direction="forward",
-        tolerance_seconds=3 * 86400,
-    )
-
-
-def _domain_cap_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.curation import (
-        cap_per_domain_oracle_sql,
-    )
-
-    return cap_per_domain_oracle_sql("documents", "doc_id", n=20)
-
-
-@register(
-    "domain_cap_sample",
-    _domain_cap_oracle(),
-    survey_ids="datapipe:domain-caps",
-    doc="Common-Crawl-style per-domain document caps (the C4/CCNet "
-    "per-host quota): keep ≤ 20 docs per registrable domain, chosen by "
-    "the deterministic Knuth id hash (a uniform sample of the domain, "
-    "not crawl order). URLs are synthesized deterministically with a "
-    "deliberately skewed mix — one hot domain holds 5/8 of the corpus, "
-    "the regime the cap exists for. Scale shape: WindowGroupLimit "
-    "bounds the hot domain to n rows PER PARTITION before its single "
-    "key shuffle (plan-gated), so domain skew never concentrates.",
-)
-def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.curation import (
-        cap_per_domain,
-        synthesize_urls,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return cap_per_domain(
-        synthesize_urls(docs, "doc_id"), "url", "doc_id", n=20
-    )
-
-
-# ---------------------------------------------------------------------------
-# Retrieval family: filtered ANN, lexical search, hybrid RRF fusion
-# ---------------------------------------------------------------------------
-
-_SEARCH_TERMS = ("window", "merge", "vector")
-
-
-def _text_scores(docs: DataFrame) -> DataFrame:
-    """Per-doc lexical score Σ_t tf_t · N / df_t over the fixed query
-    terms (linear idf — IEEE mul/div hash-matches across engines; ln
-    would not, same rationale as doc_tfidf_topk). tf is a projection
-    (no explode); the corpus stats are ONE tiny agg broadcast back."""
-    from hours_api_clickup_spark.datapipe.textstats import tokens
-
-    def _tf(i: int, t: str):
-        # a 2-arg lambda would make F.filter pass the array INDEX as
-        # the second argument — close over the term instead
-        return F.size(
-            F.filter(tokens("text"), lambda x: x == F.lit(t))
-        ).alias(f"tf{i}")
-
-    tf_cols = [_tf(i, t) for i, t in enumerate(_SEARCH_TERMS)]
-    per_doc = docs.select(F.col("doc_id"), *tf_cols)
-    stats = per_doc.agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(_SEARCH_TERMS))
-        ],
-    )
-    score = None
-    for i in range(len(_SEARCH_TERMS)):
-        term = F.when(
-            F.col(f"df{i}") > 0,
-            (F.col(f"tf{i}") * F.col("n")) / F.col(f"df{i}"),
-        ).otherwise(F.lit(0.0))
-        score = term if score is None else score + term
-    return per_doc.crossJoin(F.broadcast(stats)).select(
-        "doc_id", score.alias("score")
-    )
-
-
-def _text_scores_ctes() -> str:
-    """CTE prefix shared by the lexical-search oracles: ends at a
-    ``scored(doc_id, score)`` CTE so callers append their own final
-    SELECT (or further CTEs)."""
-    tfs = ",\n               ".join(
-        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(_SEARCH_TERMS)
-    )
-    dfs = ", ".join(
-        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(_SEARCH_TERMS))
-    )
-    score = " + ".join(
-        f"CASE WHEN df{i} > 0 THEN (tf{i} * n) / df{i} ELSE 0.0 END"
-        for i in range(len(_SEARCH_TERMS))
-    )
-    return f"""
-    WITH d AS (
-        SELECT doc_id,
-               CASE WHEN length(trim(text)) > 0
-                    THEN string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')
-                    ELSE [] END AS t
-        FROM documents
-    ),
-    tf AS (
-        SELECT doc_id,
-               {tfs}
-        FROM d
-    ),
-    s AS (SELECT COUNT(*) AS n, {dfs} FROM tf),
-    scored AS (SELECT doc_id, {score} AS score FROM tf, s)
-    """
-
-
-@register(
-    "text_search_topk",
-    _text_scores_ctes()
-    + "\n    SELECT doc_id, score FROM scored"
-    + "\n    ORDER BY score DESC, doc_id LIMIT 10",
-    survey_ids="datapipe:text-search",
-    doc="Lexical top-k retrieval (BM25-lite: tf · linear-idf over the "
-    "fixed query terms). tf is a pure projection per term — no explode, "
-    "no token shuffle; corpus df/N is ONE tiny aggregate broadcast "
-    "back; top-k is TakeOrderedAndProject. The linear idf keeps the "
-    "score IEEE-identical in DuckDB so the floats hash-match.",
-)
-def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        _text_scores(docs)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(10)
-    )
-
-
-@register(
-    "knn_filtered",
-    """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id AS nbr_id
-    FROM embeddings, q
-    WHERE vec_id <> 0 AND label = 2
-    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
-    LIMIT 10
-    """,
-    survey_ids="datapipe:similarity-filtered",
-    doc="Metadata-filtered ANN (the vector-store hybrid-filter query): "
-    "exact cosine top-10 restricted to label = 2. The predicate lands "
-    "BEFORE scoring — pushed to the scan, so only the filtered slice "
-    "is ever scored; on the persisted IVF/LSH indexes the same filter "
-    "rides the partition-pruned probe.",
-)
-def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return brute_force_topk(
-        emb.filter(F.col("label") == 2),
-        "embedding",
-        "vec_id",
-        qv,
-        k=10,
-        exclude_id=0,
-    ).select("nbr_id")
-
-
-@register(
-    "hybrid_search_rrf",
-    _text_scores_ctes().rstrip()
-    + """,
-    t50 AS (
-        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-                   AS rank_text
-        FROM (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id
-              LIMIT 50) ranked_t
-    ),
-    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    v50 AS (
-        SELECT vec_id AS doc_id,
-               row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_vec
-        FROM (SELECT vec_id,
-                     list_cosine_similarity(embedding::DOUBLE[], qv) AS cos
-              FROM embeddings, q WHERE vec_id <> 0
-              ORDER BY cos DESC, vec_id LIMIT 50) ranked_v
-    )
-    SELECT COALESCE(t50.doc_id, v50.doc_id) AS doc_id,
-           rank_text, rank_vec,
-           COALESCE(1.0 / (60 + rank_text), 0.0)
-               + COALESCE(1.0 / (60 + rank_vec), 0.0) AS rrf
-    FROM t50 FULL OUTER JOIN v50 ON t50.doc_id = v50.doc_id
-    ORDER BY rrf DESC, doc_id LIMIT 10
-    """,
-    survey_ids="datapipe:hybrid-search",
-    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
-    "2009, the standard lexical+vector fusion): top-50 lexical ranks "
-    "and top-50 cosine ranks (documents ↔ embeddings share ids) fuse "
-    "as Σ 1/(60+rank). Both candidate lists reduce to 50 rows via "
-    "TakeOrderedAndProject BEFORE any single-partition ranking window "
-    "touches them — the global row_number only ever sees k rows. Ranks "
-    "are integers and the RRF sum is two fixed-order IEEE terms, so "
-    "the floats hash-match.",
-)
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-
-    w_t = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    t50 = (
-        _text_scores(docs)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(50)
-        .withColumn("rank_text", F.row_number().over(w_t))
-        .select("doc_id", "rank_text")
-    )
-    w_v = Window.orderBy(F.col("score").desc(), F.col("nbr_id").asc())
-    v50 = (
-        brute_force_topk(emb, "embedding", "vec_id", qv, k=50, exclude_id=0)
-        .withColumn("rank_vec", F.row_number().over(w_v))
-        .select(F.col("nbr_id").alias("doc_id"), "rank_vec")
-    )
-    fused = t50.join(v50, "doc_id", "full_outer").select(
-        "doc_id",
-        "rank_text",
-        "rank_vec",
-        (
-            F.coalesce(1.0 / (F.lit(60) + F.col("rank_text")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(60) + F.col("rank_vec")), F.lit(0.0))
-        ).alias("rrf"),
-    )
-    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
-
-
-_FUNNEL_STEP_S = 86400  # each step must follow within 24 h
-
-
-@register(
-    "funnel_analysis",
-    f"""
-    WITH v AS (
-        SELECT user_id, MIN(ts) AS t1 FROM events
-        WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-        SELECT e.user_id, MIN(e.ts) AS t2
-        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
-         AND epoch_ms(e.ts) - epoch_ms(v.t1) <= {_FUNNEL_STEP_S} * 1000
-        WHERE e.event_type = 'click'
-        GROUP BY e.user_id
-    ),
-    p AS (
-        SELECT e.user_id, MIN(e.ts) AS t3
-        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
-         AND epoch_ms(e.ts) - epoch_ms(c.t2) <= {_FUNNEL_STEP_S} * 1000
-        WHERE e.event_type = 'purchase'
-        GROUP BY e.user_id
-    )
-    SELECT (SELECT COUNT(*) FROM v) AS n_view,
-           (SELECT COUNT(*) FROM c) AS n_view_click,
-           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
-    """,
-    survey_ids="datapipe:funnel",
-    doc="Ordered-sequence funnel (view → click-within-24h → purchase-"
-    "within-24h-of-that): per-user first-view, then first click AFTER "
-    "it inside the step window, then first purchase after THAT; counts "
-    "per stage (150 → 60 → 25 at sf0.01 — real drop-off). Each stage "
-    "is one keyed aggregation plus one equi-join on the user key "
-    "carrying ONE row per qualifying user — the chain reuses the key "
-    "partitioning and no stage materializes event pairs. The "
-    "sequential-pattern surface (MATCH_RECOGNIZE-lite) event "
-    "warehouses ship as funnel().",
-)
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    step_ms = _FUNNEL_STEP_S * 1000
-
-    def first_after(
-        etype: str, prev: DataFrame | None, t_prev: str, t_out: str
-    ) -> DataFrame:
-        step = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            step = step.join(prev, "user_id").filter(
-                (F.col("ts") > F.col(t_prev))
-                & (
-                    F.unix_millis(F.col("ts"))
-                    - F.unix_millis(F.col(t_prev))
-                    <= step_ms
-                )
-            )
-        return step.groupBy("user_id").agg(F.min("ts").alias(t_out))
-
-    v = first_after("view", None, "", "t1")
-    c = first_after("click", v, "t1", "t2")
-    p = first_after("purchase", c, "t2", "t3")
-    counts = [
-        df.agg(F.count("*").alias(name))
-        for df, name in (
-            (v, "n_view"),
-            (c, "n_view_click"),
-            (p, "n_view_click_purchase"),
-        )
-    ]
-    out = counts[0]
-    for df in counts[1:]:
-        out = out.crossJoin(df)
-    return out
-
-
-@register(
-    "regex_surface",
-    """
-    SELECT p_partkey,
-           regexp_extract(p_type, '([A-Z]+) ([A-Z]+)', 2) AS type_second,
-           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
-           regexp_matches(p_brand, '^Brand#[0-9]+$') AS brand_wellformed,
-           regexp_replace(p_name, '[0-9]+', '#', 'g') AS name_digits_masked,
-           regexp_extract(p_name, '([0-9]+)$', 1) AS trailing_number
-    FROM part
-    """,
-    survey_ids="§2.10-regex",
-    doc="Regex scalar surface: capture-group extraction, match "
-    "counting, anchored boolean match, global replacement, trailing-"
-    "group probe. The regex subset is RE2∩Java (no lookaround, no "
-    "class shorthands — the \\\\s/\\x0B lesson generalizes); Spark "
-    "regexp_replace is global by default, DuckDB needs the explicit "
-    "'g' flag — pinned by the hash match. Projection-only.",
-)
-def q_regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.regexp_extract("p_type", r"([A-Z]+) ([A-Z]+)", 2).alias(
-            "type_second"
-        ),
-        F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]"), 0)).alias(
-            "n_vowels"
-        ),
-        F.col("p_brand").rlike(r"^Brand#[0-9]+$").alias("brand_wellformed"),
-        F.regexp_replace("p_name", r"[0-9]+", "#").alias(
-            "name_digits_masked"
-        ),
-        F.regexp_extract("p_name", r"([0-9]+)$", 1).alias("trailing_number"),
-    )
-
-
-@register(
-    "conditional_null_surface",
-    """
-    SELECT o_orderkey,
-           NULLIF(o_orderstatus, 'O') AS status_or_null,
-           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'top') AS prio_folded,
-           LEAST(o_totalprice, 100000.0) AS price_capped,
-           GREATEST(o_totalprice, 0.0) AS price_floored,
-           o_totalprice / NULLIF(CAST(o_custkey AS DOUBLE), 0.0)
-               AS price_per_cust,
-           CASE WHEN o_orderstatus = 'F' THEN 'done'
-                WHEN o_orderstatus = 'O' THEN 'open'
-                ELSE 'other' END AS status_label
-    FROM orders
-    """,
-    survey_ids="§2.10-conditional",
-    doc="Conditional / null-handling surface: NULLIF, COALESCE folding, "
-    "LEAST/GREATEST (both engines skip nulls), searched CASE, and "
-    "null-safe division — Spark try_divide ≡ DuckDB's x / NULLIF(y,0) "
-    "(DuckDB integer-safe division yields NULL on zero; Spark's plain "
-    "/ yields Infinity, a REAL cross-engine difference the pairing "
-    "pins). Projection-only.",
-)
-def q_conditional_null_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
-        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
-        F.coalesce(
-            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
-            F.lit("top"),
-        ).alias("prio_folded"),
-        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_capped"),
-        F.greatest(F.col("o_totalprice"), F.lit(0.0)).alias("price_floored"),
-        F.try_divide(
-            F.col("o_totalprice"), F.col("o_custkey").cast("double")
-        ).alias("price_per_cust"),
-        F.when(F.col("o_orderstatus") == "F", "done")
-        .when(F.col("o_orderstatus") == "O", "open")
-        .otherwise("other")
-        .alias("status_label"),
-    )
-
-
-@register(
-    "generator_surface",
-    """
-    WITH base AS (
-        SELECT p_partkey,
-               CASE WHEN p_size % 7 = 0 THEN NULL
-                    WHEN p_size % 5 = 0 THEN []
-                    ELSE string_split(p_type, ' ') END AS arr
-        FROM part
-    ),
-    nonempty AS (
-        SELECT p_partkey,
-               generate_subscripts(arr, 1) - 1 AS pos,
-               unnest(arr) AS word
-        FROM base WHERE arr IS NOT NULL AND len(arr) > 0
-    ),
-    degenerate AS (
-        SELECT p_partkey, CAST(NULL AS BIGINT) AS pos,
-               CAST(NULL AS VARCHAR) AS word
-        FROM base WHERE arr IS NULL OR len(arr) = 0
-    )
-    SELECT * FROM nonempty UNION ALL SELECT * FROM degenerate
-    """,
-    survey_ids="§2.3-generator",
-    doc="Generator surface: posexplode_outer — position-tagged fan-out "
-    "that KEEPS rows whose array is null/empty (one all-null row), the "
-    "lateral-view behavior E1's ''-row semantics generalize to. The "
-    "oracle reproduces outer semantics as zip-unnest ∪ degenerate "
-    "rows. Projection-side generate, zero shuffles.",
-)
-def q_generator_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    arr = (
-        F.when(F.pmod("p_size", F.lit(7)) == 0, F.lit(None))
-        .when(
-            F.pmod("p_size", F.lit(5)) == 0,
-            F.array().cast("array<string>"),
-        )
-        .otherwise(F.split("p_type", " "))
-    )
-    return (
-        part.select("p_partkey", arr.alias("arr"))
-        .select(
-            "p_partkey",
-            F.posexplode_outer("arr").alias("pos", "word"),
-        )
-        .select(
-            "p_partkey", F.col("pos").cast("long").alias("pos"), "word"
-        )
-    )
-
-
-@register(
-    "array_functions_surface",
-    """
-    WITH b AS (
-        SELECT p_partkey,
-               string_split(p_type, ' ') AS words,
-               string_split(p_name, ' ') AS name_words
-        FROM part
-    )
-    SELECT p_partkey,
-           list_sort(list_distinct(list_concat(words, name_words)))
-               AS union_sorted,
-           list_sort(list_intersect(words, name_words)) AS intersect_sorted,
-           list_sort(list_filter(words, w -> NOT list_contains(name_words, w)))
-               AS except_sorted,
-           list_contains(words, 'PROMO') AS has_promo,
-           words[1:2] AS head2,
-           CAST(len(flatten([words, name_words])) AS INT) AS n_all,
-           array_to_string(list_reverse_sort(words), '|') AS rev_sorted_csv
-    FROM b
-    """,
-    survey_ids="§2.10-array",
-    doc="Array/set scalar surface: union (distinct ∘ concat), "
-    "intersect, except (filter ∘ NOT contains — the form that works "
-    "identically in both engines), contains, slice, flatten, reverse-"
-    "sorted join. Every array-valued output is explicitly sorted so "
-    "the hash compare never depends on engine-internal set order. "
-    "Projection-only, codegen'd.",
-)
-def q_array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    words = F.split("p_type", " ")
-    name_words = F.split("p_name", " ")
-    b = part.select(
-        "p_partkey", words.alias("words"), name_words.alias("name_words")
-    )
-    w, nw = F.col("words"), F.col("name_words")
-    return b.select(
-        "p_partkey",
-        F.array_sort(F.array_distinct(F.concat(w, nw))).alias("union_sorted"),
-        F.array_sort(F.array_intersect(w, nw)).alias("intersect_sorted"),
-        F.array_sort(
-            F.filter(w, lambda x: ~F.array_contains(nw, x))
-        ).alias("except_sorted"),
-        F.array_contains(w, "PROMO").alias("has_promo"),
-        F.slice(w, 1, 2).alias("head2"),
-        F.size(F.flatten(F.array(w, nw))).alias("n_all"),
-        F.array_join(F.reverse(F.array_sort(w)), "|").alias(
-            "rev_sorted_csv"
-        ),
-    )
-
-
-_Q17_SQL = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
-           AS avg_yearly
-FROM lineitem l
-WHERE l.l_quantity < (
-    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                  / COUNT(*))
-    FROM lineitem l2
-    WHERE l2.l_partkey = l.l_partkey
-)
-"""
-
-
-@register(
-    "correlated_subquery_surface",
-    _Q17_SQL,
-    survey_ids="§2.5-correlated",
-    doc="Correlated scalar subquery (TPC-H Q17 shape): lineitems whose "
-    "quantity is below 20% of their part's average. Catalyst "
-    "DECORRELATES the per-row subquery into one per-part aggregate + "
-    "one equi-join — the plan a hand-writer would build, from the "
-    "declarative form (never a per-row re-scan). Exact-decimal average "
-    "finalized to double keeps the threshold compare engine-identical. "
-    "Entered through spark.sql to exercise the SQL front door the "
-    "DataFrame queries bypass.",
-)
-def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q17_SQL)
-
-
-def _pq_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.similarity import pq_adc_oracle_sql
-
-    return pq_adc_oracle_sql(
-        k=10, n_subspaces=8, n_codes=16, n_candidates=64, dim=64, query_id=0
-    )
-
-
-@register(
-    "knn_pq_adc",
-    _pq_oracle(),
-    survey_ids="datapipe:similarity-pq",
-    doc="Product-quantized ANN (Jégou et al. 2011): 8 subspaces × 16 "
-    "codes from the deterministic seed codebooks → each vector stored "
-    "as 8 one-byte codes (32× smaller than the float32 vectors); the "
-    "candidate scan is asymmetric-distance computation — a broadcast "
-    "8×16 distance table + codegen element_at chain over the code "
-    "table, vectors untouched — top-64 by (adc, id) via "
-    "TakeOrderedAndProject, exact-cosine re-rank of only those rows. "
-    "Left-associated IEEE sums pinned on both engines → full hash "
-    "match. Recall@10 = 0.7 vs exact at sf0.01 (gated in tests). At "
-    "100 TB the code table is the only full scan; compose with the IVF "
-    "partition layout to prune even that.",
-)
-def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.similarity import pq_adc_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return pq_adc_topk(
-        emb,
-        "embedding",
-        "vec_id",
-        qv,
-        k=10,
-        n_subspaces=8,
-        n_codes=16,
-        n_candidates=64,
-        exclude_id=0,
-    ).select("nbr_id")
-
-
-def _ivfpq_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.similarity import ivfpq_oracle_sql
-
-    return ivfpq_oracle_sql(
-        k=10,
-        n_clusters=16,
-        nprobe=6,
-        n_subspaces=8,
-        n_codes=16,
-        n_candidates=64,
-        dim=64,
-        query_id=0,
-    )
-
-
-@register(
-    "knn_ivfpq",
-    _ivfpq_oracle(),
-    survey_ids="datapipe:similarity-ivfpq",
-    doc="IVFADC (Jégou et al. 2011 §V — the FAISS IVF-PQ structure): "
-    "coarse seed quantizer prunes to nprobe=6 of 16 clusters, PQ-ADC "
-    "scores only those clusters' 8-byte code rows against a broadcast "
-    "8×16 distance table, exact-cosine re-rank of the top-64. The "
-    "three-tier 100 TB cost model: nprobe/n_clusters of the corpus × "
-    "1/32 of the bytes × C full rows. One hash-ordered seed sample "
-    "serves both quantizers (normalized for the cosine coarse role, "
-    "raw slices for the L2 codebook role) → the full structure replays "
-    "in the DuckDB oracle with zero stored model state.",
-)
-def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.similarity import ivfpq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return ivfpq_topk(
-        emb,
-        "embedding",
-        "vec_id",
-        qv,
-        k=10,
-        n_clusters=16,
-        nprobe=6,
-        n_subspaces=8,
-        n_codes=16,
-        n_candidates=64,
-        exclude_id=0,
-    ).select("nbr_id")
-
-
-_SCD2_SQL = """
-    WITH obs AS (
-        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-               row_number() OVER w AS rn,
-               lag(o_orderpriority) OVER w AS prev
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ),
-    chg AS (
-        SELECT * FROM obs
-        WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
-    )
-    SELECT o_custkey, o_orderpriority,
-           o_orderdate AS valid_from,
-           lead(o_orderdate) OVER w2 AS valid_to,
-           (lead(o_orderdate) OVER w2 IS NULL) AS is_current
-    FROM chg
-    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-"""
-
-
-@register(
-    "scd2_dim_history",
-    _SCD2_SQL,
-    survey_ids="§2.6-scd2,M1-history",
-    doc="Slowly-changing-dimension Type 2 build: the orders log as an "
-    "attribute-observation stream per customer, collapsed into minimal "
-    "half-open [valid_from, valid_to) intervals with is_current — the "
-    "history the reference's current-state-only dim syncs throw away, "
-    "and the build side of time-travel dimension joins (asof_join is "
-    "the probe side). Change-point lag + interval-stitch lead share "
-    "ONE key shuffle; incremental maintenance (operators/scd.py "
-    "scd2_apply) touches only affected keys, property-tested "
-    "equivalent to the batch rebuild.",
-)
-def q_scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.scd import scd2_compact
-
-    orders = load_table(spark, sf_dir, "orders")
-    return scd2_compact(
-        orders,
-        ["o_custkey"],
-        ["o_orderpriority"],
-        "o_orderdate",
-        ["o_orderkey"],
-    )
-
-
-_DRIFT_SQL = """
-    WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
-    b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
-    x AS (
-        SELECT least(CAST(floor(value / 25.0) AS BIGINT), 19) AS bin,
-               (ms < (lo + hi) // 2) AS is_ref
-        FROM e, b
-    ),
-    pb AS (
-        SELECT bin,
-               COUNT(*) FILTER (WHERE is_ref) AS n_ref,
-               COUNT(*) FILTER (WHERE NOT is_ref) AS n_cur
-        FROM x GROUP BY bin
-    ),
-    t AS (
-        SELECT pb.*,
-               SUM(n_ref) OVER () AS nr,
-               SUM(n_cur) OVER () AS nc,
-               SUM(abs(n_ref * (SELECT SUM(n_cur) FROM pb)
-                       - n_cur * (SELECT SUM(n_ref) FROM pb))) OVER () AS tvd_num
-        FROM pb
-    )
-    SELECT bin, n_ref, n_cur,
-           CAST(n_ref AS DOUBLE) / nr AS p_ref,
-           CAST(n_cur AS DOUBLE) / nc AS p_cur,
-           abs(CAST(n_ref AS DOUBLE) / nr - CAST(n_cur AS DOUBLE) / nc) AS tv_term,
-           ((CAST(n_ref AS DOUBLE) / nr - CAST(n_cur AS DOUBLE) / nc)
-            * (CAST(n_ref AS DOUBLE) / nr - CAST(n_cur AS DOUBLE) / nc))
-           / (CAST(n_ref AS DOUBLE) / nr + CAST(n_cur AS DOUBLE) / nc) AS chi2_term,
-           CAST(tvd_num AS DOUBLE) / (2.0 * nr * nc) AS tvd_exact
-    FROM t
-"""
-
-
-@register(
-    "drift_distribution_report",
-    _DRIFT_SQL,
-    survey_ids="§5-monitoring,datapipe:drift",
-    doc="Distribution-drift report between the stream's earlier and "
-    "later halves (the train/serve skew check a production pipeline "
-    "runs per ingest): fixed-width value bins, per-bin proportions, "
-    "per-bin TV and symmetric-χ² terms, and an EXACT corpus-level "
-    "total-variation distance — the summand is pure int64 arithmetic "
-    "(|n_ref·N_cur − n_cur·N_ref|, order-free exact sums) with ONE "
-    "final double division, so it hash-matches across engines where a "
-    "float Σ or an ln-based PSI could not (libm ulp drift). Plan: one "
-    "bounds agg (broadcast 1 row), one map-side-combining groupBy on "
-    "≤20 bins, windows over the 20-row aggregate — never the raw data.",
-)
-def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events").select(
-        F.unix_millis("ts").alias("ms"), "value"
-    )
-    bounds = ev.agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
-    binned = ev.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(F.col("value") / F.lit(25.0)).cast("long"),
-            F.lit(19).cast("long"),
-        ).alias("bin"),
-        (F.col("ms") < F.expr("(lo + hi) div 2")).alias("is_ref"),
-    )
-    pb = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
-        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
-    )
-    # windows over the ≤20-row bin aggregate (bounded by construction —
-    # the single-partition window never sees the raw events)
-    w = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    staged = pb.select(
-        "bin",
-        "n_ref",
-        "n_cur",
-        F.sum("n_ref").over(w).alias("nr"),
-        F.sum("n_cur").over(w).alias("nc"),
-    ).select(
-        "*",
-        F.sum(
-            F.abs(F.col("n_ref") * F.col("nc") - F.col("n_cur") * F.col("nr"))
-        )
-        .over(w)
-        .alias("tvd_num"),
-    )
-    p_ref = F.col("n_ref").cast("double") / F.col("nr")
-    p_cur = F.col("n_cur").cast("double") / F.col("nc")
-    return staged.select(
-        "bin",
-        "n_ref",
-        "n_cur",
-        p_ref.alias("p_ref"),
-        p_cur.alias("p_cur"),
-        F.abs(p_ref - p_cur).alias("tv_term"),
-        ((p_ref - p_cur) * (p_ref - p_cur) / (p_ref + p_cur)).alias("chi2_term"),
-        (
-            F.col("tvd_num").cast("double")
-            / (F.lit(2.0) * F.col("nr") * F.col("nc"))
-        ).alias("tvd_exact"),
-    )
-
-
-def _bpe_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.textstats import (
-        bpe_merge_pairs_oracle_sql,
-    )
-
-    return bpe_merge_pairs_oracle_sql("documents", "doc_id", "text", k=20)
-
-
-@register(
-    "bpe_merge_pairs",
-    _bpe_oracle(),
-    survey_ids="datapipe:tokenizer-bpe",
-    doc="One BPE merge-candidate iteration (Sennrich et al. 2016 §3.2): "
-    "top-20 adjacent symbol pairs weighted by word frequency. The "
-    "scale move is vocab-first reduction: corpus → (word, freq) via "
-    "one map-side-combining groupBy, THEN explode each distinct word "
-    "into its |w|−1 pairs — pair counting is O(vocab·len), independent "
-    "of corpus repetition; the naive per-token form explodes 100 TB. "
-    "Full BPE training iterates this query over the re-segmented "
-    "vocab. Deterministic (count desc, pair) cut, "
-    "TakeOrderedAndProject.",
-)
-def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.textstats import bpe_merge_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bpe_merge_pairs(docs, "doc_id", "text", k=20)
-
-
-_RECON_SQL = """
-    WITH li AS (
-        SELECT l_orderkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS li_value,
-               COUNT(*) AS n_lines
-        FROM lineitem
-        WHERE l_shipdate < TIMESTAMP '1997-01-01'
-        GROUP BY l_orderkey
-    ),
-    o AS (
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_total
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1993-01-01'
-    ),
-    rec AS (
-        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only'
-                    WHEN li.l_orderkey IS NULL THEN 'order_only'
-                    ELSE 'both' END AS status,
-               o.o_total, li.li_value, li.n_lines
-        FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
-    )
-    SELECT status,
-           COUNT(*) AS n_orders,
-           CAST(COALESCE(SUM(o_total), 0) AS DOUBLE) AS sum_order_total,
-           CAST(COALESCE(SUM(li_value), 0) AS DOUBLE) AS sum_lineitem_value,
-           CAST(COALESCE(SUM(n_lines), 0) AS BIGINT) AS n_lineitems
-    FROM rec GROUP BY status
-"""
-
-
-@register(
-    "full_outer_reconciliation",
-    _RECON_SQL,
-    survey_ids="§2.5-full-outer,§5-verification",
-    doc="Fact-vs-rollup reconciliation: shipped-lineitem value per "
-    "order FULL OUTER JOIN recent orders, classified both / "
-    "order_only / lineitem_only with exact-decimal value totals — the "
-    "cross-system audit every sync pipeline runs (the reference's "
-    "manual COUNT checks, docs/setup.md:93-101, generalized to an "
-    "outer reconciliation). Scale: big-big full outer CANNOT "
-    "broadcast — the plan must be a shuffled sort-merge join on the "
-    "key (plan-gated), then the classification aggregate is map-side "
-    "combining on 3 statuses.",
-)
-def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        .groupBy("l_orderkey")
-        .agg(
-            _dec(F.sum(_dec("l_extendedprice", "decimal(18,2)")), "decimal(18,2)").alias(
-                "li_value"
-            ),
-            F.count("*").alias("n_lines"),
-        )
-    )
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("1993-01-01").cast("timestamp"))
-        .select(
-            "o_orderkey", _dec("o_totalprice", "decimal(18,2)").alias("o_total")
-        )
-    )
-    rec = o.join(
-        li, o["o_orderkey"] == li["l_orderkey"], "full_outer"
-    ).select(
-        F.when(F.col("o_orderkey").isNull(), F.lit("lineitem_only"))
-        .when(F.col("l_orderkey").isNull(), F.lit("order_only"))
-        .otherwise(F.lit("both"))
-        .alias("status"),
-        "o_total",
-        "li_value",
-        "n_lines",
-    )
-    return rec.groupBy("status").agg(
-        F.count("*").alias("n_orders"),
-        F.coalesce(F.sum("o_total"), F.lit(0))
-        .cast("double")
-        .alias("sum_order_total"),
-        F.coalesce(F.sum("li_value"), F.lit(0))
-        .cast("double")
-        .alias("sum_lineitem_value"),
-        F.coalesce(F.sum("n_lines"), F.lit(0))
-        .cast("bigint")
-        .alias("n_lineitems"),
-    )
-
-
-_NULLS_ORDER_SQL = """
-    WITH o AS (
-        SELECT o_custkey, o_orderkey,
-               NULLIF(o_orderstatus, 'O') AS st
-        FROM orders WHERE o_custkey < 200
-    )
-    SELECT DISTINCT o_custkey,
-           first_value(st) OVER (
-               PARTITION BY o_custkey
-               ORDER BY st ASC NULLS LAST, o_orderkey
-           ) AS first_status_nulls_last,
-           first_value(st) OVER (
-               PARTITION BY o_custkey
-               ORDER BY st DESC NULLS FIRST, o_orderkey
-           ) AS first_status_nulls_first,
-           COUNT(CASE WHEN st IS NULL THEN 1 END) OVER (
-               PARTITION BY o_custkey
-           ) AS n_null_status
-    FROM o
-"""
-
-
-@register(
-    "nulls_ordering_surface",
-    _NULLS_ORDER_SQL,
-    survey_ids="§2.7-null-ordering",
-    doc="Explicit NULLS FIRST/LAST window ordering — pinned on BOTH "
-    "engines because the defaults diverge (Spark ASC puts nulls "
-    "first, DuckDB ASC puts them last): an implicit ORDER BY over a "
-    "nullable key silently reorders between engines; this surface "
-    "locks the explicit forms via the hash match. All three windows "
-    "share one key shuffle.",
-)
-def q_nulls_ordering_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 200)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
-        )
-    )
-    w_last = Window.partitionBy("o_custkey").orderBy(
-        F.col("st").asc_nulls_last(), F.col("o_orderkey")
-    )
-    w_first = Window.partitionBy("o_custkey").orderBy(
-        F.col("st").desc_nulls_first(), F.col("o_orderkey")
-    )
-    w_all = Window.partitionBy("o_custkey")
-    return o.select(
-        "o_custkey",
-        F.first("st").over(w_last).alias("first_status_nulls_last"),
-        F.first("st").over(w_first).alias("first_status_nulls_first"),
-        F.count(F.when(F.col("st").isNull(), F.lit(1))).over(w_all).alias(
-            "n_null_status"
-        ),
-    ).dropDuplicates()
-
-
-_MOVING_7D_SQL = """
-    WITH e AS (
-        SELECT user_id, epoch_ms(ts) AS ms,
-               CAST(value AS DECIMAL(18,2)) AS v
-        FROM events WHERE user_id < 100
-    )
-    SELECT user_id, ms,
-           CAST(SUM(v) OVER w AS DOUBLE) AS sum_7d,
-           COUNT(*) OVER w AS n_7d
-    FROM e
-    WINDOW w AS (
-        PARTITION BY user_id ORDER BY ms
-        RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
-    )
-"""
-
-
-@register(
-    "moving_window_7d",
-    _MOVING_7D_SQL,
-    survey_ids="§2.7-range-frame",
-    doc="Trailing 7-day moving aggregate per user — a RANGE frame over "
-    "event-time milliseconds (every event sees the true trailing "
-    "window, not a row count): the time-series form ROWS frames "
-    "cannot express when events are irregular. Epoch-ms as the frame "
-    "unit keeps the boundary arithmetic integer-exact on both "
-    "engines; decimal value sums finalize to double once. One key "
-    "shuffle; the frame scan is a per-partition sliding pointer, "
-    "never a self-join.",
-)
-def q_moving_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 100)
-        .select(
-            "user_id",
-            F.unix_millis("ts").alias("ms"),
-            _dec("value", "decimal(18,2)").alias("v"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ms")
-        .rangeBetween(-604800000, Window.currentRow)
-    )
-    return e.select(
-        "user_id",
-        "ms",
-        F.sum("v").over(w).cast("double").alias("sum_7d"),
-        F.count("*").over(w).alias("n_7d"),
-    )
-
-
-_COHORT_SQL = """
-    WITH e AS (
-        SELECT user_id,
-               epoch_ms(ts) // 604800000 AS wk,
-               min(epoch_ms(ts) // 604800000)
-                   OVER (PARTITION BY user_id) AS cohort_wk
-        FROM events
-    ),
-    r AS (
-        SELECT cohort_wk, wk - cohort_wk AS week_offset,
-               COUNT(DISTINCT user_id) AS n_active
-        FROM e GROUP BY 1, 2
-    ),
-    c AS (SELECT cohort_wk, n_active AS cohort_size FROM r WHERE week_offset = 0)
-    SELECT r.cohort_wk, r.week_offset, r.n_active, c.cohort_size,
-           CAST(r.n_active AS DOUBLE) / c.cohort_size AS retention
-    FROM r JOIN c ON c.cohort_wk = r.cohort_wk
-"""
-
-
-@register(
-    "cohort_retention",
-    _COHORT_SQL,
-    survey_ids="§2.6-cohort",
-    doc="Weekly cohort-retention matrix: users cohorted by first-seen "
-    "week, per-offset distinct-active counts and retention rate. The "
-    "first-seen week comes from a WINDOW MIN sharing the user-key "
-    "shuffle with the event rows — never a self-join of events to its "
-    "own firsts (the naive form doubles the biggest table's shuffle). "
-    "Week arithmetic is integer epoch-ms division (engine-exact); the "
-    "rate is one double division of exact counts. The offset=0 join "
-    "back is |cohorts| rows — broadcast. At 100 TB COUNT(DISTINCT "
-    "user) per cell would swap to approx_count_distinct exactly as "
-    "agg_approx_stats demonstrates.",
-)
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    # integer epoch-ms floor-division (`div`, not `/`+cast — rounding
-    # differs); DuckDB's // floor-divides the same way on positives
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("unix_millis(ts) div 604800000").alias("wk")
-    )
-    w = Window.partitionBy("user_id")
-    e = e.withColumn("cohort_wk", F.min("wk").over(w))
-    r = (
-        e.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    c = r.filter(F.col("week_offset") == 0).select(
-        "cohort_wk", F.col("n_active").alias("cohort_size")
-    )
-    return r.join(F.broadcast(c), "cohort_wk").select(
-        "cohort_wk",
-        "week_offset",
-        "n_active",
-        "cohort_size",
-        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
-    )
-
-
-_STREAKS_SQL = """
-    WITH d AS (
-        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
-        FROM events WHERE user_id < 300
-    ),
-    g AS (
-        SELECT user_id, day,
-               day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
-        FROM d
-    ),
-    s AS (
-        SELECT user_id, grp, COUNT(*) AS streak_days
-        FROM g GROUP BY user_id, grp
-    )
-    SELECT user_id,
-           MAX(streak_days) AS longest_streak_days,
-           COUNT(*) AS n_streaks,
-           CAST(SUM(streak_days) AS BIGINT) AS total_active_days
-    FROM s GROUP BY user_id
-"""
-
-
-@register(
-    "activity_streaks",
-    _STREAKS_SQL,
-    survey_ids="§2.7-gaps-islands",
-    doc="Gaps-and-islands consecutive-day streaks per user (the "
-    "engagement metric behind 'N-day streak' features): distinct "
-    "active days → island id via the day − dense_rank constant-offset "
-    "trick → per-island lengths → per-user longest/count/total. "
-    "Integer day arithmetic end-to-end. The distinct, the window, and "
-    "both groupBys all ride ONE user-key shuffle.",
-)
-def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 300)
-        .select("user_id", F.expr("unix_millis(ts) div 86400000").alias("day"))
-        .dropDuplicates()
-    )
-    w = Window.partitionBy("user_id").orderBy("day")
-    g = d.withColumn("grp", F.col("day") - F.dense_rank().over(w))
-    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak_days"))
-    return s.groupBy("user_id").agg(
-        F.max("streak_days").alias("longest_streak_days"),
-        F.count("*").alias("n_streaks"),
-        F.sum("streak_days").cast("bigint").alias("total_active_days"),
-    )
-
-
-_IQR_SQL = """
-    WITH q AS (
-        SELECT event_type,
-               ROUND(quantile_cont(value, 0.25), 4) AS q1,
-               ROUND(quantile_cont(value, 0.75), 4) AS q3
-        FROM events GROUP BY event_type
-    ),
-    f AS (
-        SELECT event_type,
-               (q1 - (1.5 * (q3 - q1))) AS lo_fence,
-               (q3 + (1.5 * (q3 - q1))) AS hi_fence
-        FROM q
-    )
-    SELECT e.event_type,
-           COUNT(*) AS n_events,
-           COUNT(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
-                      THEN 1 END) AS n_outliers,
-           CAST(COUNT(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
-                           THEN 1 END) AS DOUBLE) / COUNT(*) AS outlier_rate,
-           f.lo_fence, f.hi_fence
-    FROM events e JOIN f ON f.event_type = e.event_type
-    GROUP BY e.event_type, f.lo_fence, f.hi_fence
-"""
-
-
-@register(
-    "outlier_iqr_flags",
-    _IQR_SQL,
-    survey_ids="datapipe:outlier-iqr",
-    doc="Tukey-fence outlier report per event type: EXACT per-group "
-    "quartiles (the distributed rank machinery of "
-    "exact_quantiles_by_type — never a single-buffer percentile), "
-    "fences q1∓1.5·IQR with a pinned expression tree over "
-    "4-decimal-rounded quartiles (fence vs data compares stay "
-    "engine-identical: data granularity 0.01 ≫ ulp), broadcast of the "
-    "|types|-row fence table back over the stream, one conditional "
-    "aggregate. The robust-statistics complement of the drift report.",
-)
-def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.quantiles import (
-        grouped_exact_quantiles,
-    )
-
-    events = load_table(spark, sf_dir, "events")
-    q = grouped_exact_quantiles(
-        events, "event_type", "value", [0.25, 0.75], out_names=["q1", "q3"]
-    ).select(
-        "event_type",
-        F.round("q1", 4).alias("q1"),
-        F.round("q3", 4).alias("q3"),
-    )
-    f = q.select(
-        "event_type",
-        (F.col("q1") - (F.lit(1.5) * (F.col("q3") - F.col("q1")))).alias(
-            "lo_fence"
-        ),
-        (F.col("q3") + (F.lit(1.5) * (F.col("q3") - F.col("q1")))).alias(
-            "hi_fence"
-        ),
-    )
-    flagged = events.join(F.broadcast(f), "event_type")
-    is_out = (F.col("value") < F.col("lo_fence")) | (
-        F.col("value") > F.col("hi_fence")
-    )
-    return flagged.groupBy("event_type", "lo_fence", "hi_fence").agg(
-        F.count("*").alias("n_events"),
-        F.count(F.when(is_out, F.lit(1))).alias("n_outliers"),
-        (
-            F.count(F.when(is_out, F.lit(1))).cast("double") / F.count("*")
-        ).alias("outlier_rate"),
-    ).select(
-        "event_type",
-        "n_events",
-        "n_outliers",
-        "outlier_rate",
-        "lo_fence",
-        "hi_fence",
-    )
-
-
-@register(
-    "knn_ivfpq_probe",
-    _ivfpq_oracle(),
-    survey_ids="datapipe:similarity-ivfpq-index",
-    doc="The persisted form of knn_ivfpq (the production IVFADC "
-    "layout): vectors partitioned by cluster_id with an 8-byte PQ-code "
-    "SIDECAR per cluster, both materialized at ingest. The probe scans "
-    "the code sidecar of nprobe partitions only (partition-pruned, "
-    "plan-gated — 1/32 the bytes of the vectors), ADC-scores against "
-    "the broadcast distance table, and fetches ONLY the top-64 "
-    "candidate vectors from the pruned base for the exact re-rank. "
-    "Same candidate set as knn_ivfpq, same DuckDB oracle.",
-)
-def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from hours_api_clickup_spark.datapipe.similarity import (
-        ivfpq_index_write,
-        ivfpq_probe_topk,
-        pq_seed_codebooks,
-        seed_centroids,
-    )
-
-    key = ("ivfpq", sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
-        cb = pq_seed_codebooks(emb, "embedding", "vec_id")
-        index_path = tempfile.mkdtemp(prefix="ivfpq_index_") + "/emb"
-        ivfpq_index_write(emb, "embedding", "vec_id", index_path, cents, cb)
-        _ANN_INDEX_CACHE[key] = (index_path, cents, cb)
-    index_path, cents, cb = _ANN_INDEX_CACHE[key]
-    qv = _query_vec(spark, sf_dir, 0)
-    return ivfpq_probe_topk(
-        spark,
-        index_path,
-        "embedding",
-        "vec_id",
-        qv,
-        cents,
-        cb,
-        k=10,
-        nprobe=6,
-        n_candidates=64,
-        exclude_id=0,
-    ).select("nbr_id")
-
-
-_BITWISE_SQL = """
-    SELECT o_orderpriority,
-           bit_and(o_orderkey) AS agg_and,
-           bit_or(o_orderkey) AS agg_or,
-           bit_xor(o_orderkey) AS agg_xor,
-           MIN((o_orderkey & 255) | 4096) AS min_masked,
-           MAX((o_orderkey % 1024) << 3) AS max_shifted,
-           CAST(SUM(xor(o_orderkey % 256, 170)) AS BIGINT) AS sum_xored
-    FROM orders
-    GROUP BY o_orderpriority
-"""
-
-
-@register(
-    "bitwise_surface",
-    _BITWISE_SQL,
-    survey_ids="§2.10-bitwise",
-    doc="Bitwise scalar + aggregate surface: bit_and/bit_or/bit_xor "
-    "aggregates, mask/shift scalars — the arithmetic behind bitmap "
-    "flags, feature hashing, and the engine's own LSH band math, all "
-    "order-free integer-exact. Dialect trap pinned by the oracle: "
-    "Spark's ^ is XOR but DuckDB's ^ is POWER — the SQL twin must use "
-    "xor(). One map-side-combining groupBy on 5 priorities.",
-)
-def q_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.bit_and("o_orderkey").alias("agg_and"),
-        F.bit_or("o_orderkey").alias("agg_or"),
-        F.bit_xor("o_orderkey").alias("agg_xor"),
-        F.min(
-            F.expr("(o_orderkey & 255) | 4096")
-        ).alias("min_masked"),
-        F.max(F.expr("shiftleft(o_orderkey % 1024, 3)")).alias("max_shifted"),
-        F.sum(F.expr("(o_orderkey % 256) ^ 170")).cast("bigint").alias("sum_xored"),
-    )
-
-
-_TREND_SQL = """
-    WITH e AS (
-        SELECT event_type,
-               epoch_ms(ts) // 86400000 AS x,
-               CAST(round(value * 100) AS BIGINT) AS y
-        FROM events
-    ),
-    s AS (
-        SELECT event_type,
-               COUNT(*) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
-        FROM e GROUP BY event_type
-    )
-    SELECT event_type, n,
-           (CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS slope_per_day,
-           ((CAST(sy AS DOUBLE) / 100.0) / n)
-           - (((CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0)
-              * (CAST(sx AS DOUBLE) / n)) AS intercept,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                  * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r
-    FROM s
-"""
-
-
-@register(
-    "linear_trend_by_type",
-    _TREND_SQL,
-    survey_ids="§2.6-regression",
-    doc="Per-type least-squares trend (value vs time) + Pearson r — "
-    "the metric-drift regression a monitoring pipeline fits per "
-    "series. The whole computation is INTEGER-EXACT sufficient "
-    "statistics: x = epoch-day, y = value in cents (both int64, so "
-    "Σx, Σy, Σxy, Σx², Σy² are order-free exact sums — the float "
-    "Σ that makes builtin regr_slope/corr un-hash-matchable never "
-    "appears), with the textbook closed forms evaluated in ONE double "
-    "division/sqrt at the end over pinned expression trees. One "
-    "map-side-combining groupBy; scale-invariant cents cancel in r.",
-)
-def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("unix_millis(ts) div 86400000").alias("x"),
-        F.round(F.col("value") * 100).cast("bigint").alias("y"),
-    )
-    s = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope = (num / den) / F.lit(100.0)
-    return s.select(
-        "event_type",
-        "n",
-        slope.alias("slope_per_day"),
-        (
-            ((F.col("sy").cast("double") / F.lit(100.0)) / F.col("n"))
-            - (slope * (F.col("sx").cast("double") / F.col("n")))
-        ).alias("intercept"),
-        (num / F.sqrt(den * deny)).alias("pearson_r"),
-    )
-
-
-_SCD2_PIT_SQL = """
-    WITH obs AS (
-        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-               row_number() OVER w AS rn,
-               lag(o_orderpriority) OVER w AS prev
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ),
-    chg AS (
-        SELECT * FROM obs
-        WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
-    ),
-    hist0 AS (
-        SELECT o_custkey, o_orderpriority,
-               o_orderdate AS valid_from,
-               lead(o_orderdate) OVER w2 AS valid_to
-        FROM chg
-        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ),
-    hist AS (
-        SELECT * FROM hist0 WHERE valid_to IS NULL OR valid_to > valid_from
-    ),
-    li AS (
-        SELECT DISTINCT l_orderkey, l_linenumber, l_shipdate
-        FROM lineitem WHERE l_orderkey % 50 = 0
-    ),
-    base AS (
-        SELECT li.*, o.o_custkey
-        FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
-    ),
-    cand AS (
-        SELECT b.l_orderkey, b.l_linenumber, b.o_custkey, b.l_shipdate,
-               h.o_orderpriority, h.valid_from,
-               row_number() OVER (
-                   PARTITION BY b.l_orderkey, b.l_linenumber, b.l_shipdate
-                   ORDER BY h.valid_from DESC
-               ) AS rn
-        FROM base b
-        LEFT JOIN hist h
-          ON h.o_custkey = b.o_custkey AND h.valid_from <= b.l_shipdate
-    )
-    SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate,
-           o_orderpriority AS priority_at_ship,
-           valid_from AS interval_start
-    FROM cand WHERE rn = 1
-"""
-
-
-@register(
-    "scd2_pit_join",
-    _SCD2_PIT_SQL,
-    survey_ids="§2.6-scd2-pit",
-    doc="Point-in-time dimension join — the consumption side of SCD2: "
-    "each (sampled) lineitem resolves the customer's prevailing "
-    "priority AT SHIP TIME from the interval history built by "
-    "scd2_dim_history. Zero-length same-instant intervals are "
-    "collapsed to the prevailing one first (valid_to > valid_from OR "
-    "current), making the as-of deterministic; the probe itself is "
-    "the union+window as-of join (ONE shuffle on the key — never the "
-    "O(n·m) interval theta-join the naive BETWEEN join plans).",
-)
-def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.scd import scd2_compact
-    from hours_api_clickup_spark.operators.timeseries import as_of_join
-
-    orders = load_table(spark, sf_dir, "orders")
-    hist = scd2_compact(
-        orders, ["o_custkey"], ["o_orderpriority"], "o_orderdate", ["o_orderkey"]
-    ).filter("valid_to IS NULL OR valid_to > valid_from")
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 50 == 0)
-        .select("l_orderkey", "l_linenumber", "l_shipdate")
-        # the synthetic lineitem repeats (orderkey, linenumber) — the
-        # probe set must be unique rows for a deterministic PIT result
-        .dropDuplicates()
-    )
-    base = li.join(
-        orders.select("o_orderkey", "o_custkey"),
-        li["l_orderkey"] == F.col("o_orderkey"),
-    ).drop("o_orderkey")
-    out = as_of_join(
-        base,
-        hist.select("o_custkey", "o_orderpriority", "valid_from"),
-        on="o_custkey",
-        left_ts="l_shipdate",
-        right_ts="valid_from",
-        right_cols=["o_orderpriority", "valid_from"],
-    )
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        "o_custkey",
-        "l_shipdate",
-        F.col("o_orderpriority").alias("priority_at_ship"),
-        F.col("valid_from").alias("interval_start"),
-    )
-
-
-_OSLO_MONTH_SQL = """
-    SELECT user_id,
-           date_trunc('month',
-               CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE)
-           ) AS month_oslo,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hours,
-           COUNT(*) AS n_entries,
-           COUNT(DISTINCT CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE))
-               AS active_days
-    FROM events
-    WHERE user_id < 100
-    GROUP BY 1, 2
-"""
-
-
-@register(
-    "oslo_monthly_rollup",
-    _OSLO_MONTH_SQL,
-    survey_ids="P6,A2-monthly",
-    doc="Calendar-month rollup in Europe/Oslo CIVIL time — the "
-    "flagship's monthly reporting form: month boundaries fall at Oslo "
-    "midnight, not UTC midnight, so rows within ±2h of a month edge "
-    "land in the month a Norwegian invoice expects (the DST-shift "
-    "cases are exactly where a UTC trunc gets it wrong). Same "
-    "session-TZ-independent timezone algebra as the flagship, one "
-    "hash shuffle, distinct-day count rides the same grouping.",
-)
-def q_oslo_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    day = oslo_date(F.col("ts"))
-    return ev.groupBy(
-        "user_id", F.trunc(day, "month").alias("month_oslo")
-    ).agg(
-        F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("hours"),
-        F.count("*").alias("n_entries"),
-        F.countDistinct(day).alias("active_days"),
-    )
-
-
-_GROUPING_SETS_SQL = """
-    SELECT o_orderpriority, o_orderstatus,
-           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
-           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                            (o_orderpriority), (o_orderstatus))
-"""
-
-
-@register(
-    "grouping_sets_surface",
-    _GROUPING_SETS_SQL,
-    survey_ids="§2.6-grouping-sets",
-    doc="Explicit GROUPING SETS (the arbitrary-subset form ROLLUP/CUBE "
-    "are sugar for) + GROUPING() markers disambiguating real NULLs "
-    "from subtotal rows. Spark expands to ONE Expand + a single "
-    "aggregation — one shuffle for all three groupings, not one pass "
-    "each. Entered through spark.sql (the DataFrame API has no "
-    "grouping-sets builder).",
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_GROUPING_SETS_SQL)
-
-
-_SLIDING_HLL_SQL = """
-    WITH d AS (
-        SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
-    ),
-    ends AS (SELECT DISTINCT day AS wend FROM d),
-    win AS (
-        SELECT e.wend, COUNT(DISTINCT d.user_id) AS exact_distinct
-        FROM ends e JOIN d ON d.day BETWEEN e.wend - 6 AND e.wend
-        GROUP BY e.wend
-    )
-    SELECT wend AS window_end_day, exact_distinct, TRUE AS sketch_within_5pct
-    FROM win
-"""
-
-
-@register(
-    "sliding_hll_distinct",
-    _SLIDING_HLL_SQL,
-    survey_ids="A5-sliding,datapipe:sketches-window",
-    doc="Sliding 7-day DISTINCT users via windowed sketch merge — the "
-    "only shape sliding distinct takes at scale (distincts don't sum: "
-    "per-day HLL sketches merge across the window via hll_union_agg "
-    "where per-day counts cannot). One shuffle builds |days| "
-    "fixed-size sketches; the window merges 7 of them per row. "
-    "Oracled through the accuracy contract (agg_approx_stats "
-    "pattern): exact windowed distinct as the value plus a "
-    "within-5%-of-exact boolean the oracle emits as literal TRUE — "
-    "sketch drift fails the hash match. The exact verification side "
-    "fans each day into the ≤7 windows it serves (bounded ×7 "
-    "row growth), never a per-window rescan.",
-)
-def q_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = (
-        load_table(spark, sf_dir, "events")
-        .select(F.expr("unix_millis(ts) div 86400000").alias("day"), "user_id")
-        .dropDuplicates()
-    )
-    sk = d.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    w = Window.orderBy("day").rangeBetween(-6, Window.currentRow)
-    est = sk.select(
-        F.col("day").alias("window_end_day"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
-    )
-    exact = (
-        d.select(
-            "user_id",
-            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
-                "window_end_day"
-            ),
-        )
-        .join(
-            d.select(F.col("day").alias("window_end_day")).dropDuplicates(),
-            "window_end_day",
-        )
-        .groupBy("window_end_day")
-        .agg(F.countDistinct("user_id").alias("exact_distinct"))
-    )
-    return exact.join(est, "window_end_day").select(
-        "window_end_day",
-        "exact_distinct",
-        (
-            F.abs(F.col("est") - F.col("exact_distinct"))
-            <= F.lit(0.05) * F.col("exact_distinct")
-        ).alias("sketch_within_5pct"),
-    )
-
-
-_ZSCORE_SQL = """
-    WITH e AS (
-        SELECT user_id, epoch_ms(ts) AS ms,
-               CAST(round(value * 100) AS BIGINT) AS y
-        FROM events WHERE user_id < 50
-    ),
-    w AS (
-        SELECT user_id, ms, y,
-               COUNT(*) OVER win AS n,
-               CAST(SUM(y) OVER win AS BIGINT) AS sy,
-               CAST(SUM(y * y) OVER win AS BIGINT) AS syy
-        FROM e
-        WINDOW win AS (
-            PARTITION BY user_id ORDER BY ms
-            RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
-        )
-    )
-    SELECT user_id, ms,
-           CAST(y AS DOUBLE) / 100.0 AS value,
-           n AS n_window,
-           CASE WHEN n * syy - sy * sy > 0 THEN
-               (CAST(n * y - sy AS DOUBLE))
-               / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
-           END AS zscore_7d
-    FROM w
-"""
-
-
-@register(
-    "moving_zscore_7d",
-    _ZSCORE_SQL,
-    survey_ids="§2.7-moving-zscore,datapipe:anomaly",
-    doc="Rolling 7-day z-score per event (the streaming-metrics anomaly "
-    "flag): trailing mean/std from INTEGER window sums (cents and "
-    "cents², order-free exact over the RANGE frame), the z closed "
-    "form algebraically rearranged to (n·y−Σy)/√(n·Σy²−(Σy)²) so "
-    "every intermediate stays int64 until ONE double division/sqrt — "
-    "cents scale cancels. Zero-variance windows yield NULL via the "
-    "positivity guard, exactly on both engines. Shares "
-    "moving_window_7d's single key shuffle shape.",
-)
-def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 50)
-        .select(
-            "user_id",
-            F.unix_millis("ts").alias("ms"),
-            F.round(F.col("value") * 100).cast("bigint").alias("y"),
-        )
-    )
-    win = (
-        Window.partitionBy("user_id")
-        .orderBy("ms")
-        .rangeBetween(-604800000, Window.currentRow)
-    )
-    w = e.select(
-        "user_id",
-        "ms",
-        "y",
-        F.count("*").over(win).alias("n"),
-        F.sum("y").over(win).cast("bigint").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
-    )
-    den_sq = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return w.select(
-        "user_id",
-        "ms",
-        (F.col("y").cast("double") / F.lit(100.0)).alias("value"),
-        F.col("n").alias("n_window"),
-        F.when(
-            den_sq > 0,
-            (F.col("n") * F.col("y") - F.col("sy")).cast("double")
-            / F.sqrt(den_sq.cast("double")),
-        ).alias("zscore_7d"),
-    )
-
-
-_WEIGHTED_Q_SQL = """
-    WITH e AS (
-        SELECT l_returnflag AS flag, l_extendedprice AS price,
-               CAST(l_quantity AS BIGINT) AS wt,
-               l_orderkey, l_linenumber
-        FROM lineitem
-    ),
-    c AS (
-        SELECT flag, price, wt,
-               CAST(SUM(wt) OVER (
-                   PARTITION BY flag
-                   ORDER BY price, l_orderkey, l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS cum,
-               CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
-        FROM e
-    )
-    SELECT flag,
-           MIN(CASE WHEN 2 * cum >= tot THEN price END) AS weighted_median,
-           MIN(CASE WHEN 10 * cum >= 9 * tot THEN price END) AS weighted_p90,
-           MIN(tot) AS total_weight
-    FROM c GROUP BY flag
-"""
-
-
-@register(
-    "weighted_quantiles",
-    _WEIGHTED_Q_SQL,
-    survey_ids="datapipe:weighted-quantiles",
-    doc="Quantity-WEIGHTED median/p90 of price per return flag — the "
-    "'median unit actually shipped' statistic unweighted quantiles "
-    "misstate. Step form: smallest price whose cumulative weight "
-    "crosses q·W, with the crossing test kept INTEGER "
-    "(2·cum ≥ tot, 10·cum ≥ 9·tot — no rational q·W float ever "
-    "materializes), cumulative weights from ONE totally-ordered "
-    "key-partitioned window, and the pick a conditional MIN aggregate "
-    "(no second window, no row_number). Price ties at the crossing "
-    "emit the identical price either way — tie-break order only "
-    "affects which equal row crosses.",
-)
-def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("price"),
-        F.col("l_quantity").cast("bigint").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
-    )
-    w_cum = (
-        Window.partitionBy("flag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("flag")
-    c = e.select(
-        "flag",
-        "price",
-        F.sum("wt").over(w_cum).cast("bigint").alias("cum"),
-        F.sum("wt").over(w_all).cast("bigint").alias("tot"),
-    )
-    return c.groupBy("flag").agg(
-        F.min(
-            F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))
-        ).alias("weighted_median"),
-        F.min(
-            F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("price"))
-        ).alias("weighted_p90"),
-        F.min("tot").alias("total_weight"),
-    )
-
-
-_BIGRAM_LIFT_SQL = """
-    WITH toks AS (
-        SELECT doc_id,
-               string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS l
-        FROM documents WHERE length(trim(text)) > 0
-    ),
-    pos AS (
-        SELECT doc_id,
-               unnest(l) AS w,
-               unnest(range(1, len(l) + 1)) AS i
-        FROM toks
-    ),
-    big AS (
-        SELECT w AS a,
-               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
-        FROM pos
-    ),
-    pair_counts AS (
-        SELECT a, b, COUNT(*) AS c_ab FROM big WHERE b IS NOT NULL GROUP BY a, b
-    ),
-    uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
-    tot AS (
-        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n1,
-               (SELECT CAST(SUM(c_ab) AS BIGINT) FROM pair_counts) AS n2
-    )
-    SELECT a, b, c_ab,
-           CAST(c_ab * n1 * n1 AS DOUBLE) / (CAST(n2 AS DOUBLE) * ua.c * ub.c)
-               AS lift
-    FROM pair_counts
-    JOIN uni ua ON ua.w = a
-    JOIN uni ub ON ub.w = b, tot
-    WHERE c_ab >= 5
-    ORDER BY lift DESC, a, b
-    LIMIT 20
-"""
-
-
-@register(
-    "bigram_lift_topk",
-    _BIGRAM_LIFT_SQL,
-    survey_ids="datapipe:collocations",
-    doc="Collocation mining: top-20 adjacent word pairs by LIFT "
-    "P(ab)/(P(a)·P(b)) with min support 5 — PMI's ranking without its "
-    "log (libm ulp drift breaks hash matches; lift ranks identically "
-    "and stays ONE double division over exact int64 products). "
-    "Adjacency from a lead window per doc (one doc-key shuffle), "
-    "counts map-side combining, unigram joins on the bounded vocab, "
-    "TakeOrderedAndProject cut.",
-)
-def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from hours_api_clickup_spark.datapipe.textstats import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("i", "w")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    big = pos.select(
-        F.col("w").alias("a"), F.lead("w").over(w_doc).alias("b")
-    ).filter(F.col("b").isNotNull())
-    pair_counts = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    uni = pos.groupBy("w").agg(F.count("*").alias("c"))
-    n1 = uni.agg(F.sum("c").cast("bigint").alias("n1"))
-    n2 = pair_counts.agg(F.sum("c_ab").cast("bigint").alias("n2"))
-    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
-    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
-    return (
-        pair_counts.filter(F.col("c_ab") >= 5)
-        .join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
-        .select(
-            "a",
-            "b",
-            "c_ab",
-            (
-                (F.col("c_ab") * F.col("n1") * F.col("n1")).cast("double")
-                / (
-                    F.col("n2").cast("double")
-                    * F.col("c_a")
-                    * F.col("c_b")
-                )
-            ).alias("lift"),
-        )
-        .orderBy(F.col("lift").desc(), "a", "b")
-        .limit(20)
-    )
-
-
-def _coreset_oracle() -> str:
-    from hours_api_clickup_spark.datapipe.similarity import KNUTH_A, M31, M32
-
-    hash_order = f"((vec_id % {M31}) * {KNUTH_A}) % {M32}, vec_id"
-    return f"""
-    WITH seeds AS (
-        SELECT row_number() OVER (ORDER BY {hash_order}) - 1 AS cid,
-               embedding::DOUBLE[] AS sv
-        FROM embeddings
-        ORDER BY {hash_order}
-        LIMIT 16
-    ),
-    assign AS (
-        SELECT vid, cid, sim FROM (
-            SELECT e.vec_id AS vid, s.cid,
-                   list_cosine_similarity(e.embedding::DOUBLE[], s.sv) AS sim,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.sv) DESC,
-                                s.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN seeds s
-        ) WHERE rn = 1
-    )
-    SELECT cid AS cluster_id, vid AS vec_id, rank FROM (
-        SELECT cid, vid,
-               CAST(row_number() OVER (
-                   PARTITION BY cid ORDER BY sim ASC, vid
-               ) AS BIGINT) AS rank
-        FROM assign
-    ) WHERE rank <= 3
-    """
-
-
-@register(
-    "coreset_diverse_sample",
-    _coreset_oracle(),
-    survey_ids="datapipe:diversity-coreset",
-    doc="Diversity coreset for training-data curation (k-center-style "
-    "coverage, scalable form): per coarse cluster, the 3 vectors "
-    "FARTHEST from their centroid — the edge-of-distribution examples "
-    "random sampling under-picks and dedup never surfaces. One GEMM "
-    "assignment pass + per-cluster bottom-k by cosine "
-    "(WindowGroupLimit: each partition forwards ≤3 rows per cluster "
-    "before the shuffle). Same deterministic seed quantizer as the "
-    "IVF family → full hash-match oracle.",
-)
-def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    from pyspark.sql import Window
-
-    from hours_api_clickup_spark.datapipe.similarity import (
-        ivf_assign,
-        seed_centroids,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
-
-    # cosine to own centroid: reuse the assignment GEMM's normalization
-    # by scoring against every centroid and keeping the assigned one
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    cm = cents
-
-    def _sim_fn(v, cid):
-        m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ cm.T
-        return pd.Series(sims[np.arange(len(cid)), cid.values.astype(int)])
-
-    # registry.py uses `from __future__ import annotations`, which
-    # stringifies hints and defeats pandas_udf inference — attach real
-    # type objects and use the call form
-    _sim_fn.__annotations__ = {
-        "v": pd.Series,
-        "cid": pd.Series,
-        "return": pd.Series,
-    }
-    _sim_to_assigned = pandas_udf(_sim_fn, "double")
-
-    assigned = ivf_assign(emb, "embedding", cents).select(
-        "vec_id",
-        "cluster_id",
-        _sim_to_assigned(F.col("embedding"), F.col("cluster_id")).alias("sim"),
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("sim").asc(), F.col("vec_id").asc()
-    )
-    return (
-        assigned.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 3)
-        .select("cluster_id", "vec_id", "rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-3 late additions: CDC-out merge, sweep-line concurrency, Markov
-# transitions, rank-based winsorization, positional phrase search.
-# ---------------------------------------------------------------------------
-
-_CDC_SQL = f"""
-    WITH w AS (
-        SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_orderdate >= TIMESTAMP '{_MERGE_WINDOW_START} 00:00:00'
-    ),
-    stg AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 5 <> 1 THEN o_totalprice * 2
-                    ELSE o_totalprice END AS o_totalprice
-        FROM w WHERE o_orderkey % 3 <> 0
-        UNION ALL
-        SELECT o_orderkey + 100000000, o_totalprice FROM w
-        WHERE o_orderkey % 7 = 0
-    ),
-    diff AS (
-        SELECT COALESCE(f.o_orderkey, s.o_orderkey) AS o_orderkey,
-               CASE WHEN f.o_orderkey IS NULL THEN 'inserted'
-                    WHEN s.o_orderkey IS NULL THEN 'deleted'
-                    WHEN f.o_totalprice <> s.o_totalprice THEN 'updated'
-               END AS change
-        FROM w f FULL OUTER JOIN stg s ON f.o_orderkey = s.o_orderkey
-    )
-    SELECT o_orderkey, change FROM diff WHERE change IS NOT NULL
-"""
-
-
-@register(
-    "merge_cdc_changelog",
-    _CDC_SQL,
-    survey_ids="M1-cdc,§2.12-changelog",
-    doc="CDC-out merge: the windowed refresh's inserted/updated/deleted "
-    "changelog (operators/merge.py merge_refresh_with_changelog) — the "
-    "event stream a downstream cache/index/webhook consumer needs. "
-    "Staging exercises all four classes: ×2-price updates, %5==1 "
-    "unchanged (emit nothing), %3==0 window deletes, +1e8-key inserts. "
-    "Scale: both diff sides are the WINDOW slices (partition-pruned at "
-    "100 TB), full-outer on the key both are hash-partitioned by; "
-    "history outside W is never scanned. Spark classifies via a row "
-    "hash over non-key columns; the oracle compares values directly — "
-    "same classes by construction.",
-)
-def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.operators.merge import (
-        merge_refresh_with_changelog,
-    )
-
-    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
-    w_pred = F.col("o_orderdate") >= F.lit(_MERGE_WINDOW_START).cast("timestamp")
-    w_orders = orders.filter(w_pred)
-    upd = w_orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_orderkey") % 5 != 1, F.col("o_totalprice") * 2
-        ).otherwise(F.col("o_totalprice")),
-    )
-    ins = w_orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
-    )
-    staging = upd.unionByName(ins)
-    _, changes = merge_refresh_with_changelog(
-        orders, staging, w_pred, key="o_orderkey"
-    )
-    return changes
-
-
-_CONCURRENCY_SQL = """
-    WITH iv AS (
-        SELECT event_id, event_type, epoch_ms(ts) AS s,
-               epoch_ms(ts) + CAST(FLOOR(value * 60000) AS BIGINT) AS e
-        FROM events
-        WHERE value IS NOT NULL AND FLOOR(value * 60000) > 0
-    ),
-    pts AS (
-        SELECT event_type, s AS pt, 1 AS delta, event_id FROM iv
-        UNION ALL
-        SELECT event_type, e AS pt, -1 AS delta, event_id FROM iv
-    ),
-    run AS (
-        SELECT event_type,
-               CAST(SUM(delta) OVER (
-                   PARTITION BY event_type
-                   ORDER BY pt, delta, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS c
-        FROM pts
-    )
-    SELECT r.event_type,
-           MAX(r.c) AS max_concurrency,
-           MIN(n.n_intervals) AS n_intervals
-    FROM run r
-    JOIN (SELECT event_type, COUNT(*) AS n_intervals FROM iv GROUP BY event_type) n
-      ON r.event_type = n.event_type
-    GROUP BY r.event_type
-"""
-
-
-@register(
-    "interval_overlap_concurrency",
-    _CONCURRENCY_SQL,
-    survey_ids="datapipe:sweep-line,§2.7-interval",
-    doc="Peak concurrent intervals per event type (capacity planning / "
-    "overlap audit): each event opens a [ts, ts+value-minutes) interval "
-    "(closed-open: at a tie the −1 end sorts before the +1 start), "
-    "sweep-line ±1 deltas, running sum, MAX. The prefix sum is the "
-    "two-phase distributed form (packing.global_prefix_offsets) over a "
-    "(type, pt, delta, id) range key — NOT a per-type single-partition "
-    "window: per-type deltas telescope to zero, so the concatenated "
-    "global running sum IS each type's concurrency, and the sweep "
-    "scales by ms-range, immune to one type dominating. Integer "
-    "endpoints via FLOOR (exact IEEE) keep both engines bit-identical.",
-)
-def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.datapipe.packing import global_prefix_offsets
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.unix_millis("ts").alias("s"),
-        (
-            F.unix_millis("ts")
-            + F.floor(F.col("value") * 60000).cast("bigint")
-        ).alias("e"),
-        "value",
-    )
-    iv = ev.filter(
-        F.col("value").isNotNull() & (F.floor(F.col("value") * 60000) > 0)
-    )
-    pts = iv.select(
-        "event_type", F.col("s").alias("pt"), F.lit(1).alias("delta"), "event_id"
-    ).unionByName(
-        iv.select(
-            "event_type",
-            F.col("e").alias("pt"),
-            F.lit(-1).alias("delta"),
-            "event_id",
-        )
-    )
-    keyed = pts.withColumn(
-        "__k", F.struct("event_type", "pt", "delta", "event_id")
-    )
-    run = global_prefix_offsets(keyed, "__k", "delta")
-    n_per_type = iv.groupBy("event_type").agg(
-        F.count("*").alias("n_intervals")
-    )
-    return (
-        run.groupBy("event_type")
-        .agg(F.max("end_offset").cast("bigint").alias("max_concurrency"))
-        .join(F.broadcast(n_per_type), "event_type")
-        .select("event_type", "max_concurrency", "n_intervals")
-    )
-
-
-_TRANSITION_SQL = """
-    WITH seq AS (
-        SELECT user_id, event_type,
-               LAG(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-               ) AS prev_type
-        FROM events
-    ),
-    pairs AS (
-        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pairs
-        FROM seq WHERE prev_type IS NOT NULL
-        GROUP BY prev_type, event_type
-    )
-    SELECT prev_type, next_type, n_pairs,
-           CAST(n_pairs AS DOUBLE)
-               / CAST(SUM(n_pairs) OVER (PARTITION BY prev_type) AS DOUBLE)
-               AS p_transition
-    FROM pairs
-"""
-
-
-@register(
-    "event_transition_matrix",
-    _TRANSITION_SQL,
-    survey_ids="datapipe:markov,§2.7-lag",
-    doc="First-order Markov transition matrix over per-user event "
-    "sequences (the behavioral-model / next-event-prediction feed): "
-    "lag over (ts, event_id) within user — ONE hash shuffle on "
-    "user_id — then a map-side-combining groupBy on (prev, next) whose "
-    "result is |types|² rows; the row-probability normalization windows "
-    "over that tiny aggregate, never the raw events. p = one double "
-    "division of two exact int64 counts → IEEE-identical across "
-    "engines.",
-)
-def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count("*").alias("n_pairs"))
-    )
-    w_row = Window.partitionBy("prev_type")
-    return pairs.select(
-        "prev_type",
-        "next_type",
-        "n_pairs",
-        (
-            F.col("n_pairs").cast("double")
-            / F.sum("n_pairs").over(w_row).cast("double")
-        ).alias("p_transition"),
-    )
-
-
-_WINSORIZE_SQL = """
-    WITH c AS (
-        SELECT l_returnflag AS flag,
-               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-        FROM lineitem
-    ),
-    ranked AS (
-        SELECT flag, cents,
-               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS r,
-               COUNT(*) OVER (PARTITION BY flag) AS n
-        FROM c
-    ),
-    cuts AS (
-        SELECT flag,
-               MIN(CASE WHEN r = (n + 19) // 20 THEN cents END) AS lo,
-               MIN(CASE WHEN r = (19 * n + 19) // 20 THEN cents END) AS hi,
-               MIN(n) AS n
-        FROM ranked GROUP BY flag
-    )
-    SELECT c.flag,
-           MIN(k.n) AS n_rows,
-           CAST(MIN(k.lo) AS DOUBLE) / 100.0 AS p05_cut,
-           CAST(MIN(k.hi) AS DOUBLE) / 100.0 AS p95_cut,
-           CAST(SUM(LEAST(GREATEST(c.cents, k.lo), k.hi)) AS DOUBLE) / 100.0
-               AS winsorized_sum,
-           CAST(SUM(LEAST(GREATEST(c.cents, k.lo), k.hi)) AS DOUBLE)
-               / (100.0 * MIN(k.n)) AS winsorized_mean
-    FROM c JOIN cuts k ON c.flag = k.flag
-    GROUP BY c.flag
-"""
-
-
-@register(
-    "winsorized_stats",
-    _WINSORIZE_SQL,
-    survey_ids="datapipe:winsorize,A2-robust",
-    doc="Rank-based winsorized sum/mean per group (the robust-metrics "
-    "variant of the revenue rollup: clamp to the nearest-rank p05/p95 "
-    "order statistics, so one fat-finger price can't move the mean). "
-    "Nearest-rank — ceil(n/20) via integer (n+19)//20, NO float "
-    "interpolation — keeps every intermediate int64-exact; cents sums "
-    "are order-free exact with ONE double division at the end. Plan: "
-    "ranking rides one hash shuffle on the group key; cutoffs are a "
-    "3-row broadcast joined back. A single giant group degenerates to "
-    "one partition — operators/quantiles.py's range-partitioned global "
-    "rank is the drop-in for that regime.",
-)
-def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    # floor(x*100 + 0.5), not F.round: Spark rounds the decimal string
-    # repr, DuckDB the binary value — they diverge at .xx5; floor is
-    # exact IEEE on both.
-    c = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("bigint")
-        .alias("cents"),
-    )
-    w_rank = Window.partitionBy("flag").orderBy("cents")
-    w_all = Window.partitionBy("flag")
-    ranked = c.select(
-        "flag",
-        "cents",
-        F.row_number().over(w_rank).alias("r"),
-        F.count("*").over(w_all).alias("n"),
-    )
-    cuts = ranked.groupBy("flag").agg(
-        F.min(
-            F.when(F.col("r") == F.expr("(n + 19) div 20"), F.col("cents"))
-        ).alias("lo"),
-        F.min(
-            F.when(
-                F.col("r") == F.expr("(19 * n + 19) div 20"), F.col("cents")
-            )
-        ).alias("hi"),
-        F.min("n").alias("n"),
-    )
-    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
-    return (
-        c.join(F.broadcast(cuts), "flag")
-        .groupBy("flag")
-        .agg(
-            F.min("n").alias("n_rows"),
-            (F.min("lo").cast("double") / F.lit(100.0)).alias("p05_cut"),
-            (F.min("hi").cast("double") / F.lit(100.0)).alias("p95_cut"),
-            (F.sum(clamped).cast("double") / F.lit(100.0)).alias(
-                "winsorized_sum"
-            ),
-            (
-                F.sum(clamped).cast("double")
-                / (F.lit(100.0) * F.min("n").cast("double"))
-            ).alias("winsorized_mean"),
-        )
-    )
-
-
-_PHRASE_SQL = """
-    WITH t AS (
-        SELECT doc_id,
-               string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks
-        FROM documents
-    ),
-    hits AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) >= 2 THEN CAST(len(list_filter(
-                   range(1, len(toks)),
-                   i -> toks[i] = 'table' AND toks[i + 1] = 'scan'
-               )) AS BIGINT) ELSE 0 END AS n_hits
-        FROM t
-    )
-    SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
-    ORDER BY n_hits DESC, doc_id LIMIT 10
-"""
-
-
-@register(
-    "phrase_search_topk",
-    _PHRASE_SQL,
-    survey_ids="datapipe:phrase-search",
-    doc='Positional phrase search ("table scan", adjacency-exact) — the '
-    "retrieval mode tf scoring (text_search_topk) cannot express. "
-    "Occurrences counted INSIDE the row with a higher-order array "
-    "filter over token positions: pure projection, zero shuffles, no "
-    "posexplode → no token-level self-join shuffle at any scale; top-k "
-    "is TakeOrderedAndProject. 1-indexed element_at matches DuckDB "
-    "list indexing exactly.",
-)
-def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # tokenize ONCE, then compare the array against itself shifted by
-    # one (zip_with over two slices). The per-index element_at form
-    # re-evaluated the split per lookup — higher-order lambdas are
-    # interpreted, not codegen'd, so no CSE saved it (measured 4.2 s →
-    # 0.5 s at sf0.1). A regexp_count with lookarounds is faster still
-    # but undercounts self-adjacent phrases ("scan scan scan") under
-    # non-overlapping matching — rejected.
-    t = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+").alias("toks"),
-    )
-    n = F.expr(
-        "size(filter(zip_with(slice(toks, 1, size(toks) - 1),"
-        " slice(toks, 2, size(toks) - 1),"
-        " (a, b) -> a = 'table' AND b = 'scan'), x -> x))"
-    )
-    hits = t.select(
-        "doc_id",
-        F.when(F.size("toks") >= 2, n)
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("n_hits"),
-    )
-    return (
-        hits.filter(F.col("n_hits") > 0)
-        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
-        .limit(10)
-    )
-
-
-_TEXT_INDEX_SQL_TERMS = """
-    WITH t AS (
-        SELECT doc_id,
-               string_split_regex(lower(trim(text)), '[^a-z0-9]+') AS toks
-        FROM documents
-    ),
-    s AS (
-        SELECT doc_id,
-               CAST(len(list_filter(toks, x -> x = 'merge'))
-                  + len(list_filter(toks, x -> x = 'vector')) AS BIGINT)
-                   AS score
-        FROM t
-    )
-    SELECT doc_id, score FROM s WHERE score > 0
-    ORDER BY score DESC, doc_id LIMIT 10
-"""
-
-
-@register(
-    "text_index_term_probe",
-    _TEXT_INDEX_SQL_TERMS,
-    survey_ids="datapipe:text-index",
-    doc="Persisted inverted-index retrieval (tf-sum over query terms "
-    "'merge'+'vector'): postings materialized once at ingest, bucketed "
-    "by pmod(xxhash64(token), 64) and token-sorted within buckets; the "
-    "probe enumerates the terms' buckets and reads ONLY those "
-    "partitions (plan-gated PartitionFilters) with the token IN-list "
-    "pushed to row groups — cost scales with the queried terms' "
-    "postings, never the corpus. Oracle recomputes from the raw text, "
-    "so the hash match proves index build + probe ≡ scan.",
-)
-def q_text_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from hours_api_clickup_spark.datapipe.textindex import (
-        index_term_topk,
-        inverted_index_read,
-        inverted_index_write,
-    )
-
-    key = ("textidx", sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        index_path = tempfile.mkdtemp(prefix="text_index_") + "/docs"
-        inverted_index_write(docs, "text", "doc_id", index_path)
-        _ANN_INDEX_CACHE[key] = inverted_index_read(spark, index_path)
-    return index_term_topk(
-        spark, _ANN_INDEX_CACHE[key], ["merge", "vector"], k=10
-    )
-
-
-@register(
-    "text_index_phrase_probe",
-    _PHRASE_SQL,
-    survey_ids="datapipe:text-index-phrase",
-    doc="The persisted-index form of phrase_search_topk: adjacency "
-    "resolved from the stored 1-based position lists of the two terms' "
-    "postings (join on doc_id, count pos_b == pos_a + 1) — work "
-    "proportional to two postings lists at any corpus scale, and the "
-    "SAME oracle as the scan form hash-matches both (the index-ingest "
-    "analog of the knn_lsh_bucketed / knn_lsh_probe pairing).",
-)
-def q_text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from hours_api_clickup_spark.datapipe.textindex import (
-        index_phrase_topk,
-        inverted_index_read,
-        inverted_index_write,
-    )
-
-    key = ("textidx", sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        index_path = tempfile.mkdtemp(prefix="text_index_") + "/docs"
-        inverted_index_write(docs, "text", "doc_id", index_path)
-        _ANN_INDEX_CACHE[key] = inverted_index_read(spark, index_path)
-    return index_phrase_topk(
-        spark, _ANN_INDEX_CACHE[key], "table", "scan", k=10
-    )
-
-
-def _neardup_degree_sql() -> str:
-    from hours_api_clickup_spark.datapipe.dedup import minhash_lsh_oracle_sql
-
-    pairs_sql = minhash_lsh_oracle_sql(
-        "documents", "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.7
-    )
-    return f"""
-    WITH pairs AS ({pairs_sql}),
-    deg AS (
-        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
-            SELECT id_a AS id FROM pairs
-            UNION ALL
-            SELECT id_b AS id FROM pairs
-        ) GROUP BY id
-    )
-    SELECT COALESCE(deg.degree, 0) AS degree,
-           CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
-    GROUP BY COALESCE(deg.degree, 0)
-    """
-
-
-@register(
-    "neardup_degree_histogram",
-    _neardup_degree_sql(),
-    survey_ids="datapipe:dedup-graph-shape",
-    doc="Degree distribution of the MinHash near-dup graph (the health "
-    "check run before trusting a dedup pass: a fat tail means a "
-    "boilerplate template is stitching unrelated docs into one giant "
-    "cluster and the survivor policy will over-delete). Reuses the "
-    "ingest-time verified pair table (no re-shingle), one agg over the "
-    "bounded edge list, LEFT JOIN back to count degree-0 docs; the "
-    "histogram is |distinct degrees| rows. Oracle rides the generated "
-    "pair CTE chain, so the edge set can never drift.",
-)
-def q_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _minhash_pairs(spark, sf_dir)
-    deg = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").cast("bigint").alias("degree"))
-    )
-    return (
-        docs.select("doc_id")
-        .join(deg, docs["doc_id"] == deg["id"], "left")
-        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
-        .groupBy("degree")
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
-    )
-
-
-_MAD_SQL = """
-    WITH c AS (
-        SELECT event_type,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
-        FROM events WHERE value IS NOT NULL
-    ),
-    med AS (
-        SELECT event_type,
-               MIN(CASE WHEN r = (n + 1) // 2 THEN cents END) AS med
-        FROM (
-            SELECT event_type, cents,
-                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS r,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM c
-        ) GROUP BY event_type
-    ),
-    dev AS (
-        SELECT c.event_type, c.cents, m.med, ABS(c.cents - m.med) AS d
-        FROM c JOIN med m ON c.event_type = m.event_type
-    ),
-    mad AS (
-        SELECT event_type,
-               MIN(med) AS med,
-               MIN(CASE WHEN r = (n + 1) // 2 THEN d END) AS mad
-        FROM (
-            SELECT event_type, med, d,
-                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS r,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM dev
-        ) GROUP BY event_type
-    )
-    SELECT v.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(MIN(k.med) AS DOUBLE) / 100.0 AS median_value,
-           CAST(MIN(k.mad) AS DOUBLE) / 100.0 AS mad_value,
-           CAST(COUNT(CASE WHEN v.d * 10000 > 44478 * k.mad THEN 1 END)
-                AS BIGINT) AS n_outliers,
-           CAST(COUNT(CASE WHEN v.d * 10000 > 44478 * k.mad THEN 1 END)
-                AS DOUBLE) / COUNT(*) AS outlier_rate
-    FROM dev v JOIN mad k ON v.event_type = k.event_type
-    GROUP BY v.event_type
-"""
-
-
-@register(
-    "outlier_mad_robust",
-    _MAD_SQL,
-    survey_ids="datapipe:outlier-mad",
-    doc="MAD-based robust outlier report per event type — the "
-    "breakdown-point-0.5 complement of the Tukey-fence query (IQR "
-    "breaks down at 25% contamination, MAD not until 50%). Both order "
-    "statistics are NEAREST-RANK over integer cents (no interpolation "
-    "anywhere), and the 3·1.4826·MAD threshold is applied as the "
-    "integer cross-product |x−med|·10000 > 44478·MAD — every "
-    "comparison int64-exact, doubles appear only in the final report "
-    "columns. Two ranking windows and the joins all ride the same "
-    "event_type key shuffle.",
-)
-def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    c = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
-        )
-    )
-    w_rank = Window.partitionBy("event_type").orderBy("cents")
-    w_all = Window.partitionBy("event_type")
-    med = (
-        c.select(
-            "event_type",
-            "cents",
-            F.row_number().over(w_rank).alias("r"),
-            F.count("*").over(w_all).alias("n"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.min(
-                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
-            ).alias("med")
-        )
-    )
-    dev = c.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "med",
-        F.abs(F.col("cents") - F.col("med")).alias("d"),
-    )
-    w_rank_d = Window.partitionBy("event_type").orderBy("d")
-    mad = (
-        dev.select(
-            "event_type",
-            "med",
-            "d",
-            F.row_number().over(w_rank_d).alias("r"),
-            F.count("*").over(w_all).alias("n"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.min("med").alias("med"),
-            F.min(
-                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("d"))
-            ).alias("mad"),
-        )
-    )
-    is_out = F.col("d") * 10000 > 44478 * F.col("mad")
-    return (
-        dev.drop("med")
-        .join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            (F.min("med").cast("double") / F.lit(100.0)).alias("median_value"),
-            (F.min("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
-            F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
-            (
-                F.count(F.when(is_out, 1)).cast("double")
-                / F.count("*").cast("double")
-            ).alias("outlier_rate"),
-        )
-    )
-
-
-_TERM_DRIFT_SQL = """
-    WITH tok AS (
-        SELECT lang,
-               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+'))
-                   AS token
-        FROM documents
-    ),
-    counts AS (
-        SELECT token,
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_en,
-               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_other
-        FROM tok WHERE token <> '' GROUP BY token
-    ),
-    tot AS (
-        SELECT CAST(SUM(n_en) AS BIGINT) AS ta,
-               CAST(SUM(n_other) AS BIGINT) AS tb
-        FROM counts
-    )
-    SELECT c.token, c.n_en, c.n_other,
-           CAST(CAST(c.n_en AS HUGEINT) * t.tb
-                - CAST(c.n_other AS HUGEINT) * t.ta AS DOUBLE)
-               / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)) AS share_diff
-    FROM counts c, tot t
-    WHERE c.n_en + c.n_other >= 10
-    ORDER BY ABS(CAST(c.n_en AS HUGEINT) * t.tb
-                 - CAST(c.n_other AS HUGEINT) * t.ta) DESC, c.token
-    LIMIT 20
-"""
-
-
-@register(
-    "term_drift_by_lang",
-    _TERM_DRIFT_SQL,
-    survey_ids="datapipe:corpus-compare",
-    doc="Corpus-comparison term drift (the keyness/log-odds report a "
-    "curation team runs before mixing corpora): tokens ranked by how "
-    "far their relative frequency in the 'en' slice departs from the "
-    "rest. Ranking key is the EXACT cross-product |n_a·T_b − n_b·T_a| "
-    "(wide-integer arithmetic — HUGEINT in the oracle, decimal(38,0) "
-    "in Spark — no log-odds float whose libm drift would break the "
-    "hash match); the signed share difference is ONE double division "
-    "in the report column. Plan: one token-key map-side-combining "
-    "shuffle for counts, corpus totals are a 1-row broadcast, top-20 "
-    "is TakeOrderedAndProject.",
-)
-def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "lang",
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+")
-        ).alias("token"),
-    ).filter(F.col("token") != "")
-    counts = tok.groupBy("token").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_en"),
-        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_other"),
-    )
-    tot = counts.agg(
-        F.sum("n_en").cast("bigint").alias("ta"),
-        F.sum("n_other").cast("bigint").alias("tb"),
-    )
-    j = counts.crossJoin(F.broadcast(tot))
-    cross = F.col("n_en").cast("decimal(38,0)") * F.col("tb") - F.col(
-        "n_other"
-    ).cast("decimal(38,0)") * F.col("ta")
-    return (
-        j.filter(F.col("n_en") + F.col("n_other") >= 10)
-        .select(
-            "token",
-            "n_en",
-            "n_other",
-            (
-                cross.cast("double")
-                / (F.col("ta").cast("double") * F.col("tb").cast("double"))
-            ).alias("share_diff"),
-            F.abs(cross).alias("_rank"),
-        )
-        .orderBy(F.col("_rank").desc(), F.col("token").asc())
-        .limit(20)
-        .drop("_rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Driver-window ordering. The correctness driver checks the FIRST 50
-# registered entries each round; everything later gets only the local
-# parity gate (tests/test_oracle_parity.py). Round 2 left 28 entries
-# outside that window (VERDICT r2 "What's wrong" #1), so registration
-# order is now an explicit rotation policy rather than source order:
-#   1. flagship first (named by __spark_entry__.py),
-#   2. entries with NO driver row in any round, then entries green in
-#      only one round (least-proven first),
-#   3. any query not listed below (i.e. newly added this round) — these
-#      slot in before the staples so new work always gets a driver row,
-#   4. twice-green staples last; they stay covered by the local parity
-#      suite, which replays the identical DuckDB hash-match at sf0.01.
-# The dict object is mutated in place so importers holding a reference
-# (bench.py, __spark_entry__.py, tests) see the same ordering.
-# ---------------------------------------------------------------------------
-
-_DAILY_BANDS_SQL = """
-    WITH c AS (
-        SELECT epoch_ms(ts) // 86400000 AS day,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
-        FROM events WHERE value IS NOT NULL
-    ),
-    ranked AS (
-        SELECT day, cents,
-               ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents) AS r,
-               COUNT(*) OVER (PARTITION BY day) AS n
-        FROM c
-    )
-    SELECT day,
-           MIN(n) AS n_events,
-           CAST(MIN(CASE WHEN r = (n + 1) // 2 THEN cents END) AS DOUBLE)
-               / 100.0 AS p50,
-           CAST(MIN(CASE WHEN r = (19 * n + 19) // 20 THEN cents END)
-                AS DOUBLE) / 100.0 AS p95,
-           CAST(MAX(cents) AS DOUBLE) / 100.0 AS p100
-    FROM ranked GROUP BY day
-"""
-
-
-@register(
-    "daily_latency_bands",
-    _DAILY_BANDS_SQL,
-    survey_ids="datapipe:percentile-bands,§2.6-daily",
-    doc="Per-day P50/P95/max bands of the value metric — the SLO "
-    "dashboard feed. Nearest-rank order statistics over integer cents "
-    "(no interpolation; (n+1)//2 and ceil(19n/20) picked by integer "
-    "arithmetic), doubles only in the report columns. One hash shuffle "
-    "on the day key carries the ranking window, the count window, and "
-    "the final groupBy; days are plentiful so per-task state stays "
-    "bounded at any scale (the grouped-quantiles scale argument).",
-)
-def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    c = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            F.expr("unix_millis(ts) div 86400000").alias("day"),
-            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
-        )
-    )
-    w_rank = Window.partitionBy("day").orderBy("cents")
-    w_all = Window.partitionBy("day")
-    ranked = c.select(
-        "day",
-        "cents",
-        F.row_number().over(w_rank).alias("r"),
-        F.count("*").over(w_all).alias("n"),
-    )
-    return ranked.groupBy("day").agg(
-        F.min("n").alias("n_events"),
-        (
-            F.min(
-                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
-            ).cast("double")
-            / F.lit(100.0)
-        ).alias("p50"),
-        (
-            F.min(
-                F.when(
-                    F.col("r") == F.expr("(19 * n + 19) div 20"),
-                    F.col("cents"),
-                )
-            ).cast("double")
-            / F.lit(100.0)
-        ).alias("p95"),
-        (F.max("cents").cast("double") / F.lit(100.0)).alias("p100"),
-    )
-
-
-_PARETO_SQL = """
-    WITH rev AS (
-        SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
-               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS cents
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_nationkey, o.o_custkey
-    ),
-    ranked AS (
-        SELECT nationkey, cents,
-               ROW_NUMBER() OVER (
-                   PARTITION BY nationkey ORDER BY cents DESC, custkey
-               ) AS r,
-               COUNT(*) OVER (PARTITION BY nationkey) AS n
-        FROM rev
-    )
-    SELECT nationkey,
-           MIN(n) AS n_customers,
-           CAST(SUM(CASE WHEN r <= (n + 9) // 10 THEN cents ELSE 0 END)
-                AS BIGINT) AS top_decile_cents,
-           CAST(SUM(cents) AS BIGINT) AS total_cents,
-           CAST(SUM(CASE WHEN r <= (n + 9) // 10 THEN cents ELSE 0 END)
-                AS DOUBLE) / CAST(SUM(cents) AS DOUBLE) AS top_decile_share
-    FROM ranked GROUP BY nationkey
-"""
-
-
-@register(
-    "revenue_concentration_pareto",
-    _PARETO_SQL,
-    survey_ids="datapipe:concentration,A2-pareto",
-    doc="Revenue concentration per nation (the 80/20 report): share of "
-    "order revenue held by the top decile of customers, decile cut by "
-    "nearest-rank ceil(n/10) over integer cents (ties broken by "
-    "custkey so both engines pick the identical customer set). Two "
-    "aggregation levels and the ranking window all hash-partition on "
-    "their group keys; the per-customer rollup is the only "
-    "corpus-sized shuffle. One double division per output row.",
+from hours_api_clickup_spark.plans.registry_core import (  # noqa: F401
+    QUERIES,
+    QuerySpec,
+    TABLE_NAMES,
+    _NANOS_TS_COLS,
+    _dec,
+    load_table,
+    register,
+)
+
+# family imports populate QUERIES in registration order
+from hours_api_clickup_spark.plans import registry_reference  # noqa: F401,E402
+from hours_api_clickup_spark.plans import registry_datapipe  # noqa: F401,E402
+from hours_api_clickup_spark.plans import registry_streaming  # noqa: F401,E402
+from hours_api_clickup_spark.plans import registry_analytics  # noqa: F401,E402
+
+# bench.py clears these between timed phases
+from hours_api_clickup_spark.plans.registry_datapipe import (  # noqa: F401,E402
+    _ANN_INDEX_CACHE,
+    _LSH_PAIRS_CACHE,
 )
-def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.floor(F.col("o_totalprice") * 100 + 0.5)
-        .cast("bigint")
-        .alias("cents"),
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"),
-        F.col("c_nationkey").alias("nationkey"),
-    )
-    # no broadcast hint: customer is dim-sized here and Catalyst
-    # broadcasts it on its own, but at extreme SF the dim outgrows the
-    # threshold and the planner must be free to fall back to a shuffled
-    # join — forcing the hint would pin an OOM at that scale
-    rev = (
-        orders.join(cust, "o_custkey")
-        .groupBy("nationkey", "o_custkey")
-        .agg(F.sum("cents").cast("bigint").alias("cents"))
-    )
-    w_rank = Window.partitionBy("nationkey").orderBy(
-        F.col("cents").desc(), F.col("o_custkey").asc()
-    )
-    w_all = Window.partitionBy("nationkey")
-    ranked = rev.select(
-        "nationkey",
-        "cents",
-        F.row_number().over(w_rank).alias("r"),
-        F.count("*").over(w_all).alias("n"),
-    )
-    top = F.when(F.col("r") <= F.expr("(n + 9) div 10"), F.col("cents")).otherwise(
-        F.lit(0)
-    )
-    return ranked.groupBy("nationkey").agg(
-        F.min("n").alias("n_customers"),
-        F.sum(top).cast("bigint").alias("top_decile_cents"),
-        F.sum("cents").cast("bigint").alias("total_cents"),
-        (
-            F.sum(top).cast("double") / F.sum("cents").cast("double")
-        ).alias("top_decile_share"),
-    )
-
-
-
-# ---------------------------------------------------------------------------
-# Round-4 SQL-surface additions: recursive CTE, LATERAL join, LISTAGG,
-# VARIANT — the Spark 4 front-door features the §2 surface tables map to
-# when a consumer outgrows the reference's flat SQL (docs/*.md doc-SQL).
-# ---------------------------------------------------------------------------
-
-_RECURSIVE_CTE_SQL = """
-    WITH RECURSIVE chain AS (
-        SELECT s_suppkey AS suppkey, s_suppkey AS root, 0 AS depth
-        FROM supplier WHERE s_suppkey < 10
-        UNION ALL
-        SELECT s.s_suppkey, c.root, c.depth + 1
-        FROM supplier s JOIN chain c ON s.s_suppkey {div} 10 = c.suppkey
-        WHERE s.s_suppkey >= 10
-    )
-    SELECT root, depth, COUNT(*) AS n_members,
-           CAST(SUM(suppkey) AS BIGINT) AS sum_keys
-    FROM chain GROUP BY root, depth
-"""
-
-
-@register(
-    "recursive_cte_hierarchy",
-    _RECURSIVE_CTE_SQL.format(div="//"),
-    survey_ids="§2.8-recursive",
-    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4) computing the "
-    "transitive closure of a supplier forest (parent = suppkey div 10 "
-    "— the decimal-trie hierarchy): every node labeled with its root "
-    "and depth, then rolled up per (root, depth). The iterative form "
-    "S3's space→folder→list walk takes when the tree depth is not "
-    "known at plan time (fetch_clickup_data.py:196-279 hardcodes 3 "
-    "levels). Scale: breadth-first UnionLoop — one equi-join per "
-    "level, ⌈log10 n⌉ iterations, total work linear in nodes; never "
-    "a per-row driver walk. Oracle is the same WITH RECURSIVE in "
-    "DuckDB (// vs div integer division is the only dialect delta).",
-)
-def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    return spark.sql(_RECURSIVE_CTE_SQL.format(div="div"))
-
-
-@register(
-    "listagg_surface",
-    """
-    SELECT c_nationkey AS nationkey,
-           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
-               AS segments,
-           COUNT(*) AS n_customers
-    FROM customer GROUP BY c_nationkey
-    """,
-    survey_ids="§2.6-listagg,E2-native",
-    doc="Native LISTAGG(DISTINCT …) WITHIN GROUP (ORDER BY …) — the "
-    "ISO form of the reference's ', '.join denormalization "
-    "(fetch_clickup_data.py:596-598,742-748) as ONE aggregate instead "
-    "of collect_set→array_sort→array_join. Deterministic because the "
-    "WITHIN GROUP order is total; DuckDB twin is string_agg(DISTINCT "
-    "… ORDER BY …). One hash shuffle on the group key; per-group "
-    "state is the distinct-segment set (bounded by the domain, not "
-    "the row count). Known engine edge pinned by this round's "
-    "regression hunt: combining listagg(DISTINCT) WITHIN GROUP with a "
-    "second COUNT(DISTINCT) in the same SELECT trips a Spark 4.1 "
-    "distinct-rewrite ClassCastException — the companion aggregate "
-    "here is deliberately non-distinct.",
-)
-def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_nationkey AS nationkey,
-               listagg(DISTINCT c_mktsegment, '|')
-                   WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
-               COUNT(*) AS n_customers
-        FROM customer GROUP BY c_nationkey
-        """
-    )
-
-
-_LATERAL_TOPK_SQL = """
-    SELECT o.o_orderkey AS orderkey, t.l_quantity AS qty,
-           t.l_linenumber AS lineno
-    FROM orders o,
-    LATERAL (
-        SELECT l.l_quantity, l.l_linenumber FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-        ORDER BY l.l_quantity DESC, l.l_linenumber LIMIT 2
-    ) t
-    WHERE o.o_orderpriority = '1-URGENT'
-"""
-
-
-@register(
-    "lateral_join_topk",
-    _LATERAL_TOPK_SQL,
-    survey_ids="§2.5-lateral,D2",
-    doc="Correlated LATERAL subquery with ORDER BY … LIMIT 2 — top-2 "
-    "line items per urgent order written as the per-row subquery a "
-    "SQL author reaches for. Catalyst DECORRELATES it: the per-order "
-    "LIMIT becomes a row_number window (WindowGroupLimit pushes the "
-    "2-heap below the shuffle) joined back on the equi-key — the "
-    "identical physical plan to the hand-built topk_per_group, from "
-    "the naive declarative form (plan-gated: no nested-loop, no "
-    "per-row re-scan). Same SQL text runs on DuckDB as the oracle.",
-)
-def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_LATERAL_TOPK_SQL)
-
-
-@register(
-    "variant_json_surface",
-    """
-    SELECT
-        priority,
-        COUNT(*) AS n,
-        CAST(SUM(CAST(j->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-        CAST(SUM(CAST(j->>'$.items[1]' AS BIGINT)) AS BIGINT) AS sum_item1,
-        SUM(CASE WHEN (j->>'$.absent') IS NULL THEN 1 ELSE 0 END) AS n_absent,
-        MIN(j->>'$.st') AS min_status
-    FROM (
-        SELECT o_orderpriority AS priority,
-               CONCAT('{"k":', o_orderkey, ',"st":"', o_orderstatus,
-                      '","items":[', o_custkey, ',', o_orderkey % 7, ']}')
-                   AS j
-        FROM orders
-    )
-    GROUP BY priority
-    """,
-    survey_ids="P2-variant,§2.10-json",
-    doc="Spark 4 VARIANT ingestion: parse_json into the binary VARIANT "
-    "type, then typed variant_get path extraction (object field, "
-    "array index, absent-path → NULL) aggregated per priority. The "
-    "schema-on-read form of P2's nested-struct access for payloads "
-    "whose shape drifts (the reference's custom_fields values, "
-    "fetch_clickup_data.py:547-549, are exactly such a column). "
-    "VARIANT keeps extraction JVM-side on a binary-encoded tree — no "
-    "per-row JSON re-parse per path, no Python. Oracle extracts the "
-    "same paths with DuckDB's ->> JSON operators. Grouped result: "
-    "the driver compares 5 rows however large the corpus.",
-)
-def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT
-            priority,
-            COUNT(*) AS n,
-            CAST(SUM(variant_get(v, '$.k', 'long')) AS BIGINT) AS sum_k,
-            CAST(SUM(variant_get(v, '$.items[1]', 'long')) AS BIGINT)
-                AS sum_item1,
-            SUM(CASE WHEN variant_get(v, '$.absent', 'string') IS NULL
-                     THEN 1 ELSE 0 END) AS n_absent,
-            MIN(variant_get(v, '$.st', 'string')) AS min_status
-        FROM (
-            SELECT o_orderpriority AS priority,
-                   parse_json(concat('{"k":', CAST(o_orderkey AS STRING),
-                       ',"st":"', o_orderstatus,
-                       '","items":[', CAST(o_custkey AS STRING), ',',
-                       CAST(o_orderkey % 7 AS STRING), ']}')) AS v
-            FROM orders
-        )
-        GROUP BY priority
-        """
-    )
-
-
-def _pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Deterministic per-sf fixture dir for the paged-events source,
-    rebuilt (overwrite) on every call so layout changes never leak."""
-    import os
-    import re as _re
-    import tempfile
-
-    from hours_api_clickup_spark.sources.pyds import (
-        write_fixture_from_events,
-    )
-
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "hours_pyds_fixture_" + _re.sub(r"\W", "_", sf_dir),
-    )
-    write_fixture_from_events(spark, sf_dir, path, n_chunks=5)
-    return path
-
-
-_PYDS_ORACLE = """
-    SELECT event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents,
-           MIN(epoch_ms(ts)) AS min_ts_ms,
-           MAX(epoch_ms(ts)) AS max_ts_ms,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY event_type
-"""
-
-
-@register(
-    "python_datasource_scan",
-    _PYDS_ORACLE,
-    survey_ids="S1,S2,S4,S6,P13",
-    doc="The REST scan mounted INSIDE the engine: a Spark 4 Python "
-    "DataSource (sources/pyds.py) whose input partitions are the "
-    "30-day-window chunks (fetch_clickup_data.py:124-147), each "
-    "paged 100 rows per request in-partition with the reference's "
-    "termination policies (:403-465, :516-624), the event_type "
-    "filter applied server-side (query-param pushdown analog, "
-    ":96-104) and failed chunks skipped not fatal (:140-144). "
-    "Chunks fetch in PARALLEL across executors with Spark task "
-    "retry — the property the reference's sequential driver loop "
-    "gives up. Fixture-backed like the rest of the ingest layer "
-    "(JSONL per chunk, written distributed; epoch-ms int64 + "
-    "shortest-roundtrip doubles make the hop lossless), then "
-    "rolled up per event type; the oracle computes the same "
-    "aggregate straight from the parquet — proving the whole "
-    "source path bit-exact.",
-)
-def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hours_api_clickup_spark.sources.pyds import read_paged_events
-
-    path = _pyds_fixture(spark, sf_dir)
-    df = read_paged_events(spark, path)
-    return df.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("sum_cents"),
-        F.min("ts_ms").alias("min_ts_ms"),
-        F.max("ts_ms").alias("max_ts_ms"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-
-
-@register(
-    "streaming_python_datasource",
-    """
-    SELECT event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS sum_cents
-    FROM events GROUP BY event_type
-    """,
-    survey_ids="§2.11,S1,S2",
-    doc="The same paged source as a STREAM: SimpleDataSourceStreamReader "
-    "exposes chunk i as micro-batch i with {chunk} offsets, committed "
-    "ranges replayable via readBetweenOffsets — the reference's "
-    "cron-rerun 'streaming' (deploy.sh:66-136) as a real incremental "
-    "source with exactly-once offset accounting. The bounded drain "
-    "runs a fast processing-time trigger until the end offset covers "
-    "every chunk (the simple reader prefetches one batch per trigger, "
-    "so availableNow would under-read); the drained rollup equals the "
-    "batch aggregate over the raw parquet, which is the oracle.",
-)
-def q_streaming_python_datasource(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    import uuid
-
-    from hours_api_clickup_spark.sources.pyds import (
-        drain_paged_stream,
-        read_paged_events_stream,
-    )
 
-    path = _pyds_fixture(spark, sf_dir)
-    sink = f"pyds_stream_{uuid.uuid4().hex[:8]}"
-    out = (
-        read_paged_events_stream(spark, path)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
-            .cast("bigint")
-            .alias("sum_cents"),
-        )
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        drain_paged_stream(q, n_chunks=5)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
 
 
 # --------------------------------------------------------------------------

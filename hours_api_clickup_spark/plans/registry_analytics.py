@@ -1,0 +1,2017 @@
+"""Time-series / robust-stats / scale-technique queries: exact
+distributed quantiles, sketches, outlier and drift reports, windowed
+and sessionized event analytics, SCD2 history, incremental rollup
+maintenance, skew salting, sweep-line concurrency, funnel / cohort /
+concentration reports.
+
+Split from plans/registry.py (round 4); registration side-effects
+populate the shared QUERIES dict in plans/registry_core.py. See that
+module for the determinism rules all oracles follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hours_api_clickup_spark.plans.registry_core import (
+    _dec,
+    load_table,
+    register,
+)
+
+@register(
+    "event_sessions",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 30 * 60 * 1000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
+    FROM g
+    """,
+    survey_ids="datapipe:sessionize",
+    doc="Gap-based sessionization (30-min inactivity): lag → flag → "
+    "running sum, both windows share one key shuffle. The batch analog "
+    "of Structured Streaming session windows.",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, "user_id", "ts", gap_minutes=30.0).select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+
+
+@register(
+    "asof_join_signup",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           s.signup_event_id, s.signup_ts
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+        FROM events WHERE event_type = 'signup'
+    ) s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+    """,
+    survey_ids="datapipe:asof-join",
+    doc="As-of join: each event → the user's latest signup at-or-before "
+    "it. Union+window trick: ONE shuffle on the key; never the O(n*m) "
+    "range theta-join.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    return as_of_join(
+        events.select("event_id", "user_id", "ts"),
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_cols=["signup_event_id", "signup_ts"],
+    )
+
+
+@register(
+    "range_join_signup_window",
+    """
+    SELECT s.event_id AS signup_event_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 6 HOUR
+    GROUP BY s.event_id
+    """,
+    survey_ids="datapipe:range-join",
+    doc="Range join (point-in-interval): site-wide events landing in each "
+    "signup's 6-hour onboarding window. Bucketized equi-join on "
+    "floor(ts/6h) — one hash shuffle, Σ per-bucket cross products — "
+    "never the O(n·m) broadcast nested loop a raw theta-join plans. "
+    "Inner join suffices: every window contains its own signup event.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
+    )
+    points = events.select("event_id", "ts")
+    joined = interval_join(
+        points, windows, "ts", "win_start", "win_end", bucket_seconds=21600
+    )
+    return joined.groupBy("signup_event_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "agg_approx_stats",
+    """
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_2pct,
+           ROUND(quantile_cont(value, 0.5), 4)  AS q50,
+           ROUND(quantile_cont(value, 0.95), 4) AS q95,
+           ROUND(quantile_cont(value, 0.99), 4) AS q99,
+           TRUE AS q50_within_1pct,
+           TRUE AS q95_within_1pct,
+           TRUE AS q99_within_1pct
+    FROM events
+    """,
+    survey_ids="A5-scale,datapipe:sketches",
+    doc="The at-scale forms of the verification aggregates: HLL++ "
+    "approx_count_distinct (rsd 1%) and approx_percentile sketch — "
+    "fixed-size state per group vs O(distinct) exact state. Sketch "
+    "outputs are algorithm-specific, so the oracled surface is the "
+    "accuracy CONTRACT: exact stats as values (Spark exact percentile "
+    "and DuckDB quantile_cont share the p*(n-1) linear-interpolation "
+    "definition, bit-identical on this data) plus booleans asserting "
+    "each sketch lands within its documented tolerance — the oracle "
+    "emits literal TRUE, so a sketch drifting out of tolerance fails "
+    "the hash match. Measured drift: HLL (rsd 0.014) <=0.4%, quantiles "
+    "<=0.33% across sf0.001-0.1 vs 2%/1% gates. Extra accuracy gates "
+    "live in tests/test_datapipe_quality.py.",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.95, 0.99]
+    # COUNT(DISTINCT) is kept OUT of the sketch aggregate: mixing a
+    # distinct aggregate with the object-hash sketch functions forces an
+    # Expand (input ×2) through a non-codegen ObjectHashAggregate —
+    # measured 1.9-3.0 s at sf0.1 vs 0.37 s for two independent
+    # single-row aggs crossJoined (each scan column-pruned; the distinct
+    # path stays whole-stage-codegen HashAggregate). Same shape at
+    # 100 TB: two scans beat one Expand-doubled non-codegen scan.
+    agg = events.agg(
+        F.count("*").alias("n_events"),
+        # rsd 0.014 ≈ 8k HLL registers — half the sketch state and ~4×
+        # less agg time than rsd 0.01 for the same green 2% contract
+        # (measured drift ≤0.4% at sf0.01-0.1; HLL is deterministic).
+        F.approx_count_distinct("user_id", rsd=0.014).alias("_hll"),
+        F.percentile("value", F.lit(qs)).alias("_qex"),
+        # accuracy 1000 (rank error 0.1%) is 10× under the 1% value
+        # contract on this distribution; 10000 bought nothing but a
+        # bigger KLL merge buffer (the r2 regression).
+        F.percentile_approx("value", qs, 1000).alias("_qap"),
+    ).crossJoin(
+        F.broadcast(events.agg(F.countDistinct("user_id").alias("exact_users")))
+    )
+
+    def _within(approx: Column, exact: Column, tol: float) -> Column:
+        return F.abs(approx - exact) <= tol * F.greatest(F.abs(exact), F.lit(1.0))
+
+    return agg.select(
+        "n_events",
+        "exact_users",
+        _within(
+            F.col("_hll").cast("double"), F.col("exact_users").cast("double"), 0.02
+        ).alias("hll_within_2pct"),
+        F.round(F.element_at("_qex", 1), 4).alias("q50"),
+        F.round(F.element_at("_qex", 2), 4).alias("q95"),
+        F.round(F.element_at("_qex", 3), 4).alias("q99"),
+        _within(F.element_at("_qap", 1), F.element_at("_qex", 1), 0.01).alias(
+            "q50_within_1pct"
+        ),
+        _within(F.element_at("_qap", 2), F.element_at("_qex", 2), 0.01).alias(
+            "q95_within_1pct"
+        ),
+        _within(F.element_at("_qap", 3), F.element_at("_qex", 3), 0.01).alias(
+            "q99_within_1pct"
+        ),
+    )
+
+
+@register(
+    "exact_quantiles_distributed",
+    """
+    SELECT ROUND(quantile_cont(value, 0.25), 4) AS q_25,
+           ROUND(quantile_cont(value, 0.5), 4)  AS q_50,
+           ROUND(quantile_cont(value, 0.95), 4) AS q_95,
+           ROUND(quantile_cont(value, 0.99), 4) AS q_99
+    FROM events
+    """,
+    survey_ids="datapipe:exact-quantiles",
+    doc="EXACT interpolated quantiles with bounded per-task state: "
+    "two-phase global rank (range exchange + P-row offset broadcast), "
+    "then at most 2 rows per requested quantile reach the final "
+    "aggregate. The scale path Spark's single-buffer exact percentile "
+    "aggregate cannot take at 100 TB; same p*(n-1) interpolation as "
+    "DuckDB quantile_cont. Plan-gated on rangepartitioning.",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.quantiles import exact_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    out = exact_quantiles(
+        events, "value", [0.25, 0.5, 0.95, 0.99],
+        out_names=["q_25", "q_50", "q_95", "q_99"],
+    )
+    return out.select(*[F.round(c, 4).alias(c) for c in out.columns])
+
+
+@register(
+    "salted_skew_rollup",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids="scale:skew-salting",
+    doc="Two-phase salted aggregation on a 3-value (maximally hot) "
+    "group key: phase 1 aggregates on (key, salt) so each hot key "
+    "spreads over 16 reducers, phase 2 combines the partials. The "
+    "oracle is the PLAIN aggregate — result-equivalence of the salted "
+    "plan IS the contract (decimal sums are reorder-safe, which is "
+    "what makes the two-phase split legal).",
+)
+def q_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": (
+                F.sum(_dec("l_quantity", "decimal(18,2)")),
+                F.sum("sum_qty"),
+            ),
+            "n": (F.count("*"), F.sum("n")),
+            "max_price": (
+                F.max(_dec("l_extendedprice", "decimal(18,2)")),
+                F.max("max_price"),
+            ),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n",
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "sliding_window_rollup",
+    """
+    SELECT bucket_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT value,
+               time_bucket(INTERVAL 1 HOUR, ts)
+                   - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS bucket_start
+        FROM events
+    )
+    GROUP BY bucket_start
+    """,
+    survey_ids="datapipe:sliding-windows",
+    doc="SLIDING event-time windows (2 h wide, 1 h slide): every event "
+    "lands in exactly window/slide = 2 overlapping buckets — the "
+    "moving-average shape tumbling buckets cannot express. Spark's "
+    "window() generates the per-event bucket fan-out then aggregates "
+    "(one shuffle on bucket start); the oracle replays the fan-out "
+    "with explicit interval arithmetic.",
+)
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", "decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n", "total_value")
+    )
+
+
+@register(
+    "exact_quantiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4)  AS q_50,
+           ROUND(quantile_cont(value, 0.95), 4) AS q_95
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids="datapipe:exact-quantiles-grouped",
+    doc="Exact per-group quantiles (p50/p95 of value per event type): "
+    "rank and group-count windows share ONE hash shuffle on the group "
+    "key; only the <= 2 picked rows per quantile per group reach the "
+    "final aggregate. The grouped complement of the range-partitioned "
+    "global form.",
+)
+def q_exact_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = grouped_exact_quantiles(
+        events, "event_type", "value", [0.5, 0.95], out_names=["q_50", "q_95"]
+    )
+    return out.select(
+        "event_type",
+        F.round("q_50", 4).alias("q_50"),
+        F.round("q_95", 4).alias("q_95"),
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    """
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_6h,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ids="datapipe:hypertable-rollup",
+    doc="Hypertable-style time-bucket rollup (6-hour buckets × type): "
+    "window-less event-time bucketing via timestamp arithmetic, one "
+    "hash shuffle. The continuous-aggregate analog of the reference's "
+    "6-hourly refresh cadence (deploy.sh:68-76).",
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket_s = 6 * 3600
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(bucket_s)))
+    )
+    return events.groupBy(
+        bucket.alias("bucket_6h"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value", "decimal(18,2)")).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from hours_api_clickup_spark.operators.zorder import z_value_sql
+
+    zv = z_value_sql(
+        "user_id % 256", "(epoch_ms(ts) // 3600000) % 256", 8, "//"
+    )
+    return f"""
+    WITH z AS (SELECT {zv} AS zv FROM events)
+    SELECT CAST(zv // 64 AS BIGINT) AS cell,
+           COUNT(*) AS n,
+           CAST(MIN(zv) AS BIGINT) AS z_min,
+           CAST(MAX(zv) AS BIGINT) AS z_max
+    FROM z GROUP BY zv // 64
+    """
+
+
+@register(
+    "zorder_cell_stats",
+    _zorder_oracle(),
+    survey_ids="datapipe:zorder-layout",
+    doc="Z-order (Morton) interleave of two bucketized dimensions "
+    "(user bucket x epoch-hour bucket) plus per-curve-cell stats — the "
+    "integer core of Z-ORDER table layout (Delta/Iceberg style): "
+    "writing range-partitioned+sorted on this value bounds BOTH "
+    "columns' min/max per file so footer stats skip files for "
+    "predicates on either dimension (locality property tested in "
+    "test_scale_techniques.py::test_zorder_layout_bounds_both_dims; "
+    "writer in operators/zorder.py::zorder_write). Pure codegen'd "
+    "shift/mask arithmetic, one agg shuffle; identical bit math in the "
+    "DuckDB oracle - full hash match.",
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.zorder import z_value_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    zv = z_value_sql(
+        "pmod(user_id, 256)",
+        "pmod(unix_millis(ts) div 3600000, 256)",
+        8,
+        "div",
+    )
+    return (
+        ev.selectExpr(f"{zv} AS zv")
+        .groupBy(F.expr("zv div 64").alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zv").alias("z_min"),
+            F.max("zv").alias("z_max"),
+        )
+    )
+
+
+_GAPFILL_STEP = 3600
+
+
+def _gapfill_oracle() -> str:
+    s = _GAPFILL_STEP
+    return f"""
+    WITH o AS (
+        SELECT user_id, (epoch_ms(ts) // {s * 1000}) * {s} AS bucket_start_s,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, epoch_ms(ts) // {s * 1000}
+                   ORDER BY ts DESC, value DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    obs AS (SELECT user_id, bucket_start_s, value FROM o WHERE rn = 1),
+    b AS (SELECT user_id, MIN(bucket_start_s) AS lo, MAX(bucket_start_s) AS hi
+          FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(lo, hi + {s}, {s})) AS bucket_start_s
+             FROM b),
+    j AS (SELECT g.user_id, g.bucket_start_s, obs.value
+          FROM grid g LEFT JOIN obs USING (user_id, bucket_start_s))
+    SELECT user_id, bucket_start_s,
+           LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_start_s
+               ROWS UNBOUNDED PRECEDING) AS value_filled,
+           value IS NULL AS is_gap
+    FROM j
+    """
+
+
+@register(
+    "gapfill_locf",
+    _gapfill_oracle(),
+    survey_ids="datapipe:gapfill-locf",
+    doc="Hypertable gap-fill + last-observation-carried-forward "
+    "(TimescaleDB time_bucket_gapfill/locf): per-user hourly grid "
+    "between first and last observation, missing buckets filled with "
+    "the latest prior value, is_gap flagged. Scale shape: grid bounds "
+    "from a map-side min/max agg (never a global calendar cross join), "
+    "fan-out ≤ span/step per key; bucket keep-latest, grid join, and "
+    "the LOCF window all hash on the key family. Full hash match.",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_locf(
+        ev, "user_id", "ts", "value", step_seconds=_GAPFILL_STEP, tiebreak="event_id"
+    )
+
+
+@register(
+    "rollup_incremental_merge",
+    """
+    SELECT user_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events GROUP BY user_id, event_type
+    """,
+    survey_ids="scale:incremental-rollup",
+    doc="Incremental materialized-rollup maintenance: per-group "
+    "ALGEBRAIC STATE (count, exact decimal sum) kept from the "
+    "historical slice, the delta batch aggregated to the same state, "
+    "states merged by a keyed sum over |groups| rows — history is "
+    "never rescanned. The oracle is the full recompute over all "
+    "events: state-merge ≡ recompute is the contract (same family as "
+    "salted_skew_rollup's equivalence oracle). DECIMAL state makes the "
+    "merge order-insensitive; finalization to DOUBLE happens once. "
+    "COUNT(DISTINCT) is deliberately absent — its mergeable form is "
+    "the HLL sketch (agg_approx_stats).",
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollup_states,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    base = partial_rollup(
+        ev.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "value"
+    )
+    delta = partial_rollup(
+        ev.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "value"
+    )
+    return finalize_rollup(merge_rollup_states(base, delta), "value")
+
+
+@register(
+    "rollup_incremental_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS sketch_within_2pct
+    FROM events GROUP BY event_type
+    """,
+    survey_ids="scale:incremental-distinct,A5-scale",
+    doc="COUNT(DISTINCT) made incrementally maintainable — the piece "
+    "rollup_incremental_merge deliberately excludes: per-slice HLL "
+    "sketches (hll_sketch_agg, Apache DataSketches) are the MERGEABLE "
+    "state exact distinct lacks; slices union via hll_union_agg "
+    "without rescanning history, estimates finalize per group. Oracled "
+    "by the accuracy contract (agg_approx_stats convention): exact "
+    "distinct as the value column, the merged-sketch estimate gated "
+    "within 2% as a boolean the oracle emits as literal TRUE — sketch "
+    "drift fails the hash match. State is KBs per group at ANY history "
+    "size; the exact column is a verification-only full pass.",
+)
+def q_rollup_incremental_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    sliced = [
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+    ]
+    states = [
+        s.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        for s in sliced
+    ]
+    merged = (
+        states[0]
+        .unionByName(states[1])
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select("event_type", F.hll_sketch_estimate("sk").alias("est"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("est") - F.col("n_users_exact"))
+            <= 0.02 * F.col("n_users_exact")
+        ).alias("sketch_within_2pct"),
+    )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    """
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_ms(signup_ts) - epoch_ms(ts) <= 259200000
+                THEN signup_event_id END AS signup_event_id,
+           CASE WHEN epoch_ms(signup_ts) - epoch_ms(ts) <= 259200000
+                THEN signup_ts END AS signup_ts
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               s.signup_event_id, s.signup_ts
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts AS signup_ts, event_id AS signup_event_id
+            FROM events WHERE event_type = 'signup'
+        ) s ON e.user_id = s.user_id AND e.ts <= s.signup_ts
+    )
+    """,
+    survey_ids="datapipe:asof-join-forward",
+    doc="Forward as-of join with tolerance (the other half of the "
+    "pandas merge_asof surface): each event → the user's NEXT signup, "
+    "but only if it lands within 3 days — the nearest row resolves "
+    "first, then the tolerance gates it (a nearer-than-nothing match "
+    "beyond tolerance is NO match). Same union + directional running "
+    "window, ONE key shuffle; oracle is DuckDB's native ASOF LEFT "
+    "JOIN with the tolerance as a post-CASE.",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    return as_of_join(
+        events.select("event_id", "user_id", "ts"),
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_cols=["signup_event_id", "signup_ts"],
+        direction="forward",
+        tolerance_seconds=3 * 86400,
+    )
+
+
+_FUNNEL_STEP_S = 86400  # each step must follow within 24 h
+
+
+@register(
+    "funnel_analysis",
+    f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+         AND epoch_ms(e.ts) - epoch_ms(v.t1) <= {_FUNNEL_STEP_S} * 1000
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+         AND epoch_ms(e.ts) - epoch_ms(c.t2) <= {_FUNNEL_STEP_S} * 1000
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    survey_ids="datapipe:funnel",
+    doc="Ordered-sequence funnel (view → click-within-24h → purchase-"
+    "within-24h-of-that): per-user first-view, then first click AFTER "
+    "it inside the step window, then first purchase after THAT; counts "
+    "per stage (150 → 60 → 25 at sf0.01 — real drop-off). Each stage "
+    "is one keyed aggregation plus one equi-join on the user key "
+    "carrying ONE row per qualifying user — the chain reuses the key "
+    "partitioning and no stage materializes event pairs. The "
+    "sequential-pattern surface (MATCH_RECOGNIZE-lite) event "
+    "warehouses ship as funnel().",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    step_ms = _FUNNEL_STEP_S * 1000
+
+    def first_after(
+        etype: str, prev: DataFrame | None, t_prev: str, t_out: str
+    ) -> DataFrame:
+        step = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(
+                (F.col("ts") > F.col(t_prev))
+                & (
+                    F.unix_millis(F.col("ts"))
+                    - F.unix_millis(F.col(t_prev))
+                    <= step_ms
+                )
+            )
+        return step.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in (
+            (v, "n_view"),
+            (c, "n_view_click"),
+            (p, "n_view_click_purchase"),
+        )
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out
+
+
+_SCD2_SQL = """
+    WITH obs AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               row_number() OVER w AS rn,
+               lag(o_orderpriority) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chg AS (
+        SELECT * FROM obs
+        WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register(
+    "scd2_dim_history",
+    _SCD2_SQL,
+    survey_ids="§2.6-scd2,M1-history",
+    doc="Slowly-changing-dimension Type 2 build: the orders log as an "
+    "attribute-observation stream per customer, collapsed into minimal "
+    "half-open [valid_from, valid_to) intervals with is_current — the "
+    "history the reference's current-state-only dim syncs throw away, "
+    "and the build side of time-travel dimension joins (asof_join is "
+    "the probe side). Change-point lag + interval-stitch lead share "
+    "ONE key shuffle; incremental maintenance (operators/scd.py "
+    "scd2_apply) touches only affected keys, property-tested "
+    "equivalent to the batch rebuild.",
+)
+def q_scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.scd import scd2_compact
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_compact(
+        orders,
+        ["o_custkey"],
+        ["o_orderpriority"],
+        "o_orderdate",
+        ["o_orderkey"],
+    )
+
+
+_DRIFT_SQL = """
+    WITH e AS (SELECT epoch_ms(ts) AS ms, value FROM events),
+    b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+    x AS (
+        SELECT least(CAST(floor(value / 25.0) AS BIGINT), 19) AS bin,
+               (ms < (lo + hi) // 2) AS is_ref
+        FROM e, b
+    ),
+    pb AS (
+        SELECT bin,
+               COUNT(*) FILTER (WHERE is_ref) AS n_ref,
+               COUNT(*) FILTER (WHERE NOT is_ref) AS n_cur
+        FROM x GROUP BY bin
+    ),
+    t AS (
+        SELECT pb.*,
+               SUM(n_ref) OVER () AS nr,
+               SUM(n_cur) OVER () AS nc,
+               SUM(abs(n_ref * (SELECT SUM(n_cur) FROM pb)
+                       - n_cur * (SELECT SUM(n_ref) FROM pb))) OVER () AS tvd_num
+        FROM pb
+    )
+    SELECT bin, n_ref, n_cur,
+           CAST(n_ref AS DOUBLE) / nr AS p_ref,
+           CAST(n_cur AS DOUBLE) / nc AS p_cur,
+           abs(CAST(n_ref AS DOUBLE) / nr - CAST(n_cur AS DOUBLE) / nc) AS tv_term,
+           ((CAST(n_ref AS DOUBLE) / nr - CAST(n_cur AS DOUBLE) / nc)
+            * (CAST(n_ref AS DOUBLE) / nr - CAST(n_cur AS DOUBLE) / nc))
+           / (CAST(n_ref AS DOUBLE) / nr + CAST(n_cur AS DOUBLE) / nc) AS chi2_term,
+           CAST(tvd_num AS DOUBLE) / (2.0 * nr * nc) AS tvd_exact
+    FROM t
+"""
+
+
+@register(
+    "drift_distribution_report",
+    _DRIFT_SQL,
+    survey_ids="§5-monitoring,datapipe:drift",
+    doc="Distribution-drift report between the stream's earlier and "
+    "later halves (the train/serve skew check a production pipeline "
+    "runs per ingest): fixed-width value bins, per-bin proportions, "
+    "per-bin TV and symmetric-χ² terms, and an EXACT corpus-level "
+    "total-variation distance — the summand is pure int64 arithmetic "
+    "(|n_ref·N_cur − n_cur·N_ref|, order-free exact sums) with ONE "
+    "final double division, so it hash-matches across engines where a "
+    "float Σ or an ln-based PSI could not (libm ulp drift). Plan: one "
+    "bounds agg (broadcast 1 row), one map-side-combining groupBy on "
+    "≤20 bins, windows over the 20-row aggregate — never the raw data.",
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("ms"), "value"
+    )
+    bounds = ev.agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+        (F.col("ms") < F.expr("(lo + hi) div 2")).alias("is_ref"),
+    )
+    pb = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    # windows over the ≤20-row bin aggregate (bounded by construction —
+    # the single-partition window never sees the raw events)
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = pb.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w).alias("nr"),
+        F.sum("n_cur").over(w).alias("nc"),
+    ).select(
+        "*",
+        F.sum(
+            F.abs(F.col("n_ref") * F.col("nc") - F.col("n_cur") * F.col("nr"))
+        )
+        .over(w)
+        .alias("tvd_num"),
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("nr")
+    p_cur = F.col("n_cur").cast("double") / F.col("nc")
+    return staged.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        F.abs(p_ref - p_cur).alias("tv_term"),
+        ((p_ref - p_cur) * (p_ref - p_cur) / (p_ref + p_cur)).alias("chi2_term"),
+        (
+            F.col("tvd_num").cast("double")
+            / (F.lit(2.0) * F.col("nr") * F.col("nc"))
+        ).alias("tvd_exact"),
+    )
+
+
+_MOVING_7D_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE user_id < 100
+    )
+    SELECT user_id, ms,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_7d,
+           COUNT(*) OVER w AS n_7d
+    FROM e
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ms
+        RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+@register(
+    "moving_window_7d",
+    _MOVING_7D_SQL,
+    survey_ids="§2.7-range-frame",
+    doc="Trailing 7-day moving aggregate per user — a RANGE frame over "
+    "event-time milliseconds (every event sees the true trailing "
+    "window, not a row count): the time-series form ROWS frames "
+    "cannot express when events are irregular. Epoch-ms as the frame "
+    "unit keeps the boundary arithmetic integer-exact on both "
+    "engines; decimal value sums finalize to double once. One key "
+    "shuffle; the frame scan is a per-partition sliding pointer, "
+    "never a self-join.",
+)
+def q_moving_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("ms"),
+            _dec("value", "decimal(18,2)").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "ms",
+        F.sum("v").over(w).cast("double").alias("sum_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+_COHORT_SQL = """
+    WITH e AS (
+        SELECT user_id,
+               epoch_ms(ts) // 604800000 AS wk,
+               min(epoch_ms(ts) // 604800000)
+                   OVER (PARTITION BY user_id) AS cohort_wk
+        FROM events
+    ),
+    r AS (
+        SELECT cohort_wk, wk - cohort_wk AS week_offset,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM e GROUP BY 1, 2
+    ),
+    c AS (SELECT cohort_wk, n_active AS cohort_size FROM r WHERE week_offset = 0)
+    SELECT r.cohort_wk, r.week_offset, r.n_active, c.cohort_size,
+           CAST(r.n_active AS DOUBLE) / c.cohort_size AS retention
+    FROM r JOIN c ON c.cohort_wk = r.cohort_wk
+"""
+
+
+@register(
+    "cohort_retention",
+    _COHORT_SQL,
+    survey_ids="§2.6-cohort",
+    doc="Weekly cohort-retention matrix: users cohorted by first-seen "
+    "week, per-offset distinct-active counts and retention rate. The "
+    "first-seen week comes from a WINDOW MIN sharing the user-key "
+    "shuffle with the event rows — never a self-join of events to its "
+    "own firsts (the naive form doubles the biggest table's shuffle). "
+    "Week arithmetic is integer epoch-ms division (engine-exact); the "
+    "rate is one double division of exact counts. The offset=0 join "
+    "back is |cohorts| rows — broadcast. At 100 TB COUNT(DISTINCT "
+    "user) per cell would swap to approx_count_distinct exactly as "
+    "agg_approx_stats demonstrates.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # integer epoch-ms floor-division (`div`, not `/`+cast — rounding
+    # differs); DuckDB's // floor-divides the same way on positives
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 604800000").alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    e = e.withColumn("cohort_wk", F.min("wk").over(w))
+    r = (
+        e.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    c = r.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return r.join(F.broadcast(c), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+_STREAKS_SQL = """
+    WITH d AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        FROM events WHERE user_id < 300
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, grp, COUNT(*) AS streak_days
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(streak_days) AS longest_streak_days,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(streak_days) AS BIGINT) AS total_active_days
+    FROM s GROUP BY user_id
+"""
+
+
+@register(
+    "activity_streaks",
+    _STREAKS_SQL,
+    survey_ids="§2.7-gaps-islands",
+    doc="Gaps-and-islands consecutive-day streaks per user (the "
+    "engagement metric behind 'N-day streak' features): distinct "
+    "active days → island id via the day − dense_rank constant-offset "
+    "trick → per-island lengths → per-user longest/count/total. "
+    "Integer day arithmetic end-to-end. The distinct, the window, and "
+    "both groupBys all ride ONE user-key shuffle.",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 300)
+        .select("user_id", F.expr("unix_millis(ts) div 86400000").alias("day"))
+        .dropDuplicates()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.dense_rank().over(w))
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak_days"))
+    return s.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak_days"),
+        F.count("*").alias("n_streaks"),
+        F.sum("streak_days").cast("bigint").alias("total_active_days"),
+    )
+
+
+_IQR_SQL = """
+    WITH q AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 4) AS q1,
+               ROUND(quantile_cont(value, 0.75), 4) AS q3
+        FROM events GROUP BY event_type
+    ),
+    f AS (
+        SELECT event_type,
+               (q1 - (1.5 * (q3 - q1))) AS lo_fence,
+               (q3 + (1.5 * (q3 - q1))) AS hi_fence
+        FROM q
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                      THEN 1 END) AS n_outliers,
+           CAST(COUNT(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                           THEN 1 END) AS DOUBLE) / COUNT(*) AS outlier_rate,
+           f.lo_fence, f.hi_fence
+    FROM events e JOIN f ON f.event_type = e.event_type
+    GROUP BY e.event_type, f.lo_fence, f.hi_fence
+"""
+
+
+@register(
+    "outlier_iqr_flags",
+    _IQR_SQL,
+    survey_ids="datapipe:outlier-iqr",
+    doc="Tukey-fence outlier report per event type: EXACT per-group "
+    "quartiles (the distributed rank machinery of "
+    "exact_quantiles_by_type — never a single-buffer percentile), "
+    "fences q1∓1.5·IQR with a pinned expression tree over "
+    "4-decimal-rounded quartiles (fence vs data compares stay "
+    "engine-identical: data granularity 0.01 ≫ ulp), broadcast of the "
+    "|types|-row fence table back over the stream, one conditional "
+    "aggregate. The robust-statistics complement of the drift report.",
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    q = grouped_exact_quantiles(
+        events, "event_type", "value", [0.25, 0.75], out_names=["q1", "q3"]
+    ).select(
+        "event_type",
+        F.round("q1", 4).alias("q1"),
+        F.round("q3", 4).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        (F.col("q1") - (F.lit(1.5) * (F.col("q3") - F.col("q1")))).alias(
+            "lo_fence"
+        ),
+        (F.col("q3") + (F.lit(1.5) * (F.col("q3") - F.col("q1")))).alias(
+            "hi_fence"
+        ),
+    )
+    flagged = events.join(F.broadcast(f), "event_type")
+    is_out = (F.col("value") < F.col("lo_fence")) | (
+        F.col("value") > F.col("hi_fence")
+    )
+    return flagged.groupBy("event_type", "lo_fence", "hi_fence").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(is_out, F.lit(1))).alias("n_outliers"),
+        (
+            F.count(F.when(is_out, F.lit(1))).cast("double") / F.count("*")
+        ).alias("outlier_rate"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_outliers",
+        "outlier_rate",
+        "lo_fence",
+        "hi_fence",
+    )
+
+
+_TREND_SQL = """
+    WITH e AS (
+        SELECT event_type,
+               epoch_ms(ts) // 86400000 AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS slope_per_day,
+           ((CAST(sy AS DOUBLE) / 100.0) / n)
+           - (((CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0)
+              * (CAST(sx AS DOUBLE) / n)) AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r
+    FROM s
+"""
+
+
+@register(
+    "linear_trend_by_type",
+    _TREND_SQL,
+    survey_ids="§2.6-regression",
+    doc="Per-type least-squares trend (value vs time) + Pearson r — "
+    "the metric-drift regression a monitoring pipeline fits per "
+    "series. The whole computation is INTEGER-EXACT sufficient "
+    "statistics: x = epoch-day, y = value in cents (both int64, so "
+    "Σx, Σy, Σxy, Σx², Σy² are order-free exact sums — the float "
+    "Σ that makes builtin regr_slope/corr un-hash-matchable never "
+    "appears), with the textbook closed forms evaluated in ONE double "
+    "division/sqrt at the end over pinned expression trees. One "
+    "map-side-combining groupBy; scale-invariant cents cancel in r.",
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = (num / den) / F.lit(100.0)
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_day"),
+        (
+            ((F.col("sy").cast("double") / F.lit(100.0)) / F.col("n"))
+            - (slope * (F.col("sx").cast("double") / F.col("n")))
+        ).alias("intercept"),
+        (num / F.sqrt(den * deny)).alias("pearson_r"),
+    )
+
+
+_SCD2_PIT_SQL = """
+    WITH obs AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               row_number() OVER w AS rn,
+               lag(o_orderpriority) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chg AS (
+        SELECT * FROM obs
+        WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+    ),
+    hist0 AS (
+        SELECT o_custkey, o_orderpriority,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w2 AS valid_to
+        FROM chg
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    hist AS (
+        SELECT * FROM hist0 WHERE valid_to IS NULL OR valid_to > valid_from
+    ),
+    li AS (
+        SELECT DISTINCT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ),
+    base AS (
+        SELECT li.*, o.o_custkey
+        FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    ),
+    cand AS (
+        SELECT b.l_orderkey, b.l_linenumber, b.o_custkey, b.l_shipdate,
+               h.o_orderpriority, h.valid_from,
+               row_number() OVER (
+                   PARTITION BY b.l_orderkey, b.l_linenumber, b.l_shipdate
+                   ORDER BY h.valid_from DESC
+               ) AS rn
+        FROM base b
+        LEFT JOIN hist h
+          ON h.o_custkey = b.o_custkey AND h.valid_from <= b.l_shipdate
+    )
+    SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate,
+           o_orderpriority AS priority_at_ship,
+           valid_from AS interval_start
+    FROM cand WHERE rn = 1
+"""
+
+
+@register(
+    "scd2_pit_join",
+    _SCD2_PIT_SQL,
+    survey_ids="§2.6-scd2-pit",
+    doc="Point-in-time dimension join — the consumption side of SCD2: "
+    "each (sampled) lineitem resolves the customer's prevailing "
+    "priority AT SHIP TIME from the interval history built by "
+    "scd2_dim_history. Zero-length same-instant intervals are "
+    "collapsed to the prevailing one first (valid_to > valid_from OR "
+    "current), making the as-of deterministic; the probe itself is "
+    "the union+window as-of join (ONE shuffle on the key — never the "
+    "O(n·m) interval theta-join the naive BETWEEN join plans).",
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.operators.scd import scd2_compact
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_compact(
+        orders, ["o_custkey"], ["o_orderpriority"], "o_orderdate", ["o_orderkey"]
+    ).filter("valid_to IS NULL OR valid_to > valid_from")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        # the synthetic lineitem repeats (orderkey, linenumber) — the
+        # probe set must be unique rows for a deterministic PIT result
+        .dropDuplicates()
+    )
+    base = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).drop("o_orderkey")
+    out = as_of_join(
+        base,
+        hist.select("o_custkey", "o_orderpriority", "valid_from"),
+        on="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        right_cols=["o_orderpriority", "valid_from"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "l_shipdate",
+        F.col("o_orderpriority").alias("priority_at_ship"),
+        F.col("valid_from").alias("interval_start"),
+    )
+
+
+_SLIDING_HLL_SQL = """
+    WITH d AS (
+        SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+    ),
+    ends AS (SELECT DISTINCT day AS wend FROM d),
+    win AS (
+        SELECT e.wend, COUNT(DISTINCT d.user_id) AS exact_distinct
+        FROM ends e JOIN d ON d.day BETWEEN e.wend - 6 AND e.wend
+        GROUP BY e.wend
+    )
+    SELECT wend AS window_end_day, exact_distinct, TRUE AS sketch_within_5pct
+    FROM win
+"""
+
+
+@register(
+    "sliding_hll_distinct",
+    _SLIDING_HLL_SQL,
+    survey_ids="A5-sliding,datapipe:sketches-window",
+    doc="Sliding 7-day DISTINCT users via windowed sketch merge — the "
+    "only shape sliding distinct takes at scale (distincts don't sum: "
+    "per-day HLL sketches merge across the window via hll_union_agg "
+    "where per-day counts cannot). One shuffle builds |days| "
+    "fixed-size sketches; the window merges 7 of them per row. "
+    "Oracled through the accuracy contract (agg_approx_stats "
+    "pattern): exact windowed distinct as the value plus a "
+    "within-5%-of-exact boolean the oracle emits as literal TRUE — "
+    "sketch drift fails the hash match. The exact verification side "
+    "fans each day into the ≤7 windows it serves (bounded ×7 "
+    "row growth), never a per-window rescan.",
+)
+def q_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_millis(ts) div 86400000").alias("day"), "user_id")
+        .dropDuplicates()
+    )
+    sk = d.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rangeBetween(-6, Window.currentRow)
+    est = sk.select(
+        F.col("day").alias("window_end_day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    )
+    exact = (
+        d.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+                "window_end_day"
+            ),
+        )
+        .join(
+            d.select(F.col("day").alias("window_end_day")).dropDuplicates(),
+            "window_end_day",
+        )
+        .groupBy("window_end_day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return exact.join(est, "window_end_day").select(
+        "window_end_day",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct")
+        ).alias("sketch_within_5pct"),
+    )
+
+
+_ZSCORE_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE user_id < 50
+    ),
+    w AS (
+        SELECT user_id, ms, y,
+               COUNT(*) OVER win AS n,
+               CAST(SUM(y) OVER win AS BIGINT) AS sy,
+               CAST(SUM(y * y) OVER win AS BIGINT) AS syy
+        FROM e
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY ms
+            RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id, ms,
+           CAST(y AS DOUBLE) / 100.0 AS value,
+           n AS n_window,
+           CASE WHEN n * syy - sy * sy > 0 THEN
+               (CAST(n * y - sy AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+           END AS zscore_7d
+    FROM w
+"""
+
+
+@register(
+    "moving_zscore_7d",
+    _ZSCORE_SQL,
+    survey_ids="§2.7-moving-zscore,datapipe:anomaly",
+    doc="Rolling 7-day z-score per event (the streaming-metrics anomaly "
+    "flag): trailing mean/std from INTEGER window sums (cents and "
+    "cents², order-free exact over the RANGE frame), the z closed "
+    "form algebraically rearranged to (n·y−Σy)/√(n·Σy²−(Σy)²) so "
+    "every intermediate stays int64 until ONE double division/sqrt — "
+    "cents scale cancels. Zero-variance windows yield NULL via the "
+    "positivity guard, exactly on both engines. Shares "
+    "moving_window_7d's single key shuffle shape.",
+)
+def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("ms"),
+            F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        )
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    w = e.select(
+        "user_id",
+        "ms",
+        "y",
+        F.count("*").over(win).alias("n"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
+    )
+    den_sq = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.select(
+        "user_id",
+        "ms",
+        (F.col("y").cast("double") / F.lit(100.0)).alias("value"),
+        F.col("n").alias("n_window"),
+        F.when(
+            den_sq > 0,
+            (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+            / F.sqrt(den_sq.cast("double")),
+        ).alias("zscore_7d"),
+    )
+
+
+_WEIGHTED_Q_SQL = """
+    WITH e AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, price, wt,
+               CAST(SUM(wt) OVER (
+                   PARTITION BY flag
+                   ORDER BY price, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        FROM e
+    )
+    SELECT flag,
+           MIN(CASE WHEN 2 * cum >= tot THEN price END) AS weighted_median,
+           MIN(CASE WHEN 10 * cum >= 9 * tot THEN price END) AS weighted_p90,
+           MIN(tot) AS total_weight
+    FROM c GROUP BY flag
+"""
+
+
+@register(
+    "weighted_quantiles",
+    _WEIGHTED_Q_SQL,
+    survey_ids="datapipe:weighted-quantiles",
+    doc="Quantity-WEIGHTED median/p90 of price per return flag — the "
+    "'median unit actually shipped' statistic unweighted quantiles "
+    "misstate. Step form: smallest price whose cumulative weight "
+    "crosses q·W, with the crossing test kept INTEGER "
+    "(2·cum ≥ tot, 10·cum ≥ 9·tot — no rational q·W float ever "
+    "materializes), cumulative weights from ONE totally-ordered "
+    "key-partitioned window, and the pick a conditional MIN aggregate "
+    "(no second window, no row_number). Price ties at the crossing "
+    "emit the identical price either way — tie-break order only "
+    "affects which equal row crosses.",
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = e.select(
+        "flag",
+        "price",
+        F.sum("wt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("wt").over(w_all).cast("bigint").alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("price"))
+        ).alias("weighted_median"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("price"))
+        ).alias("weighted_p90"),
+        F.min("tot").alias("total_weight"),
+    )
+
+
+_CONCURRENCY_SQL = """
+    WITH iv AS (
+        SELECT event_id, event_type, epoch_ms(ts) AS s,
+               epoch_ms(ts) + CAST(FLOOR(value * 60000) AS BIGINT) AS e
+        FROM events
+        WHERE value IS NOT NULL AND FLOOR(value * 60000) > 0
+    ),
+    pts AS (
+        SELECT event_type, s AS pt, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS pt, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+        SELECT event_type,
+               CAST(SUM(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY pt, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS c
+        FROM pts
+    )
+    SELECT r.event_type,
+           MAX(r.c) AS max_concurrency,
+           MIN(n.n_intervals) AS n_intervals
+    FROM run r
+    JOIN (SELECT event_type, COUNT(*) AS n_intervals FROM iv GROUP BY event_type) n
+      ON r.event_type = n.event_type
+    GROUP BY r.event_type
+"""
+
+
+@register(
+    "interval_overlap_concurrency",
+    _CONCURRENCY_SQL,
+    survey_ids="datapipe:sweep-line,§2.7-interval",
+    doc="Peak concurrent intervals per event type (capacity planning / "
+    "overlap audit): each event opens a [ts, ts+value-minutes) interval "
+    "(closed-open: at a tie the −1 end sorts before the +1 start), "
+    "sweep-line ±1 deltas, running sum, MAX. The prefix sum is the "
+    "two-phase distributed form (packing.global_prefix_offsets) over a "
+    "(type, pt, delta, id) range key — NOT a per-type single-partition "
+    "window: per-type deltas telescope to zero, so the concatenated "
+    "global running sum IS each type's concurrency, and the sweep "
+    "scales by ms-range, immune to one type dominating. Integer "
+    "endpoints via FLOOR (exact IEEE) keep both engines bit-identical.",
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.packing import global_prefix_offsets
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("s"),
+        (
+            F.unix_millis("ts")
+            + F.floor(F.col("value") * 60000).cast("bigint")
+        ).alias("e"),
+        "value",
+    )
+    iv = ev.filter(
+        F.col("value").isNotNull() & (F.floor(F.col("value") * 60000) > 0)
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("pt"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e").alias("pt"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    keyed = pts.withColumn(
+        "__k", F.struct("event_type", "pt", "delta", "event_id")
+    )
+    run = global_prefix_offsets(keyed, "__k", "delta")
+    n_per_type = iv.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals")
+    )
+    return (
+        run.groupBy("event_type")
+        .agg(F.max("end_offset").cast("bigint").alias("max_concurrency"))
+        .join(F.broadcast(n_per_type), "event_type")
+        .select("event_type", "max_concurrency", "n_intervals")
+    )
+
+
+_TRANSITION_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pairs
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n_pairs,
+           CAST(n_pairs AS DOUBLE)
+               / CAST(SUM(n_pairs) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p_transition
+    FROM pairs
+"""
+
+
+@register(
+    "event_transition_matrix",
+    _TRANSITION_SQL,
+    survey_ids="datapipe:markov,§2.7-lag",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the behavioral-model / next-event-prediction feed): "
+    "lag over (ts, event_id) within user — ONE hash shuffle on "
+    "user_id — then a map-side-combining groupBy on (prev, next) whose "
+    "result is |types|² rows; the row-probability normalization windows "
+    "over that tiny aggregate, never the raw events. p = one double "
+    "division of two exact int64 counts → IEEE-identical across "
+    "engines.",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_row).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+_WINSORIZE_SQL = """
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS r,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM c
+    ),
+    cuts AS (
+        SELECT flag,
+               MIN(CASE WHEN r = (n + 19) // 20 THEN cents END) AS lo,
+               MIN(CASE WHEN r = (19 * n + 19) // 20 THEN cents END) AS hi,
+               MIN(n) AS n
+        FROM ranked GROUP BY flag
+    )
+    SELECT c.flag,
+           MIN(k.n) AS n_rows,
+           CAST(MIN(k.lo) AS DOUBLE) / 100.0 AS p05_cut,
+           CAST(MIN(k.hi) AS DOUBLE) / 100.0 AS p95_cut,
+           CAST(SUM(LEAST(GREATEST(c.cents, k.lo), k.hi)) AS DOUBLE) / 100.0
+               AS winsorized_sum,
+           CAST(SUM(LEAST(GREATEST(c.cents, k.lo), k.hi)) AS DOUBLE)
+               / (100.0 * MIN(k.n)) AS winsorized_mean
+    FROM c JOIN cuts k ON c.flag = k.flag
+    GROUP BY c.flag
+"""
+
+
+@register(
+    "winsorized_stats",
+    _WINSORIZE_SQL,
+    survey_ids="datapipe:winsorize,A2-robust",
+    doc="Rank-based winsorized sum/mean per group (the robust-metrics "
+    "variant of the revenue rollup: clamp to the nearest-rank p05/p95 "
+    "order statistics, so one fat-finger price can't move the mean). "
+    "Nearest-rank — ceil(n/20) via integer (n+19)//20, NO float "
+    "interpolation — keeps every intermediate int64-exact; cents sums "
+    "are order-free exact with ONE double division at the end. Plan: "
+    "ranking rides one hash shuffle on the group key; cutoffs are a "
+    "3-row broadcast joined back. A single giant group degenerates to "
+    "one partition — operators/quantiles.py's range-partitioned global "
+    "rank is the drop-in for that regime.",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # floor(x*100 + 0.5), not F.round: Spark rounds the decimal string
+    # repr, DuckDB the binary value — they diverge at .xx5; floor is
+    # exact IEEE on both.
+    c = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_rank = Window.partitionBy("flag").orderBy("cents")
+    w_all = Window.partitionBy("flag")
+    ranked = c.select(
+        "flag",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    cuts = ranked.groupBy("flag").agg(
+        F.min(
+            F.when(F.col("r") == F.expr("(n + 19) div 20"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("r") == F.expr("(19 * n + 19) div 20"), F.col("cents")
+            )
+        ).alias("hi"),
+        F.min("n").alias("n"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        c.join(F.broadcast(cuts), "flag")
+        .groupBy("flag")
+        .agg(
+            F.min("n").alias("n_rows"),
+            (F.min("lo").cast("double") / F.lit(100.0)).alias("p05_cut"),
+            (F.min("hi").cast("double") / F.lit(100.0)).alias("p95_cut"),
+            (F.sum(clamped).cast("double") / F.lit(100.0)).alias(
+                "winsorized_sum"
+            ),
+            (
+                F.sum(clamped).cast("double")
+                / (F.lit(100.0) * F.min("n").cast("double"))
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+_MAD_SQL = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN r = (n + 1) // 2 THEN cents END) AS med
+        FROM (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM c
+        ) GROUP BY event_type
+    ),
+    dev AS (
+        SELECT c.event_type, c.cents, m.med, ABS(c.cents - m.med) AS d
+        FROM c JOIN med m ON c.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               MIN(med) AS med,
+               MIN(CASE WHEN r = (n + 1) // 2 THEN d END) AS mad
+        FROM (
+            SELECT event_type, med, d,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(k.med) AS DOUBLE) / 100.0 AS median_value,
+           CAST(MIN(k.mad) AS DOUBLE) / 100.0 AS mad_value,
+           CAST(COUNT(CASE WHEN v.d * 10000 > 44478 * k.mad THEN 1 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(CASE WHEN v.d * 10000 > 44478 * k.mad THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS outlier_rate
+    FROM dev v JOIN mad k ON v.event_type = k.event_type
+    GROUP BY v.event_type
+"""
+
+
+@register(
+    "outlier_mad_robust",
+    _MAD_SQL,
+    survey_ids="datapipe:outlier-mad",
+    doc="MAD-based robust outlier report per event type — the "
+    "breakdown-point-0.5 complement of the Tukey-fence query (IQR "
+    "breaks down at 25% contamination, MAD not until 50%). Both order "
+    "statistics are NEAREST-RANK over integer cents (no interpolation "
+    "anywhere), and the 3·1.4826·MAD threshold is applied as the "
+    "integer cross-product |x−med|·10000 > 44478·MAD — every "
+    "comparison int64-exact, doubles appear only in the final report "
+    "columns. Two ranking windows and the joins all ride the same "
+    "event_type key shuffle.",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        c.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w_rank).alias("r"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).alias("med")
+        )
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("d"),
+    )
+    w_rank_d = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.select(
+            "event_type",
+            "med",
+            "d",
+            F.row_number().over(w_rank_d).alias("r"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min(
+                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("d"))
+            ).alias("mad"),
+        )
+    )
+    is_out = F.col("d") * 10000 > 44478 * F.col("mad")
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.min("med").cast("double") / F.lit(100.0)).alias("median_value"),
+            (F.min("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
+            F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
+            (
+                F.count(F.when(is_out, 1)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+
+_DAILY_BANDS_SQL = """
+    WITH c AS (
+        SELECT epoch_ms(ts) // 86400000 AS day,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT day, cents,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents) AS r,
+               COUNT(*) OVER (PARTITION BY day) AS n
+        FROM c
+    )
+    SELECT day,
+           MIN(n) AS n_events,
+           CAST(MIN(CASE WHEN r = (n + 1) // 2 THEN cents END) AS DOUBLE)
+               / 100.0 AS p50,
+           CAST(MIN(CASE WHEN r = (19 * n + 19) // 20 THEN cents END)
+                AS DOUBLE) / 100.0 AS p95,
+           CAST(MAX(cents) AS DOUBLE) / 100.0 AS p100
+    FROM ranked GROUP BY day
+"""
+
+
+@register(
+    "daily_latency_bands",
+    _DAILY_BANDS_SQL,
+    survey_ids="datapipe:percentile-bands,§2.6-daily",
+    doc="Per-day P50/P95/max bands of the value metric — the SLO "
+    "dashboard feed. Nearest-rank order statistics over integer cents "
+    "(no interpolation; (n+1)//2 and ceil(19n/20) picked by integer "
+    "arithmetic), doubles only in the report columns. One hash shuffle "
+    "on the day key carries the ranking window, the count window, and "
+    "the final groupBy; days are plentiful so per-task state stays "
+    "bounded at any scale (the grouped-quantiles scale argument).",
+)
+def q_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr("unix_millis(ts) div 86400000").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    w_rank = Window.partitionBy("day").orderBy("cents")
+    w_all = Window.partitionBy("day")
+    ranked = c.select(
+        "day",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    return ranked.groupBy("day").agg(
+        F.min("n").alias("n_events"),
+        (
+            F.min(
+                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("p50"),
+        (
+            F.min(
+                F.when(
+                    F.col("r") == F.expr("(19 * n + 19) div 20"),
+                    F.col("cents"),
+                )
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("p95"),
+        (F.max("cents").cast("double") / F.lit(100.0)).alias("p100"),
+    )
+
+
+_PARETO_SQL = """
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT nationkey, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nationkey ORDER BY cents DESC, custkey
+               ) AS r,
+               COUNT(*) OVER (PARTITION BY nationkey) AS n
+        FROM rev
+    )
+    SELECT nationkey,
+           MIN(n) AS n_customers,
+           CAST(SUM(CASE WHEN r <= (n + 9) // 10 THEN cents ELSE 0 END)
+                AS BIGINT) AS top_decile_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN r <= (n + 9) // 10 THEN cents ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(cents) AS DOUBLE) AS top_decile_share
+    FROM ranked GROUP BY nationkey
+"""
+
+
+@register(
+    "revenue_concentration_pareto",
+    _PARETO_SQL,
+    survey_ids="datapipe:concentration,A2-pareto",
+    doc="Revenue concentration per nation (the 80/20 report): share of "
+    "order revenue held by the top decile of customers, decile cut by "
+    "nearest-rank ceil(n/10) over integer cents (ties broken by "
+    "custkey so both engines pick the identical customer set). Two "
+    "aggregation levels and the ranking window all hash-partition on "
+    "their group keys; the per-customer rollup is the only "
+    "corpus-sized shuffle. One double division per output row.",
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    # no broadcast hint: customer is dim-sized here and Catalyst
+    # broadcasts it on its own, but at extreme SF the dim outgrows the
+    # threshold and the planner must be free to fall back to a shuffled
+    # join — forcing the hint would pin an OOM at that scale
+    rev = (
+        orders.join(cust, "o_custkey")
+        .groupBy("nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w_rank = Window.partitionBy("nationkey").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    w_all = Window.partitionBy("nationkey")
+    ranked = rev.select(
+        "nationkey",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    top = F.when(F.col("r") <= F.expr("(n + 9) div 10"), F.col("cents")).otherwise(
+        F.lit(0)
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.min("n").alias("n_customers"),
+        F.sum(top).cast("bigint").alias("top_decile_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        (
+            F.sum(top).cast("double") / F.sum("cents").cast("double")
+        ).alias("top_decile_share"),
+    )
