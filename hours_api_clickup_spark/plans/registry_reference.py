@@ -1930,3 +1930,128 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ms").alias("max_ts_ms"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "lambda_hof_surface",
+    """
+    SELECT priority,
+           COUNT(*) AS n,
+           CAST(SUM(2*k7 + 2*c5 + 2*k3) AS BIGINT) AS sum_doubled,
+           CAST(SUM((k7+1)%2 + (c5+1)%2 + (k3+1)%2) AS BIGINT)
+               AS n_even_elems,
+           CAST(SUM(k7*k2 + c5*c4 + k3*k6) AS BIGINT) AS sum_dot,
+           SUM(CASE WHEN k7=0 OR c5=0 OR k3=0 THEN 1 ELSE 0 END)
+               AS n_with_zero,
+           SUM(CASE WHEN k7<7 AND c5<7 AND k3<7 THEN 1 ELSE 0 END)
+               AS n_all_small
+    FROM (
+        SELECT o_orderpriority AS priority,
+               o_orderkey % 7 AS k7, o_custkey % 5 AS c5,
+               o_orderkey % 3 AS k3, o_orderkey % 2 AS k2,
+               o_custkey % 4 AS c4, o_orderkey % 6 AS k6
+        FROM orders
+    )
+    GROUP BY priority
+    """,
+    survey_ids="§2.10-lambda-hof",
+    doc="Array lambda higher-order functions — transform / filter / "
+    "aggregate(fold) / zip_with / exists / forall — the JVM-side "
+    "array programming surface (SURVEY §2.10's comprehension analogs, "
+    "fetch_clickup_data.py:556,598,747, generalized to lambdas). "
+    "zip_with × aggregate composes the in-row dot product the "
+    "embedding family uses at scale. All-integer arithmetic; the "
+    "oracle evaluates the same element expressions scalar-wise, so "
+    "any HOF semantic drift (1-based indexing, null element handling, "
+    "fold order) breaks the hash. Projection-only: one shuffle for "
+    "the 5-row rollup, codegen'd HOFs, no Python anywhere.",
+)
+def q_lambda_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT priority,
+               COUNT(*) AS n,
+               CAST(SUM(aggregate(transform(a, x -> x * 2), 0L,
+                                  (acc, x) -> acc + x)) AS BIGINT)
+                   AS sum_doubled,
+               CAST(SUM(size(filter(a, x -> x % 2 = 0))) AS BIGINT)
+                   AS n_even_elems,
+               CAST(SUM(aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+                                  (acc, x) -> acc + x)) AS BIGINT)
+                   AS sum_dot,
+               SUM(CASE WHEN exists(a, x -> x = 0) THEN 1 ELSE 0 END)
+                   AS n_with_zero,
+               SUM(CASE WHEN forall(a, x -> x < 7) THEN 1 ELSE 0 END)
+                   AS n_all_small
+        FROM (
+            SELECT o_orderpriority AS priority,
+                   array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3)
+                       AS a,
+                   array(o_orderkey % 2, o_custkey % 4, o_orderkey % 6)
+                       AS b
+            FROM orders
+        )
+        GROUP BY priority
+        """
+    )
+
+
+@register(
+    "map_functions_surface",
+    """
+    SELECT priority,
+           COUNT(*) AS n,
+           CAST(SUM(a3 + c7) AS BIGINT) AS sum_zip_a,
+           CAST(SUM(c5 * 10) AS BIGINT) AS sum_tv_b,
+           CAST(SUM((CASE WHEN a3>1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c5>1 THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_filtered,
+           CAST(SUM(3) AS BIGINT) AS n_concat,
+           CAST(SUM(a3) AS BIGINT) AS sum_tk_a
+    FROM (
+        SELECT o_orderpriority AS priority,
+               o_orderkey % 3 AS a3, o_custkey % 5 AS c5,
+               o_custkey % 7 AS c7
+        FROM orders
+    )
+    GROUP BY priority
+    """,
+    survey_ids="P17,§2.10-map-hof",
+    doc="Map higher-order functions — map_zip_with (outer-union of key "
+    "sets with null-absent sides), transform_keys / transform_values, "
+    "map_filter, map_concat — P17's custom-field map probe extended "
+    "to the full map-programming surface. Each HOF result is probed "
+    "back to a scalar via element_at, so the oracle replays the "
+    "values from the generating expressions without needing map "
+    "types at all; integer-exact. Projection-only + 5-row rollup.",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT priority,
+               COUNT(*) AS n,
+               CAST(SUM(element_at(
+                   map_zip_with(m1, m2,
+                       (k, v1, v2) -> coalesce(v1, 0L) + coalesce(v2, 0L)),
+                   'a')) AS BIGINT) AS sum_zip_a,
+               CAST(SUM(element_at(
+                   transform_values(m1, (k, v) -> v * 10), 'b'))
+                   AS BIGINT) AS sum_tv_b,
+               CAST(SUM(size(map_filter(m1, (k, v) -> v > 1)))
+                   AS BIGINT) AS n_filtered,
+               CAST(SUM(size(map_concat(m1, map('c', o_orderkey % 11))))
+                   AS BIGINT) AS n_concat,
+               CAST(SUM(element_at(
+                   transform_keys(m1, (k, v) -> upper(k)), 'A'))
+                   AS BIGINT) AS sum_tk_a
+        FROM (
+            SELECT o_orderpriority AS priority, o_orderkey,
+                   map('a', o_orderkey % 3, 'b', o_custkey % 5) AS m1,
+                   map('a', o_custkey % 7, 'x', o_orderkey % 2) AS m2
+            FROM orders
+        )
+        GROUP BY priority
+        """
+    )
