@@ -1866,8 +1866,10 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Deterministic per-sf fixture dir for the paged-events source,
-    rebuilt (overwrite) on every call so layout changes never leak."""
+    """Deterministic per-sf fixture dir for the paged-events source;
+    rebuilt only when the source bytes or layout changed (the sidecar
+    meta check in write_fixture_from_events), so repeated queries pay
+    the ingest once."""
     import os
     import re as _re
     import tempfile
@@ -1880,7 +1882,7 @@ def _pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "hours_pyds_fixture_" + _re.sub(r"\W", "_", sf_dir),
     )
-    write_fixture_from_events(spark, sf_dir, path, n_chunks=5)
+    write_fixture_from_events(spark, sf_dir, path, n_chunks=5, reuse=True)
     return path
 
 

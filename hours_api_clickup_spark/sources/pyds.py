@@ -63,7 +63,11 @@ _COLS = ["event_id", "user_id", "ts_ms", "event_type", "value"]
 
 
 def write_fixture_from_events(
-    spark: SparkSession, sf_dir: str, path: str, n_chunks: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_chunks: int = 5,
+    reuse: bool = False,
 ) -> str:
     """Materialize the paged-server fixture from the events table.
 
@@ -73,8 +77,33 @@ def write_fixture_from_events(
     per window — no driver-side collect at any size. ``ts`` ships as
     epoch-ms int64 and ``value`` as shortest-roundtrip double, so the
     JSON hop is lossless.
+
+    ``reuse=True`` skips the write when a committed fixture built from
+    the SAME source bytes is already at ``path`` (a sidecar records
+    (sf_dir, n_chunks, source size+mtime)); the determinism of the
+    build makes this exact, and a regenerated testdata tree changes
+    the mtime and invalidates it.
     """
+    import json as _json
+
     from hours_api_clickup_spark.plans.registry import load_table
+
+    src_stat = os.stat(f"{sf_dir}/events.parquet")
+    meta = {
+        "sf_dir": sf_dir,
+        "n_chunks": n_chunks,
+        "src_size": src_stat.st_size,
+        "src_mtime_ns": src_stat.st_mtime_ns,
+    }
+    meta_path = os.path.join(path, "_fixture_meta.json")
+    if reuse and os.path.exists(meta_path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        try:
+            if _json.load(open(meta_path)) == meta:
+                return path
+        except (OSError, ValueError):
+            pass
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id"),
@@ -97,6 +126,8 @@ def write_fixture_from_events(
         ),
     )
     chunked.write.mode("overwrite").partitionBy("chunk").json(path)
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
     return path
 
 
@@ -324,8 +355,11 @@ def drain_paged_stream(query, n_chunks: int, timeout_s: float = 120.0) -> None:
     The simple stream reader prefetches one batch per trigger, so
     ``availableNow`` would stop after the first prefetched chunk; the
     deterministic bounded drain is a fast processing-time trigger
-    polled until the end offset reaches ``n_chunks`` and a trailing
-    empty batch confirms quiescence.
+    polled until the end offset covers every chunk and the engine
+    reports no data left. (Waiting for a 0-row progress event instead
+    would stall on ``noDataProgressEventInterval`` — idle-trigger
+    progress is throttled to every 10 s by default, which multiplied
+    this query's wall time ~3×.)
     """
     import re
     import time
@@ -335,9 +369,16 @@ def drain_paged_stream(query, n_chunks: int, timeout_s: float = 120.0) -> None:
         p = query.lastProgress
         if p and p["sources"] and p["sources"][0]["endOffset"]:
             m = re.search(r"\d+", str(p["sources"][0]["endOffset"]))
-            if m and int(m.group()) >= n_chunks and p["numInputRows"] == 0:
+            # the end-offset progress event fires as soon as the last
+            # data batch commits; isDataAvailable=False confirms the
+            # source has nothing further
+            if (
+                m
+                and int(m.group()) >= n_chunks
+                and not query.status.get("isDataAvailable", True)
+            ):
                 break
-        time.sleep(0.2)
+        time.sleep(0.1)
     else:
         query.stop()
         raise TimeoutError("paged stream did not drain in time")
