@@ -514,11 +514,16 @@ def lsh_index_upsert(
     dynamic-overwrite sink (operators/merge.py discusses the trade).
 
     Cost model: touched-bucket overwrite wins while the batch hits a
-    small fraction of the layout; past ~half the directories (a random
-    batch under the coarse layout) it degrades to ONE read-merge-swap
-    pass writing ``base__staged`` and renaming it in (measured ~0.6×
-    the in-place rewrite, which paid a pruned read + a full merged
-    localCheckpoint + per-directory commits). The branch is automatic.
+    small fraction of the layout; past the threshold (a random batch
+    under the coarse layout) it degrades to a REBUILD of the merged
+    vector set — read one table's worth of (vid, v), anti-join the
+    batch, re-sign with the one-pass GEMM, write ``base__staged``,
+    swap. Measured at the bench's 200k corpus this lands ~2× a plain
+    rebuild (the extra being the parquet vector read + merge the
+    rebuild's in-memory input skips), vs ~2.5-3× for the earlier
+    row-copy degrade that moved all tables×n index rows. The branch
+    is automatic; steady-state ingest should still be the append log
+    (5-10× cheaper than either, exactness restored at compaction).
 
     If no index exists at ``path`` yet, bootstraps via
     ``lsh_index_write`` (first batch = the index). If an append log
@@ -562,17 +567,29 @@ def lsh_index_upsert(
     threshold = UPSERT_DEGRADE_FRACTION * n_dirs_possible
 
     def _degrade_swap() -> None:
-        max_seq = index.agg(F.max("seq")).head()[0]
-        new_seq = (max_seq if max_seq is not None else -1) + 1
-        merged = index.join(F.broadcast(batch_ids), "vid", "left_anti").select(
-            "vid", "v", "t", "sig", "sb", "seq"
-        ).unionByName(
-            new_rows.select("vid", "v", "t", "sig", "sb").withColumn(
-                "seq", F.lit(new_seq).cast("long")
-            )
+        # The heavy-touch regime IS a rebuild of the merged vector set,
+        # so take exactly the rebuild's cost shape: read ONE table's
+        # worth of rows (every vector appears in every table with the
+        # same v), anti-join the batch, re-sign everything with the
+        # one-pass GEMM, write staged, swap. The earlier form copied
+        # all tables×n index rows through the anti-join — `tables`×
+        # the vector bytes on the read side — and measured ~2.5× a
+        # plain rebuild at the bench's 200k corpus; this form is the
+        # rebuild, plus one bounded swap.
+        vecs = (
+            index.filter(F.col("t") == 0)
+            .select("vid", "v")
+            .join(F.broadcast(batch_ids), "vid", "left_anti")
+            .unionByName(new_rows.filter(F.col("t") == 0).select("vid", "v"))
+        )
+        signed = _signature_rows(vecs, "v", "vid", planes, tables, dim).withColumn(
+            # a full snapshot: uniform seq is correct for max-seq
+            # merge-on-read because vids are unique after the merge
+            "seq",
+            F.lit(0).cast("long"),
         )
         staged = f"{path}/base__staged"
-        merged.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+        signed.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
             "sig"
         ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
         _fs_swap_dir(spark, f"{path}/base", staged)
