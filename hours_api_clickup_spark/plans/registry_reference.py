@@ -2057,3 +2057,104 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY priority
         """
     )
+
+
+_PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_shipdate >= DATE '1997-01-01'
+    |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                   AS BIGINT) AS rev_cents
+    |> AGGREGATE COUNT(*) AS n_items, SUM(rev_cents) AS rev
+       GROUP BY l_orderkey
+    |> JOIN orders o ON l_orderkey = o.o_orderkey
+    |> WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    |> AGGREGATE COUNT(*) AS n_orders,
+                 CAST(SUM(rev) AS BIGINT) AS rev_cents_total,
+                 CAST(SUM(n_items) AS BIGINT) AS n_items_total
+       GROUP BY o.o_orderpriority
+    |> SELECT o_orderpriority AS priority, n_orders, n_items_total,
+              rev_cents_total
+"""
+
+
+@register(
+    "pipe_syntax_surface",
+    """
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(t.n_items) AS BIGINT) AS n_items_total,
+           CAST(SUM(t.rev) AS BIGINT) AS rev_cents_total
+    FROM (
+        SELECT l_orderkey, COUNT(*) AS n_items,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT)) AS rev
+        FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        GROUP BY l_orderkey
+    ) t JOIN orders o ON t.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ids="§2.10-pipe-sql",
+    doc="SQL pipe syntax (Spark 4, |> operators): scan → filter → "
+    "EXTEND (computed column) → per-order aggregate → join → filter → "
+    "re-aggregate → projection as a linear dataflow — the front-door "
+    "form that reads like the DataFrame chain and compiles to the "
+    "identical Catalyst plan as the nested-subquery spelling the "
+    "oracle uses (same pushdown, same partial aggregation, same "
+    "broadcast decision; nothing about the syntax changes the "
+    "physical plan). Revenue kept integer-cents end to end.",
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PIPE_SQL)
+
+
+@register(
+    "udtf_lateral_surface",
+    """
+    SELECT n.n_nationkey AS nationkey, u.w AS word,
+           CAST(u.pos AS INT) AS pos, CAST(LENGTH(u.w) AS INT) AS wlen
+    FROM nation n,
+    LATERAL (
+        SELECT unnest(string_split(n.n_name || ' region ' || n.n_regionkey,
+                                   ' ')) AS w,
+               generate_subscripts(string_split(n.n_name || ' region ' ||
+                                                n.n_regionkey, ' '), 1)
+                   AS pos
+    ) u
+    """,
+    survey_ids="§2.12-udtf",
+    doc="Python user-defined table function (Spark 4 @udtf) applied "
+    "LATERALLY per input row — the pluggable UDTF surface SURVEY "
+    "§2.12 notes the reference lacks entirely. The generator yields "
+    "(word, 1-based position, length) rows from a per-nation string; "
+    "the oracle replays it with unnest + generate_subscripts. The "
+    "class is defined inside the query fn so cloudpickle ships it by "
+    "value (vanilla sessions have no package on the worker path — "
+    "same stance as sources/pyds.py). Deliberately DIM-SIZED input: "
+    "a UDTF is row-at-a-time Python, the right tool for plugging "
+    "custom generators over small tables; corpus-sized fan-out "
+    "belongs to codegen explode (doc_chunking) or Arrow-batched "
+    "mapInPandas (multimodal_frame_sample), which this repo uses on "
+    "every hot path.",
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int, wlen int")
+    class WordsUdtf:
+        def eval(self, s: str):
+            for i, w in enumerate((s or "").split(" ")):
+                yield (w, i + 1, len(w))
+
+    spark.udtf.register("words_udtf", WordsUdtf)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey AS nationkey, t.word, t.pos, t.wlen
+        FROM nation n,
+        LATERAL words_udtf(concat_ws(' ', n.n_name, 'region',
+                                     CAST(n.n_regionkey AS STRING))) t
+        """
+    )
