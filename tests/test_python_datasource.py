@@ -138,3 +138,57 @@ def test_stream_offset_replay_is_deterministic(spark, fixture_dir):
     # past-the-end read is a clean no-op
     empty, same = r.read({"chunk": 99})
     assert list(empty) == [] and same == {"chunk": 99}
+
+
+def test_stream_checkpoint_restart_no_double_count(spark, fixture_dir, tmp_path):
+    """Kill the stream mid-sequence and restart from the same
+    checkpoint: committed chunks must not re-aggregate (exactly-once
+    through offset tracking), and the final drained result equals the
+    batch aggregate."""
+    import time
+
+    from pyspark.sql import functions as F2
+
+    ckpt = str(tmp_path / "ckpt")
+    sink1 = "pyds_ckpt_a"
+
+    def start(sink):
+        out = (
+            read_paged_events_stream(spark, fixture_dir)
+            .groupBy("event_type")
+            .agg(F2.count("*").alias("n"))
+        )
+        return (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start(sink1)
+    # let at least one batch commit, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start("pyds_ckpt_b")
+    drain_paged_stream(q2, n_chunks=5)
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT * FROM pyds_ckpt_b").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in _direct(spark)
+        .groupBy("event_type")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
