@@ -100,3 +100,46 @@ def fact_expectations() -> list[Expectation]:
             | (F.col("end_utc") >= F.col("start_utc")),
         ),
     ]
+
+
+def observe_expectations(
+    df: DataFrame, expectations: list[Expectation], name: str = "expectations"
+):
+    """Attach the expectation suite to ``df`` as an ``Observation`` so
+    the violations are collected DURING the next action on ``df`` —
+    zero extra scans, where ``run_expectations`` costs one dedicated
+    pass.
+
+    This is the write-path form of the reference's post-load
+    verification SQL (docs/setup.md:93-101): instead of loading the
+    fact table and then re-querying it to check counts, the sync write
+    itself produces the metrics. At 100 TB the saved pass is the whole
+    point — validation becomes free.
+
+    Returns ``(df_observed, observation)``; after an action runs on
+    ``df_observed``, ``observation.get`` holds {expectation_name:
+    violation_count} and ``assert_observed_clean(observation)`` raises
+    on any non-zero count.
+
+    Engine limitation: observed metrics reject DISTINCT aggregates, so
+    ``expect_unique`` suites must keep using ``run_expectations``'s
+    dedicated pass (or an approx_count_distinct-based variant).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(
+        obs, *[e.violations.alias(e.name) for e in expectations]
+    )
+    return out, obs
+
+
+def assert_observed_clean(observation) -> dict:
+    """Raise if any observed expectation recorded violations; returns
+    the metrics dict otherwise. Call only after an action has run on
+    the observed DataFrame."""
+    metrics = observation.get
+    bad = {k: v for k, v in metrics.items() if v}
+    if bad:
+        raise AssertionError(f"expectations violated: {bad}")
+    return metrics

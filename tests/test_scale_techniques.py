@@ -1415,3 +1415,126 @@ def test_inverted_index_matches_python_recount(spark, tmp_path):
             if n > 0:
                 want_p[i] = n
         assert got_p == want_p, (first, second, got_p, want_p)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime row-level filtering: a selective dim-side filter on a
+    SHUFFLED join should inject a bloom filter on the fact side
+    (bloom_filter_might_contain), dropping non-matching rows before
+    the shuffle. Local data sits under the default 10 GB application-
+    side threshold, so the test pins the conf recipe a cluster job
+    uses; result equality with the filter off is asserted too."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local tables are far below the 10 GB application-side
+        # threshold the feature targets; zero it to exercise the path
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # the creation-side size estimate at this SF exceeds the 10 MB
+        # default (filter selectivity is not estimated without CBO
+        # stats); lift it so the selective side qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        # bloom filters only help joins that actually shuffle
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # NOTE: the DataFrames must be constructed AFTER the confs are
+        # set — the injected-runtime-filter decision keys off session
+        # state captured when the relations are created, not at
+        # optimization time (empirically: loading first → no bloom).
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("qty"),
+            )
+        )
+        # gate on the optimized logical plan: the physical 'formatted'
+        # output elides the runtime-filter subquery in some sessions
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan
+        with_bloom = {tuple(r) for r in j.collect()}
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        without = {
+            tuple(r)
+            for r in (
+                li.join(od, li.l_orderkey == od.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("qty"),
+                )
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    assert with_bloom == without
+
+
+def test_observed_expectations_collect_during_write(spark, tmp_path):
+    """observe_expectations: the validation suite rides the write
+    action (zero extra scans) and reports the same violation counts
+    run_expectations finds with its dedicated pass."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.validate import (
+        assert_observed_clean,
+        expect_not_null,
+        expect_range,
+        expect_unique,
+        observe_expectations,
+        run_expectations,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    ev = load_table(spark, SF_DIR_SMOKE, "events")
+    # no expect_unique here: observed metrics reject DISTINCT
+    # aggregates (engine limitation, noted in observe_expectations)
+    suite = [
+        expect_not_null("event_id"),
+        expect_range("user_id", 0, 10_000_000),
+    ]
+    observed, obs = observe_expectations(ev, suite)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    metrics = assert_observed_clean(obs)
+    dedicated = {
+        r["check"]: r["n_violations"]
+        for r in run_expectations(ev, suite).collect()
+    }
+    assert metrics == dedicated
+
+    # a failing suite raises with the offending counts
+    bad_suite = [expect_range("user_id", 0, 1)]
+    observed2, obs2 = observe_expectations(ev, bad_suite, name="bad")
+    observed2.write.mode("overwrite").parquet(str(tmp_path / "out2"))
+    try:
+        assert_observed_clean(obs2)
+        raise RuntimeError("expected AssertionError")
+    except AssertionError as e:
+        assert "range[user_id]" in str(e)
