@@ -323,13 +323,23 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Sketch prefilter before the (heavier) exact verification: the
-    # fraction of matching minhash components is an unbiased Jaccard
-    # estimator; a generous margin keeps true-positives. With K=64 and
-    # j ≥ 0.7, P(estimate < 0.5) < 3e-4 — while the mass of low-j bucket
-    # collisions is discarded without ever shipping their gram sets.
-    # The cutoff is an integer count of matching components (never a
-    # float compare), so the oracle reproduces it exactly.
+    return _verified_pairs(sig, cand, num_hashes, threshold)
+
+
+def _verified_pairs(
+    sig: DataFrame, cand: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Sketch prefilter + exact-Jaccard verification of candidate
+    (id_a, id_b) pairs against the signature frame — shared by the
+    one-corpus and cross-corpus pair queries.
+
+    Sketch prefilter before the (heavier) exact verification: the
+    fraction of matching minhash components is an unbiased Jaccard
+    estimator; a generous margin keeps true-positives. With K=64 and
+    j ≥ 0.7, P(estimate < 0.5) < 3e-4 — while the mass of low-j bucket
+    collisions is discarded without ever shipping their gram sets.
+    The cutoff is an integer count of matching components (never a
+    float compare), so the oracle reproduces it exactly."""
     est_margin = 0.2
     min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
     sig_arr = sig.select(
@@ -362,6 +372,48 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_cross_corpus_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_pred,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs ACROSS a corpus boundary only — the train-vs-
+    held-out form of MinHash dedup (Lee et al. ACL 2022 §4: benchmark
+    contamination removed as near-duplication, not just exact n-gram
+    overlap). ``bench_pred`` maps the id column to the benchmark-side
+    predicate; output rows are (id_a = train doc, id_b = benchmark
+    doc, jaccard ≥ threshold).
+
+    Same signature/banding machinery as ``minhash_lsh_pairs`` (one
+    shuffle signs both sides together), but the candidate join
+    requires OPPOSITE sides, so within-side bucket collisions — the
+    bulk of a self-joined corpus — never become candidates, never hit
+    the sketch prefilter, never fetch gram sets. At 100 TB train × a
+    fixed benchmark set this makes the pair join's probe side the
+    benchmark's banded rows (tiny), broadcastable by the planner."""
+    sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint(
+        eager=False
+    )
+    banded = _band_frame(sig, num_hashes, bands)
+    a = banded.filter(~bench_pred(F.col("did"))).alias("a")
+    b = banded.filter(bench_pred(F.col("did"))).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verified_pairs(sig, cand, num_hashes, threshold)
 
 
 def _minhash_oracle_ctes(

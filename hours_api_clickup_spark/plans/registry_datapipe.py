@@ -2135,3 +2135,64 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_rank")
     )
+
+
+def _cross_corpus_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_HASHES,
+        DEFAULT_SHINGLE_K,
+        _minhash_oracle_ctes,
+    )
+
+    ctes = _minhash_oracle_ctes(
+        "documents",
+        "doc_id",
+        "text",
+        DEFAULT_SHINGLE_K,
+        DEFAULT_NUM_HASHES,
+        DEFAULT_BANDS,
+        0.7,
+    )
+    return f"""
+    WITH {ctes},
+    cross_removed AS (
+        SELECT CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS did
+        FROM jpairs
+        WHERE (id_a % 20 = 0) <> (id_b % 20 = 0)
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 20 <> 0
+      AND d.doc_id NOT IN (SELECT did FROM cross_removed)
+    """
+
+
+@register(
+    "dedup_cross_corpus",
+    _cross_corpus_oracle(),
+    survey_ids="datapipe:dedup-cross-corpus",
+    doc="Train-vs-benchmark near-dup dedup (Lee et al. ACL 2022 §4: "
+    "contamination as near-duplication, the recall the exact n-gram "
+    "decontaminate passes can't reach): training docs whose MinHash "
+    "Jaccard ≥ 0.7 against any held-out doc (doc_id % 20 = 0 plays "
+    "the benchmark) are dropped; the survivors are returned. One "
+    "shuffle signs both sides together; the candidate join requires "
+    "OPPOSITE sides, so within-side bucket collisions — the bulk of a "
+    "self-joined corpus — are never candidates (the benchmark's "
+    "banded rows are the tiny probe side at 100 TB). Oracle replays "
+    "the full generated MinHash CTE chain and filters its pairs to "
+    "the boundary — identical banding ⇒ identical pair set ⇒ "
+    "identical survivors.",
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.dedup import (
+        minhash_cross_corpus_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_cross_corpus_pairs(
+        docs, "doc_id", "text", lambda did: did % 20 == 0
+    )
+    removed = pairs.select(F.col("id_a").alias("doc_id")).dropDuplicates()
+    train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id")
+    return train.join(removed, "doc_id", "left_anti")
