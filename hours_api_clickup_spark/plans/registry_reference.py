@@ -1865,7 +1865,7 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _pyds_fixture(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     """Deterministic per-sf fixture dir for the paged-events source;
     rebuilt only when the source bytes or layout changed (the sidecar
     meta check in write_fixture_from_events), so repeated queries pay
@@ -1880,9 +1880,11 @@ def _pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        "hours_pyds_fixture_" + _re.sub(r"\W", "_", sf_dir),
+        f"hours_pyds_fixture_c{n_chunks}_" + _re.sub(r"\W", "_", sf_dir),
     )
-    write_fixture_from_events(spark, sf_dir, path, n_chunks=5, reuse=True)
+    write_fixture_from_events(
+        spark, sf_dir, path, n_chunks=n_chunks, reuse=True
+    )
     return path
 
 
