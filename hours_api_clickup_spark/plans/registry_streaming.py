@@ -570,3 +570,67 @@ def q_streaming_python_datasource(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@register(
+    "streaming_stateful_ledger",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    survey_ids="§2.11,datapipe:stateful-ledger",
+    doc="Custom stateful streaming op: a per-user running ledger "
+    "(event count, integer-cents sum, distinct-type set) folded "
+    "across micro-batches with applyInPandasWithState — the runnable "
+    "twin of streaming/tws.py's transformWithState form (sandbox-"
+    "gated on protobuf). The events table streams as 4 files, one "
+    "micro-batch each; every batch emits the user's cumulative "
+    "snapshot, and the final ledger is the max_by(n_events) row per "
+    "user — exact because n_events is strictly monotone per user and "
+    "every fold is commutative, so the answer is independent of the "
+    "batch split. State is O(users); the oracle is the plain batch "
+    "GROUP BY the stream must converge to.",
+)
+def q_streaming_stateful_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from hours_api_clickup_spark.streaming.ledger import (
+        resolve_final_ledger,
+        streaming_user_ledger_pandas_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="ledger_stage_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    out = streaming_user_ledger_pandas_state(stream)
+    sink = f"ledger_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return resolve_final_ledger(spark.table(sink))
