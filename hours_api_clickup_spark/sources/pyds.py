@@ -221,6 +221,46 @@ def _paged_chunk_rows(
         yield from result.rows
 
 
+def _paged_chunk_batches(
+    files: list[str],
+    page_size: int,
+    policy: PagePolicy,
+    event_type: str | None,
+):
+    """The Arrow form of ``_paged_chunk_rows``: each fetched page
+    becomes ONE pyarrow RecordBatch, so rows cross the worker↔JVM
+    boundary columnar instead of one pickled tuple at a time — the
+    sanctioned fast path for Python data sources (same batching the
+    mapInPandas operators get from Arrow). Pagination semantics are
+    byte-identical: the batch boundary IS the page boundary."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_ms", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    rows = _serve_rows(files, event_type)
+
+    def fetch_page(page: int) -> list[tuple]:
+        start = page * page_size
+        return rows[start : start + page_size]
+
+    for result in paginate(fetch_page, policy, page_size):
+        cols = list(zip(*result.rows))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[i], type=schema.field(i).type)
+                for i in range(len(schema))
+            ],
+            schema=schema,
+        )
+
+
 class PagedEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -242,13 +282,13 @@ class PagedEventsReader(DataSourceReader):
             for idx, files in _chunk_dirs(self.path)
         ]
 
-    def read(self, partition: _ChunkPartition) -> Iterator[tuple]:
+    def read(self, partition: _ChunkPartition):
         try:
             if partition.index in self.fail_chunks:
                 raise ConnectionError(
                     f"simulated fetch failure for chunk {partition.index}"
                 )
-            yield from _paged_chunk_rows(
+            yield from _paged_chunk_batches(
                 partition.files,
                 self.page_size,
                 self.policy,
