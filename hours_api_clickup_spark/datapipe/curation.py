@@ -1007,3 +1007,154 @@ def cap_per_domain_oracle_sql(
     )
     SELECT {id_col}, domain FROM r WHERE rk <= {n}
     """
+
+
+def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 'crawled URL' column with the real-world mess URL
+    dedup exists for: four variants per canonical page (id div 4) —
+    www + mixed-case host, http + trailing slash, tracking query
+    params (utm_*/ref) around a real param, and a #fragment. Variants
+    0/1/3 canonicalize identically; variant 2 keeps its non-tracking
+    ?id= param and stays distinct."""
+    did = _c(id_col)
+    page = (did / F.lit(4)).cast("long")
+    dom = F.pmod(page, F.lit(5)).cast("string")
+    p = page.cast("string")
+    variant = F.pmod(did, F.lit(4)).cast("int")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://www.Example"), dom, F.lit(".com/page/"), p
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("http://example"), dom, F.lit(".com/page/"), p,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://EXAMPLE"), dom, F.lit(".com/page/"), p,
+                F.lit("?utm_source=feed&ref=rss&id="),
+                F.pmod(did, F.lit(7)).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"), dom, F.lit(".com/page/"), p,
+                F.lit("#section-2"),
+            )
+        )
+    )
+    return df.withColumn("url", url)
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """C4/CCNet-style URL canonicalization, pure codegen string ops:
+    strip scheme and #fragment, lowercase the host and drop a leading
+    www., drop tracking query params (utm_*, ref) but KEEP meaningful
+    ones, strip the trailing slash. Dialect note: regexes avoid
+    backslash classes ('[.]' not '\\.') so the oracle's standard-SQL
+    strings read identically — Spark processes \\ escapes in string
+    literals, DuckDB does not."""
+    nofrag = F.regexp_replace(
+        F.regexp_replace(_c(url), "^[a-zA-Z]+://", ""), "#.*$", ""
+    )
+    qpos = F.instr(nofrag, "?")
+    path_part = F.when(
+        qpos > 0, F.substring(nofrag, F.lit(1), qpos - 1)
+    ).otherwise(nofrag)
+    query_part = F.when(qpos > 0, F.substr(nofrag, qpos + 1)).otherwise(
+        F.lit("")
+    )
+    kept = F.array_join(
+        F.filter(
+            F.split(query_part, "&"),
+            lambda x: (
+                ~(x.startswith("utm_") | x.startswith("ref=")) & (x != "")
+            ),
+        ),
+        "&",
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(path_part, "^([^/]+)", 1)), "^www[.]", ""
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(path_part, "^[^/]+", ""), "/$", ""
+    )
+    return F.concat(
+        host,
+        rest,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+def url_canonical_dedup_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of synthesize_messy_urls → canonicalize_url →
+    min-id dedup (generated so the synthesis constants cannot drift)."""
+    return f"""
+    WITH u AS (
+        SELECT {id_col} AS did,
+            CASE CAST({id_col} % 4 AS INT)
+              WHEN 0 THEN concat('https://www.Example',
+                   CAST(({id_col} // 4) % 5 AS VARCHAR), '.com/page/',
+                   CAST({id_col} // 4 AS VARCHAR))
+              WHEN 1 THEN concat('http://example',
+                   CAST(({id_col} // 4) % 5 AS VARCHAR), '.com/page/',
+                   CAST({id_col} // 4 AS VARCHAR), '/')
+              WHEN 2 THEN concat('https://EXAMPLE',
+                   CAST(({id_col} // 4) % 5 AS VARCHAR), '.com/page/',
+                   CAST({id_col} // 4 AS VARCHAR),
+                   '?utm_source=feed&ref=rss&id=',
+                   CAST({id_col} % 7 AS VARCHAR))
+              ELSE concat('https://example',
+                   CAST(({id_col} // 4) % 5 AS VARCHAR), '.com/page/',
+                   CAST({id_col} // 4 AS VARCHAR), '#section-2')
+            END AS url
+        FROM {table}
+    ),
+    c AS (
+        SELECT did,
+            regexp_replace(regexp_replace(url, '^[a-zA-Z]+://', ''),
+                           '#.*$', '') AS nofrag
+        FROM u
+    ),
+    p AS (
+        SELECT did,
+            CASE WHEN instr(nofrag, '?') > 0
+                 THEN substring(nofrag, 1, instr(nofrag, '?') - 1)
+                 ELSE nofrag END AS path_part,
+            CASE WHEN instr(nofrag, '?') > 0
+                 THEN substring(nofrag, instr(nofrag, '?') + 1)
+                 ELSE '' END AS query_part
+        FROM c
+    ),
+    q AS (
+        SELECT did, path_part,
+            array_to_string(list_filter(string_split(query_part, '&'),
+                x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%') AND x != ''),
+                '&') AS kept_query
+        FROM p
+    ),
+    canon AS (
+        SELECT did,
+            concat(
+                regexp_replace(
+                    lower(regexp_extract(path_part, '^([^/]+)', 1)),
+                    '^www[.]', ''),
+                regexp_replace(regexp_replace(path_part, '^[^/]+', ''),
+                               '/$', ''),
+                CASE WHEN kept_query != ''
+                     THEN concat('?', kept_query) ELSE '' END
+            ) AS canonical_url
+        FROM q
+    )
+    SELECT canonical_url, MIN(did) AS {id_col}, COUNT(*) AS n_dups
+    FROM canon GROUP BY canonical_url
+    """

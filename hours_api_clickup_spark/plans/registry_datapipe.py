@@ -2196,3 +2196,44 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = pairs.select(F.col("id_a").alias("doc_id")).dropDuplicates()
     train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id")
     return train.join(removed, "doc_id", "left_anti")
+
+
+def _url_dedup_oracle() -> str:
+    from hours_api_clickup_spark.datapipe.curation import (
+        url_canonical_dedup_oracle_sql,
+    )
+
+    return url_canonical_dedup_oracle_sql("documents", "doc_id")
+
+
+@register(
+    "url_canonical_dedup",
+    _url_dedup_oracle(),
+    survey_ids="datapipe:url-dedup",
+    doc="Crawl-style URL canonicalization + dedup (the C4/CCNet pass "
+    "BEFORE any content dedup: the same page re-crawled under scheme/"
+    "www/case/tracking-param/fragment variants must collapse without "
+    "touching the text). Synthesized messy URLs (the corpus carries "
+    "none) canonicalize via pure codegen string ops — scheme and "
+    "fragment stripped, host lowercased and de-www'd, utm_*/ref "
+    "params dropped while REAL query params survive, trailing slash "
+    "trimmed — then min-id per canonical URL with the absorbed count. "
+    "One hash shuffle on the canonical string; zero UDFs. The oracle "
+    "regenerates the same synthesis + canonicalization in standard "
+    "SQL (regexes avoid backslash classes — the Spark-processes-"
+    "escapes vs DuckDB-literal-strings dialect trap, pinned here).",
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.curation import (
+        canonicalize_url,
+        synthesize_messy_urls,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    canon = synthesize_messy_urls(docs, "doc_id").select(
+        "doc_id", canonicalize_url("url").alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_dups"),
+    )
