@@ -2160,3 +2160,87 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      CAST(n.n_regionkey AS STRING))) t
         """
     )
+
+
+@register(
+    "jsonl_quarantine_ingest",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events WHERE event_id % 50 <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__quarantined__' AS event_type,
+           COUNT(*) AS n,
+           CAST(0 AS BIGINT) AS sum_cents
+    FROM events WHERE event_id % 50 = 0
+    """,
+    survey_ids="P3,S2-tolerance",
+    doc="Per-row error tolerance as a DRIVER-CHECKED behavior (P3, "
+    "fetch_clickup_data.py:891-926 routes transform failures instead "
+    "of dying): the events table is serialized to JSONL with every "
+    "50th record deliberately corrupted at the text level, read back "
+    "through the PERMISSIVE quarantine reader (one scan serves both "
+    "outputs; malformed lines carry their raw text + source file for "
+    "replay), and rolled up — valid rows per type plus one "
+    "__quarantined__ row proving every bad line was routed, none "
+    "dropped, none fatal. The oracle computes both sides from the "
+    "parquet with the same corruption predicate.",
+)
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re as _re
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hours_api_clickup_spark.sources.readers import (
+        read_json_with_quarantine,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 50 == 0,
+        F.concat(
+            F.lit('{"event_id":'),
+            F.col("event_id").cast("string"),
+            F.lit(",BROKEN"),
+        ),
+    ).otherwise(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "hours_quarantine_fixture_" + _re.sub(r"\W", "_", sf_dir),
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(stage)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    valid, quarantine = read_json_with_quarantine(spark, stage, schema)
+    good = valid.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    bad = quarantine.agg(
+        F.lit("__quarantined__").alias("event_type"),
+        F.count("*").alias("n"),
+        F.lit(0).cast("bigint").alias("sum_cents"),
+    ).select("event_type", "n", "sum_cents")
+    return good.unionByName(bad)
