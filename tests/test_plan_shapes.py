@@ -580,3 +580,23 @@ def test_variant_extraction_stays_jvm_side(spark):
     plan = _plan(spark, "variant_json_surface", "formatted")
     assert "EvalPython" not in plan, plan
     assert "variant_get" in plan, plan
+
+
+def test_pipe_syntax_compiles_to_standard_plan(spark):
+    """The |> pipeline must produce the same physical shape as the
+    nested spelling: filter pushed to the lineitem scan, partial
+    aggregation before the orderkey shuffle, broadcast for the
+    filtered orders side — the syntax is sugar, never a plan change."""
+    plan = _plan(spark, "pipe_syntax_surface", "formatted")
+    assert "PushedFilters" in plan, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quarantine_ingest_single_scan_serves_both_outputs(spark):
+    """The quarantine split is a filter over ONE cached parse — the
+    plan must not read the JSONL source twice."""
+    plan = _plan(spark, "jsonl_quarantine_ingest", "formatted")
+    # both union branches read the cached parse (the Scan json node in
+    # the output is the cache-miss plan, printed once per reference)
+    assert plan.count("InMemoryTableScan") >= 2, plan

@@ -739,3 +739,71 @@ def test_exact_tvd_arithmetic_matches_fractions(spark, ref_bins, cur_bins):
         abs(Fraction(cr[b], nr) - Fraction(cc[b], nc)) for b in bins
     ) / 2
     assert got == expect
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9-]{0,10}", fullmatch=True),
+    www=st.booleans(),
+    scheme=st.sampled_from(["http", "https"]),
+    path=st.lists(
+        st.from_regex(r"[A-Za-z0-9]{1,6}", fullmatch=True),
+        min_size=0,
+        max_size=3,
+    ),
+    trailing=st.booleans(),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["utm_source", "utm_campaign", "ref", "id", "q", "page"]
+            ),
+            st.from_regex(r"[A-Za-z0-9]{0,5}", fullmatch=True),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    fragment=st.booleans(),
+)
+def test_canonicalize_url_properties(
+    spark, host, www, scheme, path, trailing, params, fragment
+):
+    """Canonicalization is IDEMPOTENT (a canonical URL canonicalizes to
+    itself), scheme/www/fragment/trailing-slash-insensitive, and keeps
+    exactly the non-tracking query params."""
+    from hours_api_clickup_spark.datapipe.curation import canonicalize_url
+
+    url = f"{scheme}://{'www.' if www else ''}{host}.com"
+    url += "".join("/" + p for p in path)
+    if trailing and path:
+        url += "/"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if fragment:
+        url += "#frag"
+
+    variant = url.replace("http://", "https://", 1).replace(
+        "://www.", "://", 1
+    )
+
+    df = spark.createDataFrame(
+        [(url,), (variant,)], "u string"
+    ).select(canonicalize_url("u").alias("c"))
+    c1, c2 = [r["c"] for r in df.collect()]
+    # scheme/www-insensitive
+    assert c1 == c2, (url, variant, c1, c2)
+    # idempotent: re-canonicalizing the canonical form is a no-op
+    # (feed it back with a scheme so the host regex anchors identically)
+    df2 = spark.createDataFrame([("https://" + c1,)], "u string").select(
+        canonicalize_url("u").alias("c")
+    )
+    assert df2.collect()[0]["c"] == c1, (url, c1)
+    # no fragment, no tracking params survive; real params do
+    assert "#" not in c1
+    assert "utm_" not in c1 and "ref=" not in c1
+    kept = [f"{k}={v}" for k, v in params if k not in ("utm_source", "utm_campaign", "ref")]
+    for kv in kept:
+        assert kv in c1, (url, c1, kv)
