@@ -807,3 +807,49 @@ def test_canonicalize_url_properties(
     kept = [f"{k}={v}" for k, v in params if k not in ("utm_source", "utm_campaign", "ref")]
     for kv in kept:
         assert kv in c1, (url, c1, kv)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=257),
+    page_size=st.integers(min_value=1, max_value=64),
+    policy_short=st.booleans(),
+)
+def test_pagination_reads_everything_exactly_once(
+    n_rows, page_size, policy_short
+):
+    """Both termination policies must read every row exactly once for
+    ANY (row count, page size) — incl. the empty feed, a single short
+    page, and totals landing exactly on a page boundary (where the
+    empty-page policy issues one extra probe and the short-page policy
+    does not)."""
+    from hours_api_clickup_spark.sources.pagination import (
+        PagePolicy,
+        collect_all_pages,
+    )
+
+    rows = list(range(n_rows))
+    calls = []
+
+    def fetch_page(page: int) -> list:
+        calls.append(page)
+        start = page * page_size
+        return rows[start : start + page_size]
+
+    policy = (
+        PagePolicy.SHORT_PAGE if policy_short else PagePolicy.EMPTY_PAGE
+    )
+    got = collect_all_pages(fetch_page, policy, page_size)
+    assert got == rows
+    # request accounting: the policies differ exactly when the feed
+    # ends in a SHORT page — empty-page probes past it, short-page
+    # stops on it; after a FULL last page both must probe once more
+    full, rem = divmod(n_rows, page_size)
+    non_empty = full + (1 if rem else 0)
+    if n_rows == 0:
+        expected_calls = 1
+    elif policy is PagePolicy.SHORT_PAGE and rem:
+        expected_calls = non_empty
+    else:
+        expected_calls = non_empty + 1
+    assert len(calls) == expected_calls, (n_rows, page_size, policy, calls)

@@ -192,3 +192,44 @@ def test_stream_checkpoint_restart_no_double_count(spark, fixture_dir, tmp_path)
         .collect()
     }
     assert got == want
+
+
+def test_streaming_refresh_through_paged_source(spark, fixture_dir, tmp_path):
+    """The engine-mounted source feeding the PRODUCT merge path: each
+    micro-batch folds into a parquet fact via merge_upsert (the
+    per-batch streaming merge). A second full re-delivery run (no
+    checkpoint — every chunk replays) must leave the fact unchanged:
+    at-least-once delivery + keyed upsert = effectively-once content."""
+    from hours_api_clickup_spark.operators.merge import merge_upsert
+    from hours_api_clickup_spark.pipelines import (
+        _overwrite_via_checkpoint,
+        read_fact_or_empty,
+    )
+
+    fact_path = str(tmp_path / "events_fact")
+
+    def run_once():
+        stream = read_paged_events_stream(spark, fixture_dir)
+
+        def apply(batch_df, batch_id):
+            cur = read_fact_or_empty(spark, fact_path, batch_df)
+            merged = merge_upsert(cur, batch_df, key="event_id")
+            _overwrite_via_checkpoint(merged, fact_path)
+
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        drain_paged_stream(q, n_chunks=5)
+
+    run_once()
+    direct = _direct(spark)
+    fact1 = spark.read.parquet(fact_path)
+    assert fact1.count() == direct.count()
+    assert fact1.exceptAll(direct).count() == 0
+
+    run_once()  # full re-delivery
+    fact2 = spark.read.parquet(fact_path)
+    assert fact2.count() == direct.count()
+    assert fact2.exceptAll(direct).count() == 0
