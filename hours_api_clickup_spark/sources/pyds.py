@@ -147,6 +147,8 @@ class PagedEventsDataSource(DataSource):
       event_type         server-side filter (API query-param analog)
       fail_chunks        comma-separated chunk indexes that "fail"
       tolerate_failures  true → failed chunks are skipped (S2), else raise
+      flaky_pages        page indexes that 503 once — absorbed by the
+                         per-page S8 retry policy (sources/rest.py)
     """
 
     @classmethod
@@ -203,22 +205,56 @@ def _serve_rows(
     return rows
 
 
+def _paged_pages(
+    files: list[str],
+    page_size: int,
+    policy: PagePolicy,
+    event_type: str | None,
+    flaky_pages: frozenset[int] = frozenset(),
+):
+    """Page-granular fetch loop shared by the tuple and Arrow readers:
+    the library's termination policies drive the loop, and every page
+    "request" runs under the S8 retry/backoff policy (sources/rest.py
+    — the wrapper the reference copies five times), so a transient
+    per-page failure costs a retry, not the chunk. ``flaky_pages``
+    simulates a 503 on the FIRST attempt of those page indexes, which
+    the retry absorbs."""
+    from hours_api_clickup_spark.sources.rest import (
+        RetryableHTTPError,
+        RetryPolicy,
+        fetch_with_retry,
+    )
+
+    rows = _serve_rows(files, event_type)
+    failed_once: set[int] = set()
+    retry = RetryPolicy(sleep=lambda _s: None)  # fixture: no real waits
+
+    def fetch_page(page: int) -> list[tuple]:
+        def attempt() -> list[tuple]:
+            if page in flaky_pages and page not in failed_once:
+                failed_once.add(page)
+                raise RetryableHTTPError(503, "simulated transient")
+            start = page * page_size
+            return rows[start : start + page_size]
+
+        return fetch_with_retry(attempt, retry)
+
+    for result in paginate(fetch_page, policy, page_size):
+        yield result.rows
+
+
 def _paged_chunk_rows(
     files: list[str],
     page_size: int,
     policy: PagePolicy,
     event_type: str | None,
+    flaky_pages: frozenset[int] = frozenset(),
 ) -> Iterator[tuple]:
-    """Page through one chunk with the library's termination policies —
-    the partition-local form of the reference's request loop."""
-    rows = _serve_rows(files, event_type)
-
-    def fetch_page(page: int) -> list[tuple]:
-        start = page * page_size
-        return rows[start : start + page_size]
-
-    for result in paginate(fetch_page, policy, page_size):
-        yield from result.rows
+    """Tuple form of the paged fetch (the streaming reader's shape)."""
+    for page_rows in _paged_pages(
+        files, page_size, policy, event_type, flaky_pages
+    ):
+        yield from page_rows
 
 
 def _paged_chunk_batches(
@@ -226,6 +262,7 @@ def _paged_chunk_batches(
     page_size: int,
     policy: PagePolicy,
     event_type: str | None,
+    flaky_pages: frozenset[int] = frozenset(),
 ):
     """The Arrow form of ``_paged_chunk_rows``: each fetched page
     becomes ONE pyarrow RecordBatch, so rows cross the worker↔JVM
@@ -244,14 +281,10 @@ def _paged_chunk_batches(
             ("value", pa.float64()),
         ]
     )
-    rows = _serve_rows(files, event_type)
-
-    def fetch_page(page: int) -> list[tuple]:
-        start = page * page_size
-        return rows[start : start + page_size]
-
-    for result in paginate(fetch_page, policy, page_size):
-        cols = list(zip(*result.rows))
+    for page_rows in _paged_pages(
+        files, page_size, policy, event_type, flaky_pages
+    ):
+        cols = list(zip(*page_rows))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(cols[i], type=schema.field(i).type)
@@ -275,6 +308,10 @@ class PagedEventsReader(DataSourceReader):
             str(options.get("tolerate_failures", "true")).lower()
             == "true"
         )
+        flaky = options.get("flaky_pages", "")
+        self.flaky_pages = frozenset(
+            int(x) for x in flaky.split(",") if x.strip()
+        )
 
     def partitions(self) -> list[_ChunkPartition]:
         return [
@@ -293,6 +330,7 @@ class PagedEventsReader(DataSourceReader):
                 self.page_size,
                 self.policy,
                 self.event_type,
+                self.flaky_pages,
             )
         except ConnectionError:
             # fetch_clickup_data.py:140-144 — log, skip the chunk,

@@ -233,3 +233,14 @@ def test_streaming_refresh_through_paged_source(spark, fixture_dir, tmp_path):
     fact2 = spark.read.parquet(fact_path)
     assert fact2.count() == direct.count()
     assert fact2.exceptAll(direct).count() == 0
+
+
+def test_transient_page_failure_absorbed_by_retry(spark, fixture_dir):
+    """A page that 503s on its first attempt must cost a retry, not the
+    chunk: per-page requests run under the S8 retry/backoff policy
+    inside the source, so the scan still returns every row."""
+    n = _direct(spark).count()
+    got = read_paged_events(
+        spark, fixture_dir, flaky_pages="0,1", page_size=37
+    ).count()
+    assert got == n
