@@ -444,6 +444,10 @@ def drain_paged_stream(query, n_chunks: int, timeout_s: float = 120.0) -> None:
 
     deadline = time.time() + timeout_s
     while time.time() < deadline:
+        if query.exception() is not None:
+            # surface the stream's own failure instead of spinning to
+            # a timeout that would mask it
+            raise query.exception()
         p = query.lastProgress
         if p and p["sources"] and p["sources"][0]["endOffset"]:
             m = re.search(r"\d+", str(p["sources"][0]["endOffset"]))
