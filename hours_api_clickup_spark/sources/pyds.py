@@ -44,8 +44,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -168,6 +170,11 @@ class PagedEventsDataSource(DataSource):
         # rate-limited paged API; streamReader() stays unimplemented so
         # Spark routes here.
         return PagedEventsStreamReader(self.options)
+
+    def writer(
+        self, schema: StructType, overwrite: bool
+    ) -> "PagedEventsWriter":
+        return PagedEventsWriter(self.options, overwrite)
 
 
 def _chunk_dirs(path: str) -> list[tuple[int, list[str]]]:
@@ -381,6 +388,79 @@ class PagedEventsStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class PagedEventsWriter(DataSourceWriter):
+    """The SINK half of the source: ``df.write.format("paged_events")``
+    appends JSONL batch files under ``{path}/chunk=<uuid>`` with the
+    two-phase commit the API provides — the transactional form of the
+    reference's staging upload (S11, fetch_clickup_data.py:1253-1271,
+    whose WRITE_TRUNCATE load is atomic only because BigQuery makes it
+    so; here the task/driver split is explicit):
+
+    - each task writes to a ``*.json.inprogress`` file (invisible to
+      readers, which list only ``*.json``) and reports it in its commit
+      message; a retried/speculative task writes its OWN file, so
+      duplicates never mix;
+    - ``commit`` renames exactly the reported files into place — a
+      reader never observes a torn batch;
+    - ``abort`` deletes every in-progress file it was told about.
+
+    ``overwrite`` mode clears committed chunk dirs first (the S10
+    full-replace semantics); append is the staging default.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import uuid
+
+        from pyspark import TaskContext
+
+        tid = TaskContext.get().partitionId()
+        # chunk dir per partition id (readers key on the integer);
+        # each task ATTEMPT gets its own file, so a retry or a
+        # speculative duplicate never mixes bytes with another attempt
+        chunk_dir = os.path.join(self.path, f"chunk={tid}")
+        os.makedirs(chunk_dir, exist_ok=True)
+        tmp = os.path.join(
+            chunk_dir, f"part-{uuid.uuid4().hex[:8]}.json.inprogress"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {c: row[c] for c in _COLS}
+                fh.write(json.dumps(rec) + "\n")
+                n += 1
+        return _PagedCommit(tmp=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            # full-replace: drop previously COMMITTED data, keep the
+            # files this job just staged
+            staged = {m.tmp for m in messages if m}
+            for idx, files in _chunk_dirs(self.path):
+                for f in files:
+                    if f not in staged:
+                        os.remove(f)
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp[: -len(".inprogress")]
+            os.replace(m.tmp, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class _PagedCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, rows: int):
+        self.tmp = tmp
+        self.rows = rows
 
 
 def register_paged_events(spark: SparkSession) -> None:

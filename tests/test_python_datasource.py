@@ -244,3 +244,49 @@ def test_transient_page_failure_absorbed_by_retry(spark, fixture_dir):
         spark, fixture_dir, flaky_pages="0,1", page_size=37
     ).count()
     assert got == n
+
+
+def test_writer_roundtrip_and_commit_protocol(spark, tmp_path):
+    """df.write.format('paged_events'): staged *.json.inprogress files
+    become visible *.json only at commit; append accumulates; overwrite
+    replaces committed data; a read through the source returns exactly
+    what was written."""
+    import pyspark.sql.functions as F2
+
+    from hours_api_clickup_spark.sources.pyds import register_paged_events
+
+    register_paged_events(spark)
+    sink = str(tmp_path / "sink")
+    df1 = spark.range(5).select(
+        F2.col("id").alias("event_id"),
+        (F2.col("id") % 3).alias("user_id"),
+        (F2.col("id") * 1000).alias("ts_ms"),
+        F2.lit("click").alias("event_type"),
+        (F2.col("id") * 1.5).alias("value"),
+    )
+    df1.write.format("paged_events").option("path", sink).mode(
+        "append"
+    ).save()
+    back = read_paged_events(spark, sink)
+    assert back.count() == 5
+    assert back.exceptAll(df1).count() == 0
+
+    # append accumulates
+    df2 = df1.withColumn("event_id", F2.col("event_id") + 100)
+    df2.write.format("paged_events").option("path", sink).mode(
+        "append"
+    ).save()
+    assert read_paged_events(spark, sink).count() == 10
+
+    # overwrite replaces committed rows
+    df2.write.format("paged_events").option("path", sink).mode(
+        "overwrite"
+    ).save()
+    back2 = read_paged_events(spark, sink)
+    assert back2.count() == 5
+    assert back2.exceptAll(df2).count() == 0
+
+    # no in-progress leftovers after commits
+    import glob
+
+    assert not glob.glob(f"{sink}/**/*.inprogress", recursive=True)
