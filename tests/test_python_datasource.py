@@ -290,3 +290,33 @@ def test_writer_roundtrip_and_commit_protocol(spark, tmp_path):
     import glob
 
     assert not glob.glob(f"{sink}/**/*.inprogress", recursive=True)
+
+
+def test_writer_failed_job_leaves_no_visible_rows(spark, tmp_path):
+    """A job that fails mid-write must not publish anything: staged
+    in-progress files are invisible to readers and never renamed."""
+    import pyspark.sql.functions as F2
+
+    from hours_api_clickup_spark.sources.pyds import register_paged_events
+
+    register_paged_events(spark)
+    sink = str(tmp_path / "sink_fail")
+
+    @F2.udf("long")
+    def boom(x):
+        if x == 3:
+            raise ValueError("simulated mid-write failure")
+        return x
+
+    df = spark.range(5).repartition(5).select(
+        boom(F2.col("id")).alias("event_id"),
+        F2.col("id").alias("user_id"),
+        (F2.col("id") * 1000).alias("ts_ms"),
+        F2.lit("click").alias("event_type"),
+        F2.col("id").cast("double").alias("value"),
+    )
+    with pytest.raises(Exception, match="simulated mid-write failure"):
+        df.write.format("paged_events").option("path", sink).mode(
+            "append"
+        ).save()
+    assert read_paged_events(spark, sink).count() == 0
