@@ -22,7 +22,7 @@ and sf0.1 for bench, but each plan is written for the 100 TB shape
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -11,8 +11,7 @@ module for the determinism rules all oracles follow.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from hours_api_clickup_spark.functions.casts import safe_bool, safe_float, safe_int
 from hours_api_clickup_spark.functions.datetime_fns import oslo_date

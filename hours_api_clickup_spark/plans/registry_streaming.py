@@ -10,7 +10,7 @@ module for the determinism rules all oracles follow.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hours_api_clickup_spark.plans.registry_core import (
