@@ -50,6 +50,9 @@ class SyncResult:
     table: str
     rows: int
     mode: str
+    # populated when the sync ran with an expectation suite: the
+    # observed {check: violation_count}, collected during the write
+    metrics: dict | None = None
 
 
 def _stage_entries(raw_entries: DataFrame) -> DataFrame:
@@ -74,8 +77,20 @@ def sync_refresh(
     today_oslo: dt.date,
     days: int = DEFAULT_REFRESH_DAYS,
     backup_path: str | None = None,
+    expectations: list | None = None,
 ) -> SyncResult:
-    """Windowed refresh: stage → windowed MERGE into the fact table."""
+    """Windowed refresh: stage → windowed MERGE into the fact table.
+
+    ``expectations`` (operators.validate.Expectation list) rides the
+    merge write as observed metrics — the reference's post-load
+    verification SQL (docs/setup.md:93-101) collected DURING the load
+    for free instead of by a second scan; violations raise BEFORE the
+    result is returned, and the counts land in ``SyncResult.metrics``.
+    Like the reference's after-the-load checks, detection happens once
+    the write has committed — gate BEFORE the write (a dedicated
+    run_expectations pass on ``staging``) when a violated batch must
+    never land.
+    """
     staging = _stage_entries(raw_entries)
     if backup_path:
         csv_backup(staging, backup_path)
@@ -83,9 +98,25 @@ def sync_refresh(
     merged = merge_refresh(
         fact, staging, refresh_window_pred(today_oslo, days), key="id"
     )
+    obs = None
+    if expectations:
+        from hours_api_clickup_spark.operators.validate import (
+            observe_expectations,
+        )
+
+        merged, obs = observe_expectations(merged, expectations)
     # self-overwrite safety: materialize before truncating the source
     rows = _overwrite_via_checkpoint(merged, fact_path)
-    return SyncResult(table=fact_path, rows=rows, mode="refresh")
+    metrics = None
+    if obs is not None:
+        from hours_api_clickup_spark.operators.validate import (
+            assert_observed_clean,
+        )
+
+        metrics = assert_observed_clean(obs)
+    return SyncResult(
+        table=fact_path, rows=rows, mode="refresh", metrics=metrics
+    )
 
 
 def sync_refresh_partitioned(

@@ -914,3 +914,52 @@ def test_streaming_text_index_ingest_equals_one_shot(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_sync_refresh_with_observed_expectations(spark, tmp_path, entries_path):
+    """The expectation suite rides the sync's merge write: a clean run
+    returns the observed metrics in SyncResult; a violated suite raises
+    before the result is returned — verification DURING the load, no
+    second scan (the reference re-queried after, docs/setup.md:93-101)."""
+    from hours_api_clickup_spark.operators.validate import (
+        expect_not_null,
+        expect_range,
+    )
+
+    fact_path = str(tmp_path / "fact_obs")
+    today = dt.date(2023, 11, 20)
+    t0 = 1700000000000
+    p = entries_path(
+        [
+            _entry("a", start_ms=t0, at_ms=t0),
+            _entry("b", start_ms=t0, at_ms=t0 + 500),
+        ],
+        "obs.json",
+    )
+    suite = [
+        expect_not_null("id"),
+        expect_range("duration_hours", 0.0, 24.0),
+    ]
+    r = sync_refresh(
+        spark,
+        read_raw_time_entries(spark, p),
+        fact_path,
+        today,
+        expectations=suite,
+    )
+    assert r.rows == 2
+    assert r.metrics == {
+        "not_null[id]": 0,
+        "range[duration_hours]": 0,
+    }
+
+    # violated suite → the sync raises with the counts
+    bad = [expect_range("duration_hours", -2.0, -1.0)]
+    with pytest.raises(AssertionError, match="range\\[duration_hours\\]"):
+        sync_refresh(
+            spark,
+            read_raw_time_entries(spark, p),
+            fact_path,
+            today,
+            expectations=bad,
+        )
