@@ -600,3 +600,29 @@ def test_quarantine_ingest_single_scan_serves_both_outputs(spark):
     # both union branches read the cached parse (the Scan json node in
     # the output is the cache-miss plan, printed once per reference)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_daily_bands_single_day_key_shuffle(spark):
+    """Ranking window, count window, and the final groupBy must all
+    ride ONE hash shuffle on the day key — exactly one Exchange, and
+    never a single-partition collapse."""
+    from hours_api_clickup_spark.plans.audit import physical_plan
+
+    plan = physical_plan(QUERIES["daily_latency_bands"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pareto_windows_reuse_nation_partitioning(spark):
+    """Revenue concentration: the per-customer rollup is the only
+    corpus-sized shuffle; the ranking/count windows and the final
+    nation rollup add at most two more key exchanges and no
+    single-partition stage."""
+    from hours_api_clickup_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        QUERIES["revenue_concentration_pareto"].fn(spark, SF_DIR)
+    )
+    assert plan.count("Exchange") <= 3, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
