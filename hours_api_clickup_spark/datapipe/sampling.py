@@ -222,3 +222,22 @@ def weighted_mix(
         )
         .drop("__n_copies")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: Column | str,
+    splits: list[tuple[str, float]],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Split assignment keyed on a GROUP — the near-dup cluster id
+    (datapipe.clusters.resolve_dup_clusters), the canonical URL, or the
+    domain — instead of the row id: every member of a group lands in
+    the same split, so near-duplicates can never straddle train and
+    test. A row-id split leaks: two 0.9-Jaccard copies of one page have
+    independent hashes, and one lands in train while the other scores
+    the model. Same deterministic Knuth-hash machinery as
+    ``assign_split``; group sizes make the weights approximate at the
+    margin (a whole cluster moves together — that is the point)."""
+    return df.withColumn(out_col, assign_split(group_col, splits, seed))

@@ -976,3 +976,54 @@ def test_interval_concurrency_matches_brute_force(spark):
             best = max(best, sum(1 for s, e in ivs if s <= s0 < e))
         want[t] = best
     assert got == want
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """Splitting on the near-dup cluster id keeps every cluster wholly
+    inside one split; the row-id split demonstrably straddles at least
+    one multi-doc cluster on the same corpus (the leakage this helper
+    exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.clusters import (
+        resolve_dup_clusters,
+    )
+    from hours_api_clickup_spark.datapipe.dedup import minhash_lsh_pairs
+    from hours_api_clickup_spark.datapipe.sampling import (
+        assign_split,
+        leakage_safe_split,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+    clusters = resolve_dup_clusters(
+        docs.select("doc_id"), pairs, "doc_id"
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+    safe = leakage_safe_split(clusters, "cluster_id", splits)
+    straddling_safe = (
+        safe.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling_safe == 0
+
+    # contrast: the row-id split must straddle some multi-doc cluster
+    # (otherwise the corpus has no near-dups and the test is vacuous)
+    multi = clusters.groupBy("cluster_id").count().filter("count > 1")
+    assert multi.count() > 0, "corpus has no near-dup clusters"
+    leaky = clusters.withColumn(
+        "split", assign_split("doc_id", splits)
+    )
+    straddling_leaky = (
+        leaky.join(multi.select("cluster_id"), "cluster_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling_leaky > 0, "row-id split did not leak — seed too lucky"
