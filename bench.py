@@ -94,9 +94,11 @@ def main() -> None:
     # the refresh composite it re-times queries already counted, so it
     # is reported but NOT added to ``value``.
     CURATION = (
+        "url_canonical_dedup",
         "gopher_quality_filter",
         "dedup_span_ngram",
         "dedup_corpus_manifest",
+        "dedup_cross_corpus",
         "decontaminate_corpus",
         "dataset_split_assign",
     )
