@@ -1297,13 +1297,18 @@ def q_generator_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
     )
     SELECT p_partkey,
-           list_sort(list_distinct(list_concat(words, name_words)))
-               AS union_sorted,
-           list_sort(list_intersect(words, name_words)) AS intersect_sorted,
-           list_sort(list_filter(words, w -> NOT list_contains(name_words, w)))
-               AS except_sorted,
+           COALESCE(array_to_string(
+               list_sort(list_distinct(list_concat(words, name_words))), '|'),
+               '') AS union_sorted,
+           COALESCE(array_to_string(
+               list_sort(list_intersect(words, name_words)), '|'), '')
+               AS intersect_sorted,
+           COALESCE(array_to_string(
+               list_sort(list_filter(words,
+                                     w -> NOT list_contains(name_words, w))),
+               '|'), '') AS except_sorted,
            list_contains(words, 'PROMO') AS has_promo,
-           words[1:2] AS head2,
+           COALESCE(array_to_string(words[1:2], '|'), '') AS head2,
            CAST(len(flatten([words, name_words])) AS INT) AS n_all,
            array_to_string(list_reverse_sort(words), '|') AS rev_sorted_csv
     FROM b
@@ -1312,9 +1317,10 @@ def q_generator_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Array/set scalar surface: union (distinct ∘ concat), "
     "intersect, except (filter ∘ NOT contains — the form that works "
     "identically in both engines), contains, slice, flatten, reverse-"
-    "sorted join. Every array-valued output is explicitly sorted so "
-    "the hash compare never depends on engine-internal set order. "
-    "Projection-only, codegen'd.",
+    "sorted join. Every array-valued output is explicitly sorted AND "
+    "serialized to a '|'-joined string so the driver's pandas-based "
+    "hash compare (which cannot hash list cells) sees scalar columns "
+    "only. Projection-only, codegen'd.",
 )
 def q_array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
@@ -1326,13 +1332,18 @@ def q_array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, nw = F.col("words"), F.col("name_words")
     return b.select(
         "p_partkey",
-        F.array_sort(F.array_distinct(F.concat(w, nw))).alias("union_sorted"),
-        F.array_sort(F.array_intersect(w, nw)).alias("intersect_sorted"),
-        F.array_sort(
-            F.filter(w, lambda x: ~F.array_contains(nw, x))
+        F.array_join(
+            F.array_sort(F.array_distinct(F.concat(w, nw))), "|"
+        ).alias("union_sorted"),
+        F.array_join(F.array_sort(F.array_intersect(w, nw)), "|").alias(
+            "intersect_sorted"
+        ),
+        F.array_join(
+            F.array_sort(F.filter(w, lambda x: ~F.array_contains(nw, x))),
+            "|",
         ).alias("except_sorted"),
         F.array_contains(w, "PROMO").alias("has_promo"),
-        F.slice(w, 1, 2).alias("head2"),
+        F.array_join(F.slice(w, 1, 2), "|").alias("head2"),
         F.size(F.flatten(F.array(w, nw))).alias("n_all"),
         F.array_join(F.reverse(F.array_sort(w)), "|").alias(
             "rev_sorted_csv"
@@ -1815,7 +1826,8 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         COUNT(*) AS n,
         CAST(SUM(CAST(j->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         CAST(SUM(CAST(j->>'$.items[1]' AS BIGINT)) AS BIGINT) AS sum_item1,
-        SUM(CASE WHEN (j->>'$.absent') IS NULL THEN 1 ELSE 0 END) AS n_absent,
+        CAST(SUM(CASE WHEN (j->>'$.absent') IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_absent,
         MIN(j->>'$.st') AS min_status
     FROM (
         SELECT o_orderpriority AS priority,
@@ -1944,10 +1956,10 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM((k7+1)%2 + (c5+1)%2 + (k3+1)%2) AS BIGINT)
                AS n_even_elems,
            CAST(SUM(k7*k2 + c5*c4 + k3*k6) AS BIGINT) AS sum_dot,
-           SUM(CASE WHEN k7=0 OR c5=0 OR k3=0 THEN 1 ELSE 0 END)
-               AS n_with_zero,
-           SUM(CASE WHEN k7<7 AND c5<7 AND k3<7 THEN 1 ELSE 0 END)
-               AS n_all_small
+           CAST(SUM(CASE WHEN k7=0 OR c5=0 OR k3=0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_zero,
+           CAST(SUM(CASE WHEN k7<7 AND c5<7 AND k3<7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_all_small
     FROM (
         SELECT o_orderpriority AS priority,
                o_orderkey % 7 AS k7, o_custkey % 5 AS c5,

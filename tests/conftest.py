@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import math
 import os
+from decimal import Decimal
 
 import duckdb
 import pytest
@@ -39,19 +40,35 @@ def duck():
 
 
 def _norm_cell(v):
-    """Normalize a cell for order-insensitive comparison."""
+    """Normalize a cell, mirroring the DRIVER's strictness (r4 lesson):
+    container cells are a hard error (the driver's pandas hash throws
+    `unhashable type: 'list'`), and the numeric type CLASS is part of
+    the identity — Arrow HUGEINT→float64 decay must surface as a
+    mismatch instead of being masked by Python's `1 == 1.0`."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
+    if isinstance(v, Decimal):
+        # normalize() canonicalizes scale (1.50 -> 1.5) so the string
+        # sort key agrees for numerically-equal decimals.
+        return ("d", v.normalize())
     if hasattr(v, "isoformat"):  # date/datetime
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)):
+        raise AssertionError(
+            "container-typed output cell reached the compare — the "
+            "driver's hash gate cannot handle these; serialize the "
+            f"column to a string in query AND oracle: {v!r}"
+        )
     return v
 
 
@@ -91,14 +108,26 @@ def compare_spark_duckdb(spark_df, duck_con, sql, *, float_tol=0.0):
     assert mism == 0, f"{mism} mismatched rows; first: {first}"
 
 
+def _untag(x):
+    if isinstance(x, tuple) and len(x) == 2 and x[0] in ("i", "f", "d"):
+        return x[1]
+    return x
+
+
 def _rows_close(a, b, tol):
     if tol <= 0 or len(a) != len(b):
         return False
     for x, y in zip(a, b):
         if x == y:
             continue
-        if isinstance(x, float) and isinstance(y, float):
-            if math.isclose(x, y, rel_tol=tol, abs_tol=tol):
-                continue
+        x, y = _untag(x), _untag(y)
+        if isinstance(x, (int, float, Decimal)) and isinstance(
+            y, (int, float, Decimal)
+        ):
+            try:
+                if math.isclose(float(x), float(y), rel_tol=tol, abs_tol=tol):
+                    continue
+            except (ValueError, OverflowError):
+                pass
         return False
     return True
