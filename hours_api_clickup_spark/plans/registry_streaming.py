@@ -540,11 +540,13 @@ def q_streaming_python_datasource(
         read_paged_events_stream,
     )
 
-    # 3 chunks (vs the batch twin's 5): still a genuine multi-batch
-    # offset progression, but a micro-batch costs ~2 s of fixed
-    # planning/state overhead in a loaded session, so the chunk count
-    # IS the price of this row — the semantics don't change with it.
-    path = _pyds_fixture(spark, sf_dir, n_chunks=3)
+    # 2 chunks (vs the batch twin's 5): the minimum that still proves a
+    # multi-batch offset progression; a micro-batch costs ~1-2 s of
+    # fixed planning/state overhead in a loaded session, so the chunk
+    # count IS the price of this row — the semantics don't change with
+    # it, and the checkpoint-restart path is tested separately
+    # (test_python_datasource.py).
+    path = _pyds_fixture(spark, sf_dir, n_chunks=2)
     sink = f"pyds_stream_{uuid.uuid4().hex[:8]}"
     out = (
         read_paged_events_stream(spark, path)
@@ -566,7 +568,7 @@ def q_streaming_python_datasource(
             .trigger(processingTime="0 seconds")
             .start()
         )
-        drain_paged_stream(q, n_chunks=3)
+        drain_paged_stream(q, n_chunks=2)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -587,7 +589,7 @@ def q_streaming_python_datasource(
     "(event count, integer-cents sum, distinct-type set) folded "
     "across micro-batches with applyInPandasWithState — the runnable "
     "twin of streaming/tws.py's transformWithState form (sandbox-"
-    "gated on protobuf). The events table streams as 4 files, one "
+    "gated on protobuf). The events table streams as 3 files, one "
     "micro-batch each; every batch emits the user's cumulative "
     "snapshot, and the final ledger is the max_by(n_events) row per "
     "user — exact because n_events is strictly monotone per user and "
@@ -610,7 +612,11 @@ def q_streaming_stateful_ledger(
         "user_id", "event_type", "value"
     )
     stage = tempfile.mkdtemp(prefix="ledger_stage_")
-    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    # 3 files = 3 micro-batches: the minimum with a MIDDLE batch, so the
+    # fold is proven on state that is neither fresh nor final; each
+    # micro-batch costs ~1 s of fixed state-store overhead, so the file
+    # count is the price of this row, not the semantics.
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(schema)

@@ -14,6 +14,12 @@
 A BigQuery sink would be the spark-bigquery-connector with
 ``writeMethod=direct`` behind the same function signatures; not wired
 here (no network, no connector jar) — parquet is the tested store.
+The statement side of that sink IS wired: ``sinks/warehouse.py``
+renders the reference's two BigQuery MERGE texts verbatim-shaped and
+executes their portable DELETE+INSERT twin transactionally against
+DuckDB as the stand-in warehouse, equivalence-tested row-for-row
+against ``operators/merge.py`` (tests/test_warehouse_sink.py) — only
+the ``google.cloud.bigquery`` client object is absent.
 """
 
 from __future__ import annotations
