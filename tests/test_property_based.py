@@ -853,3 +853,81 @@ def test_pagination_reads_everything_exactly_once(
     else:
         expected_calls = non_empty + 1
     assert len(calls) == expected_calls, (n_rows, page_size, policy, calls)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-SQL MERGE twin: the portable DELETE+INSERT transaction
+# (sinks/warehouse.py) must satisfy the same §4.3 case analysis as the
+# Spark merge on arbitrary populations — pure DuckDB, no Spark session,
+# so this runs many examples cheaply. NULL dates are generated too: the
+# windowed delete must never purge null-dated history.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    fact_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),  # id
+            st.one_of(st.none(), st.integers(0, 100)),  # day offset or NULL
+            st.integers(0, 5),  # payload
+        ),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    stg_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.one_of(st.none(), st.integers(0, 100)),
+            st.integers(6, 9),
+        ),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_warehouse_refresh_transaction_algebra(fact_rows, stg_rows):
+    import datetime as dt
+
+    import duckdb
+
+    from hours_api_clickup_spark.sinks.warehouse import (
+        apply_statements,
+        merge_refresh_statements,
+    )
+
+    base = dt.date(2024, 1, 1)
+    day = lambda d: None if d is None else base + dt.timedelta(days=d)
+    lo, hi = day(50), day(100)  # window = day in [50, 100]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE f (id INT, start_date_oslo DATE, v INT)")
+    con.execute("CREATE TABLE s (id INT, start_date_oslo DATE, v INT)")
+    if not fact_rows:
+        fact_rows = [(999, 0, 0)]
+    con.executemany(
+        "INSERT INTO f VALUES (?, ?, ?)",
+        [(i, day(d), v) for i, d, v in fact_rows],
+    )
+    if stg_rows:
+        con.executemany(
+            "INSERT INTO s VALUES (?, ?, ?)",
+            [(i, day(d), v) for i, d, v in stg_rows],
+        )
+
+    apply_statements(
+        con, merge_refresh_statements("f", "s", lo, hi, key="id")
+    )
+    got = set(map(tuple, con.sql("SELECT * FROM f").fetchall()))
+    con.close()
+
+    in_w = lambda d: d is not None and 50 <= d <= 100
+    fact_d = {t[0]: t for t in fact_rows}
+    stg_d = {t[0]: t for t in stg_rows}
+    expected = set()
+    for i, t in stg_d.items():
+        if in_w(t[1]):
+            expected.add((i, day(t[1]), t[2]))
+    for i, t in fact_d.items():
+        if not in_w(t[1]) and not (i in stg_d and in_w(stg_d[i][1])):
+            expected.add((i, day(t[1]), t[2]))
+    assert got == expected
