@@ -1179,8 +1179,8 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(sketch)).select(
         "tok",
         "n",
-        F.col("skm").getItem(F.col("tok")).isNotNull().alias("in_sketch"),
-        (F.col("skm").getItem(F.col("tok")) == F.col("n")).alias(
+        F.try_element_at("skm", F.col("tok")).isNotNull().alias("in_sketch"),
+        (F.try_element_at("skm", F.col("tok")) == F.col("n")).alias(
             "sketch_count_exact"
         ),
     )

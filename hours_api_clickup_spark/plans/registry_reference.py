@@ -1296,6 +1296,11 @@ def q_generator_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(p_name, ' ') AS name_words
         FROM part
     )
+    -- COALESCE(...,'') is load-bearing: DuckDB's array_to_string maps an
+    -- EMPTY list to NULL while Spark's array_join maps it to '' — the
+    -- wrap normalizes DuckDB to Spark's convention (verified: disjoint
+    -- word lists occur in `part`). The Spark twin carries the matching
+    -- coalesce for the null-ARRAY case so both sides normalize alike.
     SELECT p_partkey,
            COALESCE(array_to_string(
                list_sort(list_distinct(list_concat(words, name_words))), '|'),
@@ -1330,20 +1335,26 @@ def q_array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", words.alias("words"), name_words.alias("name_words")
     )
     w, nw = F.col("words"), F.col("name_words")
+
+    def _joined(arr):
+        # null-array → '' to mirror the oracle's COALESCE (Spark's
+        # array_join already maps EMPTY arrays to '' — the DuckDB-side
+        # COALESCE exists to normalize its empty→NULL to this).
+        return F.coalesce(F.array_join(arr, "|"), F.lit(""))
+
     return b.select(
         "p_partkey",
-        F.array_join(
-            F.array_sort(F.array_distinct(F.concat(w, nw))), "|"
-        ).alias("union_sorted"),
-        F.array_join(F.array_sort(F.array_intersect(w, nw)), "|").alias(
+        _joined(F.array_sort(F.array_distinct(F.concat(w, nw)))).alias(
+            "union_sorted"
+        ),
+        _joined(F.array_sort(F.array_intersect(w, nw))).alias(
             "intersect_sorted"
         ),
-        F.array_join(
-            F.array_sort(F.filter(w, lambda x: ~F.array_contains(nw, x))),
-            "|",
+        _joined(
+            F.array_sort(F.filter(w, lambda x: ~F.array_contains(nw, x)))
         ).alias("except_sorted"),
         F.array_contains(w, "PROMO").alias("has_promo"),
-        F.array_join(F.slice(w, 1, 2), "|").alias("head2"),
+        _joined(F.slice(w, 1, 2)).alias("head2"),
         F.size(F.flatten(F.array(w, nw))).alias("n_all"),
         F.array_join(F.reverse(F.array_sort(w)), "|").alias(
             "rev_sorted_csv"

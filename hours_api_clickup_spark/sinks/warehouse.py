@@ -157,32 +157,60 @@ def merge_refresh_statements(
     window_hi: dt.date,
     key: str = "id",
     date_col: str = "start_date_oslo",
+    columns: Sequence[str] = MERGE_COLUMNS,
 ) -> list[str]:
     """DELETE+INSERT pair equal to the refresh MERGE; run both inside
     one transaction (:func:`apply_statements`). The DELETE removes
     (a) every fact row whose key appears in staging-in-window — the
     MATCHED branch's overwrite, re-supplied by the INSERT — and (b)
     every fact row whose own date is TRULY inside the window — the
-    NOT-MATCHED-BY-SOURCE delete; COALESCE keeps NULL-dated history."""
+    NOT-MATCHED-BY-SOURCE delete; COALESCE keeps NULL-dated history.
+    Columns are listed explicitly (name-matched like BigQuery MERGE,
+    not positional) so a column-order drift between fact and staging
+    errors instead of silently transposing values."""
     lo, hi = _date_lit(window_lo), _date_lit(window_hi)
     w_fact = f"COALESCE({date_col} BETWEEN {lo} AND {hi}, FALSE)"
     w_stg = f"{date_col} BETWEEN {lo} AND {hi}"
+    col_list = ", ".join(columns)
     return [
         f"DELETE FROM {fact_table} WHERE {w_fact} OR {key} IN "
         f"(SELECT {key} FROM {staging_table} WHERE {w_stg})",
-        f"INSERT INTO {fact_table} SELECT * FROM {staging_table} "
-        f"WHERE {w_stg}",
+        f"INSERT INTO {fact_table} ({col_list}) "
+        f"SELECT {col_list} FROM {staging_table} WHERE {w_stg}",
     ]
 
 
 def merge_full_reindex_statements(
-    fact_table: str, staging_table: str
+    fact_table: str,
+    staging_table: str,
+    columns: Sequence[str] = MERGE_COLUMNS,
 ) -> list[str]:
-    """fact' = staging (SURVEY §4.3 M2)."""
+    """fact' = staging (SURVEY §4.3 M2), column lists explicit."""
+    col_list = ", ".join(columns)
     return [
         f"DELETE FROM {fact_table}",
-        f"INSERT INTO {fact_table} SELECT * FROM {staging_table}",
+        f"INSERT INTO {fact_table} ({col_list}) "
+        f"SELECT {col_list} FROM {staging_table}",
     ]
+
+
+def check_staging_key_unique(
+    con, staging_table: str, key: str = "id", where: str | None = None
+) -> None:
+    """Mirror BigQuery MERGE's multiple-match error: MERGE raises when
+    more than one source row matches one target row, but the portable
+    DELETE+INSERT pair would silently insert both. Call this before
+    :func:`apply_statements`; raises ValueError on duplicate keys."""
+    pred = f" WHERE {where}" if where else ""
+    dup = con.execute(
+        f"SELECT {key}, COUNT(*) AS n FROM {staging_table}{pred} "
+        f"GROUP BY {key} HAVING COUNT(*) > 1 LIMIT 5"
+    ).fetchall()
+    if dup:
+        raise ValueError(
+            f"staging key '{key}' is not unique in {staging_table} — "
+            f"MERGE would error on multiple matches; sample: {dup}"
+        )
 
 
 def apply_statements(con, statements: Sequence[str]) -> None:
@@ -202,14 +230,39 @@ def apply_statements(con, statements: Sequence[str]) -> None:
 
 def upload_staging_truncate(con, spark_df, staging_table: str) -> int:
     """WRITE_TRUNCATE staging load (fetch_clickup_data.py:1253-1271):
-    replace the staging table with the DataFrame's rows via one Arrow
-    hop. Returns the row count. Bounded: staging is one refresh
-    window, the same bound the reference's load job relies on."""
+    replace the staging table's ROWS with the DataFrame's rows via one
+    Arrow hop, keeping the pinned table schema when the table already
+    exists — BigQuery's WRITE_TRUNCATE truncates data but coerces the
+    load to the existing table schema (and errors on drift), so a
+    CREATE OR REPLACE that silently redefines the schema from the
+    DataFrame would hide drift this load must surface. Name-matched
+    insert (BY NAME) mirrors BigQuery's field-name matching. Returns
+    the row count. Bounded: staging is one refresh window, the same
+    bound the reference's load job relies on."""
     tbl = spark_df.toArrow()
     con.register("_staging_arrow_tmp", tbl)
-    con.execute(
-        f"CREATE OR REPLACE TABLE {staging_table} AS "
-        "SELECT * FROM _staging_arrow_tmp"
-    )
+    exists = con.execute(
+        "SELECT COUNT(*) FROM information_schema.tables "
+        "WHERE table_name = ?",
+        [staging_table],
+    ).fetchone()[0]
+    if exists:
+        con.execute("BEGIN TRANSACTION")
+        try:
+            con.execute(f"DELETE FROM {staging_table}")
+            con.execute(
+                f"INSERT INTO {staging_table} BY NAME "
+                "SELECT * FROM _staging_arrow_tmp"
+            )
+        except Exception:
+            con.execute("ROLLBACK")
+            con.unregister("_staging_arrow_tmp")
+            raise
+        con.execute("COMMIT")
+    else:
+        con.execute(
+            f"CREATE TABLE {staging_table} AS "
+            "SELECT * FROM _staging_arrow_tmp"
+        )
     con.unregister("_staging_arrow_tmp")
     return tbl.num_rows

@@ -100,7 +100,11 @@ def main() -> None:
 
     print("| docs scale | rows | composite wall (median of %d) |" % N_RUNS)
     print("|---|---|---|")
-    n0 = 5000
+    con = duckdb.connect()
+    n0 = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{BASE}/documents.parquet')"
+    ).fetchone()[0]
+    con.close()
     for scale, med in rows:
         print(f"| x{scale} | {n0 * scale:,} | {med:.2f} s |")
     print(f"\nfitted log-log exponent: **{slope:.2f}**")

@@ -108,24 +108,32 @@ def compare_spark_duckdb(spark_df, duck_con, sql, *, float_tol=0.0):
     assert mism == 0, f"{mism} mismatched rows; first: {first}"
 
 
-def _untag(x):
-    if isinstance(x, tuple) and len(x) == 2 and x[0] in ("i", "f", "d"):
-        return x[1]
-    return x
+_NUM_TAGS = ("i", "f", "d")
 
 
 def _rows_close(a, b, tol):
+    """Tolerance compare that preserves the driver's dtype strictness:
+    the numeric type TAG must match before math.isclose is consulted,
+    so an int64-vs-float64 drift (e.g. HUGEINT→float64 Arrow decay)
+    still fails even on queries compared with float_tol > 0 — the
+    driver's dtype-sensitive hash would reject it, so we must too."""
     if tol <= 0 or len(a) != len(b):
         return False
     for x, y in zip(a, b):
         if x == y:
             continue
-        x, y = _untag(x), _untag(y)
-        if isinstance(x, (int, float, Decimal)) and isinstance(
-            y, (int, float, Decimal)
+        if (
+            isinstance(x, tuple)
+            and isinstance(y, tuple)
+            and len(x) == 2
+            and len(y) == 2
+            and x[0] in _NUM_TAGS
+            and x[0] == y[0]
         ):
             try:
-                if math.isclose(float(x), float(y), rel_tol=tol, abs_tol=tol):
+                if math.isclose(
+                    float(x[1]), float(y[1]), rel_tol=tol, abs_tol=tol
+                ):
                     continue
             except (ValueError, OverflowError):
                 pass

@@ -62,6 +62,36 @@ def test_simulated_rotation_covers_registry():
     assert not missing, missing
 
 
+def test_rotation_cadence_bound():
+    """Steady-state cadence guard (VERDICT r5 #1): simulating many rounds
+    from the committed history, no query ever waits more than
+    ceil(N/WINDOW) rounds between driver-window slots — the staleness of
+    any proof is bounded, so an r2-era streaming proof sitting under
+    three rounds of churn (the r5 finding) cannot recur."""
+    names = list(QUERIES)
+    greens = {k: list(v) for k, v in _driver_green_rounds().items()}
+    max_gap = -(-len(names) // WINDOW)
+    next_round = max((r for rs in greens.values() for r in rs), default=0) + 1
+    # warm-up: one full cycle so every query has at least one slot
+    horizon = next_round + 3 * max_gap
+    slots: dict[str, list[int]] = {}
+    for rnd in range(next_round, horizon):
+        ordered = derive_driver_order(names, greens)
+        for n in ordered[:WINDOW]:
+            greens.setdefault(n, []).append(rnd)
+            slots.setdefault(n, []).append(rnd)
+    bad = {}
+    for n in names:
+        rs = slots.get(n, [])
+        assert rs, f"{n} never got a window slot in {3 * max_gap} rounds"
+        gaps = [b - a for a, b in zip(rs, rs[1:])]
+        # ignore the first slot's offset (history-dependent); steady-state
+        # gaps between consecutive slots must respect the bound
+        if gaps and max(gaps) > max_gap:
+            bad[n] = rs
+    assert not bad, f"queries exceeding {max_gap}-round cadence: {bad}"
+
+
 def test_derive_order_is_total_and_stable():
     greens = _driver_green_rounds()
     names = list(QUERIES)

@@ -915,7 +915,11 @@ def test_warehouse_refresh_transaction_algebra(fact_rows, stg_rows):
         )
 
     apply_statements(
-        con, merge_refresh_statements("f", "s", lo, hi, key="id")
+        con,
+        merge_refresh_statements(
+            "f", "s", lo, hi, key="id",
+            columns=("id", "start_date_oslo", "v"),
+        ),
     )
     got = set(map(tuple, con.sql("SELECT * FROM f").fetchall()))
     con.close()

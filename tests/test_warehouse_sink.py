@@ -31,6 +31,7 @@ from hours_api_clickup_spark.sinks.warehouse import (
 )
 
 LO, HI = dt.date(2024, 5, 1), dt.date(2024, 6, 30)
+COLS = ("id", "start_date_oslo", "v")
 
 
 def _fixture(spark):
@@ -90,7 +91,8 @@ def test_refresh_transaction_equals_spark_merge(spark):
     apply_statements(
         con,
         merge_refresh_statements(
-            "fact_time_entries", "staging_time_entries", LO, HI
+            "fact_time_entries", "staging_time_entries", LO, HI,
+            columns=COLS,
         ),
     )
     got = _rows(con.sql("SELECT * FROM fact_time_entries"))
@@ -107,7 +109,7 @@ def test_refresh_transaction_idempotent(spark):
     fact, staging = _fixture(spark)
     con = _warehouse(fact, staging)
     stmts = merge_refresh_statements(
-        "fact_time_entries", "staging_time_entries", LO, HI
+        "fact_time_entries", "staging_time_entries", LO, HI, columns=COLS
     )
     apply_statements(con, stmts)
     once = _rows(con.sql("SELECT * FROM fact_time_entries"))
@@ -124,7 +126,7 @@ def test_full_reindex_transaction_equals_spark_merge(spark):
     apply_statements(
         con,
         merge_full_reindex_statements(
-            "fact_time_entries", "staging_time_entries"
+            "fact_time_entries", "staging_time_entries", columns=COLS
         ),
     )
     got = _rows(con.sql("SELECT * FROM fact_time_entries"))
@@ -137,7 +139,7 @@ def test_failed_transaction_leaves_fact_untouched(spark):
     con = _warehouse(fact, staging)
     before = _rows(con.sql("SELECT * FROM fact_time_entries"))
     stmts = merge_refresh_statements(
-        "fact_time_entries", "staging_time_entries", LO, HI
+        "fact_time_entries", "staging_time_entries", LO, HI, columns=COLS
     )
     with pytest.raises(Exception):
         apply_statements(con, stmts[:1] + ["INSERT INTO no_such_table VALUES (1)"])
@@ -150,6 +152,81 @@ def test_staging_upload_is_write_truncate(spark):
     con = _warehouse(fact, staging)
     upload_staging_truncate(con, staging.limit(1), "staging_time_entries")
     assert con.sql("SELECT COUNT(*) FROM staging_time_entries").fetchone()[0] == 1
+    con.close()
+
+
+def test_staging_upload_keeps_pinned_schema_and_surfaces_drift(spark):
+    """BigQuery's WRITE_TRUNCATE keeps the existing table schema and
+    errors on drift (ADVICE r5): re-uploading must not redefine the
+    staging table, and a DataFrame missing a pinned column must raise,
+    not silently narrow the table."""
+    fact, staging = _fixture(spark)
+    con = _warehouse(fact, staging)
+    before = [
+        tuple(r)
+        for r in con.sql(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            "WHERE table_name='staging_time_entries' ORDER BY ordinal_position"
+        ).fetchall()
+    ]
+    upload_staging_truncate(con, staging.limit(2), "staging_time_entries")
+    after = [
+        tuple(r)
+        for r in con.sql(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            "WHERE table_name='staging_time_entries' ORDER BY ordinal_position"
+        ).fetchall()
+    ]
+    assert before == after
+    # drifted frame (column renamed away) errors and leaves rows intact
+    drifted = staging.withColumnRenamed("v", "v_renamed")
+    with pytest.raises(Exception):
+        upload_staging_truncate(con, drifted, "staging_time_entries")
+    assert (
+        con.sql("SELECT COUNT(*) FROM staging_time_entries").fetchone()[0] == 2
+    )
+    con.close()
+
+
+def test_insert_is_name_matched_not_positional(spark):
+    """The explicit column list makes the INSERT name-matched: a fact
+    table created with a different column order still receives values
+    in the right columns (positional SELECT * would transpose)."""
+    fact, staging = _fixture(spark)
+    con = duckdb.connect()
+    # fact with permuted column order vs staging
+    con.execute(
+        "CREATE TABLE fact_time_entries "
+        "(v DOUBLE, id VARCHAR, start_date_oslo DATE)"
+    )
+    upload_staging_truncate(con, staging, "staging_time_entries")
+    apply_statements(
+        con,
+        merge_refresh_statements(
+            "fact_time_entries", "staging_time_entries", LO, HI, columns=COLS
+        ),
+    )
+    got = sorted(
+        map(tuple, con.sql(
+            "SELECT id, start_date_oslo, v FROM fact_time_entries"
+        ).fetchall())
+    )
+    assert ("id2", dt.date(2024, 6, 1), 2.0) in got
+    con.close()
+
+
+def test_staging_key_uniqueness_guard(spark):
+    from hours_api_clickup_spark.sinks.warehouse import (
+        check_staging_key_unique,
+    )
+
+    fact, staging = _fixture(spark)
+    con = _warehouse(fact, staging)
+    check_staging_key_unique(con, "staging_time_entries", key="id")  # ok
+    dup = staging.union(staging.limit(1))
+    upload_staging_truncate(con, dup, "staging_time_entries")
+    with pytest.raises(ValueError, match="not unique"):
+        check_staging_key_unique(con, "staging_time_entries", key="id")
     con.close()
 
 
