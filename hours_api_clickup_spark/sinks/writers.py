@@ -11,15 +11,15 @@
   Dynamic partition overwrite rewrites only touched months — the Spark
   analog of "MERGE touches only the window".
 
-A BigQuery sink would be the spark-bigquery-connector with
-``writeMethod=direct`` behind the same function signatures; not wired
-here (no network, no connector jar) — parquet is the tested store.
-The statement side of that sink IS wired: ``sinks/warehouse.py``
-renders the reference's two BigQuery MERGE texts verbatim-shaped and
-executes their portable DELETE+INSERT twin transactionally against
-DuckDB as the stand-in warehouse, equivalence-tested row-for-row
-against ``operators/merge.py`` (tests/test_warehouse_sink.py) — only
-the ``google.cloud.bigquery`` client object is absent.
+The BigQuery side of S10/S11 is fully wired: ``sinks/warehouse.py``
+renders the reference's two BigQuery MERGE texts and executes their
+portable DELETE+INSERT twin transactionally against DuckDB as the
+stand-in warehouse (equivalence-tested row-for-row against
+``operators/merge.py``), and ``sinks/bigquery.py`` is the
+import-guarded ``google.cloud.bigquery`` client adapter (create_table
+→ WRITE_TRUNCATE load_table_from_dataframe → parameterized MERGE
+query), unit-tested against a fake client since the package isn't
+installable in this sandbox.
 """
 
 from __future__ import annotations
