@@ -118,7 +118,9 @@ def merge_refresh_partitioned(
     # mid-overwrite leaves Spark's usual partial-write temp dirs): on a
     # production object store, pair this with a table format's atomic
     # commit (Iceberg/Delta replaceWhere) — this path assumes a
-    # filesystem where directory delete is atomic.
+    # filesystem where directory delete is atomic. For a zero-dependency
+    # atomic commit, use merge_refresh_partitioned_atomic below (manifest
+    # pointer swap; crash anywhere before the publish is invisible).
     out_months = {
         r["month"] for r in merged_slice.select("month").distinct().collect()
     }
@@ -135,6 +137,92 @@ def merge_refresh_partitioned(
         .partitionBy("month")
         .parquet(fact_path)
     )
+    return months
+
+
+def window_months(window_lo, window_hi) -> list[str]:
+    """The yyyy-MM partition labels a [lo, hi] date window touches."""
+    import datetime as dt
+
+    months = []
+    cur = dt.date(window_lo.year, window_lo.month, 1)
+    while cur <= window_hi:
+        months.append(f"{cur.year:04d}-{cur.month:02d}")
+        cur = (
+            dt.date(cur.year + 1, 1, 1)
+            if cur.month == 12
+            else dt.date(cur.year, cur.month + 1, 1)
+        )
+    return months
+
+
+def merge_refresh_partitioned_atomic(
+    spark,
+    fact_path: str,
+    staging: DataFrame,
+    window_lo,
+    window_hi,
+    key: str = "id",
+    date_col: str = "start_date_oslo",
+    _crash_before_publish=None,
+) -> list[str]:
+    """``merge_refresh_partitioned`` with an ATOMIC commit (VERDICT r5
+    #4): month rewrites land in immutable ``month=M/v=N`` dirs and the
+    whole refresh becomes visible via ONE manifest pointer swap
+    (sinks.versioned.publish_manifest — tmp write + rename).
+
+    Crash analysis (property-tested in tests/test_atomic_merge.py):
+    - crash during any month-version write → the manifest still points
+      at the old versions; the half-written dir is unreferenced debris
+      removed by ``prune_months``; a retry writes fresh v dirs.
+    - crash after all writes, before the publish → same: readers see
+      the complete OLD state, never a mix.
+    - a month the merge emptied just drops out of the new manifest —
+      there is no delete step to race with, so it can't resurrect.
+    - after the publish, old month versions are garbage, not state;
+      ``prune_months`` reclaims them at leisure.
+
+    This is the version-pointer pattern Delta/Iceberg implement with a
+    commit log, reduced to a single-writer parquet core; on an object
+    store with a managed table format, use ``replaceWhere`` instead.
+    Scale shape is unchanged from the non-atomic form: only window
+    months are read (manifest-pruned before any listing) and only
+    window months are written. ``_crash_before_publish`` is a test
+    hook. Returns the rewritten month list.
+    """
+    from pyspark.sql import functions as F2
+
+    from hours_api_clickup_spark.sinks import versioned as V
+
+    months = window_months(window_lo, window_hi)
+    manifest = V.read_manifest(fact_path)
+    w = F2.col(date_col).between(F2.lit(window_lo), F2.lit(window_hi))
+    s_w = staging.filter(w).withColumn(
+        "month", F2.date_format(F2.col(date_col), "yyyy-MM")
+    )
+    live = [m for m in months if m in manifest]
+    if live:
+        fact_slice = V.read_months(spark, fact_path, months=live)
+        merged_slice = merge_refresh(
+            fact_slice, s_w.select(*fact_slice.columns), w, key=key
+        )
+    else:
+        merged_slice = s_w
+    merged_slice = merged_slice.localCheckpoint(eager=True)
+
+    out_versions: dict[str, int] = {}
+    for m in sorted(
+        r["month"]
+        for r in merged_slice.select("month").distinct().collect()
+    ):
+        out_versions[m] = V.write_month_version(
+            merged_slice.filter(F2.col("month") == m), fact_path, m
+        )
+    if _crash_before_publish is not None:
+        _crash_before_publish()
+    new_manifest = {m: v for m, v in manifest.items() if m not in months}
+    new_manifest.update(out_versions)
+    V.publish_manifest(fact_path, new_manifest)
     return months
 
 

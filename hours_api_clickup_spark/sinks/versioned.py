@@ -95,6 +95,142 @@ def prune_snapshots(path: str, keep_last: int = 2) -> list[int]:
     return doomed
 
 
+# ---------------------------------------------------------------------------
+# Manifest-committed month store — the atomic form of the partitioned
+# fact table (VERDICT r5 #4).
+#
+# delete-then-dynamic-overwrite (operators.merge.merge_refresh_partitioned)
+# has a crash window between the partition delete and the rewrite. Here
+# every month rewrite lands in a fresh immutable ``month=M/v=N`` dir and
+# ONE root manifest file — {month: version} — is the only mutable state,
+# published with the same tmp+rename pointer trick as ``write_snapshot``.
+# A crash at ANY point before the publish leaves the old manifest intact:
+# readers never see a half-written month, and a month the merge emptied
+# cannot be resurrected (it simply leaves the manifest; its directory
+# becomes unreferenced garbage for ``prune_months``).
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_MANIFEST"
+
+
+def read_manifest(path: str) -> dict[str, int]:
+    """{month: published version}; {} for an empty store."""
+    import json
+
+    ptr = os.path.join(path, _MANIFEST)
+    if not os.path.exists(ptr):
+        return {}
+    with open(ptr) as f:
+        return {str(k): int(v) for k, v in json.load(f).items()}
+
+
+def publish_manifest(path: str, months: dict[str, int]) -> None:
+    """Atomically replace the manifest (tmp write + rename)."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(dict(sorted(months.items())), f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def write_month_version(df: DataFrame, path: str, month: str) -> int:
+    """Write one month's rows as its next immutable version dir; does
+    NOT publish (the caller batches all months into one manifest swap).
+    ``month`` stays a data column inside the files, so readers get a
+    uniform schema without Hive partition discovery."""
+    mdir = os.path.join(path, f"month={month}")
+    taken = {
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    }
+    next_v = max(taken, default=-1) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(mdir, f"v={next_v}"))
+    return next_v
+
+
+def read_months(
+    spark: SparkSession, path: str, months: list[str] | None = None
+) -> DataFrame:
+    """Read the published state (or a subset of months). Month pruning
+    happens HERE, against the manifest, before any file listing — the
+    manifest is the partition index, so a windowed reader touches only
+    its months' published version dirs."""
+    manifest = read_manifest(path)
+    if months is not None:
+        manifest = {m: v for m, v in manifest.items() if m in months}
+    if not manifest:
+        raise FileNotFoundError(f"no published months at {path}")
+    paths = [
+        os.path.join(path, f"month={m}", f"v={v}")
+        for m, v in sorted(manifest.items())
+    ]
+    return spark.read.parquet(*paths)
+
+
+#: month label for null-dated rows — sorts before any real yyyy-MM and
+#: can never fall inside a refresh window, so null-dated history is
+#: structurally untouchable by the windowed merge (same invariant the
+#: non-atomic form gets from __HIVE_DEFAULT_PARTITION__).
+NULL_MONTH = "0000-00"
+
+
+def bootstrap_months(
+    df: DataFrame, path: str, date_col: str = "start_date_oslo"
+) -> dict[str, int]:
+    """First-run load: derive ``month`` from ``date_col`` (null dates →
+    NULL_MONTH), write every month version, publish one manifest."""
+    from pyspark.sql import functions as F
+
+    with_month = df.withColumn(
+        "month",
+        F.coalesce(
+            F.date_format(F.col(date_col), "yyyy-MM"), F.lit(NULL_MONTH)
+        ),
+    ).localCheckpoint(eager=True)
+    months = sorted(
+        r["month"] for r in with_month.select("month").distinct().collect()
+    )
+    manifest = {
+        m: write_month_version(
+            with_month.filter(F.col("month") == m), path, m
+        )
+        for m in months
+    }
+    publish_manifest(path, manifest)
+    return manifest
+
+
+def prune_months(path: str, keep_unreferenced: int = 0) -> list[str]:
+    """Post-commit GC: drop version dirs the manifest no longer
+    references (older month versions, months emptied by a merge,
+    debris from crashed writes). Never touches a referenced dir."""
+    import shutil
+
+    manifest = read_manifest(path)
+    removed: list[str] = []
+    if not os.path.isdir(path):
+        return removed
+    for d in os.listdir(path):
+        if not d.startswith("month="):
+            continue
+        month = d.split("=", 1)[1]
+        mdir = os.path.join(path, d)
+        live = manifest.get(month)
+        for vd in os.listdir(mdir):
+            if not vd.startswith("v="):
+                continue
+            v = int(vd.split("=", 1)[1])
+            if v != live:
+                shutil.rmtree(os.path.join(mdir, vd))
+                removed.append(f"{month}/v={v}")
+        if live is None and not os.listdir(mdir):
+            os.rmdir(mdir)
+    return removed
+
+
 def snapshot_diff(
     spark: SparkSession,
     path: str,
