@@ -160,11 +160,12 @@ def inverted_index_append(
         return
     if seq is None:
         # stats-read fallback; a production deployment passes ``seq``
-        # from its ingest manifest and skips this scan
-        max_seq = (
-            inverted_index_read(spark, path).agg(F.max("seq")).head()[0]
-        )
-        seq = (max_seq if max_seq is not None else -1) + 1
+        # from its ingest manifest and skips this scan. Includes
+        # tombstone seqs: reusing a delete's seq would fail to
+        # resurrect a re-ingested doc (survival is seq > tombstone seq)
+        from hours_api_clickup_spark.datapipe.similarity import _next_seq
+
+        seq = _next_seq(spark, path, inverted_index_read)
     rows = _posting_rows(docs, text_col, id_col, n_buckets, seq=int(seq))
     # one file per batch; repartition(1), not coalesce(1) — coalesce
     # would serialize the upstream explode into a single task
@@ -202,21 +203,53 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
     ).write.mode("overwrite").partitionBy("tb").parquet(staged)
     _fs_swap_dir(spark, f"{path}/base", staged)
     jvm = spark._jvm
-    log_path = jvm.org.apache.hadoop.fs.Path(f"{path}/log")
-    fs = log_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(log_path):
-        fs.delete(log_path, True)
+    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/log").getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    # the read view already applied log + tombstones; both are folded in
+    for sub in ("log", "tombstones"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def inverted_index_read(spark: SparkSession, path: str) -> DataFrame:
-    """Base ∪ log merge-on-read view (duplicates resolved at probe
-    time by max-seq per (token, doc) — see ``term_postings``)."""
+    """Base ∪ log merge-on-read view, minus tombstoned documents
+    (duplicates resolved at probe time by max-seq per (token, doc) —
+    see ``term_postings``). The tombstone filter is a broadcast join of
+    the tiny delete set; the probes' tb/token predicates still push
+    below it to the partitioned scan."""
+    from hours_api_clickup_spark.datapipe.similarity import _apply_tombstones
+
     _fs_recover_swap(spark, f"{path}/base")
     base = spark.read.parquet(f"{path}/base").select(*_POSTING_COLS)
+    view = base
     if _fs_exists(spark, f"{path}/log"):
         log = spark.read.parquet(f"{path}/log").select(*_POSTING_COLS)
-        return base.unionByName(log)
-    return base
+        view = base.unionByName(log)
+    return _apply_tombstones(spark, view, f"{path}/tombstones")
+
+
+def inverted_index_delete(
+    spark: SparkSession, path: str, doc_ids: list, seq: int | None = None
+) -> None:
+    """Tombstone delete (VERDICT r5 #7): drop documents from the
+    persisted index WITHOUT touching its postings — one tiny
+    (doc_id, seq) file under ``{path}/tombstones``. No base bucket is
+    read or rewritten (plan-gated: base files are bit-identical after
+    a delete); probes apply the broadcast tombstone filter at read
+    time; ``inverted_index_compact`` makes the deletes physical and
+    drops the marker dir. Cost: O(deletes), zero corpus I/O."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _next_seq,
+        _write_tombstones,
+    )
+
+    if not doc_ids:
+        return
+    if seq is None:
+        seq = _next_seq(spark, path, inverted_index_read)
+    _write_tombstones(spark, f"{path}/tombstones", "doc_id", doc_ids, int(seq))
 
 
 def _term_buckets(

@@ -1538,3 +1538,241 @@ def test_observed_expectations_collect_during_write(spark, tmp_path):
         raise RuntimeError("expected AssertionError")
     except AssertionError as e:
         assert "range[user_id]" in str(e)
+
+
+class TestIndexTombstones:
+    """Delete path for both persisted indexes (VERDICT r5 #7): one tiny
+    marker file, zero index partitions touched, probes exclude deleted
+    keys, re-ingest resurrects, compaction makes deletes physical."""
+
+    @staticmethod
+    def _listing(root):
+        import os
+
+        out = []
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out.append((os.path.relpath(p, root), os.path.getsize(p)))
+        return sorted(out)
+
+    def test_lsh_delete_touches_no_base_partition(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_delete,
+            lsh_index_read,
+            lsh_index_write,
+            lsh_probe_topk,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "idx")
+        lsh_index_write(emb, "embedding", "vec_id", path, dim=64)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        before_top = {
+            r["nbr_id"]
+            for r in lsh_probe_topk(spark, path, qv, k=10, exclude_id=0).collect()
+        }
+        doomed = sorted(before_top)[:3]
+
+        base_before = self._listing(f"{path}/base")
+        lsh_index_delete(spark, path, doomed)
+        # the plan gate: NOT ONE base file was added, removed, or resized
+        assert self._listing(f"{path}/base") == base_before
+        import os
+
+        assert os.path.isdir(f"{path}/tombstones")
+
+        after_top = {
+            r["nbr_id"]
+            for r in lsh_probe_topk(spark, path, qv, k=10, exclude_id=0).collect()
+        }
+        assert not (after_top & set(doomed))
+        assert len(after_top) == 10  # backfilled from the candidate pool
+        # the read view no longer serves the vids at all
+        served = {
+            r["vid"]
+            for r in lsh_index_read(spark, path)
+            .select("vid")
+            .distinct()
+            .collect()
+        }
+        assert not (served & set(doomed))
+
+    def test_lsh_reingest_after_delete_resurrects(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_append,
+            lsh_index_delete,
+            lsh_index_read,
+        )
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "idx")
+        lsh_index_write(emb, "embedding", "vec_id", path, dim=64)
+        lsh_index_delete(spark, path, [5])
+        served = lambda: {
+            r["vid"]
+            for r in lsh_index_read(spark, path)
+            .filter(F.col("vid") == 5)
+            .collect()
+        }
+        assert served() == set()
+        lsh_index_append(
+            emb.filter(F.col("vec_id") == 5), "embedding", "vec_id", path, dim=64
+        )
+        assert served() == {5}  # newer seq out-ranks the tombstone
+
+    def test_lsh_compact_folds_tombstones(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_compact,
+            lsh_index_delete,
+            lsh_index_read,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "idx")
+        lsh_index_write(emb, "embedding", "vec_id", path, dim=64)
+        doomed = [3, 10, 17]
+        lsh_index_delete(spark, path, doomed)
+        lsh_index_compact(spark, path)
+        assert not os.path.exists(f"{path}/tombstones")
+        # physical equality with a rebuild on the surviving corpus
+        rebuilt = str(tmp_path / "rebuilt")
+        lsh_index_write(
+            emb.filter(~F.col("vec_id").isin(doomed)),
+            "embedding",
+            "vec_id",
+            rebuilt,
+            dim=64,
+        )
+
+        def canon(p):
+            return sorted(
+                (r["t"], r["sig"], r["vid"])
+                for r in lsh_index_read(spark, p).collect()
+            )
+
+        assert canon(path) == canon(rebuilt)
+
+    def test_text_delete_touches_no_base_bucket(self, spark, tmp_path):
+        import os
+
+        from hours_api_clickup_spark.datapipe.textindex import (
+            index_term_topk,
+            inverted_index_delete,
+            inverted_index_read,
+            inverted_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents")
+        path = str(tmp_path / "tidx")
+        inverted_index_write(docs, "text", "doc_id", path)
+        idx = inverted_index_read(spark, path)
+        before = [
+            tuple(r)
+            for r in index_term_topk(spark, idx, ["merge", "vector"], k=5).collect()
+        ]
+        doomed = [r[0] for r in before[:2]]
+
+        base_before = self._listing(f"{path}/base")
+        inverted_index_delete(spark, path, doomed)
+        assert self._listing(f"{path}/base") == base_before
+        assert os.path.isdir(f"{path}/tombstones")
+
+        idx2 = inverted_index_read(spark, path)
+        after = {
+            r["doc_id"]
+            for r in index_term_topk(spark, idx2, ["merge", "vector"], k=5).collect()
+        }
+        assert not (after & set(doomed))
+
+    def test_text_compact_folds_tombstones(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_compact,
+            inverted_index_delete,
+            inverted_index_read,
+            inverted_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents").limit(100)
+        path = str(tmp_path / "tidx")
+        inverted_index_write(docs, "text", "doc_id", path)
+        doomed = [r["doc_id"] for r in docs.limit(3).collect()]
+        inverted_index_delete(spark, path, doomed)
+        inverted_index_compact(spark, path)
+        assert not os.path.exists(f"{path}/tombstones")
+        left = {
+            r["doc_id"]
+            for r in inverted_index_read(spark, path)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert not (left & set(doomed))
+        # postings for survivors are fully intact
+        survivors = {r["doc_id"] for r in docs.collect()} - set(doomed)
+        assert left == survivors
+
+    def test_tombstone_filter_preserves_partition_pruning(self, spark, tmp_path):
+        """The broadcast tombstone join must not defeat (t, sb)
+        partition pruning on the probe's base scan."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_delete,
+            lsh_index_read,
+            lsh_index_write,
+            lsh_probe_topk,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "idx")
+        lsh_index_write(emb, "embedding", "vec_id", path, dim=64)
+        lsh_index_delete(spark, path, [1, 2, 3])
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        plan = (
+            lsh_probe_topk(
+                spark, lsh_index_read(spark, path), qv, k=10, exclude_id=0
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and ("isin" in m.group(1) or "IN" in m.group(1)), plan[:2000]
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
