@@ -37,7 +37,13 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # the testing oracle for the LSH path, not a production query.
 EXCLUDE = {"dedup_ngram_jaccard"}
 
-BENCH_QUERIES = [name for name in QUERIES if name not in EXCLUDE]
+# FIXED name order, decoupled from the registry's driver-window rotation:
+# the rotation reorders QUERIES every round, and a query measured late in
+# a long-lived session pays more fixed overhead (JVM aging, cached-plan
+# volume) than one measured early — r5→r6 showed ±0.5-1s drift on
+# unchanged queries purely from the order shift. Sorted order makes
+# round-over-round per-query deltas comparable.
+BENCH_QUERIES = sorted(name for name in QUERIES if name not in EXCLUDE)
 
 # The reference's refresh pipeline, as one timed unit: wide transform →
 # keep-latest dedup → windowed MERGE (BASELINE.md "refresh").
@@ -261,26 +267,38 @@ def main() -> None:
     t0 = time.perf_counter()
     inverted_index_append(t_batch, "text", "doc_id", tidx, seq=1)
     t_text_append = time.perf_counter() - t0
+    # probe vs scan: the row's claim is STEADY-STATE query cost, so
+    # both are medians of N_RUNS (a single-shot probe right after the
+    # build bounced 1.1-8.2s across rounds — mostly first-read
+    # partition-listing + ambient noise, not probe work)
     reader = inverted_index_read(spark, tidx)
-    t0 = time.perf_counter()
-    index_term_topk(spark, reader, ["merge", "vector"], k=10).collect()
-    t_text_probe = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    toks = tokenize("text")
-    (
-        bigdocs.select(
-            "doc_id",
-            (
-                _F2.size(_F2.filter(toks, lambda x: x == "merge"))
-                + _F2.size(_F2.filter(toks, lambda x: x == "vector"))
-            ).cast("bigint").alias("score"),
+
+    def _probe_once() -> float:
+        t0 = time.perf_counter()
+        index_term_topk(spark, reader, ["merge", "vector"], k=10).collect()
+        return time.perf_counter() - t0
+
+    t_text_probe = statistics.median(_probe_once() for _ in range(N_RUNS))
+
+    def _scan_once() -> float:
+        t0 = time.perf_counter()
+        toks = tokenize("text")
+        (
+            bigdocs.select(
+                "doc_id",
+                (
+                    _F2.size(_F2.filter(toks, lambda x: x == "merge"))
+                    + _F2.size(_F2.filter(toks, lambda x: x == "vector"))
+                ).cast("bigint").alias("score"),
+            )
+            .filter(_F2.col("score") > 0)
+            .orderBy(_F2.col("score").desc(), _F2.col("doc_id").asc())
+            .limit(10)
+            .collect()
         )
-        .filter(_F2.col("score") > 0)
-        .orderBy(_F2.col("score").desc(), _F2.col("doc_id").asc())
-        .limit(10)
-        .collect()
-    )
-    t_text_scan = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    t_text_scan = statistics.median(_scan_once() for _ in range(N_RUNS))
     timings["text_index_build_90k"] = round(t_text_build, 3)
     timings["text_index_append_batch"] = round(t_text_append, 3)
     timings["text_index_term_probe_100k"] = round(t_text_probe, 3)

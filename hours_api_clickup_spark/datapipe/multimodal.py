@@ -295,6 +295,8 @@ def decode_stats(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:  # avoid all-NA-dtype frames in the Arrow concat
+                continue
             out = {
                 "media_id": [],
                 "fmt": [],

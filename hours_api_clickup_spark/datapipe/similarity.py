@@ -437,12 +437,10 @@ def _apply_tombstones(spark, view: DataFrame, tomb_path: str) -> DataFrame:
     this join to the partitioned scan."""
     if not _fs_exists(spark, tomb_path):
         return view
-    key = "vid" if "vid" in view.columns else "doc_id"
-    tomb = (
-        spark.read.parquet(tomb_path)
-        .groupBy(key)
-        .agg(F.max("seq").alias("__tseq"))
-    )
+    raw = spark.read.parquet(tomb_path)
+    # the marker file names its own key column (vid / doc_id / vec_id)
+    key = next(c for c in raw.columns if c != "seq")
+    tomb = raw.groupBy(key).agg(F.max("seq").alias("__tseq"))
     return (
         view.join(F.broadcast(tomb), key, "left")
         .filter(F.col("__tseq").isNull() | (F.col("seq") > F.col("__tseq")))
@@ -611,7 +609,12 @@ def lsh_index_upsert(
     if not _fs_exists(spark, f"{path}/base"):
         lsh_index_write(df, vec_col, id_col, path, planes, tables, dim=dim)
         return
-    if _fs_exists(spark, f"{path}/log"):
+    if _fs_exists(spark, f"{path}/log") or _fs_exists(
+        spark, f"{path}/tombstones"
+    ):
+        # fold both MOR tiers (append log + delete markers) first —
+        # upsert's overwrite and seq bookkeeping are defined on the
+        # partitioned base alone
         lsh_index_compact(spark, path)
     index = spark.read.parquet(f"{path}/base")
 
@@ -1397,9 +1400,10 @@ def ivf_index_write(
 
 
 def ivf_index_read(spark, path: str) -> DataFrame:
-    """Live IVF index view: ``base`` ∪ append ``log`` (see
-    ``lsh_index_read`` — same contract: base keeps cluster_id partition
-    pruning, the log is a bounded full scan)."""
+    """Live IVF index view: ``base`` ∪ append ``log``, minus
+    tombstoned ids (see ``lsh_index_read`` — same contract: base keeps
+    cluster_id partition pruning, the tombstone filter is a broadcast
+    above it, the log is a bounded full scan)."""
     _fs_recover_swap(spark, f"{path}/base")
     base = spark.read.parquet(f"{path}/base")
     base = base.select(
@@ -1407,11 +1411,25 @@ def ivf_index_read(spark, path: str) -> DataFrame:
         F.col("cluster_id").cast("int").alias("cluster_id"),
         F.col("seq").cast("long").alias("seq"),
     )
-    if not _fs_exists(spark, f"{path}/log"):
-        return base
-    return base.unionByName(
-        spark.read.parquet(f"{path}/log").select(*base.columns)
-    )
+    view = base
+    if _fs_exists(spark, f"{path}/log"):
+        view = base.unionByName(
+            spark.read.parquet(f"{path}/log").select(*base.columns)
+        )
+    return _apply_tombstones(spark, view, f"{path}/tombstones")
+
+
+def ivf_index_delete(
+    spark, path: str, id_col: str, ids: list, seq: int | None = None
+) -> None:
+    """Tombstone delete for the persisted IVF index — same contract as
+    ``lsh_index_delete``: one (id, seq) marker file, no cluster
+    partition touched; probes exclude at read, compaction folds."""
+    if not ids:
+        return
+    if seq is None:
+        seq = _next_seq(spark, path, ivf_index_read)
+    _write_tombstones(spark, f"{path}/tombstones", id_col, ids, int(seq))
 
 
 def ivf_index_append(
@@ -1466,10 +1484,14 @@ def ivf_index_compact(spark, path: str, id_col: str) -> None:
         "cluster_id"
     ).parquet(f"{path}/base")
     jvm = spark._jvm
-    log_path = jvm.org.apache.hadoop.fs.Path(f"{path}/log")
-    fs = log_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(log_path):
-        fs.delete(log_path, True)
+    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/log").getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    # the read view already applied log + tombstones; both are folded in
+    for sub in ("log", "tombstones"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def ivf_index_upsert(
@@ -1501,7 +1523,12 @@ def ivf_index_upsert(
     if not _fs_exists(spark, f"{path}/base"):
         ivf_index_write(df, vec_col, id_col, path, centroids)
         return
-    if _fs_exists(spark, f"{path}/log"):
+    if _fs_exists(spark, f"{path}/log") or _fs_exists(
+        spark, f"{path}/tombstones"
+    ):
+        # fold both MOR tiers first: the overwrite below is defined on
+        # the partitioned base only, and the upsert's seq bookkeeping
+        # must not have to out-rank live tombstones
         ivf_index_compact(spark, path, id_col)
     index = spark.read.parquet(f"{path}/base")
     new_rows = ivf_assign(df, vec_col, centroids).localCheckpoint()

@@ -157,6 +157,40 @@ def sync_refresh_partitioned(
     return SyncResult(table=fact_path, rows=rows, mode="refresh_partitioned")
 
 
+def sync_refresh_manifest(
+    spark: SparkSession,
+    raw_entries: DataFrame,
+    fact_path: str,
+    today_oslo: dt.date,
+    days: int = DEFAULT_REFRESH_DAYS,
+    backup_path: str | None = None,
+) -> SyncResult:
+    """Windowed refresh against the manifest-committed month store —
+    the ATOMIC at-scale form (operators.merge.merge_refresh_partitioned_
+    atomic): month rewrites land in immutable version dirs and one
+    manifest pointer swap publishes the whole refresh, so a crash at
+    any point leaves readers on the complete old state. First run
+    bootstraps the store from the staged window."""
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh_partitioned_atomic,
+    )
+    from hours_api_clickup_spark.sinks import versioned as V
+
+    staging = _stage_entries(raw_entries)
+    if backup_path:
+        csv_backup(staging, backup_path)
+    lo = today_oslo - dt.timedelta(days=days)
+    merge_refresh_partitioned_atomic(
+        spark, fact_path, staging, lo, today_oslo, key="id"
+    )
+    V.prune_months(fact_path)  # post-commit GC of unreferenced versions
+    try:
+        rows = V.read_months(spark, fact_path).count()
+    except FileNotFoundError:
+        rows = 0  # the window was empty on a first run
+    return SyncResult(table=fact_path, rows=rows, mode="refresh_manifest")
+
+
 def sync_full_reindex(
     spark: SparkSession,
     raw_entries: DataFrame,

@@ -177,3 +177,48 @@ def test_idempotent_reapply(spark, tmp_path):
     once = _state(spark, path)
     merge_refresh_partitioned_atomic(spark, path, _staging(spark), LO, HI)
     assert _state(spark, path) == once
+
+
+def test_sync_refresh_manifest_end_to_end(spark, tmp_path):
+    """Pipeline wiring: raw ClickUp-shaped entries → stage → atomic
+    manifest merge; a second run with updated rows converges, and the
+    published state survives prune."""
+    import json as _json
+
+    from hours_api_clickup_spark.pipelines import sync_refresh_manifest
+    from hours_api_clickup_spark.sources.readers import read_raw_time_entries
+    from tests.test_domain_semantics import _entry
+
+    t0 = 1_717_200_000_000  # 2024-06-01 UTC
+    day = 86_400_000
+    p1 = tmp_path / "b1.json"
+    with open(p1, "w") as f:
+        for e in [
+            _entry("a", start_ms=t0, at_ms=t0, duration="3600000"),
+            _entry("b", start_ms=t0 + day, at_ms=t0, duration="1800000"),
+        ]:
+            f.write(_json.dumps(e) + "\n")
+    fact = str(tmp_path / "fact")
+    today = dt.date(2024, 6, 10)
+    r1 = sync_refresh_manifest(
+        spark, read_raw_time_entries(spark, str(p1)), fact, today, days=30
+    )
+    assert r1.rows == 2 and r1.mode == "refresh_manifest"
+
+    # second batch: update a, drop b (windowed delete), add c
+    p2 = tmp_path / "b2.json"
+    with open(p2, "w") as f:
+        for e in [
+            _entry("a", start_ms=t0, at_ms=t0 + 5, duration="7200000"),
+            _entry("c", start_ms=t0 + 2 * day, at_ms=t0, duration="3600000"),
+        ]:
+            f.write(_json.dumps(e) + "\n")
+    r2 = sync_refresh_manifest(
+        spark, read_raw_time_entries(spark, str(p2)), fact, today, days=30
+    )
+    assert r2.rows == 2
+    got = {
+        r["id"]: r["duration_hours"]
+        for r in V.read_months(spark, fact).collect()
+    }
+    assert got == {"a": 2.0, "c": 1.0}

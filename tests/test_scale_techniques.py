@@ -1776,3 +1776,46 @@ class TestIndexTombstones:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and ("isin" in m.group(1) or "IN" in m.group(1)), plan[:2000]
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_ivf_delete_probe_and_compact(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            ivf_index_compact,
+            ivf_index_delete,
+            ivf_index_read,
+            ivf_index_write,
+            seed_centroids,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+        path = str(tmp_path / "ivf")
+        ivf_index_write(emb, "embedding", "vec_id", path, cents)
+
+        doomed = [2, 9, 44]
+        base_before = self._listing(f"{path}/base")
+        ivf_index_delete(spark, path, "vec_id", doomed)
+        assert self._listing(f"{path}/base") == base_before  # untouched
+        served = {
+            r["vec_id"]
+            for r in ivf_index_read(spark, path)
+            .filter(F.col("vec_id").isin(doomed))
+            .collect()
+        }
+        assert served == set()
+        ivf_index_compact(spark, path, "vec_id")
+        assert not os.path.exists(f"{path}/tombstones")
+        left = {
+            r["vec_id"]
+            for r in ivf_index_read(spark, path)
+            .filter(F.col("vec_id").isin(doomed))
+            .collect()
+        }
+        assert left == set()
+        n = ivf_index_read(spark, path).count()
+        assert n == emb.count() - len(doomed)
