@@ -163,6 +163,44 @@ def decode_ppm(data: bytes):
     return np.frombuffer(data, np.uint8, w * h * 3, i).reshape(h, w, 3)
 
 
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """1-D int16 sample array → mono 16-bit PCM WAV bytes (stdlib
+    ``wave`` — RIFF container, no external codec)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(content: bytes):
+    """WAV bytes → (int16 sample array, sample_rate). Mono 16-bit PCM
+    only — the uncompressed format stdlib ``wave`` parses; compressed
+    audio (MP3/AAC) raises in :func:`decode_media`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError(
+                f"unsupported WAV layout: width={w.getsampwidth()} "
+                f"channels={w.getnchannels()}"
+            )
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype=np.int16), rate
+
+
 def decode_media(content: bytes, media_type: str | None = None):
     """Decode an opaque media payload to an HxWx3 uint8 RGB array.
 
@@ -177,9 +215,14 @@ def decode_media(content: bytes, media_type: str | None = None):
         return decode_bmp(raw)
     if raw[:2] == b"P6":
         return decode_ppm(raw)
+    if raw[:4] == b"RIFF":
+        raise ValueError(
+            "RIFF/WAV is audio — use decode_audio (returns samples, "
+            "not pixels)"
+        )
     raise ValueError(
         f"no built-in codec for media_type={media_type!r} "
-        f"(magic={raw[:4]!r}); PNG/JPEG/WAV/MP4 need PIL/soundfile/av"
+        f"(magic={raw[:4]!r}); PNG/JPEG/MP3/MP4 need PIL/soundfile/av"
     )
 
 
@@ -242,28 +285,42 @@ DECODE_STATS_SCHEMA = StructType(
 )
 
 
-def _gradient_pixels(media_id: int):
+#: (w_mod, w_off, h_mod, h_off, g_mod) image-shape parameters. The
+#: default spreads ids over 13·7·251 distinct images (effectively no
+#: dups in a small corpus — right for decode-stats oracles); the COARSE
+#: set has period lcm(5,3,17,2)=510, so a few-thousand-doc corpus gets
+#: real duplicate-image groups — right for pixel-dedup oracles.
+GRID_DEFAULT = (13, 4, 7, 3, 251)
+GRID_COARSE = (5, 4, 3, 3, 17)
+
+
+def _gradient_pixels(media_id: int, grid: tuple = GRID_DEFAULT):
     """Deterministic test image: w/h/base-gray derive from the id, each
     pixel value is (g + 3x + 7y) % 256 on all three channels — simple
     enough for a SQL oracle to replay, non-constant enough that a
     decoder bug (row order, padding, channel swap) changes the stats."""
     import numpy as np
 
-    w = media_id % 13 + 4
-    h = media_id % 7 + 3
-    g = media_id % 251
+    w_mod, w_off, h_mod, h_off, g_mod = grid
+    w = media_id % w_mod + w_off
+    h = media_id % h_mod + h_off
+    g = media_id % g_mod
     x = np.arange(w, dtype=np.int64)
     y = np.arange(h, dtype=np.int64)
     v = ((g + 3 * x[None, :] + 7 * y[:, None]) % 256).astype(np.uint8)
     return np.repeat(v[:, :, None], 3, axis=2)
 
 
-def synthesize_coded_media(df: DataFrame, id_col: str) -> DataFrame:
+def synthesize_coded_media(
+    df: DataFrame, id_col: str, grid: tuple = GRID_DEFAULT
+) -> DataFrame:
     """Encode a real BMP (even ids) or PPM (odd ids) gradient image per
     row — the binary column downstream stages must treat as opaque."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
             ids = pdf[id_col].astype("int64")
             yield pd.DataFrame(
                 {
@@ -271,9 +328,9 @@ def synthesize_coded_media(df: DataFrame, id_col: str) -> DataFrame:
                     "fmt": ids.map(lambda i: "bmp" if i % 2 == 0 else "ppm"),
                     "content": ids.map(
                         lambda i: (
-                            encode_bmp(_gradient_pixels(int(i)))
+                            encode_bmp(_gradient_pixels(int(i), grid))
                             if i % 2 == 0
-                            else encode_ppm(_gradient_pixels(int(i)))
+                            else encode_ppm(_gradient_pixels(int(i), grid))
                         )
                     ),
                 }
@@ -284,6 +341,49 @@ def synthesize_coded_media(df: DataFrame, id_col: str) -> DataFrame:
     return spread(df.select(id_col)).mapInPandas(
         run, schema=CODED_MEDIA_SCHEMA
     )
+
+
+PIXEL_DIGEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("fmt", StringType()),
+        StructField("pixel_sha256", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def pixel_digest(media: DataFrame) -> DataFrame:
+    """Content identity for images: sha256 of the DECODED canonical
+    pixel array (height×width×RGB bytes), not of the file bytes — so a
+    BMP and a PPM of the same picture get the SAME digest, which is the
+    property image dedup needs (byte-level digests miss re-encoded
+    copies; this catches any lossless re-encode). Arrow-batched
+    mapInPandas through the real decoders."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": pdf["media_id"],
+                "fmt": pdf["fmt"],
+                "pixel_sha256": [],
+                "width": [],
+                "height": [],
+            }
+            for raw, fmt in zip(pdf["content"], pdf["fmt"]):
+                px = decode_media(raw, fmt)
+                out["pixel_sha256"].append(
+                    _hl.sha256(px.tobytes()).hexdigest()
+                )
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PIXEL_DIGEST_SCHEMA)
 
 
 def decode_stats(media: DataFrame) -> DataFrame:
@@ -318,6 +418,57 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 # channels are equal, so mean over all values IS the
                 # luma; int sums are exact in float64 → engine-portable
                 out["mean_luma"].append(float(px.astype("float64").mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resample: out[X, Y] = src[floor(Y·h/out_h),
+    floor(X·w/out_w)] — integer arithmetic only, so a SQL oracle can
+    replay it exactly."""
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return pixels[np.ix_(ys, xs)]
+
+
+def resize_decode_stats(
+    media: DataFrame, out_w: int = 8, out_h: int = 6
+) -> DataFrame:
+    """REAL resize stage: decode → nearest-neighbor resample → re-encode
+    in the source format → decode AGAIN and emit the resized image's
+    stats. Round-tripping through the encoder proves the resized bytes
+    are a valid image, not just an array; the final stats come off the
+    second decode, so the whole codec surface is in the loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": [],
+                "fmt": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "mean_luma": [],
+            }
+            for mid, fmt, raw in zip(
+                pdf["media_id"], pdf["fmt"], pdf["content"]
+            ):
+                px = resize_nearest(decode_media(raw, fmt), out_w, out_h)
+                enc = encode_bmp(px) if fmt == "bmp" else encode_ppm(px)
+                px2 = decode_media(enc, fmt)
+                h, w, _ = px2.shape
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_luma"].append(float(px2.astype("float64").mean()))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
@@ -380,6 +531,216 @@ def resize_media(
     from hours_api_clickup_spark.datapipe.dedup import spread
 
     return spread(media).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: a trivial seekable frame container + selective frame decode.
+# ---------------------------------------------------------------------------
+
+
+def encode_video(frames) -> bytes:
+    """Frame list (each HxWx3 uint8) → a minimal seekable container:
+    magic ``VID0`` + u32 frame count + per-frame u32 length prefix +
+    PPM payload. Stands in for MP4 structurally — the property that
+    matters (and is exercised): a sampler can SEEK to frame i and
+    decode only it, never touching the other frames' bytes."""
+    import struct
+
+    parts = [b"VID0", struct.pack("<I", len(frames))]
+    for f in frames:
+        payload = encode_ppm(f)
+        parts.append(struct.pack("<I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def video_frame_count(data: bytes) -> int:
+    import struct
+
+    raw = bytes(data)
+    if raw[:4] != b"VID0":
+        raise ValueError("not a VID0 stream")
+    return struct.unpack_from("<I", raw, 4)[0]
+
+
+def decode_video_frame(data: bytes, frame_idx: int):
+    """Seek to frame ``frame_idx`` via the length prefixes and decode
+    ONLY that frame — O(frames skipped) header reads, one frame's pixel
+    decode; the other frames' payload bytes are never parsed."""
+    import struct
+
+    raw = bytes(data)
+    n = video_frame_count(raw)
+    if not 0 <= frame_idx < n:
+        raise IndexError(f"frame {frame_idx} not in [0, {n})")
+    off = 8
+    for _ in range(frame_idx):
+        off += 4 + struct.unpack_from("<I", raw, off)[0]
+    length = struct.unpack_from("<I", raw, off)[0]
+    return decode_ppm(raw[off + 4 : off + 4 + length])
+
+
+def synthesize_video_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One real VID0 clip per row: n_frames = id%9+2 gradient frames,
+    frame f drawn with base gray (id + 11·f) % 97 on a fixed 5×4
+    canvas — per-frame content a SQL oracle replays."""
+    import numpy as np
+
+    def _clip(i: int) -> bytes:
+        n = i % 9 + 2
+        frames = []
+        for f in range(n):
+            g = (i + 11 * f) % 97
+            x = np.arange(5, dtype=np.int64)
+            y = np.arange(4, dtype=np.int64)
+            v = ((g + 3 * x[None, :] + 7 * y[:, None]) % 256).astype(
+                np.uint8
+            )
+            frames.append(np.repeat(v[:, :, None], 3, axis=2))
+        return encode_video(frames)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "fmt": "vid0",
+                    "content": ids.map(lambda i: _clip(int(i))),
+                }
+            )
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    return spread(df.select(id_col)).mapInPandas(
+        run, schema=CODED_MEDIA_SCHEMA
+    )
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def sampled_frame_stats(media: DataFrame, every_n: int = 3) -> DataFrame:
+    """REAL frame sampling: inside one Arrow-batched mapInPandas stage,
+    read each clip's frame count from the header, seek-decode every
+    ``every_n``-th frame only, and emit one stats row per sampled
+    frame — the explode happens inside the stage, so the video bytes
+    cross the Python boundary ONCE per clip (not once per sampled
+    frame, which a decode-after-explode plan would cost)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "mean_luma": [],
+            }
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                n = video_frame_count(raw)
+                for f in range(0, n, every_n):
+                    px = decode_video_frame(raw, f)
+                    h, w, _ = px.shape
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(
+                        float(px.astype("float64").mean())
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VIDEO_FRAME_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("mean_abs_amp", DoubleType()),
+        StructField("peak_amp", LongType()),
+    ]
+)
+
+
+def _sawtooth_samples(media_id: int):
+    """Deterministic test clip: n = id%50+20 samples of
+    ((seed + 37·i) mod 65536) − 32768 with seed = id%1000 — integer
+    waveform a SQL oracle replays exactly."""
+    import numpy as np
+
+    n = media_id % 50 + 20
+    seed = media_id % 1000
+    i = np.arange(n, dtype=np.int64)
+    return ((seed + 37 * i) % 65536 - 32768).astype(np.int16)
+
+
+def synthesize_audio_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One real WAV clip per row (opaque binary column downstream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "fmt": "wav",
+                    "content": ids.map(
+                        lambda i: encode_wav(_sawtooth_samples(int(i)))
+                    ),
+                }
+            )
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    return spread(df.select(id_col)).mapInPandas(
+        run, schema=CODED_MEDIA_SCHEMA
+    )
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode stage: parse each WAV payload (decode_audio)
+    and emit sample count, rate, mean absolute amplitude (exact int
+    sum / count — engine-portable double) and peak amplitude."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "media_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "mean_abs_amp": [],
+                "peak_amp": [],
+            }
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_audio(raw)
+                a = abs(samples.astype("int64"))
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(samples))
+                out["sample_rate"].append(rate)
+                out["mean_abs_amp"].append(float(a.sum()) / len(samples))
+                out["peak_amp"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

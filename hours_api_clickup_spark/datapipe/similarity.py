@@ -1645,13 +1645,20 @@ def ivf_topk_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_pred: str | None = None,
 ) -> str:
     """DuckDB SQL reproducing ``ivf_topk(quantizer='seeds')``: the same
     hash-ordered seed centroids, argmax-cosine assignment with
     lowest-index tie-break, nprobe probe selection, and exact cosine
     re-rank. (Cosine of a vector against a *normalized* seed orders
-    identically to the normalized-dot the numpy path computes.)"""
+    identically to the normalized-dot the numpy path computes.)
+    ``exclude_pred`` (SQL over ``e.{id_col}``) models index tombstones:
+    deleted ids leave the candidate pool (NOT the seed set — the
+    quantizer is frozen at build time, so seeds stay as built)."""
     hash_order = f"(({id_col} % {M31}) * {KNUTH_A}) % {M32}, {id_col}"
+    not_deleted = (
+        f"      AND NOT ({exclude_pred})\n" if exclude_pred else ""
+    )
     return f"""
     WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id}),
     seeds AS (
@@ -1681,7 +1688,7 @@ def ivf_topk_oracle_sql(
     JOIN assign a ON a.vid = e.{id_col}
     JOIN probes p ON p.cid = a.cid, q
     WHERE e.{id_col} <> {query_id}
-    ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
+{not_deleted}    ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], q.qv) DESC, e.{id_col}
     LIMIT {k}
     """
 

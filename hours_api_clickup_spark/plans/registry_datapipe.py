@@ -597,6 +597,316 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf_probe_tombstone",
+    ivf_topk_oracle_sql(
+        k=10, n_clusters=16, nprobe=6, query_id=0,
+        exclude_pred="e.vec_id % 7 = 5",
+    ),
+    survey_ids="datapipe:similarity-ivf-delete",
+    doc="IVF index delete path (r6): vectors with vec_id%7==5 are "
+    "tombstoned out of the persisted IVF index — one marker file, no "
+    "cluster partition touched — and the nprobe probe excludes them "
+    "via the broadcast tombstone filter above the partition-pruned "
+    "scan. The quantizer stays frozen (deleting a seed id removes its "
+    "VECTOR from candidates, not its centroid), which the oracle "
+    "mirrors by excluding only from the candidate pool. Completes the "
+    "driver-checked delete story across all three persisted indexes "
+    "(LSH, inverted text, IVF).",
+)
+def q_knn_ivf_probe_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivf_index_delete,
+        ivf_index_write,
+        ivf_probe_topk,
+        seed_centroids,
+    )
+
+    key = ("ivf_tomb", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+        index_path = tempfile.mkdtemp(prefix="ivf_index_tomb_") + "/emb"
+        ivf_index_write(emb, "embedding", "vec_id", index_path, cents)
+        doomed = [
+            r["vec_id"]
+            for r in emb.filter(F.col("vec_id") % 7 == 5)
+            .select("vec_id")
+            .collect()
+        ]
+        ivf_index_delete(spark, index_path, "vec_id", doomed)
+        _ANN_INDEX_CACHE[key] = (index_path, cents)
+    index_path, cents = _ANN_INDEX_CACHE[key]
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_probe_topk(
+        spark, index_path, "embedding", "vec_id", qv, cents, k=10, nprobe=6,
+        exclude_id=0,
+    ).select("nbr_id")
+
+
+@register(
+    "multimodal_resize_stats",
+    """
+    -- replay decode → nearest-neighbor resample to 8x6 → stats: the
+    -- resized pixel at (X, Y) is the source pixel at ((X*w)//8,
+    -- (Y*h)//6), all integer arithmetic
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 13 + 4 AS w,
+               doc_id % 7 + 3 AS h,
+               doc_id % 251 AS g
+        FROM documents
+    ),
+    xs AS (SELECT unnest(range(0, 8)) AS x),
+    ys AS (SELECT unnest(range(0, 6)) AS y)
+    SELECT p.doc_id AS media_id,
+           CASE WHEN p.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CAST(48 AS BIGINT) AS n_pixels,
+           AVG(CAST((p.g + 3 * ((xs.x * p.w) // 8)
+                         + 7 * ((ys.y * p.h) // 6)) % 256 AS DOUBLE))
+               AS mean_luma
+    FROM p CROSS JOIN xs CROSS JOIN ys
+    GROUP BY p.doc_id, p.w, p.h, p.g
+    """,
+    survey_ids="datapipe:multimodal-resize",
+    doc="REAL image resize (r6): decode → integer nearest-neighbor "
+    "resample to 8x6 → re-encode in the source format → decode AGAIN "
+    "→ stats, all inside one Arrow-batched mapInPandas stage. The "
+    "round-trip through the encoder proves the resized output is a "
+    "valid image of its container format, and the oracle replays the "
+    "resample arithmetic — an off-by-one in the index map or a "
+    "padding bug in the re-encode shifts mean_luma and fails the "
+    "hash. Supersedes the byte-scaling placeholder resize.",
+)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        resize_decode_stats,
+        synthesize_coded_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_coded_media(docs, "doc_id")
+    return resize_decode_stats(media, out_w=8, out_h=6)
+
+
+@register(
+    "multimodal_audio_stats",
+    """
+    -- replay the sawtooth synthesis: sample i of clip id is
+    -- ((id%1000 + 37*i) mod 65536) - 32768, n = id%50+20 samples
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 50 + 20 AS n,
+               doc_id % 1000 AS seed
+        FROM documents
+    ),
+    i AS (SELECT unnest(range(0, 70)) AS i)
+    SELECT p.doc_id AS media_id,
+           CAST(p.n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           AVG(CAST(abs((p.seed + 37 * i.i) % 65536 - 32768) AS DOUBLE))
+               AS mean_abs_amp,
+           CAST(MAX(abs((p.seed + 37 * i.i) % 65536 - 32768)) AS BIGINT)
+               AS peak_amp
+    FROM p CROSS JOIN i
+    WHERE i.i < p.n
+    GROUP BY p.doc_id, p.n, p.seed
+    """,
+    survey_ids="datapipe:multimodal-audio",
+    doc="REAL audio decode (r6): each doc becomes an actual mono "
+    "16-bit PCM WAV (stdlib wave — RIFF container round-trip), rides "
+    "as opaque binary, and decode_audio parses it back inside "
+    "mapInPandas; sample count, rate, mean-absolute amplitude and "
+    "peak are oracle-checked against an arithmetic replay of the "
+    "integer sawtooth. With the BMP/PPM image path this makes two of "
+    "the three modalities decode end-to-end real (video stays "
+    "frame-plan + per-frame image decode; compressed codecs raise "
+    "with the dependency named).",
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        audio_stats,
+        synthesize_audio_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_audio_media(docs, "doc_id")
+    return audio_stats(media)
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    -- replay the clip synthesis: n = id%9+2 frames on a 5x4 canvas,
+    -- frame f's base gray is (id + 11*f) % 97; sampler takes every
+    -- 3rd frame
+    WITH p AS (SELECT doc_id, doc_id % 9 + 2 AS n FROM documents),
+    f AS (SELECT unnest(range(0, 11, 3)) AS f),
+    xs AS (SELECT unnest(range(0, 5)) AS x),
+    ys AS (SELECT unnest(range(0, 4)) AS y)
+    SELECT p.doc_id AS media_id,
+           CAST(f.f AS BIGINT) AS frame_idx,
+           CAST(5 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           AVG(CAST(((p.doc_id + 11 * f.f) % 97
+                     + 3 * xs.x + 7 * ys.y) % 256 AS DOUBLE)) AS mean_luma
+    FROM p CROSS JOIN f CROSS JOIN xs CROSS JOIN ys
+    WHERE f.f < p.n
+    GROUP BY p.doc_id, f.f
+    """,
+    survey_ids="datapipe:multimodal-video",
+    doc="REAL video frame sampling (r6): each doc becomes an actual "
+    "seekable clip (VID0: length-prefixed PPM frames — structurally "
+    "what a keyframe-seekable container provides) and the sampler "
+    "SEEKS to every 3rd frame and decodes only it, inside one "
+    "mapInPandas stage — video bytes cross the Python boundary once "
+    "per clip, not once per sampled frame, and unsampled frames' "
+    "payloads are never parsed. Per-frame decoded stats are "
+    "oracle-checked against the arithmetic replay. All three "
+    "modalities now decode end-to-end real.",
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        sampled_frame_stats,
+        synthesize_video_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_video_media(docs, "doc_id")
+    return sampled_frame_stats(media, every_n=3)
+
+
+@register(
+    "compressed_text_ingest",
+    """
+    -- gzip roundtrip is lossless, so the oracle computes the stats
+    -- straight from the raw text the Spark side compressed + inflated;
+    -- the sha256 equality IS the losslessness proof
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           sha256(text) AS text_sha256
+    FROM documents
+    """,
+    survey_ids="datapipe:compressed-ingest",
+    doc="Compressed-payload ingest (r6): the corpus rides as per-doc "
+    "gzip blobs (the WARC/WET shape Common Crawl pipelines consume) "
+    "and one Arrow-batched mapInPandas stage inflates + computes "
+    "stats — stdlib zlib, one Python crossing per batch. The oracle "
+    "recomputes from the raw text, so the sha256 hash match proves "
+    "the compress → binary column → decompress path is lossless "
+    "end-to-end. (Compressed sizes are deliberately NOT emitted — "
+    "gzip output bytes vary across zlib builds; only the inflated "
+    "content is contract.)",
+)
+def q_compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gz
+    import hashlib as _hl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compress(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["text"].map(
+                        lambda t: _gz.compress(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    def inflate_stats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {
+                "doc_id": [],
+                "n_chars": [],
+                "n_lines": [],
+                "text_sha256": [],
+            }
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                text = _gz.decompress(bytes(blob)).decode("utf-8")
+                out["doc_id"].append(did)
+                out["n_chars"].append(len(text))
+                out["n_lines"].append(text.count("\n") + 1)
+                out["text_sha256"].append(
+                    _hl.sha256(text.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    compressed = spread(docs).mapInPandas(
+        compress, schema="doc_id long, blob binary"
+    )
+    return compressed.mapInPandas(
+        inflate_stats,
+        schema="doc_id long, n_chars long, n_lines long, text_sha256 string",
+    )
+
+
+@register(
+    "multimodal_pixel_dedup",
+    """
+    -- identical images share (w, h, g) = (id%5+4, id%3+3, id%17); the
+    -- Spark side discovers the same groups from sha256 of the DECODED
+    -- pixel bytes, across BOTH container formats (bmp for even ids,
+    -- ppm for odd) — n_formats = 2 proves the grouping crossed formats
+    SELECT MIN(doc_id) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id % 2) AS BIGINT) AS n_formats,
+           CAST(MIN(doc_id) % 5 + 4 AS BIGINT) AS width,
+           CAST(MIN(doc_id) % 3 + 3 AS BIGINT) AS height
+    FROM documents
+    GROUP BY doc_id % 5, doc_id % 3, doc_id % 17
+    """,
+    survey_ids="datapipe:multimodal-pixel-dedup",
+    doc="Cross-format exact image dedup (r6): content identity is the "
+    "sha256 of the DECODED canonical pixel array, not the file bytes "
+    "— a BMP and a PPM of the same picture collapse into one group, "
+    "which byte-level dedup (dedup_exact on file digests) can never "
+    "do. Real codec path end-to-end (encode → opaque binary → sniff + "
+    "decode → digest) in one Arrow-batched mapInPandas stage, then a "
+    "single digest-keyed hash shuffle — the same 100 TB shape as "
+    "dedup_exact. The coarse synthesis grid gives the corpus real "
+    "duplicate groups spanning both formats; the oracle replays the "
+    "grouping arithmetically from the id→image mapping.",
+)
+def q_multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        GRID_COARSE,
+        pixel_digest,
+        synthesize_coded_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_coded_media(docs, "doc_id", grid=GRID_COARSE)
+    return (
+        pixel_digest(media)
+        .groupBy("pixel_sha256")
+        .agg(
+            F.min("media_id").alias("survivor_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("fmt").cast("bigint").alias("n_formats"),
+            F.min("width").alias("width"),
+            F.min("height").alias("height"),
+        )
+        .drop("pixel_sha256")
+    )
+
+
+@register(
     "knn_ivf",
     ivf_topk_oracle_sql(k=10, n_clusters=16, nprobe=6, query_id=0),
     survey_ids="datapipe:similarity-ivf",

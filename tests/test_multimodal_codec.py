@@ -66,3 +66,69 @@ def test_ppm_header_whitespace_tolerant():
     h, w, _ = px.shape
     data = f"P6 {w}\n{h}  255\n".encode() + px.tobytes()
     assert np.array_equal(decode_ppm(data), px)
+
+
+def test_wav_roundtrip_and_layout_errors():
+    import io
+    import wave
+
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        _sawtooth_samples,
+        decode_audio,
+        decode_media,
+        encode_wav,
+    )
+
+    s = _sawtooth_samples(42)
+    dec, rate = decode_audio(encode_wav(s, sample_rate=16000))
+    assert rate == 16000
+    assert np.array_equal(dec, s)
+    # stereo clips are rejected (mono 16-bit PCM only)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 8)
+    with pytest.raises(ValueError, match="channels=2"):
+        decode_audio(buf.getvalue())
+    # decode_media routes RIFF to the audio API, not the pixel one
+    with pytest.raises(ValueError, match="decode_audio"):
+        decode_media(encode_wav(s))
+
+
+def test_video_container_seeks_without_parsing_other_frames():
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        decode_video_frame,
+        encode_video,
+        video_frame_count,
+    )
+
+    frames = [
+        np.full((3, 4, 3), g, dtype=np.uint8) for g in (0, 50, 128, 255)
+    ]
+    clip = bytearray(encode_video(frames))
+    assert video_frame_count(clip) == 4
+    # corrupt frame 1's PAYLOAD; frames 0, 2, 3 must still decode —
+    # proof the seek path skips (not parses) other frames' bytes
+    off = 8
+    import struct
+
+    l0 = struct.unpack_from("<I", clip, off)[0]
+    payload1 = off + 4 + l0 + 4 + 5  # somewhere inside frame 1's pixels
+    clip[payload1 + 20] ^= 0xFF
+    for i in (0, 2, 3):
+        assert np.array_equal(
+            decode_video_frame(bytes(clip), i), frames[i]
+        ), i
+
+
+def test_resize_nearest_matches_index_arithmetic():
+    from hours_api_clickup_spark.datapipe.multimodal import resize_nearest
+
+    px = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    out = resize_nearest(px, 8, 6)
+    assert out.shape == (6, 8, 3)
+    for X in range(8):
+        for Y in range(6):
+            assert np.array_equal(out[Y, X], px[(Y * 5) // 6, (X * 7) // 8])

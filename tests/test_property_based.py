@@ -935,3 +935,42 @@ def test_warehouse_refresh_transaction_algebra(fact_rows, stg_rows):
         if not in_w(t[1]) and not (i in stg_d and in_w(stg_d[i][1])):
             expected.add((i, day(t[1]), t[2]))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrips (r6): any small RGB image survives encode→decode
+# bit-exactly through both pure-Python codecs, for every width (the BMP
+# row-padding cases w%4 ∈ {0,1,2,3} all get generated).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_codec_roundtrip_arbitrary_images(w, h, data):
+    import numpy as np
+
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    flat = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=w * h * 3,
+            max_size=w * h * 3,
+        )
+    )
+    px = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # sniffing dispatch agrees with the direct decoders
+    assert np.array_equal(decode_media(encode_bmp(px)), px)
+    assert np.array_equal(decode_media(encode_ppm(px)), px)
