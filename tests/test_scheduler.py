@@ -1,0 +1,235 @@
+"""Scheduler analog of the reference's six Cloud Scheduler jobs
+(deploy.sh:66-136): cron-subset parsing, Europe/Oslo next-fire incl.
+both DST transitions, at-most-once catch-up, and end-to-end dispatch
+through the same seam the HTTP routes use."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from zoneinfo import ZoneInfo
+
+import pytest
+
+from hours_api_clickup_spark.scheduler import (
+    OSLO,
+    REFERENCE_JOBS,
+    Job,
+    SchedulerState,
+    due_jobs,
+    mark_ran,
+    next_fire,
+    parse_cron,
+    run_pending,
+)
+
+UTC = dt.timezone.utc
+
+
+def oslo(*args) -> dt.datetime:
+    return dt.datetime(*args, tzinfo=OSLO)
+
+
+def fire_local(spec, after):
+    got = next_fire(parse_cron(spec), after)
+    return got.replace(tzinfo=None)
+
+
+# ---------------------------------------------------------------------------
+# Cron parsing + next-fire for the exact six reference schedules.
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_every_6h_sequence():
+    t = oslo(2026, 2, 10, 13, 37)
+    seq = []
+    for _ in range(4):
+        t = next_fire(parse_cron("0 */6 * * *"), t)
+        seq.append(t.replace(tzinfo=None))
+    assert seq == [
+        dt.datetime(2026, 2, 10, 18, 0),
+        dt.datetime(2026, 2, 11, 0, 0),
+        dt.datetime(2026, 2, 11, 6, 0),
+        dt.datetime(2026, 2, 11, 12, 0),
+    ]
+
+
+def test_quarterly_reindex_months():
+    spec = parse_cron("0 2 1 */3 *")
+    t = oslo(2026, 1, 1, 2, 0)
+    months = []
+    for _ in range(4):
+        t = next_fire(spec, t)
+        months.append((t.month, t.day, t.hour))
+    assert months == [(4, 1, 2), (7, 1, 2), (10, 1, 2), (1, 1, 2)]
+
+
+def test_daily_dim_window_ordering():
+    after = oslo(2026, 2, 10, 23, 59)
+    hours = [
+        fire_local(job.schedule, after).hour
+        for job in REFERENCE_JOBS
+        if job.schedule.endswith("* * *") and job.schedule[0] == "0"
+        and "*/" not in job.schedule
+    ]
+    assert hours == [3, 4, 5, 6]  # lists, tasks, accounts, apps
+
+
+def test_field_syntax_lists_ranges_steps():
+    spec = parse_cron("15,45 8-10 * * 1-5")
+    assert spec.minute == frozenset({15, 45})
+    assert spec.hour == frozenset({8, 9, 10})
+    assert spec.day_of_week == frozenset({1, 2, 3, 4, 5})
+    # Saturday 2026-02-14 is skipped; Monday 02-16 08:15 is next
+    assert fire_local("15,45 8-10 * * 1-5", oslo(2026, 2, 13, 11, 0)) == (
+        dt.datetime(2026, 2, 16, 8, 15)
+    )
+    # 7 aliases Sunday
+    assert parse_cron("0 0 * * 7").day_of_week == frozenset({0})
+    with pytest.raises(ValueError):
+        parse_cron("0 25 * * *")
+    with pytest.raises(ValueError):
+        parse_cron("0 0 * *")  # 4 fields
+
+
+def test_vixie_dom_dow_or_rule():
+    # both restricted -> OR: fires on the 13th AND on every Friday
+    spec = parse_cron("0 9 13 * 5")
+    t = next_fire(spec, oslo(2026, 2, 10, 0, 0))
+    assert t.replace(tzinfo=None) == dt.datetime(2026, 2, 13, 9, 0)  # Fri 13th
+    t = next_fire(spec, t)
+    assert t.replace(tzinfo=None) == dt.datetime(2026, 2, 20, 9, 0)  # next Fri
+    # only dom restricted -> dow is not consulted
+    spec = parse_cron("0 9 13 * *")
+    t = next_fire(spec, oslo(2026, 2, 14, 0, 0))
+    assert t.replace(tzinfo=None) == dt.datetime(2026, 3, 13, 9, 0)
+
+
+# ---------------------------------------------------------------------------
+# DST: Europe/Oslo springs forward 2026-03-29 02:00->03:00 and falls
+# back 2026-10-25 03:00->02:00.
+# ---------------------------------------------------------------------------
+
+
+def test_spring_forward_gap_is_skipped():
+    # 02:30 does not exist on 2026-03-29; the daily job skips to 03-30
+    assert fire_local("30 2 * * *", oslo(2026, 3, 28, 23, 0)) == (
+        dt.datetime(2026, 3, 30, 2, 30)
+    )
+    # a 03:00 job still fires that day (03:00 exists; it IS the gap exit)
+    assert fire_local("0 3 * * *", oslo(2026, 3, 28, 23, 0)) == (
+        dt.datetime(2026, 3, 29, 3, 0)
+    )
+
+
+def test_spring_forward_six_hourly_cadence_in_utc():
+    # around the gap the 6h job fires 00:00 CET then 06:00 CEST: the
+    # UTC gap is 5h, which is exactly Cloud Scheduler's wall-time rule
+    t0 = next_fire(parse_cron("0 */6 * * *"), oslo(2026, 3, 28, 23, 30))
+    t1 = next_fire(parse_cron("0 */6 * * *"), t0)
+    assert t0.replace(tzinfo=None) == dt.datetime(2026, 3, 29, 0, 0)
+    assert t1.replace(tzinfo=None) == dt.datetime(2026, 3, 29, 6, 0)
+    assert (t1.astimezone(UTC) - t0.astimezone(UTC)) == dt.timedelta(hours=5)
+
+
+def test_fall_back_fires_first_occurrence_once():
+    spec = parse_cron("30 2 * * *")
+    t = next_fire(spec, oslo(2026, 10, 24, 23, 0))
+    assert t.replace(tzinfo=None) == dt.datetime(2026, 10, 25, 2, 30)
+    assert t.fold == 0  # first occurrence (CEST, +02:00)
+    assert t.utcoffset() == dt.timedelta(hours=2)
+    # the NEXT fire is the next day, not the second 02:30 occurrence
+    t2 = next_fire(spec, t)
+    assert t2.replace(tzinfo=None) == dt.datetime(2026, 10, 26, 2, 30)
+
+
+# ---------------------------------------------------------------------------
+# Tick semantics: watermark, at-most-once catch-up, no retroactive run.
+# ---------------------------------------------------------------------------
+
+
+def test_fresh_state_fires_nothing_before_first_boundary():
+    state = SchedulerState(started_at=oslo(2026, 2, 10, 12, 1))
+    assert due_jobs(state, oslo(2026, 2, 10, 12, 30)) == []
+
+
+def test_catchup_runs_once_with_latest_fire():
+    job = Job("refresh-6h", "0 */6 * * *", "/sync/refresh")
+    state = SchedulerState(started_at=oslo(2026, 2, 10, 0, 1))
+    due = due_jobs(state, oslo(2026, 2, 10, 13, 5), jobs=(job,))
+    assert len(due) == 1  # 06:00 and 12:00 both elapsed -> one run
+    assert due[0][1].replace(tzinfo=None) == dt.datetime(2026, 2, 10, 12, 0)
+    mark_ran(state, job, due[0][1])
+    assert due_jobs(state, oslo(2026, 2, 10, 13, 6), jobs=(job,)) == []
+    due = due_jobs(state, oslo(2026, 2, 10, 18, 0), jobs=(job,))
+    assert [d[1].replace(tzinfo=None) for d in due] == [
+        dt.datetime(2026, 2, 10, 18, 0)
+    ]
+
+
+def test_due_jobs_is_pure_and_now_zone_agnostic():
+    state = SchedulerState(started_at=oslo(2026, 2, 10, 0, 1))
+    now_utc = oslo(2026, 2, 10, 7, 0).astimezone(UTC)
+    a = due_jobs(state, now_utc)
+    b = due_jobs(state, oslo(2026, 2, 10, 7, 0))
+    assert [(j.name, f) for j, f in a] == [(j.name, f) for j, f in b]
+    assert state.last_fire == {}  # untouched
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: a full scheduler day dispatches all six jobs through the
+# HTTP routes' seam and actually writes the warehouse tables.
+# ---------------------------------------------------------------------------
+
+
+def test_run_pending_dispatches_reference_day(spark, tmp_path):
+    from hours_api_clickup_spark.server import ServerConfig
+    from tests.test_domain_semantics import _entry
+    from tests.test_pipelines import _task
+
+    t0 = 1700000000000
+    entries = tmp_path / "entries.json"
+    entries.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [_entry("e1", start_ms=t0, at_ms=t0),
+                      _entry("e2", start_ms=t0 + 5, at_ms=t0 + 5)]
+        )
+    )
+    tasks = tmp_path / "tasks.json"
+    tasks.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                _task("t1"),
+                _task("t2", custom_item_id=1001,
+                      custom_fields=[{"id": "connected_lists", "value": "l1"}]),
+                _task("t3", custom_item_id=1005),  # an app row for /sync/apps
+            ]
+        )
+    )
+    cfg = ServerConfig(
+        spark=spark,
+        entries_path=str(entries),
+        tasks_path=str(tasks),
+        warehouse=str(tmp_path / "wh"),
+        today_oslo=dt.date(2023, 11, 20),
+    )
+    state = SchedulerState(started_at=oslo(2026, 1, 1, 1, 0))
+    # quarterly job fires at 02:00 Jan 1; by 07:00 all six have fired
+    results = run_pending(cfg, state, oslo(2026, 1, 1, 7, 0))
+    ran = {r["job"] for r in results}
+    assert ran == {j.name for j in REFERENCE_JOBS}
+    assert all(r["status"] == "success" for r in results)
+    # watermarks advanced: the same tick re-run is a no-op
+    assert run_pending(cfg, state, oslo(2026, 1, 1, 7, 0)) == []
+    # the dispatches really wrote the warehouse
+    wh = tmp_path / "wh"
+    for table in ["fact_time_entries", "dim_lists", "dim_tasks",
+                  "dim_accounts", "dim_apps"]:
+        assert spark.read.parquet(str(wh / table)).count() >= 1
+
+
+def test_next_fire_unsatisfiable_raises():
+    with pytest.raises(ValueError, match="no fire time"):
+        next_fire(parse_cron("0 0 30 2 *"), oslo(2026, 1, 1, 0, 0))
