@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "refresh", "full_reindex", "lists", "tasks", "accounts",
-            "apps", "serve",
+            "apps", "serve", "scheduler",
         ],
     )
     p.add_argument("--days", type=int, default=60)
@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--today-oslo",
         help="civil date anchor (YYYY-MM-DD); defaults to today in Europe/Oslo",
+    )
+    p.add_argument(
+        "--state",
+        help="scheduler mode: JSON watermark file (created on first tick)",
+    )
+    p.add_argument(
+        "--now",
+        help="scheduler mode: tick time override (ISO-8601, aware); "
+        "defaults to the current instant",
     )
     args = p.parse_args(argv)
 
@@ -74,6 +83,68 @@ def main(argv: list[str] | None = None) -> int:
             srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(cfg))
             print(json.dumps({"serving": f"0.0.0.0:{srv.server_address[1]}"}))
             srv.serve_forever()
+            return 0
+        if args.mode == "scheduler":
+            # One scheduler TICK (deploy.sh:66-136 analog): compute the
+            # jobs due since the persisted watermarks, dispatch each
+            # through the HTTP routes' seam, persist the new watermarks.
+            # An external cron / systemd timer / while-sleep loop calls
+            # this; catch-up is at-most-once per job per outage.
+            import os
+
+            from hours_api_clickup_spark.scheduler import (
+                OSLO,
+                SchedulerState,
+                run_pending,
+            )
+            from hours_api_clickup_spark.server import ServerConfig
+
+            if not args.entries or not args.tasks or not args.state:
+                p.error("--entries, --tasks and --state are required "
+                        "for scheduler")
+            now = (
+                dt.datetime.fromisoformat(args.now)
+                if args.now
+                else dt.datetime.now(OSLO)
+            )
+            if now.tzinfo is None:
+                now = now.replace(tzinfo=OSLO)
+            if os.path.exists(args.state):
+                blob = json.load(open(args.state))
+                state = SchedulerState(
+                    started_at=dt.datetime.fromisoformat(blob["started_at"]),
+                    last_fire={
+                        k: dt.datetime.fromisoformat(v)
+                        for k, v in blob["last_fire"].items()
+                    },
+                )
+            else:
+                state = SchedulerState(started_at=now)
+            cfg = ServerConfig(
+                spark=spark,
+                entries_path=args.entries,
+                tasks_path=args.tasks,
+                warehouse=args.out or "./warehouse",
+                today_oslo=(
+                    dt.date.fromisoformat(args.today_oslo)
+                    if args.today_oslo
+                    else None
+                ),
+                refresh_days=args.days,
+            )
+            ran = run_pending(cfg, state, now)
+            with open(args.state, "w") as f:
+                json.dump(
+                    {
+                        "started_at": state.started_at.isoformat(),
+                        "last_fire": {
+                            k: v.isoformat()
+                            for k, v in state.last_fire.items()
+                        },
+                    },
+                    f,
+                )
+            print(json.dumps({"ticked_at": now.isoformat(), "ran": ran}))
             return 0
         if args.mode in ("refresh", "full_reindex"):
             if not args.entries:

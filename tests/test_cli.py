@@ -73,3 +73,27 @@ def test_cli_dim_modes(cli, fixtures, tmp_path, capsys, mode, rows):
     ])
     out = _out(capsys)
     assert rc == 0 and out["mode"] == mode and out["rows"] == rows
+
+
+def test_cli_scheduler_tick_and_watermark_persistence(
+    cli, fixtures, tmp_path, capsys
+):
+    """--mode scheduler: first tick (fresh state) fires nothing; a tick
+    after all six cadence boundaries runs all six jobs; re-ticking at
+    the same instant is a no-op because the watermarks persisted."""
+    state = str(tmp_path / "sched_state.json")
+    base = [
+        "--mode", "scheduler", "--entries", fixtures["entries"],
+        "--tasks", fixtures["tasks"], "--out", str(tmp_path / "wh"),
+        "--state", state, "--today-oslo", "2023-11-20",
+    ]
+    rc = cli(base + ["--now", "2026-01-01T01:30:00+01:00"])
+    assert rc == 0 and _out(capsys)["ran"] == []
+    rc = cli(base + ["--now", "2026-01-01T07:00:00+01:00"])
+    ran = _out(capsys)["ran"]
+    assert rc == 0 and len(ran) == 6
+    assert {r["status"] for r in ran} == {"success"}
+    blob = json.load(open(state))
+    assert len(blob["last_fire"]) == 6
+    rc = cli(base + ["--now", "2026-01-01T07:00:00+01:00"])
+    assert rc == 0 and _out(capsys)["ran"] == []
