@@ -898,7 +898,12 @@ def q_multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("media_id").alias("survivor_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_copies"),
-            F.countDistinct("fmt").cast("bigint").alias("n_formats"),
+            # NOT countDistinct: Spark expands a distinct agg into TWO
+            # hash shuffles ((digest, fmt) then digest). fmt's domain is
+            # tiny ({bmp, ppm}), so collect_set partial-aggregates to a
+            # ≤2-element set and the whole query keeps ONE shuffle —
+            # the dedup_exact shape (plan-gated).
+            F.size(F.collect_set("fmt")).cast("bigint").alias("n_formats"),
             F.min("width").alias("width"),
             F.min("height").alias("height"),
         )

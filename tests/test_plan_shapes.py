@@ -626,3 +626,47 @@ def test_pareto_windows_reuse_nation_partitioning(spark):
     assert plan.count("Exchange") <= 3, plan
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r6 multimodal / compressed-ingest queries: the Python boundary is
+# crossed by Arrow-batched MapInPandas stages only, and the only
+# shuffles are the deliberate ones (the digest groupBy for pixel dedup,
+# the round-robin spread that fans a single-partition parquet scan out
+# to the cores — a near-no-op on a real cluster's many-partition scan).
+# ---------------------------------------------------------------------------
+
+
+def test_pixel_dedup_single_digest_shuffle(spark):
+    plan = _plan(spark, "multimodal_pixel_dedup")
+    # encode + digest stages, then ONE hash shuffle for the groupBy —
+    # the same shape as dedup_exact; never a join back to the corpus
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # map-side combine: partial + final HashAggregate around the shuffle
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_compressed_ingest_no_shuffle_two_crossings(spark):
+    plan = _plan(spark, "compressed_text_ingest")
+    # compress + inflate stages; no hash shuffle anywhere — the only
+    # exchange is the round-robin spread of the single-partition scan
+    assert plan.count("MapInPandas") == 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_media_stats_stages_no_shuffle(spark):
+    # synthesize + decode-stats pairs: one Python crossing per batch per
+    # stage, zero shuffles, zero joins — per-row work only, so the plan
+    # scales embarrassingly with partitions
+    for name in (
+        "multimodal_resize_stats",
+        "multimodal_audio_stats",
+        "multimodal_video_frames",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("MapInPandas") == 2, (name, plan)
+        assert "Exchange hashpartitioning" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
