@@ -974,3 +974,90 @@ def test_codec_roundtrip_arbitrary_images(w, h, data):
     # sniffing dispatch agrees with the direct decoders
     assert np.array_equal(decode_media(encode_bmp(px)), px)
     assert np.array_equal(decode_media(encode_ppm(px)), px)
+
+
+# ---------------------------------------------------------------------------
+# Scheduler cron engine (r6): for arbitrary specs and tick times, the
+# computed fire time is (1) strictly after the watermark, (2) a wall
+# time that matches every cron field, (3) a wall time that exists in
+# Europe/Oslo, and (4) the EARLIEST such time — brute-forced at minute
+# granularity, which is the property a subtle day-scan bug would break.
+# ---------------------------------------------------------------------------
+
+
+_cron_minutes = st.lists(
+    st.integers(min_value=0, max_value=59), min_size=1, max_size=3, unique=True
+)
+_cron_hours = st.lists(
+    st.integers(min_value=0, max_value=23), min_size=1, max_size=3, unique=True
+)
+_cron_dom = st.one_of(
+    st.none(),
+    st.lists(st.integers(min_value=1, max_value=28), min_size=1, max_size=3,
+             unique=True),
+)
+_cron_dow = st.one_of(
+    st.none(),
+    st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=2,
+             unique=True),
+)
+
+
+@given(
+    minutes=_cron_minutes,
+    hours=_cron_hours,
+    dom=_cron_dom,
+    dow=_cron_dow,
+    epoch_min=st.integers(min_value=0, max_value=2 * 366 * 24 * 60),
+)
+@settings(max_examples=60, deadline=None)
+def test_next_fire_is_earliest_matching_existing_wall_time(
+    minutes, hours, dom, dow, epoch_min
+):
+    import datetime as dt
+
+    from hours_api_clickup_spark.scheduler import (
+        OSLO,
+        _exists_in_tz,
+        next_fire,
+        parse_cron,
+    )
+
+    expr = " ".join(
+        [
+            ",".join(map(str, sorted(minutes))),
+            ",".join(map(str, sorted(hours))),
+            ",".join(map(str, sorted(dom))) if dom else "*",
+            "*",
+            ",".join(map(str, sorted(dow))) if dow else "*",
+        ]
+    )
+    spec = parse_cron(expr)
+    after = dt.datetime(2026, 1, 1, tzinfo=OSLO) + dt.timedelta(
+        minutes=epoch_min
+    )
+    fire = next_fire(spec, after)
+    local = fire.replace(tzinfo=None)
+    # (1) strictly after; (2) field match; (3) exists in tz
+    assert fire > after
+    assert local.minute in minutes and local.hour in hours
+    assert spec.matches_day(local.date()), (expr, local)
+    assert _exists_in_tz(local, OSLO)
+    # (4) earliest: no matching, existing wall minute in (after, fire).
+    # Bounded: only brute-force when the gap is small enough to scan.
+    gap = fire - after
+    if gap <= dt.timedelta(days=2):
+        # scan starts one minute after `after`'s Oslo wall time
+        cand = after.astimezone(OSLO).replace(
+            second=0, microsecond=0, tzinfo=None
+        ) + dt.timedelta(minutes=1)
+        while cand < local:
+            matches = (
+                cand.minute in minutes
+                and cand.hour in hours
+                and spec.matches_day(cand.date())
+            )
+            assert not (matches and _exists_in_tz(cand, OSLO)), (
+                expr, after, cand, local,
+            )
+            cand += dt.timedelta(minutes=1)
