@@ -72,3 +72,46 @@ def zorder_write(
     out.repartitionByRange(n, F.col("__z")).sortWithinPartitions(
         "__z"
     ).drop("__z").write.mode("overwrite").parquet(path)
+
+
+def scan_stats(df) -> tuple[int, int]:
+    """(files, rows) the LAST materialization of ``df`` actually pulled
+    through its parquet scan node. In vanilla Spark (no table-format
+    metadata layer) footer stats cannot skip files at SPLIT planning —
+    every file becomes a task and ``numFiles`` stays constant; the
+    pruning a clustered layout buys happens at ROW-GROUP level inside
+    the reader (pushed predicates vs row-group min/max), which shows up
+    as the scan's ``number of output rows``. A Delta/Iceberg manifest
+    would additionally skip whole files up front; this helper measures
+    the engine-native effect so tests assert the payoff end-to-end."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        try:
+            metrics = node.metrics()
+            found = {}
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in ("numFiles", "numOutputRows"):
+                    found[kv._1()] = int(kv._2().value())
+            if "numFiles" in found:
+                return found["numFiles"], found.get("numOutputRows", -1)
+        except Exception:
+            pass
+        # the AQE root wraps the real tree and reports no children —
+        # descend into the executed subtree it finalized
+        if "AdaptiveSparkPlan" in node.getClass().getSimpleName():
+            return walk(node.executedPlan())
+        n = node.children().size() if hasattr(node, "children") else 0
+        for i in range(n):
+            got = walk(node.children().apply(i))
+            if got is not None:
+                return got
+        return None
+
+    got = walk(plan)
+    if got is None:
+        raise ValueError("no FileScan metrics in the executed plan")
+    return got
