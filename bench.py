@@ -184,6 +184,11 @@ def main() -> None:
     ap_path = tempfile.mkdtemp(prefix="bench_lsh_ap_") + "/idx"
     lsh_index_write(base, "embedding", "vec_id", ap_path, dim=64)
 
+    # Cap the EXPENSIVE ingest medians at 3 runs regardless of
+    # SPARK_GRAFT_BENCH_RUNS — at N_RUNS=5 these ~5-15s writes alone
+    # would add minutes of wall; 3 samples already tames the outliers.
+    INGEST_RUNS = min(N_RUNS, 3)
+
     # These ingest rows were single-shot through r5 and bounced 2-4×
     # between same-code runs (r6 measured upsert at 6.4s and 15.6s in
     # two back-to-back suites) — the write paths are GEMM + multi-file
@@ -197,14 +202,14 @@ def main() -> None:
         lsh_index_upsert(batch, "embedding", "vec_id", ap_path, dim=64)
         return time.perf_counter() - t0
 
-    t_upsert = statistics.median(_upsert_once() for _ in range(N_RUNS))
+    t_upsert = statistics.median(_upsert_once() for _ in range(INGEST_RUNS))
 
     def _append_once(seq: int) -> float:
         t0 = time.perf_counter()
         lsh_index_append(batch, "embedding", "vec_id", ap_path, dim=64, seq=seq)
         return time.perf_counter() - t0
 
-    t_append = statistics.median(_append_once(2 + i) for i in range(N_RUNS))
+    t_append = statistics.median(_append_once(2 + i) for i in range(INGEST_RUNS))
 
     rb_path = tempfile.mkdtemp(prefix="bench_lsh_rb_") + "/idx"
 
@@ -213,7 +218,7 @@ def main() -> None:
         lsh_index_write(big, "embedding", "vec_id", rb_path, dim=64)
         return time.perf_counter() - t0
 
-    t_rebuild = statistics.median(_rebuild_once() for _ in range(N_RUNS))
+    t_rebuild = statistics.median(_rebuild_once() for _ in range(INGEST_RUNS))
 
     timings["lsh_index_append_batch"] = round(t_append, 3)
     timings["lsh_index_upsert_batch"] = round(t_upsert, 3)
@@ -249,7 +254,7 @@ def main() -> None:
         doc_neardup_index_append(batch, didx, "doc_id", "text").count()
         return time.perf_counter() - t0
 
-    t_doc_append = statistics.median(_doc_append_once() for _ in range(N_RUNS))
+    t_doc_append = statistics.median(_doc_append_once() for _ in range(INGEST_RUNS))
     timings["doc_index_append_batch"] = round(t_doc_append, 3)
     print(
         f"# doc near-dup index: 10% batch fold {t_doc_append:.3f}s vs "
