@@ -133,7 +133,11 @@ def main(argv: list[str] | None = None) -> int:
                 refresh_days=args.days,
             )
             ran = run_pending(cfg, state, now)
-            with open(args.state, "w") as f:
+            # atomic replace: a kill mid-write must never leave a
+            # truncated state file (every later tick would crash in
+            # json.load — same tmp+rename pattern as publish_manifest)
+            tmp = args.state + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {
                         "started_at": state.started_at.isoformat(),
@@ -144,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
                     },
                     f,
                 )
+            os.replace(tmp, args.state)
             print(json.dumps({"ticked_at": now.isoformat(), "ran": ran}))
             return 0
         if args.mode in ("refresh", "full_reindex"):

@@ -147,13 +147,18 @@ def decode_ppm(data: bytes):
         raise ValueError("not a P6 PPM stream")
     # header = three whitespace-separated tokens after the magic
     # (width, height, maxval), then ONE whitespace byte, then pixels
-    tokens, i = [], 2
+    tokens, i, n = [], 2, len(data)
     while len(tokens) < 3:
-        while data[i : i + 1].isspace():
+        while i < n and data[i : i + 1].isspace():
             i += 1
         j = i
-        while not data[j : j + 1].isspace():
+        # bound by n: b''.isspace() is False, so an unbounded scan
+        # would spin forever on a truncated header (review r6) — a
+        # malformed blob must RAISE, not wedge the Spark task
+        while j < n and not data[j : j + 1].isspace():
             j += 1
+        if j == i or j >= n:
+            raise ValueError("truncated PPM header")
         tokens.append(int(data[i:j]))
         i = j
     i += 1  # the single separator byte

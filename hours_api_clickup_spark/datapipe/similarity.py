@@ -1454,8 +1454,13 @@ def ivf_index_append(
         ivf_index_write(df, vec_col, id_col, path, centroids)
         return
     if seq is None:
-        max_seq = ivf_index_read(spark, path).agg(F.max("seq")).head()[0]
-        seq = (max_seq if max_seq is not None else -1) + 1
+        # _next_seq, NOT max(live seq): the read view is already
+        # tombstone-filtered, so after a delete at seq N every live row
+        # has seq < N and max-live+1 would TIE the tombstone — and
+        # survival is seq > tombstone seq, so the re-ingest would stay
+        # invisible and compaction would drop it (the LSH append had the
+        # identical bug class; review r6)
+        seq = _next_seq(spark, path, ivf_index_read)
     new_rows = ivf_assign(df, vec_col, centroids).withColumn(
         "seq", F.lit(int(seq)).cast("long")
     )
@@ -2453,8 +2458,11 @@ def ivfpq_index_append(
         ivfpq_index_write(df, vec_col, id_col, path, centroids, codebooks)
         return
     if seq is None:
-        max_seq = ivf_index_read(spark, path).agg(F.max("seq")).head()[0]
-        seq = (max_seq if max_seq is not None else -1) + 1
+        # _next_seq, not max(live seq) — the read view is tombstone-
+        # filtered, so a re-ingest after a delete must OUT-RANK the
+        # marker, not tie it (same bug class as ivf_index_append;
+        # review r6)
+        seq = _next_seq(spark, path, ivf_index_read)
     assigned = ivf_assign(df, vec_col, centroids).withColumn(
         "seq", F.lit(int(seq)).cast("long")
     ).localCheckpoint()  # one GEMM feeds both log files

@@ -82,19 +82,9 @@ def merge_refresh_partitioned(
     a window month's date range, so they live in their own
     ``month=__HIVE_DEFAULT_PARTITION__`` partition and are untouched.
     """
-    import datetime as dt
-
     from pyspark.sql import functions as F2
 
-    months = []
-    cur = dt.date(window_lo.year, window_lo.month, 1)
-    while cur <= window_hi:
-        months.append(f"{cur.year:04d}-{cur.month:02d}")
-        cur = (
-            dt.date(cur.year + 1, 1, 1)
-            if cur.month == 12
-            else dt.date(cur.year, cur.month + 1, 1)
-        )
+    months = window_months(window_lo, window_hi)
 
     fact_slice = spark.read.parquet(fact_path).filter(
         F2.col("month").isin(months)

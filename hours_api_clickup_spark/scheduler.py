@@ -61,6 +61,11 @@ def _parse_field(expr: str, name: str, lo: int, hi: int) -> frozenset[int]:
         step = int(step_s) if step_s else 1
         if step < 1:
             raise ValueError(f"{name}: step must be >= 1 in {part!r}")
+        # dow accepts 7 as a Sunday alias; validate the RANGE with the
+        # widened bound and remap per expanded VALUE — remapping the
+        # endpoints first would turn '0-7' into {0} and reject '5-7'
+        # (Fri-Sat-Sun, legal Vixie)
+        vhi = 7 if name == "day_of_week" else hi
         if body == "*":
             a, b = lo, hi
         elif "-" in body:
@@ -68,11 +73,12 @@ def _parse_field(expr: str, name: str, lo: int, hi: int) -> frozenset[int]:
             a, b = int(a_s), int(b_s)
         else:
             a = b = int(body)
+        if not (lo <= a <= vhi and lo <= b <= vhi and a <= b):
+            raise ValueError(f"{name}: {part!r} outside [{lo}, {vhi}]")
+        vals = range(a, b + 1, step)
         if name == "day_of_week":
-            a, b = (0 if a == 7 else a), (0 if b == 7 else b)
-        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
-            raise ValueError(f"{name}: {part!r} outside [{lo}, {hi}]")
-        out.update(range(a, b + 1, step))
+            vals = (0 if v == 7 else v for v in vals)
+        out.update(vals)
     return frozenset(out)
 
 
@@ -232,14 +238,27 @@ def run_pending(
     tz: ZoneInfo = OSLO,
 ) -> list[dict]:
     """Dispatch every due job through the same seam the HTTP routes use
-    (``server._dispatch_sync``; reference main.py:22-207), advancing the
-    watermark only after a successful run so a failed sync is retried on
-    the next tick — Cloud Scheduler's retry-on-failure analog."""
+    (``server._dispatch_sync``; reference main.py:22-207). Failure
+    isolation matches Cloud Scheduler's: each job is its own unit — a
+    failed sync does NOT stop the other due jobs from running, its
+    watermark is not advanced (so it alone retries next tick), and the
+    failure is reported in the results instead of raised."""
     from hours_api_clickup_spark.server import _dispatch_sync
 
     results = []
     for job, fire in due_jobs(state, now, jobs, tz):
-        payload = _dispatch_sync(cfg, job.route, {})
+        try:
+            payload = _dispatch_sync(cfg, job.route, {})
+        except Exception as exc:  # noqa: BLE001 — per-job isolation
+            results.append(
+                {
+                    "job": job.name,
+                    "fired_at": fire.isoformat(),
+                    "status": "error",
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+            )
+            continue
         mark_ran(state, job, fire)
         results.append({"job": job.name, "fired_at": fire.isoformat(), **payload})
     return results

@@ -206,7 +206,10 @@ def bootstrap_months(
 def prune_months(path: str, keep_unreferenced: int = 0) -> list[str]:
     """Post-commit GC: drop version dirs the manifest no longer
     references (older month versions, months emptied by a merge,
-    debris from crashed writes). Never touches a referenced dir."""
+    debris from crashed writes). Never touches a referenced dir.
+    ``keep_unreferenced`` retains that many NEWEST unreferenced
+    versions per month (the ``prune_snapshots(keep_last=…)`` analog:
+    a time-travel/rollback grace window before space is reclaimed)."""
     import shutil
 
     manifest = read_manifest(path)
@@ -219,13 +222,17 @@ def prune_months(path: str, keep_unreferenced: int = 0) -> list[str]:
         month = d.split("=", 1)[1]
         mdir = os.path.join(path, d)
         live = manifest.get(month)
-        for vd in os.listdir(mdir):
-            if not vd.startswith("v="):
-                continue
-            v = int(vd.split("=", 1)[1])
-            if v != live:
-                shutil.rmtree(os.path.join(mdir, vd))
-                removed.append(f"{month}/v={v}")
+        dead = sorted(
+            (
+                int(vd.split("=", 1)[1])
+                for vd in os.listdir(mdir)
+                if vd.startswith("v=") and int(vd.split("=", 1)[1]) != live
+            ),
+            reverse=True,
+        )
+        for v in dead[keep_unreferenced:]:
+            shutil.rmtree(os.path.join(mdir, f"v={v}"))
+            removed.append(f"{month}/v={v}")
         if live is None and not os.listdir(mdir):
             os.rmdir(mdir)
     return removed

@@ -222,3 +222,40 @@ def test_sync_refresh_manifest_end_to_end(spark, tmp_path):
         for r in V.read_months(spark, fact).collect()
     }
     assert got == {"a": 2.0, "c": 1.0}
+
+
+def test_prune_months_keep_unreferenced_grace_window(spark, tmp_path):
+    """Review r6: keep_unreferenced was declared but never read — it
+    must retain the N newest unreferenced versions per month (the
+    rollback grace window), pruning only older debris."""
+    path = str(tmp_path / "fact")
+    V.bootstrap_months(_fact(spark), path)
+    # two merges -> each touched month accumulates old versions
+    merge_refresh_partitioned_atomic(spark, path, _staging(spark), LO, HI)
+    merge_refresh_partitioned_atomic(spark, path, _staging(spark), LO, HI)
+    import os
+
+    def versions(month):
+        mdir = os.path.join(path, f"month={month}")
+        return sorted(
+            int(v.split("=", 1)[1])
+            for v in os.listdir(mdir)
+            if v.startswith("v=")
+        ) if os.path.isdir(mdir) else []
+
+    manifest = V.read_manifest(path)
+    month = next(m for m in manifest if len(versions(m)) >= 3)
+    all_v = versions(month)
+    live = manifest[month]
+
+    removed = V.prune_months(path, keep_unreferenced=1)
+    kept = versions(month)
+    dead_sorted = sorted((v for v in all_v if v != live), reverse=True)
+    assert kept == sorted([live, dead_sorted[0]])  # newest dead kept
+    assert f"{month}/v={dead_sorted[1]}" in removed
+    # state untouched either way
+    assert _state(spark, path) == _expected(spark)
+    # a second prune with the default drops the grace version too
+    V.prune_months(path)
+    assert versions(month) == [live]
+    assert _state(spark, path) == _expected(spark)

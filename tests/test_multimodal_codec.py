@@ -132,3 +132,14 @@ def test_resize_nearest_matches_index_arithmetic():
     for X in range(8):
         for Y in range(6):
             assert np.array_equal(out[Y, X], px[(Y * 5) // 6, (X * 7) // 8])
+
+
+def test_truncated_ppm_header_raises_not_hangs():
+    """Review r6: the header tokenizer must be bounded — b''.isspace()
+    is False, so an unbounded scan spins forever on a blob that ends
+    mid-token, wedging the Spark task instead of raising."""
+    from hours_api_clickup_spark.datapipe.multimodal import decode_ppm
+
+    for blob in (b"P6", b"P6 ", b"P6 5", b"P6\n5 4", b"P6\n5 4\n255"):
+        with pytest.raises(ValueError):
+            decode_ppm(blob)

@@ -1635,6 +1635,69 @@ class TestIndexTombstones:
         )
         assert served() == {5}  # newer seq out-ranks the tombstone
 
+    def test_ivf_and_ivfpq_reingest_after_delete_resurrects(
+        self, spark, tmp_path
+    ):
+        """Review r6 regression: the IVF/IVFPQ append paths derived
+        their default seq from the tombstone-FILTERED view, so a
+        re-ingest after a delete tied the marker (survival is
+        seq > tombstone seq) and stayed invisible — and the next
+        compact dropped it physically. Both must use _next_seq."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            ivf_index_append,
+            ivf_index_compact,
+            ivf_index_delete,
+            ivf_index_read,
+            ivf_index_write,
+            ivfpq_index_append,
+            ivfpq_index_write,
+            pq_seed_codebooks,
+            seed_centroids,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=8)
+
+        path = str(tmp_path / "ivf")
+        ivf_index_write(emb, "embedding", "vec_id", path, cents)
+        ivf_index_delete(spark, path, "vec_id", [5])
+        served = lambda: {
+            r["vec_id"]
+            for r in ivf_index_read(spark, path)
+            .filter(F.col("vec_id") == 5)
+            .collect()
+        }
+        assert served() == set()
+        ivf_index_append(
+            emb.filter(F.col("vec_id") == 5), "embedding", "vec_id",
+            path, cents,
+        )
+        assert served() == {5}  # newer seq out-ranks the tombstone
+        ivf_index_compact(spark, path, "vec_id")
+        assert served() == {5}  # and compaction keeps the resurrect
+
+        codebooks = pq_seed_codebooks(emb, "embedding", "vec_id")
+        qpath = str(tmp_path / "ivfpq")
+        ivfpq_index_write(
+            emb, "embedding", "vec_id", qpath, cents, codebooks
+        )
+        ivf_index_delete(spark, qpath, "vec_id", [7])
+        ivfpq_index_append(
+            emb.filter(F.col("vec_id") == 7), "embedding", "vec_id",
+            qpath, cents, codebooks,
+        )
+        vec_served = {
+            r["vec_id"]
+            for r in ivf_index_read(spark, qpath)
+            .filter(F.col("vec_id") == 7)
+            .collect()
+        }
+        assert vec_served == {7}
+
     def test_lsh_compact_folds_tombstones(self, spark, tmp_path):
         import os
 

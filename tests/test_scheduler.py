@@ -233,3 +233,48 @@ def test_run_pending_dispatches_reference_day(spark, tmp_path):
 def test_next_fire_unsatisfiable_raises():
     with pytest.raises(ValueError, match="no fire time"):
         next_fire(parse_cron("0 0 30 2 *"), oslo(2026, 1, 1, 0, 0))
+
+
+def test_dow_range_with_sunday_alias_endpoints():
+    """Review r6: '0-7' must mean every day (not Sunday-only) and
+    '5-7' must mean Fri+Sat+Sun (not raise) — the 7→0 alias applies
+    per expanded value, not to range endpoints."""
+    assert parse_cron("0 9 * * 0-7").day_of_week == frozenset(range(7))
+    assert parse_cron("0 9 * * 5-7").day_of_week == frozenset({5, 6, 0})
+    # Sat 2026-02-14 matches 5-7 (as does Sun 15, Fri 13)
+    assert fire_local("0 9 * * 5-7", oslo(2026, 2, 13, 10, 0)) == (
+        dt.datetime(2026, 2, 14, 9, 0)
+    )
+    with pytest.raises(ValueError):
+        parse_cron("0 9 * * 8")
+
+
+def test_run_pending_isolates_job_failures(spark, tmp_path, monkeypatch):
+    """Review r6: one failing dispatch must not abort the tick — the
+    other due jobs run, only the failed job's watermark stays put."""
+    import hours_api_clickup_spark.server as server_mod
+    from hours_api_clickup_spark.server import ServerConfig
+
+    real = server_mod._dispatch_sync
+
+    def flaky(cfg, route, body):
+        if route == "/sync/refresh":
+            raise RuntimeError("injected refresh failure")
+        return {"status": "success", "mode": route.rsplit("/", 1)[1], "rows": 0}
+
+    monkeypatch.setattr(server_mod, "_dispatch_sync", flaky)
+    cfg = ServerConfig(
+        spark=spark, entries_path="unused", tasks_path="unused",
+        warehouse=str(tmp_path / "wh"),
+    )
+    state = SchedulerState(started_at=oslo(2026, 1, 1, 1, 0))
+    results = run_pending(cfg, state, oslo(2026, 1, 1, 7, 0))
+    by_job = {r["job"]: r for r in results}
+    assert by_job["refresh-6h"]["status"] == "error"
+    assert "injected refresh failure" in by_job["refresh-6h"]["error"]
+    ok = {j for j, r in by_job.items() if r["status"] == "success"}
+    assert ok == {j.name for j in REFERENCE_JOBS} - {"refresh-6h"}
+    # only the failed job is due again at the same instant
+    due = [j.name for j, _ in due_jobs(state, oslo(2026, 1, 1, 7, 0))]
+    assert due == ["refresh-6h"]
+    monkeypatch.setattr(server_mod, "_dispatch_sync", real)
