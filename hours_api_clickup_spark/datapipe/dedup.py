@@ -1061,18 +1061,47 @@ def doc_neardup_index_append(
     )
     cand = cross.unionByName(self_pairs).dropDuplicates(["id_a", "id_b"])
 
-    # Two-stage verification, same structure as the one-shot form —
-    # bucket collisions on repetitive corpora yield tens of thousands of
-    # candidates for a 10% batch, and fetching their gram sets directly
-    # would stream the index's heavy bytes. Stage 1 joins only the
-    # narrow ``sa`` arrays (column-pruned sig scan, 64 longs/row) and
-    # applies the integer match-count prefilter; stage 2 fetches gram
-    # sets for the surviving pairs ONLY, via a bounded IN pushdown onto
-    # the did-sorted sig files (row-group pruned).
-    old_sig = spark.read.parquet(f"{path}/sig")
-    all_sa = old_sig.select("did", "sa").unionByName(
-        bsig_arr.select("did", "sa")
+    verified = _verify_candidate_pairs(
+        spark, path, cand, bsig_arr, min_matches, threshold
     )
+    # Append order is load-bearing for crash recovery (review r6):
+    # bands FIRST, sig LAST, so "did present in {path}/sig" implies its
+    # append completed — the redelivery guard in
+    # streaming/ann_ingest.py keys on sig dids. A crash between the two
+    # leaves orphan band rows, which are harmless: bands feed candidate
+    # generation only, and candidates are dropDuplicates-ed.
+    bband.sortWithinPartitions("band", "bucket").write.mode("append").parquet(
+        f"{path}/bands"
+    )
+    bsig_arr.write.mode("append").parquet(f"{path}/sig")
+    return verified
+
+
+def _verify_candidate_pairs(
+    spark,
+    path: str,
+    cand: DataFrame,
+    extra: DataFrame | None,
+    min_matches: int,
+    threshold: float,
+) -> DataFrame:
+    """Two-stage verification of candidate (id_a, id_b) pairs against
+    the persisted signature index, same structure as the one-shot form —
+    bucket collisions on repetitive corpora yield tens of thousands of
+    candidates for a 10% batch, and fetching their gram sets directly
+    would stream the index's heavy bytes. Stage 1 joins only the narrow
+    ``sa`` arrays (column-pruned sig scan, 64 longs/row) and applies the
+    integer match-count prefilter; stage 2 fetches gram sets for the
+    surviving pairs ONLY, via a bounded IN pushdown onto the did-sorted
+    sig files (row-group pruned). ``extra`` carries (did, sa, gset)
+    rows not yet in the index (an arriving batch); None when every
+    candidate id is already indexed. Returns the verified pairs,
+    localCheckpointed (so the caller may grow the index files without
+    the plan re-reading them)."""
+    old_sig = spark.read.parquet(f"{path}/sig")
+    all_sa = old_sig.select("did", "sa")
+    if extra is not None:
+        all_sa = all_sa.unionByName(extra.select("did", "sa"))
     matches = F.aggregate(
         F.zip_with(
             F.col("sa_a"), F.col("sa_b"),
@@ -1112,8 +1141,9 @@ def doc_neardup_index_append(
         gsets = gsets.filter(F.col("did").isin(surv_ids))
     else:
         gsets = gsets.join(surv_id_df, "did", "semi")
-    gsets = gsets.unionByName(bsig_arr.select("did", "gset"))
-    verified = (
+    if extra is not None:
+        gsets = gsets.unionByName(extra.select("did", "gset"))
+    return (
         survivors.join(
             gsets.select(F.col("did").alias("id_a"), F.col("gset").alias("gs_a")),
             "id_a",
@@ -1128,10 +1158,39 @@ def doc_neardup_index_append(
             jaccard_sim(F.col("gs_a"), F.col("gs_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .localCheckpoint()  # pin before the index files grow below
+        .localCheckpoint()  # pin before the index files grow
     )
-    bsig_arr.write.mode("append").parquet(f"{path}/sig")
-    bband.sortWithinPartitions("band", "bucket").write.mode("append").parquet(
-        f"{path}/bands"
+
+
+def doc_neardup_index_pairs_for_ids(
+    spark,
+    path: str,
+    ids: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Every verified near-dup pair touching the given ALREADY-INDEXED
+    ids, recomputed from the index alone (no document text needed):
+    their band rows broadcast against the bands scan for candidates,
+    then the shared two-stage verification. This is the recovery path
+    for a crashed streaming ingest attempt — the batch's index append
+    completed (its dids are in ``{path}/sig``) but the pairs write did
+    not (review r6); see streaming/ann_ingest.py."""
+    est_margin = 0.2
+    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+    bands = spark.read.parquet(f"{path}/bands")
+    mine = bands.join(
+        F.broadcast(ids.select(F.col(ids.columns[0]).alias("did"))), "did"
+    ).select(F.col("did").alias("bdid"), "band", "bucket")
+    cand = (
+        bands.join(F.broadcast(mine), ["band", "bucket"])
+        .filter(F.col("did") != F.col("bdid"))
+        .select(
+            F.least(F.col("did"), F.col("bdid")).alias("id_a"),
+            F.greatest(F.col("did"), F.col("bdid")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return verified
+    return _verify_candidate_pairs(
+        spark, path, cand, None, min_matches, threshold
+    )

@@ -88,8 +88,14 @@ def prune_snapshots(path: str, keep_last: int = 2) -> list[int]:
     import shutil
 
     published = latest_version(path)
-    removable = [v for v in _versions(path) if v != published]
-    doomed = removable[: max(0, len(removable) - (keep_last - 1))]
+    vers = _versions(path)
+    # dangling versions NEWER than the pointer are unpublished wrecks
+    # from interrupted writes — prune them outright and never let them
+    # consume the keep budget (review r6: a dangling v=6 above a
+    # published v=5 must not evict the time-travelable v=3)
+    dangling = [v for v in vers if published is not None and v > published]
+    older = [v for v in vers if v != published and v not in dangling]
+    doomed = older[: max(0, len(older) - (keep_last - 1))] + dangling
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"v={v}"))
     return doomed
@@ -226,7 +232,12 @@ def prune_months(path: str, keep_unreferenced: int = 0) -> list[str]:
             (
                 int(vd.split("=", 1)[1])
                 for vd in os.listdir(mdir)
-                if vd.startswith("v=") and int(vd.split("=", 1)[1]) != live
+                # isdigit: stray non-numeric v= entries (operator debris
+                # like v=3.bak) must not crash GC — same guard as
+                # _versions/write_month_version (review r6)
+                if vd.startswith("v=")
+                and vd.split("=", 1)[1].isdigit()
+                and int(vd.split("=", 1)[1]) != live
             ),
             reverse=True,
         )
@@ -267,15 +278,22 @@ def snapshot_diff(
     def hashed(version: int) -> DataFrame:
         df = read_snapshot(spark, path, version=version)
         others = [c for c in df.columns if c not in key_cols]
+
+        # Unambiguous row encoding (review r6): a bare concat lets
+        # distinct rows collide — ('ab','c') and ('a','bc') concatenate
+        # identically, and a plain null sentinel is forgeable by data.
+        # Length-prefixing each value ("<len>:<value>") makes decoding
+        # unique (boundaries can't shift), and the null marker "N"
+        # cannot be confused with an encoded value, which always starts
+        # with a digit.
+        def enc(c: str):
+            s = F.col(c).cast("string")
+            return F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+
         row_hash = F.sha2(
-            F.concat_ws(
-                "",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit(" "))
-                    for c in sorted(others)
-                ],
-            ),
-            256,
+            F.concat_ws("", *[enc(c) for c in sorted(others)]), 256
         )
         return df.select(*key_cols, row_hash.alias("__h"))
 

@@ -99,9 +99,24 @@ def streaming_doc_neardup_ingest(
     First batch bootstraps the index (no pairs — a corpus of one batch
     has only its self-pairs, which append computes from batch 2 on; the
     bootstrap's internal pairs are emitted too, via an append against
-    the empty-initialized index)."""
+    the empty-initialized index).
+
+    Redelivery safety (review r6 — foreachBatch is at-least-once, and
+    the naive re-append would corrupt BOTH artifacts: the re-delivered
+    batch's band rows join their own first-delivery copies into
+    jaccard-1.0 self-pairs, and the sig table holds duplicate rows
+    forever): each batch commits a done-marker file LAST, so a marked
+    batch skips entirely; an unmarked redelivery anti-joins the batch
+    against the sig table's dids (the append writes sig last, so a did
+    in sig has a COMPLETE append) — fresh dids go through the normal
+    append, while dids a crashed attempt already appended get their
+    pairs recomputed from the index alone
+    (``doc_neardup_index_pairs_for_ids``); finally the pair rows are
+    anti-joined against the existing pair table so a crash after the
+    pairs write but before the marker cannot double-write pairs."""
     from hours_api_clickup_spark.datapipe.dedup import (
         doc_neardup_index_append,
+        doc_neardup_index_pairs_for_ids,
         doc_neardup_index_write,
     )
 
@@ -110,17 +125,50 @@ def streaming_doc_neardup_ingest(
             return
         spark = batch_df.sparkSession
         jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/_applied/batch={int(batch_id)}"
+        )
+        fs = marker.getFileSystem(hconf)
+        if fs.exists(marker):
+            return  # fully applied by a previous attempt
         p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/sig")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(p):
             # bootstrap with an EMPTY index so the first batch's own
             # near-dup pairs are emitted by the same append path
             empty = batch_df.filter(F.lit(False))
             doc_neardup_index_write(empty, id_col, text_col, index_path)
-        pairs = doc_neardup_index_append(
-            batch_df, index_path, id_col, text_col, threshold=threshold
+        indexed = spark.read.parquet(f"{index_path}/sig").select("did")
+        bids = batch_df.select(F.col(id_col).alias("did")).dropDuplicates()
+        fresh = batch_df.join(
+            F.broadcast(bids.join(indexed, "did", "semi")),
+            batch_df[id_col] == F.col("did"),
+            "left_anti",
         )
-        pairs.write.mode("append").parquet(pairs_path)
+        stale = bids.join(indexed, "did", "semi").localCheckpoint()
+        parts = []
+        if fresh.head(1):
+            parts.append(
+                doc_neardup_index_append(
+                    fresh, index_path, id_col, text_col, threshold=threshold
+                )
+            )
+        if stale.head(1):  # crashed attempt appended these already
+            parts.append(
+                doc_neardup_index_pairs_for_ids(
+                    spark, index_path, stale, threshold=threshold
+                )
+            )
+        if parts:
+            pairs = parts[0]
+            for extra in parts[1:]:
+                pairs = pairs.unionByName(extra)
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(pairs_path)):
+                prev = spark.read.parquet(pairs_path).select("id_a", "id_b")
+                pairs = pairs.join(prev, ["id_a", "id_b"], "left_anti")
+            pairs.write.mode("append").parquet(pairs_path)
+        fs.mkdirs(marker)  # commit point: batch now invisible to retries
 
     return (
         doc_stream.writeStream.foreachBatch(apply_batch)

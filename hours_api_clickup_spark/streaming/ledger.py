@@ -60,19 +60,28 @@ def _ledger_group(
     )
 
 
-def streaming_user_ledger_pandas_state(
-    events_stream: DataFrame,
-) -> DataFrame:
-    """Running per-user ledger over a stream with columns
-    ``user_id, event_type, value``; cents projected JVM-side so the
-    Arrow hop carries exactly what the fold needs."""
-    prepared = events_stream.select(
+def cents_prepared(events_stream: DataFrame) -> DataFrame:
+    """Shared input projection of the two ledger twins (this module and
+    streaming/tws.py): cents computed JVM-side with the repo's pinned
+    rounding rule (floor(x*100+0.5) — NOT F.round, see COVERAGE float
+    determinism note), so the Arrow hop carries exactly what the fold
+    needs. One definition: a rounding fix applied here reaches both
+    operators (review r6 — the twins had drifted-prone copies)."""
+    return events_stream.select(
         "user_id",
         "event_type",
         F.coalesce(
             F.floor(F.col("value") * 100 + 0.5).cast("bigint"), F.lit(0)
         ).alias("cents"),
     )
+
+
+def streaming_user_ledger_pandas_state(
+    events_stream: DataFrame,
+) -> DataFrame:
+    """Running per-user ledger over a stream with columns
+    ``user_id, event_type, value`` (input shaped by cents_prepared)."""
+    prepared = cents_prepared(events_stream)
     return prepared.groupBy("user_id").applyInPandasWithState(
         _ledger_group,
         outputStructType=OUTPUT_SCHEMA,

@@ -7,9 +7,13 @@ lookback MERGE (``fetch_clickup_data.py:1273-1333``; ``deploy.sh:66-76``).
 The Spark-native equivalent:
 
 - a file/REST stream of raw entries (``readStream``)
-- ``withWatermark("at", "60 days")`` — the refresh window becomes a real
-  watermark: late rows inside it are applied, older ones dropped, state
-  is bounded
+- the reference's refresh window enforced EXPLICITLY per batch
+  (``refresh_window_pred`` on the Oslo start date — the same "entries
+  outside the window are locked history" rule as the batch path). A
+  ``withWatermark`` here would be dead code: watermarks gate STATEFUL
+  operators only, and a stateless foreachBatch query drops nothing —
+  claiming watermark semantics it doesn't have is worse than stating
+  the real filter (review r6).
 - ``foreachBatch`` applying the SAME merge_refresh algebra per
   micro-batch, so batch and streaming share one upsert implementation
   (and one test suite)
@@ -31,7 +35,21 @@ from hours_api_clickup_spark.operators.transform import transform_time_entries
 from hours_api_clickup_spark.pipelines import refresh_window_pred
 from hours_api_clickup_spark.schemas import RAW_TIME_ENTRY_SCHEMA
 
-WATERMARK = "60 days"
+def _overwrite_swap(df: DataFrame, path: str) -> None:
+    """Stage-then-swap overwrite. Plain ``mode('overwrite')`` deletes
+    the live directory before writing, so a crash mid-write leaves the
+    path MISSING — a restarted stream's ``read_fact_or_empty`` then
+    sees first-run and the next batch truncates the table to itself
+    (review r6). Writing to ``{path}__staged`` and renaming keeps the
+    old state intact until the swap; ``_fs_recover_swap`` at the next
+    read rolls back a crash between the two renames. Writing to a
+    DIFFERENT path also means the plan may read ``path`` directly — no
+    localCheckpoint materialization needed."""
+    from hours_api_clickup_spark.datapipe.similarity import _fs_swap_dir
+
+    staged = path + "__staged"
+    df.write.mode("overwrite").parquet(staged)
+    _fs_swap_dir(df.sparkSession, path, staged)
 
 
 def streaming_refresh(
@@ -49,11 +67,19 @@ def streaming_refresh(
         .option("maxFilesPerTrigger", 16)
         .json(source_dir)
     )
-    flat = transform_time_entries(raw).withWatermark("at", WATERMARK)
+    flat = transform_time_entries(raw)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _fs_recover_swap,
+        )
         from hours_api_clickup_spark.pipelines import read_fact_or_empty
 
+        # watermark-advancing no-data batches must not rewrite the fact
+        # table (an O(fact) no-op pass through the commit path)
+        if not batch_df.head(1):
+            return
+        _fs_recover_swap(spark, fact_path)  # roll back a mid-swap crash
         # reject edits outside the refresh window (the reference's MERGE
         # source prefilter, fetch_clickup_data.py:1280-1282 — entries
         # outside the window are locked history)
@@ -64,9 +90,7 @@ def streaming_refresh(
         # incremental slice, not a window snapshot — deletes reconcile
         # in the scheduled batch refresh (see merge_upsert docstring)
         merged = merge_upsert(fact, staging, key="id")
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            fact_path
-        )
+        _overwrite_swap(merged, fact_path)
 
     return (
         flat.writeStream.foreachBatch(apply_batch)
@@ -285,10 +309,22 @@ def fold_rollup_batch(
         partial_rollup,
     )
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     delta = partial_rollup(batch_df, list(keys), val)
+    # PATH_NOT_FOUND alone means "first batch". Any OTHER read failure
+    # (corrupt footer, permissions, storage hiccup) must propagate —
+    # swallowing it would make this batch the entire state and the
+    # overwrite would silently destroy the accumulated rollup (the same
+    # rule read_fact_or_empty pins; review r6).
+    from hours_api_clickup_spark.datapipe.similarity import _fs_recover_swap
+
+    _fs_recover_swap(spark, state_path)  # roll back a mid-swap crash
     try:
         prev = spark.read.parquet(state_path)
-    except Exception:  # first batch: no state yet
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         prev = None
     if prev is not None:
         applied = prev.agg(F.max("__last_batch_id")).collect()[0][0]
@@ -297,7 +333,8 @@ def fold_rollup_batch(
         merged = merge_rollup_states(prev.drop("__last_batch_id"), delta)
     else:
         merged = delta
-    merged.withColumn(
-        "__last_batch_id", F.lit(int(batch_id))
-    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    _overwrite_swap(
+        merged.withColumn("__last_batch_id", F.lit(int(batch_id))),
+        state_path,
+    )
     return True

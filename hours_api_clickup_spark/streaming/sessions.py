@@ -42,7 +42,12 @@ OUTPUT_SCHEMA = (
     "user_id long, session_id long, session_start timestamp, "
     "session_end timestamp, n_events long"
 )
-# open-session state: epoch-micros longs keep the state row flat/cheap
+# open-session state: epoch-micros longs keep the state row flat/cheap.
+# start_us = -1 encodes "no open session, but keep the counter": a
+# closed session must NOT state.remove(), or the next event would
+# re-initialize next_sid = 0 and emit a DUPLICATE (user_id, session_id)
+# (review r6). The trade, stated: counter rows persist per user seen,
+# so state is O(distinct users), not O(users with an open session).
 STATE_SCHEMA = "start_us long, last_us long, n long, next_sid long"
 
 _US = 1_000_000
@@ -63,16 +68,20 @@ def _sessionize_group(
 
     if state.exists:
         start_us, last_us, n, next_sid = state.get
-        open_sess: tuple[int, int, int] | None = (start_us, last_us, n)
+        open_sess: tuple[int, int, int] | None = (
+            (start_us, last_us, n) if start_us >= 0 else None
+        )
     else:
         open_sess, next_sid = None, 0
 
     if state.hasTimedOut:
-        # watermark passed last_event + gap: the open session is final
+        # watermark passed last_event + gap: the open session is final.
+        # Keep the counter in state (start_us = -1) — removing it would
+        # restart the user's session ids at 0 (review r6).
         if open_sess is not None:
             out.append((next_sid, *open_sess))
             next_sid += 1
-        state.remove()
+        state.update((-1, -1, 0, next_sid))
         yield _emit(user_id, out)
         return
 
@@ -102,7 +111,8 @@ def _sessionize_group(
         if open_sess is not None:
             out.append((next_sid, *open_sess))
             next_sid += 1
-        state.remove()
+        # same counter-preserving close as the timeout branch
+        state.update((-1, -1, 0, next_sid))
     elif open_sess is not None:
         state.update((open_sess[0], open_sess[1], open_sess[2], next_sid))
         # production flush path: fire when the watermark passes the gap

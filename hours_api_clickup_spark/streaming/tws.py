@@ -137,13 +137,12 @@ def streaming_user_ledger(events_stream: DataFrame) -> DataFrame:
     # by-value serialization makes it self-contained (same stance as
     # sources/pyds.py).
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    prepared = events_stream.select(
-        "user_id",
-        "event_type",
-        F.coalesce(
-            F.floor(F.col("value") * 100 + 0.5).cast("bigint"), F.lit(0)
-        ).alias("cents"),
-    )
+    # driver-side projection shared with the applyInPandasWithState
+    # twin — safe to import (runs before the stateful operator; only
+    # the processor class itself must pickle by value)
+    from hours_api_clickup_spark.streaming.ledger import cents_prepared
+
+    prepared = cents_prepared(events_stream)
     return prepared.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserLedgerProcessor(),
         outputStructType=OUTPUT_SCHEMA,
@@ -152,11 +151,9 @@ def streaming_user_ledger(events_stream: DataFrame) -> DataFrame:
     )
 
 
-def resolve_final_ledger(emissions: DataFrame) -> DataFrame:
-    """Collapse per-batch ledger emissions to the final row per user
-    (n_events is strictly monotone per user, so max_by is exact)."""
-    return emissions.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max_by("sum_cents", "n_events").alias("sum_cents"),
-        F.max_by("n_types", "n_events").alias("n_types"),
-    )
+# one shared resolution for both ledger twins (review r6): re-exported
+# so existing `from streaming.tws import resolve_final_ledger` callers
+# keep working while the definition lives in ledger.py alone
+from hours_api_clickup_spark.streaming.ledger import (  # noqa: E402,F401
+    resolve_final_ledger,
+)

@@ -259,3 +259,18 @@ def test_prune_months_keep_unreferenced_grace_window(spark, tmp_path):
     V.prune_months(path)
     assert versions(month) == [live]
     assert _state(spark, path) == _expected(spark)
+
+
+def test_prune_months_tolerates_nonnumeric_debris(spark, tmp_path):
+    """Review r6: a stray non-numeric v= entry (operator debris) must
+    not crash GC — same isdigit guard as _versions."""
+    import os
+
+    path = str(tmp_path / "fact")
+    V.bootstrap_months(_fact(spark), path)
+    merge_refresh_partitioned_atomic(spark, path, _staging(spark), LO, HI)
+    month = next(iter(V.read_manifest(path)))
+    os.makedirs(os.path.join(path, f"month={month}", "v=3.bak"))
+    removed = V.prune_months(path)  # must not raise
+    assert all(".bak" not in r for r in removed)
+    assert _state(spark, path) == _expected(spark)

@@ -807,6 +807,107 @@ def test_streaming_doc_neardup_equals_one_shot(spark, tmp_path):
     assert streamed == full
 
 
+def test_doc_neardup_pairs_for_ids_matches_one_shot_subset(spark, tmp_path):
+    """Recovery path (review r6): pairs recomputed from the index alone
+    for a set of already-indexed ids must equal the one-shot pair set
+    restricted to pairs touching those ids."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.dedup import (
+        doc_neardup_index_pairs_for_ids,
+        doc_neardup_index_write,
+        minhash_lsh_pairs,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "idx")
+    doc_neardup_index_write(docs, "doc_id", "text", path)
+    ids = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("did")
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in doc_neardup_index_pairs_for_ids(spark, path, ids).collect()
+    }
+    idset = {r.did for r in ids.collect()}
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        if r.id_a in idset or r.id_b in idset
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_doc_neardup_full_redelivery_is_noop(spark, tmp_path):
+    """Review r6: foreachBatch is at-least-once — replaying the ENTIRE
+    stream against the already-populated index (fresh checkpoint, done
+    markers wiped, so every batch takes the redelivery path) must leave
+    the sig table and the pair table bit-identical: no duplicate sig
+    rows, no jaccard-1.0 self-pairs, no double-written pairs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.dedup import minhash_lsh_pairs
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_doc_neardup_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") < 1500
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = streaming_doc_neardup_ingest(
+            stream, idx, pairs_path, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(300)
+
+    idx = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    run("ckpt1")
+    sig1 = sorted(
+        (r.did,) for r in spark.read.parquet(f"{idx}/sig").select("did").collect()
+    )
+    pairs1 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs1 == full
+
+    # full redelivery: new checkpoint AND markers wiped -> every batch
+    # re-runs through the anti-join + recovery path
+    shutil.rmtree(f"{idx}/_applied")
+    run("ckpt2")
+    sig2 = sorted(
+        (r.did,) for r in spark.read.parquet(f"{idx}/sig").select("did").collect()
+    )
+    pairs2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert sig2 == sig1  # no duplicate sig rows
+    assert pairs2 == pairs1  # no self-pairs, no double-writes
+
+
 def test_json_quarantine_routes_malformed_lines(spark, tmp_path):
     """Corrupt NDJSON lines land in the quarantine frame with their raw
     text; valid rows parse cleanly; nothing is dropped or fatal."""
@@ -963,3 +1064,111 @@ def test_sync_refresh_with_observed_expectations(spark, tmp_path, entries_path):
             today,
             expectations=bad,
         )
+
+
+def test_session_ids_survive_timeout_close():
+    """Review r6: a watermark-timeout close must keep the per-user
+    session counter in state — removing it restarted ids at 0 and
+    emitted duplicate (user_id, session_id) keys."""
+    import pandas as pd
+
+    from hours_api_clickup_spark.streaming.sessions import _sessionize_group
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self._v, self.hasTimedOut = False, None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, tuple(v)
+
+        def remove(self):
+            self.exists, self._v = False, None
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+    gap_us = 30 * 60 * 1_000_000
+    state = FakeState()
+
+    def feed(rows, timed_out=False):
+        state.hasTimedOut = timed_out
+        pdf = pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(t * 1_000_000_000) for t, _ in rows],
+                "event_type": [e for _, e in rows],
+                "event_id": list(range(len(rows))),
+            }
+        )
+        out = pd.concat(
+            list(_sessionize_group((7,), iter([pdf]), state, gap_us))
+        )
+        return list(out["session_id"])
+
+    assert feed([(100, "a"), (200, "a")]) == []  # session 0 open
+    assert feed([], timed_out=True) == [0]  # watermark closes session 0
+    assert state.exists  # counter retained (start_us = -1 sentinel)
+    # later events open session 1; the flush sentinel closes it
+    got = feed([(99_000, "a"), (99_100, "__flush__")])
+    assert got == [1], got  # NOT a duplicate 0
+
+
+def test_snapshot_diff_no_boundary_or_null_sentinel_collisions(
+    spark, tmp_path
+):
+    """Review r6: ('ab','c') -> ('a','bc') must classify as changed
+    (bare concat collided), and NULL -> ' ' must be visible (the old
+    null sentinel WAS the one-space string)."""
+    from hours_api_clickup_spark.sinks.versioned import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    v0 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "ab", "c"), (2, None, "z")], "id long, x string, y string"
+        ),
+        path,
+    )
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", "bc"), (2, " ", "z")], "id long, x string, y string"
+        ),
+        path,
+    )
+    got = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(spark, path, ["id"], v0, v1).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}, got
+
+
+def test_prune_snapshots_dangling_newer_does_not_evict_history(
+    spark, tmp_path
+):
+    """Review r6: an unpublished wreck NEWER than the pointer is pruned
+    outright and must not consume the keep budget."""
+    import os
+    import shutil
+
+    from hours_api_clickup_spark.sinks.versioned import (
+        prune_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    df = spark.range(3)
+    for _ in range(3):
+        write_snapshot(df, path)  # v=0,1,2 published in turn
+    # fake a crashed write: v=3 directory exists, pointer still at 2
+    shutil.copytree(os.path.join(path, "v=2"), os.path.join(path, "v=3"))
+    removed = prune_snapshots(path, keep_last=3)
+    # wreck pruned, published v=2 and history v=0,1 all kept
+    assert removed == [3], removed
+    for v in (0, 1, 2):
+        assert read_snapshot(spark, path, version=v).count() == 3
