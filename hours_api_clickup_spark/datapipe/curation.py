@@ -50,6 +50,46 @@ def _c(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _tagged_gram_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The shared tagged-gram count stream of ``repetition_stats`` and
+    ``gopher_quality_filter`` (ONE definition — the two carried
+    drift-prone copies until review r6): per document, counts of tagged
+    (n, gram) pairs with n=1 unigrams, n=2 bigrams, and an n=0 sentinel.
+
+    Three codegen'd branches off one tokenized frame (no interpreted
+    array lambdas in the bulk flow — same discipline as the MinHash
+    gram stream). The sentinel guarantees every document survives the
+    aggregation, so no join back to the corpus is ever needed to
+    restore zero-token docs — at scale that join is two O(corpus) sides
+    for the sake of a handful of degenerate rows."""
+    base = spread(df).select(
+        _c(id_col).alias("did"), tokens(text_col).alias("tk")
+    )
+    uni = base.select("did", F.lit(1).alias("n"), F.explode("tk").alias("g"))
+    bi = (
+        base.filter(F.size("tk") >= 2)
+        .select(
+            "did",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+            "tk",
+        )
+        .select(
+            "did",
+            F.lit(2).alias("n"),
+            F.concat(
+                F.element_at("tk", F.col("i")),
+                F.lit(" "),
+                F.element_at("tk", F.col("i") + 1),
+            ).alias("g"),
+        )
+    )
+    sentinel = base.select("did", F.lit(0).alias("n"), F.lit("").alias("g"))
+    grams = uni.unionByName(bi).unionByName(sentinel)
+    return grams.groupBy("did", "n", "g").agg(F.count("*").alias("c"))
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -65,35 +105,7 @@ def repetition_stats(
     size. No all-pairs stage, no Python. Mirrors the quality-filter pass
     of Gopher/MassiveText (Rae et al. 2021, §A1.1).
     """
-    base = spread(df).select(
-        _c(id_col).alias("did"), tokens(text_col).alias("tk")
-    )
-    # Three codegen'd branches off one tokenized frame (no interpreted
-    # array lambdas in the bulk flow — same discipline as the MinHash
-    # gram stream): unigrams, bigrams via explode of the offset
-    # sequence, and an n=0 sentinel. The sentinel guarantees every
-    # document survives the aggregation, so no join back to the corpus
-    # is ever needed to restore zero-token docs — at scale that join is
-    # two O(corpus) sides for the sake of a handful of degenerate rows.
-    uni = base.select("did", F.lit(1).alias("n"), F.explode("tk").alias("g"))
-    bi = (
-        base.filter(F.size("tk") >= 2)
-        .select(
-            "did", F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"), "tk"
-        )
-        .select(
-            "did",
-            F.lit(2).alias("n"),
-            F.concat(
-                F.element_at("tk", F.col("i")),
-                F.lit(" "),
-                F.element_at("tk", F.col("i") + 1),
-            ).alias("g"),
-        )
-    )
-    sentinel = base.select("did", F.lit(0).alias("n"), F.lit("").alias("g"))
-    grams = uni.unionByName(bi).unionByName(sentinel)
-    counts = grams.groupBy("did", "n", "g").agg(F.count("*").alias("c"))
+    counts = _tagged_gram_counts(df, id_col, text_col)
     per_n = counts.groupBy("did").agg(
         F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),
         F.count(F.when(F.col("n") == 1, True)).alias("dis1"),
@@ -771,30 +783,7 @@ def gopher_quality_filter(
     stop-word hits) riding the SAME unigram pass; still zero joins
     against the corpus and no Python.
     """
-    base = spread(df).select(
-        _c(id_col).alias("did"), tokens(text_col).alias("tk")
-    )
-    uni = base.select("did", F.lit(1).alias("n"), F.explode("tk").alias("g"))
-    bi = (
-        base.filter(F.size("tk") >= 2)
-        .select(
-            "did",
-            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
-            "tk",
-        )
-        .select(
-            "did",
-            F.lit(2).alias("n"),
-            F.concat(
-                F.element_at("tk", F.col("i")),
-                F.lit(" "),
-                F.element_at("tk", F.col("i") + 1),
-            ).alias("g"),
-        )
-    )
-    sentinel = base.select("did", F.lit(0).alias("n"), F.lit("").alias("g"))
-    grams = uni.unionByName(bi).unionByName(sentinel)
-    counts = grams.groupBy("did", "n", "g").agg(F.count("*").alias("c"))
+    counts = _tagged_gram_counts(df, id_col, text_col)
     is_stop = F.col("g").isin(*GOPHER_STOPWORDS)
     per_n = counts.groupBy("did").agg(
         F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),

@@ -239,6 +239,11 @@ def add_lsh_signatures(
 
     if dim is None:
         probe = df.select(F.size(_c(vec_col)).alias("d")).head()
+        if probe is None:  # empty input: nothing to infer from
+            raise ValueError(
+                "cannot infer vector dim from an empty DataFrame — "
+                "pass dim= explicitly (review r6)"
+            )
         dim = int(probe["d"])
     out_schema = StructType(
         list(df.schema.fields)
@@ -390,10 +395,17 @@ def lsh_index_write(
     )
     # cluster each (t, sb) directory into one task (one file per dir,
     # no small-files blowup) and sort by sig inside it so row-group
-    # min/max stats make the probe's sig filter skip whole row groups
+    # min/max stats make the probe's sig filter skip whole row groups.
+    # Staged + swapped (not in-place overwrite): a mid-write crash must
+    # never leave a half-written dir where the live base was (the
+    # textindex build's crash-safety protocol; review r6).
+    spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
+    staged = f"{path}/base__staged"
     union.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
         "sig"
-    ).write.mode("overwrite").partitionBy("t", "sb").parquet(f"{path}/base")
+    ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
+    _fs_swap_dir(spark, f"{path}/base", staged)
 
 
 _INDEX_COLS = ("vid", "v", "t", "sig", "sb", "seq")
@@ -514,10 +526,29 @@ def _fs_swap_dir(spark, live: str, staged: str) -> None:
     old_p = jvm.org.apache.hadoop.fs.Path(live + "__old")
     if fs.exists(old_p):
         fs.delete(old_p, True)
-    if fs.exists(live_p):
-        fs.rename(live_p, old_p)
-    fs.rename(staged_p, live_p)
+    # Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    # throwing — each return must be checked, or a failed forward
+    # rename would fall through to the delete below and destroy the
+    # only remaining copy (review r6).
+    if fs.exists(live_p) and not fs.rename(live_p, old_p):
+        raise IOError(f"rename {live} -> {live}__old failed")
+    if not fs.rename(staged_p, live_p):
+        # roll the old dir back in so the pre-swap state stays live
+        if fs.exists(old_p):
+            fs.rename(old_p, live_p)
+        raise IOError(f"rename {staged} -> {live} failed")
     fs.delete(old_p, True)
+
+
+def _base_committed(spark, path: str) -> bool:
+    """True only when ``{path}/base`` holds a COMMITTED write — the
+    ``_SUCCESS`` marker the Hadoop committer writes after job commit.
+    Gating bootstrap on bare directory existence would take the append
+    path against an interrupted build's partial base and silently serve
+    an index missing the corpus (the textindex family fixed this in
+    ADVICE r3; propagated here in review r6)."""
+    _fs_recover_swap(spark, f"{path}/base")
+    return _fs_exists(spark, f"{path}/base/_SUCCESS")
 
 
 def _fs_recover_swap(spark, live: str) -> None:
@@ -606,7 +637,13 @@ def lsh_index_upsert(
     # assumes one row per id, so collapse first (arbitrary survivor — an
     # unordered batch defines no "latest").
     df = df.dropDuplicates([id_col])
-    if not _fs_exists(spark, f"{path}/base"):
+    if not df.head(1):
+        return  # empty batch: nothing to sign/assign, nothing to commit
+    # committed-base gate, not bare existence: an interrupted build
+    # leaves the directory present but uncommitted, and appending
+    # against it would silently serve an index missing the corpus
+    # (review r6; textindex protocol)
+    if not _base_committed(spark, path):
         lsh_index_write(df, vec_col, id_col, path, planes, tables, dim=dim)
         return
     if _fs_exists(spark, f"{path}/log") or _fs_exists(
@@ -770,7 +807,13 @@ def lsh_index_append(
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
     df = df.dropDuplicates([id_col])
-    if not _fs_exists(spark, f"{path}/base"):
+    if not df.head(1):
+        return  # empty batch: nothing to sign/assign, nothing to commit
+    # committed-base gate, not bare existence: an interrupted build
+    # leaves the directory present but uncommitted, and appending
+    # against it would silently serve an index missing the corpus
+    # (review r6; textindex protocol)
+    if not _base_committed(spark, path):
         lsh_index_write(df, vec_col, id_col, path, planes, tables, dim=dim)
         return
     if seq is None:
@@ -812,9 +855,16 @@ def lsh_index_compact(spark, path: str) -> None:
         .dropDuplicates(["vid", "t"])
         .localCheckpoint()  # the rewrite below overwrites its own input
     )
+    # staged + swapped: an in-place overwrite deletes the live base at
+    # job start, so a mid-compact crash would destroy the index with
+    # only the small log surviving (review r6 — the textindex compactor
+    # had this protocol from ADVICE r3; propagated here). The MOR tiers
+    # are deleted only AFTER the swap commits.
+    staged = f"{path}/base__staged"
     latest.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
         "sig"
-    ).write.mode("overwrite").partitionBy("t", "sb").parquet(f"{path}/base")
+    ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
+    _fs_swap_dir(spark, f"{path}/base", staged)
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(f"{path}/log").getFileSystem(
         spark._jsc.hadoopConfiguration()
@@ -1263,7 +1313,10 @@ def train_ivf_centroids(
         .collect()
     )
     x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    # epsilon guard like every other normalization here: one all-zero
+    # embedding in the sample would otherwise yield a NaN row that
+    # propagates through the Lloyd means into the centroids (review r6)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return _lloyd(x, n_clusters, iters)
 
 
@@ -1394,9 +1447,14 @@ def ivf_index_write(
     assigned = ivf_assign(df, vec_col, centroids).withColumn(
         "seq", F.lit(0).cast("long")
     )
+    # staged + swapped, same crash-safety protocol as lsh_index_write
+    spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
+    staged = f"{path}/base__staged"
     assigned.repartition(F.col("cluster_id")).write.mode(
         "overwrite"
-    ).partitionBy("cluster_id").parquet(f"{path}/base")
+    ).partitionBy("cluster_id").parquet(staged)
+    _fs_swap_dir(spark, f"{path}/base", staged)
 
 
 def ivf_index_read(spark, path: str) -> DataFrame:
@@ -1450,7 +1508,13 @@ def ivf_index_append(
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
     df = df.dropDuplicates([id_col])
-    if not _fs_exists(spark, f"{path}/base"):
+    if not df.head(1):
+        return  # empty batch: nothing to sign/assign, nothing to commit
+    # committed-base gate, not bare existence: an interrupted build
+    # leaves the directory present but uncommitted, and appending
+    # against it would silently serve an index missing the corpus
+    # (review r6; textindex protocol)
+    if not _base_committed(spark, path):
         ivf_index_write(df, vec_col, id_col, path, centroids)
         return
     if seq is None:
@@ -1485,9 +1549,13 @@ def ivf_index_compact(spark, path: str, id_col: str) -> None:
         .dropDuplicates([id_col])
         .localCheckpoint()
     )
+    # staged + swapped (see lsh_index_compact); MOR tiers deleted only
+    # after the swap commits
+    staged = f"{path}/base__staged"
     latest.repartition(F.col("cluster_id")).write.mode("overwrite").partitionBy(
         "cluster_id"
-    ).parquet(f"{path}/base")
+    ).parquet(staged)
+    _fs_swap_dir(spark, f"{path}/base", staged)
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(f"{path}/log").getFileSystem(
         spark._jsc.hadoopConfiguration()
@@ -1524,8 +1592,14 @@ def ivf_index_upsert(
     partitioned base only)."""
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
-    df = df.dropDuplicates([id_col])  # one row per id in the batch
-    if not _fs_exists(spark, f"{path}/base"):
+    df = df.dropDuplicates([id_col])
+    if not df.head(1):
+        return  # empty batch: nothing to sign/assign, nothing to commit  # one row per id in the batch
+    # committed-base gate, not bare existence: an interrupted build
+    # leaves the directory present but uncommitted, and appending
+    # against it would silently serve an index missing the corpus
+    # (review r6; textindex protocol)
+    if not _base_committed(spark, path):
         ivf_index_write(df, vec_col, id_col, path, centroids)
         return
     if _fs_exists(spark, f"{path}/log") or _fs_exists(
@@ -2419,9 +2493,19 @@ def ivfpq_index_write(
     assigned = ivf_assign(df, vec_col, centroids).withColumn(
         "seq", F.lit(0).cast("long")
     ).localCheckpoint()  # one assignment job feeds both writes
+    # Both tiers staged, then swapped codes-first: a crash between the
+    # two swaps leaves new codes over the OLD base — candidates the
+    # base fetch cannot resolve simply drop out (probe returns fewer
+    # rows), whereas old codes over a NEW base could rank against stale
+    # geometry. A single-pointer manifest (sinks/versioned.py) is the
+    # fully-atomic upgrade path; the window here is two renames wide.
+    spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/base")
+    _fs_recover_swap(spark, f"{path}/codes")
+    b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
     assigned.repartition(F.col("cluster_id")).write.mode(
         "overwrite"
-    ).partitionBy("cluster_id").parquet(f"{path}/base")
+    ).partitionBy("cluster_id").parquet(b_staged)
     codes = pq_encode(
         assigned.select(_c(id_col).alias(id_col), _c(vec_col).alias(vec_col)),
         vec_col,
@@ -2432,7 +2516,9 @@ def ivfpq_index_write(
     ).withColumn("seq", F.lit(0).cast("long"))
     codes.repartition(F.col("cluster_id")).write.mode(
         "overwrite"
-    ).partitionBy("cluster_id").parquet(f"{path}/codes")
+    ).partitionBy("cluster_id").parquet(c_staged)
+    _fs_swap_dir(spark, f"{path}/codes", c_staged)
+    _fs_swap_dir(spark, f"{path}/base", b_staged)
 
 
 def ivfpq_index_append(
@@ -2454,7 +2540,13 @@ def ivfpq_index_append(
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
     df = df.dropDuplicates([id_col])
-    if not _fs_exists(spark, f"{path}/base"):
+    if not df.head(1):
+        return  # empty batch: nothing to sign/assign, nothing to commit
+    # committed-base gate, not bare existence: an interrupted build
+    # leaves the directory present but uncommitted, and appending
+    # against it would silently serve an index missing the corpus
+    # (review r6; textindex protocol)
+    if not _base_committed(spark, path):
         ivfpq_index_write(df, vec_col, id_col, path, centroids, codebooks)
         return
     if seq is None:
@@ -2520,6 +2612,16 @@ def ivfpq_probe_topk(
             spark.read.parquet(f"{index_path}/codes_log").select(*codes.columns)
         )
     codes = codes.filter(F.col("cluster_id").isin(probes))
+    # tombstones must filter the CODES tier too, not only the base
+    # fetch: a deleted vid that still ADC-scores occupies a
+    # n_candidates slot, then vanishes at the base fetch — the probe
+    # silently returns fewer than k rows even when ≥ k live neighbors
+    # sit just past the cut (review r6)
+    codes = _apply_tombstones(
+        spark,
+        codes.withColumnRenamed("vid", id_col),
+        f"{index_path}/tombstones",
+    ).withColumnRenamed(id_col, "vid")
     w_seq = Window.partitionBy("vid")
     codes = codes.withColumn("_mx", F.max("seq").over(w_seq)).filter(
         F.col("seq") == F.col("_mx")

@@ -43,28 +43,33 @@ def compact_small_files(
     ``ceil(total_bytes / target_bytes)`` files; returns the new file
     count. Content-preserving: same rows, new layout.
 
-    The rewrite stages into ``{path}__compacting`` and then swaps
-    directories, so a concurrent reader sees either the old or the new
-    layout, never a half-written one (single-directory rename — the
-    same per-directory atomicity contract as the dynamic-overwrite
-    sinks). Row order within files is not preserved — parquet tables
-    carry no order contract; pair with an explicit sort column upstream
-    (e.g. zorder_write) when layout locality matters."""
+    The rewrite stages into ``{path}__staged`` and commits via the
+    index family's two-rename swap (live → ``__old``, staged → live,
+    drop ``__old``; rename returns checked), with crash recovery rolled
+    in before the stats read — a kill at any point leaves either the
+    old or the new layout recoverable, never a missing table (review
+    r6: the previous delete-then-rename lost the table if the process
+    died between the two calls). Row order within files is not
+    preserved — parquet tables carry no order contract; pair with an
+    explicit sort column upstream (e.g. zorder_write) when layout
+    locality matters."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _fs_recover_swap,
+        _fs_swap_dir,
+    )
+
+    _fs_recover_swap(spark, path)
     n_files, total = dir_file_stats(spark, path)
     n_out = max(1, math.ceil(total / target_bytes))
     if n_files <= n_out:
         return n_files
 
-    staged = f"{path}__compacting"
+    staged = f"{path}__staged"
     df = spark.read.parquet(path)
     # coalesce, not repartition: layout-only rewrite should not shuffle
     # — each output task concatenates a set of input files. (coalesce's
     # serial-read behavior is fine here: inputs are plain file scans,
     # not Python stages.)
     df.coalesce(n_out).write.mode("overwrite").parquet(staged)
-
-    fs, p, jvm = _fs(spark, path)
-    staged_p = jvm.org.apache.hadoop.fs.Path(staged)
-    fs.delete(p, True)
-    fs.rename(staged_p, p)
+    _fs_swap_dir(spark, path, staged)
     return dir_file_stats(spark, path)[0]

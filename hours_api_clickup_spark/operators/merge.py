@@ -115,7 +115,10 @@ def merge_refresh_partitioned(
         r["month"] for r in merged_slice.select("month").distinct().collect()
     }
     jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+    # resolve the FS from the table's own path, not the cluster default
+    # (FileSystem.get(conf) breaks when fact_path lives on a different
+    # scheme, e.g. s3a table under an hdfs default — review r6)
+    fs = jvm.org.apache.hadoop.fs.Path(fact_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
     for m in months:

@@ -46,6 +46,15 @@ def as_of_join(
     window) — never the O(n·m) range theta-join."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        # emitting both would produce a duplicate-name schema that every
+        # downstream reference trips over (AMBIGUOUS_REFERENCE) and a
+        # corrupt parquet write — fail loudly instead (review r6)
+        raise ValueError(
+            f"right_cols collide with left columns: {clash} — alias the "
+            "right side before the as-of join"
+        )
     l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
     )

@@ -856,6 +856,7 @@ class TestUpsertBranchParity:
         batch = emb.filter(F.col("vec_id") % 9 == 0)  # ~100 random ids
         inc = str(tmp_path / "inc")
         S.lsh_index_write(old, "embedding", "vec_id", inc, dim=64)
+        swaps.clear()  # the build itself stages+swaps (crash safety, r6)
         S.lsh_index_upsert(batch, "embedding", "vec_id", inc, dim=64)
         assert swaps, "heavy-touch batch must take the read-merge-swap branch"
 
@@ -885,6 +886,7 @@ class TestUpsertBranchParity:
         batch = emb.filter(F.col("vec_id") == 401)
         inc = str(tmp_path / "inc")
         S.lsh_index_write(old, "embedding", "vec_id", inc, dim=64)
+        swaps.clear()  # the build itself stages+swaps (crash safety, r6)
         S.lsh_index_upsert(batch, "embedding", "vec_id", inc, dim=64)
         assert not swaps
 
@@ -910,6 +912,7 @@ class TestUpsertBranchParity:
         batch = emb.filter(F.col("vec_id") % 9 == 0)
         inc = str(tmp_path / "inc")
         S.ivf_index_write(old, "embedding", "vec_id", inc, cents)
+        swaps.clear()  # the build itself stages+swaps (crash safety, r6)
         S.ivf_index_upsert(batch, "embedding", "vec_id", inc, cents)
         assert swaps
 
@@ -1926,3 +1929,55 @@ def test_zorder_layout_prunes_box_probes(spark, tmp_path):
     # z-clustered: a 32x32-of-256x256 box intersects few curve ranges;
     # the scan emits only the surviving row groups' rows
     assert zrows <= total * 0.5, (zrows, total)
+
+
+def test_ivfpq_probe_excludes_tombstones_from_candidate_cut(spark, tmp_path):
+    """Review r6: deleted vids must leave the CODES tier's ADC scoring,
+    not just the base fetch — otherwise they occupy n_candidates slots
+    and the probe returns fewer than k rows while live neighbors sit
+    just past the cut."""
+    from pyspark.sql import functions as F
+
+    import hours_api_clickup_spark.datapipe.similarity as S
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=8)
+    cb = S.pq_seed_codebooks(emb, "embedding", "vec_id")
+    path = str(tmp_path / "ivfpq")
+    S.ivfpq_index_write(emb, "embedding", "vec_id", path, cents, cb)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    # delete most of the tight candidate pool around the query
+    before = S.ivfpq_probe_topk(
+        spark, path, "embedding", "vec_id", qv, cents, cb,
+        k=10, nprobe=8, n_candidates=16, exclude_id=0,
+    ).collect()
+    assert len(before) == 10
+    doomed = [r["nbr_id"] for r in before][:8]
+    S.ivf_index_delete(spark, path, "vec_id", doomed)
+    after = S.ivfpq_probe_topk(
+        spark, path, "embedding", "vec_id", qv, cents, cb,
+        k=10, nprobe=8, n_candidates=16, exclude_id=0,
+    ).collect()
+    # tombstoned vids gone AND the cut refilled with live neighbors
+    assert len(after) == 10, after
+    assert not set(doomed) & {r["nbr_id"] for r in after}
+
+
+def test_as_of_join_rejects_colliding_right_cols(spark):
+    """Review r6: a right_cols name already on the left would emit a
+    duplicate-name schema — must fail loudly instead."""
+    import pytest as _pytest
+
+    from hours_api_clickup_spark.operators.timeseries import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "x")], "k long, ts long, status string"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "y")], "k long, rts long, status string"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, "k", "ts", "rts", right_cols=["status"])
