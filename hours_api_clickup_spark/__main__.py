@@ -56,6 +56,90 @@ def main(argv: list[str] | None = None) -> int:
         read_raw_time_entries,
     )
 
+    if args.mode == "scheduler":
+        # One scheduler TICK (deploy.sh:66-136 analog): compute the jobs
+        # due since the persisted watermarks, dispatch each through the
+        # HTTP routes' seam, persist the new watermarks. An external
+        # cron / systemd timer / while-sleep loop calls this; catch-up
+        # is at-most-once per job per outage. Due-ness is pure datetime
+        # math, so the SparkSession is created ONLY when a job actually
+        # dispatches — an idle 5-minute tick costs no JVM startup
+        # (review r6).
+        import os
+
+        from hours_api_clickup_spark.scheduler import (
+            OSLO,
+            SchedulerState,
+            due_jobs,
+            run_pending,
+        )
+        from hours_api_clickup_spark.server import ServerConfig
+
+        if not args.entries or not args.tasks or not args.state:
+            p.error("--entries, --tasks and --state are required "
+                    "for scheduler")
+        now = (
+            dt.datetime.fromisoformat(args.now)
+            if args.now
+            else dt.datetime.now(OSLO)
+        )
+        if now.tzinfo is None:
+            now = now.replace(tzinfo=OSLO)
+        if os.path.exists(args.state):
+            blob = json.load(open(args.state))
+            state = SchedulerState(
+                started_at=dt.datetime.fromisoformat(blob["started_at"]),
+                last_fire={
+                    k: dt.datetime.fromisoformat(v)
+                    for k, v in blob["last_fire"].items()
+                },
+            )
+        else:
+            state = SchedulerState(started_at=now)
+
+        def _persist_state() -> None:
+            # atomic replace: a kill mid-write must never leave a
+            # truncated state file (every later tick would crash in
+            # json.load — same tmp+rename pattern as publish_manifest)
+            tmp = args.state + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "started_at": state.started_at.isoformat(),
+                        "last_fire": {
+                            k: v.isoformat()
+                            for k, v in state.last_fire.items()
+                        },
+                    },
+                    f,
+                )
+            os.replace(tmp, args.state)
+
+        if not due_jobs(state, now):
+            _persist_state()  # create/refresh the watermark file
+            print(json.dumps({"ticked_at": now.isoformat(), "ran": []}))
+            return 0
+        spark = get_spark(app_name="sync-scheduler")
+        try:
+            cfg = ServerConfig(
+                spark=spark,
+                entries_path=args.entries,
+                tasks_path=args.tasks,
+                warehouse=args.out or "./warehouse",
+                today_oslo=(
+                    dt.date.fromisoformat(args.today_oslo)
+                    if args.today_oslo
+                    else None
+                ),
+                refresh_days=args.days,
+            )
+            ran = run_pending(cfg, state, now)
+            _persist_state()
+            print(json.dumps({"ticked_at": now.isoformat(), "ran": ran}))
+            return 0
+        finally:
+            spark.stop()
+
     spark = get_spark(app_name=f"sync-{args.mode}")
     try:
         if args.mode == "serve":
@@ -84,73 +168,6 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"serving": f"0.0.0.0:{srv.server_address[1]}"}))
             srv.serve_forever()
             return 0
-        if args.mode == "scheduler":
-            # One scheduler TICK (deploy.sh:66-136 analog): compute the
-            # jobs due since the persisted watermarks, dispatch each
-            # through the HTTP routes' seam, persist the new watermarks.
-            # An external cron / systemd timer / while-sleep loop calls
-            # this; catch-up is at-most-once per job per outage.
-            import os
-
-            from hours_api_clickup_spark.scheduler import (
-                OSLO,
-                SchedulerState,
-                run_pending,
-            )
-            from hours_api_clickup_spark.server import ServerConfig
-
-            if not args.entries or not args.tasks or not args.state:
-                p.error("--entries, --tasks and --state are required "
-                        "for scheduler")
-            now = (
-                dt.datetime.fromisoformat(args.now)
-                if args.now
-                else dt.datetime.now(OSLO)
-            )
-            if now.tzinfo is None:
-                now = now.replace(tzinfo=OSLO)
-            if os.path.exists(args.state):
-                blob = json.load(open(args.state))
-                state = SchedulerState(
-                    started_at=dt.datetime.fromisoformat(blob["started_at"]),
-                    last_fire={
-                        k: dt.datetime.fromisoformat(v)
-                        for k, v in blob["last_fire"].items()
-                    },
-                )
-            else:
-                state = SchedulerState(started_at=now)
-            cfg = ServerConfig(
-                spark=spark,
-                entries_path=args.entries,
-                tasks_path=args.tasks,
-                warehouse=args.out or "./warehouse",
-                today_oslo=(
-                    dt.date.fromisoformat(args.today_oslo)
-                    if args.today_oslo
-                    else None
-                ),
-                refresh_days=args.days,
-            )
-            ran = run_pending(cfg, state, now)
-            # atomic replace: a kill mid-write must never leave a
-            # truncated state file (every later tick would crash in
-            # json.load — same tmp+rename pattern as publish_manifest)
-            tmp = args.state + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {
-                        "started_at": state.started_at.isoformat(),
-                        "last_fire": {
-                            k: v.isoformat()
-                            for k, v in state.last_fire.items()
-                        },
-                    },
-                    f,
-                )
-            os.replace(tmp, args.state)
-            print(json.dumps({"ticked_at": now.isoformat(), "ran": ran}))
-            return 0
         if args.mode in ("refresh", "full_reindex"):
             if not args.entries:
                 p.error("--entries is required for refresh/full_reindex")
@@ -178,16 +195,23 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--tasks is required for dimension syncs")
             raw = read_raw_tasks(spark, args.tasks)
             if args.mode == "lists":
-                # the lists dim consumes the Space→Folder→List hierarchy
-                # columns of the task feed (same selection as server.py)
-                raw = raw.select(
-                    "space_id", "space_name", "folder_id", "folder_name",
-                    "list_id", "list_name",
-                ).distinct()
+                from hours_api_clickup_spark.operators.hierarchy import (
+                    select_raw_lists,
+                )
+
+                # one definition shared with server.py (normalized
+                # before distinct — review r6)
+                raw = select_raw_lists(raw)
             elif args.mode == "accounts":
                 from pyspark.sql import functions as F
 
-                raw = raw.filter(F.col("custom_item_id") == 1001)
+                from hours_api_clickup_spark.operators.hierarchy import (
+                    ACCOUNTS_CUSTOM_ITEM_ID,
+                )
+
+                raw = raw.filter(
+                    F.col("custom_item_id") == ACCOUNTS_CUSTOM_ITEM_ID
+                )
             out = args.out or f"./dim_{args.mode}"
             sync = getattr(pipelines, f"sync_{args.mode}")
             res = sync(raw, out, args.backup)

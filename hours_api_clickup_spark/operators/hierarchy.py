@@ -25,6 +25,9 @@ from hours_api_clickup_spark.operators.explode import (
 )
 
 APPS_CUSTOM_ITEM_ID = 1005  # fetch_clickup_data.py:703-704
+ACCOUNTS_CUSTOM_ITEM_ID = 1001  # the account task type (named once —
+# server.py and __main__.py used to carry the magic number inline,
+# review r6)
 
 # custom-field UUIDs probed by the reference (fetch_clickup_data.py:552,561,572,711,728,738,743)
 CF_CONNECTED_LISTS = "connected_lists"
@@ -67,6 +70,23 @@ def build_dim_lists(raw_lists: DataFrame) -> DataFrame:
         F.col("list_id").cast("string").alias("list_id"),
         F.col("list_name").cast("string").alias("list_name"),
     )
+
+
+def select_raw_lists(raw_tasks: DataFrame) -> DataFrame:
+    """The lists-dim input from the task feed: the Space → Folder → List
+    hierarchy columns, NORMALIZED ('' folder backfill) before distinct —
+    normalizing after distinct would keep a null-folder and a ''-folder
+    variant of the same list as two rows and fan out every downstream
+    list_id join (review r6). One definition for server.py and
+    __main__.py, which carried drift-prone copies."""
+    return raw_tasks.select(
+        "space_id",
+        "space_name",
+        _blank_if_null("folder_id").alias("folder_id"),
+        _blank_if_null("folder_name").alias("folder_name"),
+        "list_id",
+        "list_name",
+    ).distinct()
 
 
 def flatten_hierarchy(

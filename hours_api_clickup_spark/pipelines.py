@@ -141,9 +141,15 @@ def sync_refresh_partitioned(
         csv_backup(staging, backup_path)
     lo = today_oslo - dt.timedelta(days=days)
     # first-run probe through the Hadoop FS API so it answers correctly
-    # on any filesystem Spark can write (os.path.exists is local-only)
+    # on any filesystem Spark can write (os.path.exists is local-only);
+    # resolved from the TABLE's path, not the cluster default FS — a
+    # default-FS probe on an s3a table either throws Wrong FS or, on
+    # lenient implementations, returns False and dynamic-overwrites an
+    # existing table as if it were a first run (review r6)
     jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    fs = jvm.org.apache.hadoop.fs.Path(fact_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(fact_path)):
         # first run: bootstrap the layout
         write_fact_partitioned(
@@ -153,6 +159,12 @@ def sync_refresh_partitioned(
         merge_refresh_partitioned(
             spark, fact_path, staging, lo, today_oslo, key="id"
         )
+    # reference parity: the reported metric is the TABLE's row count
+    # after the load (fetch_clickup_data.py reports the loaded table).
+    # Cost note: a parquet count() is answered from row-group metadata
+    # (footers only, no data pages) — at very large history even footer
+    # listing has a price; report the merged-slice count instead if
+    # that ever matters.
     rows = spark.read.parquet(fact_path).count()
     return SyncResult(table=fact_path, rows=rows, mode="refresh_partitioned")
 
@@ -219,6 +231,12 @@ def read_fact_or_empty(
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    from hours_api_clickup_spark.datapipe.similarity import _fs_recover_swap
+
+    # roll back a crashed stage-then-swap overwrite first: mid-swap the
+    # live dir is briefly absent and only {path}__old exists — without
+    # recovery that window would read as first-run
+    _fs_recover_swap(spark, fact_path)
     try:
         return spark.read.parquet(fact_path)
     except AnalysisException as exc:
@@ -228,16 +246,32 @@ def read_fact_or_empty(
 
 
 def _overwrite_via_checkpoint(df: DataFrame, path: str) -> int:
-    """Overwrite ``path`` with ``df`` even when ``df`` reads from it.
-
-    Parquet overwrite truncates before write, so a plan that scans the
-    target must be cut first. localCheckpoint materializes the result
-    (lineage cut); at warehouse scale this is a staging-dir write +
-    atomic swap, or a Delta MERGE — same contract.
+    """Overwrite ``path`` with ``df`` even when ``df`` reads from it —
+    via stage-then-swap, NOT an in-place overwrite (review r6): parquet
+    overwrite truncates the target at job start, so a crash mid-write
+    (OOM-kill, node loss) left the fact table empty and the NEXT
+    refresh merged against the truncated remnant and committed it —
+    permanent loss of everything outside the window. Writing to
+    ``{path}__staged`` needs no lineage cut (the plan still reads the
+    live path) and the two-rename swap keeps the old table readable up
+    to the final rename, with ``_fs_recover_swap`` rolling back a
+    mid-swap crash at the next read. (On a real warehouse this is a
+    Delta/Iceberg MERGE or RTAS — same contract.) Kept name for the
+    call sites; the checkpoint is gone because it is no longer needed.
     """
-    materialized = df.localCheckpoint(eager=True)
-    materialized.write.mode("overwrite").parquet(path)
-    return materialized.count()
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _fs_recover_swap,
+        _fs_swap_dir,
+    )
+
+    spark = df.sparkSession
+    _fs_recover_swap(spark, path)
+    staged = f"{path}__staged"
+    df.write.mode("overwrite").parquet(staged)
+    _fs_swap_dir(spark, path, staged)
+    # footer-only count (parquet count() is satisfied from row-group
+    # metadata, no data pages)
+    return spark.read.parquet(path).count()
 
 
 def _snapshot_sync(

@@ -114,10 +114,14 @@ def parse_cron(expr: str) -> CronSpec:
         _parse_field(p, name, lo, hi)
         for p, (name, lo, hi) in zip(parts, _FIELD_RANGES)
     ]
+    # Vixie's star flag: a field COUNTS AS unrestricted for the dom/dow
+    # OR rule whenever its text starts with '*' — including step-on-star
+    # forms like '*/2' (review r6: '0 0 */2 * 1' must fire on Mondays
+    # whose dom matches, not on every odd dom OR every Monday).
     return CronSpec(
         *sets,
-        dom_restricted=parts[2] != "*",
-        dow_restricted=parts[4] != "*",
+        dom_restricted=not parts[2].startswith("*"),
+        dow_restricted=not parts[4].startswith("*"),
     )
 
 

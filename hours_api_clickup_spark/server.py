@@ -28,6 +28,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from hours_api_clickup_spark import pipelines
+from hours_api_clickup_spark.operators.hierarchy import (
+    ACCOUNTS_CUSTOM_ITEM_ID,
+    select_raw_lists,
+)
 from hours_api_clickup_spark.sources.readers import (
     read_raw_tasks,
     read_raw_time_entries,
@@ -134,16 +138,16 @@ def _dispatch_sync(cfg: ServerConfig, route: str, body: dict) -> dict:
     if route == "/sync/lists":
         # the reference walks Space → Folder → List via the API; the
         # hierarchy columns of the task feed carry the same facts here
-        raw_lists = raw_tasks.select(
-            "space_id", "space_name", "folder_id", "folder_name",
-            "list_id", "list_name",
-        ).distinct()
-        res = pipelines.sync_lists(raw_lists, f"{cfg.warehouse}/dim_lists")
+        res = pipelines.sync_lists(
+            select_raw_lists(raw_tasks), f"{cfg.warehouse}/dim_lists"
+        )
     elif route == "/sync/tasks":
         res = pipelines.sync_tasks(raw_tasks, f"{cfg.warehouse}/dim_tasks")
     elif route == "/sync/accounts":
         res = pipelines.sync_accounts(
-            raw_tasks.filter(F.col("custom_item_id") == 1001),
+            raw_tasks.filter(
+                F.col("custom_item_id") == ACCOUNTS_CUSTOM_ITEM_ID
+            ),
             f"{cfg.warehouse}/dim_accounts",
         )
     elif route == "/sync/apps":
@@ -193,6 +197,15 @@ def make_handler(cfg: ServerConfig) -> type[BaseHTTPRequestHandler]:
             except json.JSONDecodeError:
                 self._json(400, {"status": "error", "error": "invalid JSON body"})
                 return
+            if not isinstance(body, dict):
+                # valid JSON that isn't an object ('5', '[30]') is a
+                # malformed REQUEST (400), not a server error — it used
+                # to crash on body.get inside dispatch and 500 (review r6)
+                self._json(
+                    400,
+                    {"status": "error", "error": "body must be a JSON object"},
+                )
+                return
             if self.path not in {
                 "/sync/refresh", "/sync/full_reindex", "/sync/lists",
                 "/sync/tasks", "/sync/accounts", "/sync/apps",
@@ -200,11 +213,32 @@ def make_handler(cfg: ServerConfig) -> type[BaseHTTPRequestHandler]:
                 self._json(404, {"status": "error", "error": "not found"})
                 return
             try:
-                self._json(200, _dispatch_sync(cfg, self.path, body))
+                # ONE sync at a time: the parquet sinks are per-table
+                # stage+swap, not concurrent-writer-safe — a retried
+                # /sync/refresh overlapping the first (or overlapping
+                # the 02:00 full reindex) must queue, the way the
+                # reference's BigQuery MERGE serialized on the warehouse
+                # (review r6). Threading still serves GET /health
+                # concurrently; only syncs serialize.
+                with _SYNC_LOCK:
+                    payload = _dispatch_sync(cfg, self.path, body)
             except Exception as exc:  # route contract: errors → 500 JSON
                 self._json(500, {"status": "error", "error": str(exc)})
+                return
+            try:
+                self._json(200, payload)
+            except OSError:
+                # client went away mid-response (common on minutes-long
+                # syncs): the sync itself SUCCEEDED — never try to send
+                # a second status line on the half-written socket
+                pass
 
     return Handler
+
+
+#: serializes the sync routes across handler threads (module-level: one
+#: lock per process regardless of how many handlers/servers exist)
+_SYNC_LOCK = threading.Lock()
 
 
 def start_server(

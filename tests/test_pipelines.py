@@ -1172,3 +1172,38 @@ def test_prune_snapshots_dangling_newer_does_not_evict_history(
     assert removed == [3], removed
     for v in (0, 1, 2):
         assert read_snapshot(spark, path, version=v).count() == 3
+
+
+def test_select_raw_lists_normalizes_before_distinct(spark):
+    """Review r6: a null-folder and a ''-folder row of the same list
+    must collapse to ONE dim row (normalize, then distinct)."""
+    from hours_api_clickup_spark.operators.hierarchy import (
+        build_dim_lists,
+        select_raw_lists,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ("s1", "Space", None, None, "l1", "List One"),
+            ("s1", "Space", "", "", "l1", "List One"),
+        ],
+        "space_id string, space_name string, folder_id string, "
+        "folder_name string, list_id string, list_name string",
+    )
+    dim = build_dim_lists(select_raw_lists(raw))
+    assert dim.count() == 1
+
+
+def test_read_fact_or_empty_recovers_mid_swap_crash(spark, tmp_path):
+    """Review r6: the stage-then-swap overwrite's crash window (live
+    dir absent, only __old present) must read as the OLD table, never
+    as first-run."""
+    import os
+
+    fact = str(tmp_path / "fact")
+    spark.range(5).write.parquet(fact)
+    os.rename(fact, fact + "__old")  # simulate a crash mid-swap
+    from hours_api_clickup_spark.pipelines import read_fact_or_empty
+
+    got = read_fact_or_empty(spark, fact, spark.range(0))
+    assert got.count() == 5  # recovered, not treated as first run

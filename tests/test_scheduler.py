@@ -278,3 +278,18 @@ def test_run_pending_isolates_job_failures(spark, tmp_path, monkeypatch):
     due = [j.name for j, _ in due_jobs(state, oslo(2026, 1, 1, 7, 0))]
     assert due == ["refresh-6h"]
     monkeypatch.setattr(server_mod, "_dispatch_sync", real)
+
+
+def test_step_on_star_fields_count_as_unrestricted():
+    """Review r6: Vixie's star flag — '*/2' in dom/dow starts with '*'
+    so the dom/dow rule is AND, not OR. '0 0 */2 * 1' fires only on
+    Mondays whose day-of-month matches the step."""
+    spec = parse_cron("0 0 */2 * 1")
+    assert spec.dom_restricted is False and spec.dow_restricted is True
+    # 2026-02-10 is a Tuesday with odd dom (11th = odd) — the next fire
+    # must be a MONDAY with odd dom: Mon 2026-02-16? dom 16 is even ->
+    # not in */2 (odd doms 1,3,...31); Mon 2026-02-23: dom 23 odd -> yes
+    t = next_fire(spec, oslo(2026, 2, 10, 0, 0))
+    assert t.replace(tzinfo=None) == dt.datetime(2026, 2, 23, 0, 0), t
+    # and never a non-Monday, even with matching dom
+    assert t.isoweekday() == 1

@@ -158,3 +158,20 @@ def test_root_payload_parity(server):
         "accounts",
         "apps",
     }
+
+
+def test_post_non_object_json_is_400(server):
+    """Review r6: valid JSON that isn't an object is a malformed
+    request (400), not a 500 AttributeError from body.get."""
+    for body in (b"5", b"[30]", b'"days"'):
+        req = urllib.request.Request(
+            f"{server}/sync/refresh",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"JSON object" in e.read()
