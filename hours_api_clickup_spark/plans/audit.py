@@ -63,10 +63,13 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def audit_plan(
-    df: DataFrame, allow: tuple[str, ...] = ()
+    df: DataFrame, allow: tuple[str, ...] = (), plan: str | None = None
 ) -> list[str]:
-    """Return findings ("check: detail" strings); empty list == clean."""
-    plan = physical_plan(df)
+    """Return findings ("check: detail" strings); empty list == clean.
+    ``plan`` lets a caller reuse an already-computed physical plan
+    (Catalyst planning on big multi-join plans can take seconds)."""
+    if plan is None:
+        plan = physical_plan(df)
     problems: list[str] = []
 
     if "cartesian" not in allow:
@@ -77,14 +80,30 @@ def audit_plan(
                     "equi-key or bucketize the range predicate"
                 )
     if "global-window" not in allow:
-        # a SinglePartition exchange feeding Sort+Window = a window with
-        # no PARTITION BY over the full input
-        if "Exchange SinglePartition" in plan and "Window" in plan:
-            problems.append(
-                "global-window: window over SinglePartition exchange — "
-                "the whole input lands on one task; use a two-phase "
-                "form (range exchange + broadcast offsets)"
-            )
+        # A global window shows as a Window operator DOWNSTREAM of a
+        # SinglePartition exchange in the same operator chain. Plain
+        # co-occurrence anywhere in the plan false-positived on clean
+        # pipelines that have a keyed window AND an unrelated global
+        # single-row aggregate (review r6) — so require the exchange to
+        # appear between the Window line and the next Exchange above it
+        # in the printed bottom-up tree (explain prints operators with
+        # children below, so the window's input follows its line).
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window" not in line:
+                continue
+            for nxt in lines[i + 1:]:
+                if "Exchange" in nxt:
+                    if "SinglePartition" in nxt:
+                        problems.append(
+                            "global-window: window over SinglePartition "
+                            "exchange — the whole input lands on one "
+                            "task; use a two-phase form (range exchange "
+                            "+ broadcast offsets)"
+                        )
+                    break
+            if problems and problems[-1].startswith("global-window"):
+                break
     if "python-row-udf" not in allow and "BatchEvalPython" in plan:
         problems.append(
             "python-row-udf: row-at-a-time Python UDF — use builtins or "
@@ -102,6 +121,7 @@ def audit_plan(
 
 def assert_scalable(df: DataFrame, allow: tuple[str, ...] = ()) -> None:
     """Raise ``PlanAuditError`` when ``audit_plan`` finds problems."""
-    problems = audit_plan(df, allow)
+    plan = physical_plan(df)  # planned once; shared with the error payload
+    problems = audit_plan(df, allow, plan=plan)
     if problems:
-        raise PlanAuditError(problems, physical_plan(df))
+        raise PlanAuditError(problems, plan)

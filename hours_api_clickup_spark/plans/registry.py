@@ -72,6 +72,12 @@ def _driver_green_rounds() -> dict[str, list[int]]:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # a round file that parses to a list/string must be skipped
+            # like an unreadable one — rotation runs at import time, so
+            # crashing here would take down every consumer of QUERIES
+            # including the grading driver (review r6)
+            continue
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue

@@ -457,6 +457,28 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_INDEX_CACHE: dict[tuple, object] = {}
 
 
+def _index_tmp(prefix: str, sf_dir: str, leaf: str) -> str:
+    """Process-stable index scratch dir: ONE per (family, sf_dir, pid),
+    wiped on reuse. bench.py clears the session caches between timed
+    phases, and a fresh mkdtemp per rebuild leaked every previous index
+    directory — repeated bench runs accumulated gigabytes of dead index
+    data in /tmp (review r6). Wiping on reuse also clears stale MOR
+    tiers (tombstones/logs) from the previous build."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    return os.path.join(root, leaf)
+
+
+
 @register(
     "knn_lsh_probe",
     lsh_topk_oracle_sql(dim=64, k=10, query_id=0),
@@ -478,10 +500,13 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_probe_topk,
     )
 
-    key = ("lsh", sf_dir)
+    # id(spark) in the key: these entries cache session-BOUND
+    # DataFrames; an sf_dir-only key served a stopped session's
+    # reader to a new session (review r6)
+    key = ("lsh", id(spark), sf_dir)
     if key not in _ANN_INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        index_path = tempfile.mkdtemp(prefix="lsh_index_") + "/emb"
+        index_path = _index_tmp("lsh_index_", sf_dir, "emb")
         lsh_index_write(emb, "embedding", "vec_id", index_path, dim=64)
         # cache the READER, not just the path: listing tables·2^planes
         # partition dirs dominates probe latency if repeated per query
@@ -500,7 +525,11 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
-           length(text) + 4 AS n_bytes,
+           -- strlen = BYTES in DuckDB; length() counts CHARACTERS
+           -- and diverges from the Spark side's len(utf-8 payload)
+           -- on any non-ASCII document (review r6; latent on the
+           -- ASCII test corpus)
+           strlen(text) + 4 AS n_bytes,
            sha256('IMG0' || text) AS content_sha256
     FROM documents
     """,
@@ -522,7 +551,8 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     """
     SELECT doc_id AS media_id,
-           CAST(unnest(range(0, (length(text) + 4) % 100 + 1, 10)) AS BIGINT)
+           -- strlen (bytes), not length (chars) — see multimodal_features
+           CAST(unnest(range(0, (strlen(text) + 4) % 100 + 1, 10)) AS BIGINT)
                AS frame_idx
     FROM documents WHERE doc_id % 3 = 2
     """,
@@ -627,7 +657,7 @@ def q_knn_ivf_probe_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _ANN_INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
-        index_path = tempfile.mkdtemp(prefix="ivf_index_tomb_") + "/emb"
+        index_path = _index_tmp("ivf_index_tomb_", sf_dir, "emb")
         ivf_index_write(emb, "embedding", "vec_id", index_path, cents)
         doomed = [
             r["vec_id"]
@@ -957,7 +987,7 @@ def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _ANN_INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
-        index_path = tempfile.mkdtemp(prefix="ivf_index_") + "/emb"
+        index_path = _index_tmp("ivf_index_", sf_dir, "emb")
         ivf_index_write(emb, "embedding", "vec_id", index_path, cents)
         _ANN_INDEX_CACHE[key] = (index_path, cents)
     index_path, cents = _ANN_INDEX_CACHE[key]
@@ -2009,7 +2039,7 @@ def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
         cb = pq_seed_codebooks(emb, "embedding", "vec_id")
-        index_path = tempfile.mkdtemp(prefix="ivfpq_index_") + "/emb"
+        index_path = _index_tmp("ivfpq_index_", sf_dir, "emb")
         ivfpq_index_write(emb, "embedding", "vec_id", index_path, cents, cb)
         _ANN_INDEX_CACHE[key] = (index_path, cents, cb)
     index_path, cents, cb = _ANN_INDEX_CACHE[key]
@@ -2321,10 +2351,13 @@ def q_text_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         inverted_index_write,
     )
 
-    key = ("textidx", sf_dir)
+    # id(spark) in the key: these entries cache session-BOUND
+    # DataFrames; an sf_dir-only key served a stopped session's
+    # reader to a new session (review r6)
+    key = ("textidx", id(spark), sf_dir)
     if key not in _ANN_INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        index_path = tempfile.mkdtemp(prefix="text_index_") + "/docs"
+        index_path = _index_tmp("text_index_", sf_dir, "docs")
         inverted_index_write(docs, "text", "doc_id", index_path)
         _ANN_INDEX_CACHE[key] = inverted_index_read(spark, index_path)
     return index_term_topk(
@@ -2352,10 +2385,13 @@ def q_text_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         inverted_index_write,
     )
 
-    key = ("textidx", sf_dir)
+    # id(spark) in the key: these entries cache session-BOUND
+    # DataFrames; an sf_dir-only key served a stopped session's
+    # reader to a new session (review r6)
+    key = ("textidx", id(spark), sf_dir)
     if key not in _ANN_INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        index_path = tempfile.mkdtemp(prefix="text_index_") + "/docs"
+        index_path = _index_tmp("text_index_", sf_dir, "docs")
         inverted_index_write(docs, "text", "doc_id", index_path)
         _ANN_INDEX_CACHE[key] = inverted_index_read(spark, index_path)
     return index_phrase_topk(
@@ -2406,10 +2442,13 @@ def q_text_index_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         inverted_index_write,
     )
 
-    key = ("textidx_tomb", sf_dir)
+    # id(spark) in the key: these entries cache session-BOUND
+    # DataFrames; an sf_dir-only key served a stopped session's
+    # reader to a new session (review r6)
+    key = ("textidx_tomb", id(spark), sf_dir)
     if key not in _ANN_INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        index_path = tempfile.mkdtemp(prefix="text_index_tomb_") + "/docs"
+        index_path = _index_tmp("text_index_tomb_", sf_dir, "docs")
         inverted_index_write(docs, "text", "doc_id", index_path)
         # bounded collect: a delete batch is by nature an explicit id
         # list (the cap is the delete volume, not the corpus)
@@ -2451,10 +2490,13 @@ def q_knn_lsh_probe_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_probe_topk,
     )
 
-    key = ("lsh_tomb", sf_dir)
+    # id(spark) in the key: these entries cache session-BOUND
+    # DataFrames; an sf_dir-only key served a stopped session's
+    # reader to a new session (review r6)
+    key = ("lsh_tomb", id(spark), sf_dir)
     if key not in _ANN_INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        index_path = tempfile.mkdtemp(prefix="lsh_index_tomb_") + "/emb"
+        index_path = _index_tmp("lsh_index_tomb_", sf_dir, "emb")
         lsh_index_write(emb, "embedding", "vec_id", index_path, dim=64)
         doomed = [
             r["vec_id"]

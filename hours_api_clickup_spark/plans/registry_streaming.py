@@ -53,23 +53,7 @@ def q_streaming_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_hours_by_user_day,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file-stream source needs a directory; stage the (read-only)
-    # table into one via symlink
-    stage_dir = tempfile.mkdtemp(prefix="stream_events_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _stage_events_stream(spark, sf_dir, "stream_events_")
     out = streaming_hours_by_user_day(stream)
     return _run_bounded_stream(spark, out, f"stream_hours_{uuid.uuid4().hex[:8]}", "complete")
 
@@ -100,21 +84,7 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_enriched_rollup,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_enrich_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _stage_events_stream(spark, sf_dir, "stream_enrich_")
     customer = load_table(spark, sf_dir, "customer")
     out = streaming_enriched_rollup(stream, customer)
     return _run_bounded_stream(
@@ -150,21 +120,7 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_attribution_pairs,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_attr_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _stage_events_stream(spark, sf_dir, "stream_attr_")
     out = streaming_attribution_pairs(stream)
     return _run_bounded_stream(
         spark, out, f"stream_attr_{uuid.uuid4().hex[:8]}", "append"
@@ -204,9 +160,27 @@ def q_streaming_finalized_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         streaming_finalized_buckets,
     )
 
+    stream = _stage_events_stream(spark, sf_dir, "stream_buckets_")
+    out = streaming_finalized_buckets(stream)
+    return _run_bounded_stream(
+        spark, out, f"stream_buckets_{uuid.uuid4().hex[:8]}", "append"
+    )
+
+
+def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared readStream staging for the event-stream queries (ONE
+    definition — six queries carried drift-prone copies until review
+    r6): the file-stream source needs a DIRECTORY, so the read-only
+    events table is staged into a fresh tempdir via symlink; the ts
+    column is coerced to a session-zoned timestamp whatever physical
+    type the round's generator produced (nanos-as-long / TIMESTAMP_NTZ —
+    the TESTDATA drift load_table also absorbs)."""
+    import os
+    import tempfile
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_buckets_")
+    stage_dir = tempfile.mkdtemp(prefix=prefix)
     link = os.path.join(stage_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
@@ -219,10 +193,7 @@ def q_streaming_finalized_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = streaming_finalized_buckets(stream)
-    return _run_bounded_stream(
-        spark, out, f"stream_buckets_{uuid.uuid4().hex[:8]}", "append"
-    )
+    return stream
 
 
 def _run_bounded_stream(
@@ -246,7 +217,13 @@ def _run_bounded_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timeout: a partial memory sink must never be returned as
+            # the query answer (it would record as a wrong-hash failure
+            # instead of an error), and the orphaned stream must not
+            # keep writing behind our back (review r6)
+            q.stop()
+            raise TimeoutError("availableNow replay exceeded 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -304,19 +281,7 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_sesswin_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _stage_events_stream(spark, sf_dir, "stream_sesswin_")
     out = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
@@ -502,7 +467,13 @@ def q_streaming_continuous_rollup(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = streaming_continuous_rollup(stream, state_path, ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timeout: a partial memory sink must never be returned as
+            # the query answer (it would record as a wrong-hash failure
+            # instead of an error), and the orphaned stream must not
+            # keep writing behind our back (review r6)
+            q.stop()
+            raise TimeoutError("availableNow replay exceeded 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return finalize_rollup(
@@ -636,7 +607,13 @@ def q_streaming_stateful_ledger(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timeout: a partial memory sink must never be returned as
+            # the query answer (it would record as a wrong-hash failure
+            # instead of an error), and the orphaned stream must not
+            # keep writing behind our back (review r6)
+            q.stop()
+            raise TimeoutError("availableNow replay exceeded 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return resolve_final_ledger(spark.table(sink))

@@ -241,28 +241,33 @@ def upload_staging_truncate(con, spark_df, staging_table: str) -> int:
     bound the reference's load job relies on."""
     tbl = spark_df.toArrow()
     con.register("_staging_arrow_tmp", tbl)
-    exists = con.execute(
-        "SELECT COUNT(*) FROM information_schema.tables "
-        "WHERE table_name = ?",
-        [staging_table],
-    ).fetchone()[0]
-    if exists:
-        con.execute("BEGIN TRANSACTION")
-        try:
-            con.execute(f"DELETE FROM {staging_table}")
+    # one finally for BOTH branches: a failing CREATE TABLE used to skip
+    # the unregister, pinning the whole staged batch in memory and
+    # shadowing the view name for later calls on this connection
+    # (review r6)
+    try:
+        exists = con.execute(
+            "SELECT COUNT(*) FROM information_schema.tables "
+            "WHERE table_name = ?",
+            [staging_table],
+        ).fetchone()[0]
+        if exists:
+            con.execute("BEGIN TRANSACTION")
+            try:
+                con.execute(f"DELETE FROM {staging_table}")
+                con.execute(
+                    f"INSERT INTO {staging_table} BY NAME "
+                    "SELECT * FROM _staging_arrow_tmp"
+                )
+            except Exception:
+                con.execute("ROLLBACK")
+                raise
+            con.execute("COMMIT")
+        else:
             con.execute(
-                f"INSERT INTO {staging_table} BY NAME "
+                f"CREATE TABLE {staging_table} AS "
                 "SELECT * FROM _staging_arrow_tmp"
             )
-        except Exception:
-            con.execute("ROLLBACK")
-            con.unregister("_staging_arrow_tmp")
-            raise
-        con.execute("COMMIT")
-    else:
-        con.execute(
-            f"CREATE TABLE {staging_table} AS "
-            "SELECT * FROM _staging_arrow_tmp"
-        )
-    con.unregister("_staging_arrow_tmp")
+    finally:
+        con.unregister("_staging_arrow_tmp")
     return tbl.num_rows
