@@ -410,3 +410,63 @@ def bpe_merge_pairs_oracle_sql(
     ORDER BY n_occurrences DESC, pair
     LIMIT {k}
     """
+
+
+def corpus_drift_topk(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots: each token's
+    unigram probability in snapshot A and B and the absolute difference
+    — its contribution to the total-variation distance — top-k by
+    drift. The monitor a training-data pipeline runs between crawl
+    snapshots before retraining (a rising drift head = the corpus mix
+    changed; compare doc_oov_rate, which flags NEW tokens only).
+
+    Scale shape: per side, one explode + one map-side-combining
+    groupBy(token) — O(corpus) with one shuffle each; the side totals
+    are single-row aggregates collected to the driver (two bounded
+    scalar collects) and embedded as literals, so probabilities need no
+    join or global window; the union vocab is one full-outer join on
+    token; the cut is TakeOrderedAndProject. Hash-match determinism:
+    probabilities and drift use only IEEE division/subtraction/abs of
+    identical inputs — no transcendentals (ln-based KL/JS would NOT
+    hash-match across engines; TV carries the same signal for a
+    monitor's purposes and stays engine-exact).
+    """
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    def side_counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            spread(df)
+            .select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(alias))
+        )
+
+    ca = side_counts(df_a, "cnt_a")
+    cb = side_counts(df_b, "cnt_b")
+    tot_a = float(ca.agg(F.sum("cnt_a")).head()[0] or 0)
+    tot_b = float(cb.agg(F.sum("cnt_b")).head()[0] or 0)
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("cnt_a", F.lit(0)).cast("bigint").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("bigint").alias("cnt_b"),
+    )
+    p_a = F.col("cnt_a").cast("double") / F.lit(tot_a)
+    p_b = F.col("cnt_b").cast("double") / F.lit(tot_b)
+    return (
+        joined.select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            p_a.alias("p_a"),
+            p_b.alias("p_b"),
+            F.abs(p_a - p_b).alias("drift"),
+        )
+        .orderBy(F.col("drift").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -2754,3 +2754,59 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("n_dups"),
     )
+
+
+@register(
+    "corpus_drift_topk",
+    """
+    -- unigram distributions of the two snapshot halves; drift =
+    -- |p_a - p_b| (the token's total-variation contribution) — IEEE
+    -- div/sub/abs only, so the values hash-match across engines
+    WITH toks_a AS (
+        SELECT unnest(string_split_regex(trim(text),
+                      '[ \\t\\n\\x0B\\f\\r]+')) AS token
+        FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+    ),
+    toks_b AS (
+        SELECT unnest(string_split_regex(trim(text),
+                      '[ \\t\\n\\x0B\\f\\r]+')) AS token
+        FROM documents WHERE doc_id % 2 = 1 AND length(trim(text)) > 0
+    ),
+    ca AS (SELECT token, COUNT(*) AS cnt_a FROM toks_a GROUP BY token),
+    cb AS (SELECT token, COUNT(*) AS cnt_b FROM toks_b GROUP BY token),
+    ta AS (SELECT CAST(SUM(cnt_a) AS DOUBLE) AS tot FROM ca),
+    tb AS (SELECT CAST(SUM(cnt_b) AS DOUBLE) AS tot FROM cb)
+    SELECT COALESCE(ca.token, cb.token) AS token,
+           CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+           CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b,
+           CAST(COALESCE(cnt_a, 0) AS DOUBLE) / ta.tot AS p_a,
+           CAST(COALESCE(cnt_b, 0) AS DOUBLE) / tb.tot AS p_b,
+           abs(CAST(COALESCE(cnt_a, 0) AS DOUBLE) / ta.tot
+               - CAST(COALESCE(cnt_b, 0) AS DOUBLE) / tb.tot) AS drift
+    FROM ca FULL OUTER JOIN cb ON ca.token = cb.token, ta, tb
+    ORDER BY drift DESC, token
+    LIMIT 20
+    """,
+    survey_ids="datapipe:corpus-drift",
+    doc="Snapshot-drift monitor (r6): per-token unigram probability in "
+    "two corpus snapshots (the doc_id-parity halves stand in for two "
+    "crawls) and each token's total-variation contribution, top-20 by "
+    "drift — the between-crawl distribution check a training pipeline "
+    "runs before retraining. One explode + one map-side-combining agg "
+    "per side, driver-collected scalar totals as literals (no global "
+    "window, no totals join), one full-outer vocab join, "
+    "TakeOrderedAndProject cut. TV (not KL/JS) on purpose: IEEE "
+    "div/sub/abs hash-match across engines, ln does not, and a monitor "
+    "needs a comparable signal, not a specific divergence.",
+)
+def q_corpus_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.textstats import corpus_drift_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_drift_topk(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        k=20,
+    )

@@ -670,3 +670,15 @@ def test_media_stats_stages_no_shuffle(spark):
         assert plan.count("MapInPandas") == 2, (name, plan)
         assert "Exchange hashpartitioning" not in plan, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def test_corpus_drift_two_aggs_topk_no_global_window(spark):
+    plan = _plan(spark, "corpus_drift_topk")
+    # one map-side-combining agg per side (partial+final pairs), the
+    # full-outer vocab join, and a top-k heap cut — no global sort, no
+    # single-partition window, no totals join (driver-literal scalars)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan
+    assert plan.count("SortMergeJoin") <= 1  # the vocab full-outer only
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
