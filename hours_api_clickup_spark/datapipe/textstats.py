@@ -451,6 +451,14 @@ def corpus_drift_topk(
     cb = side_counts(df_b, "cnt_b")
     tot_a = float(ca.agg(F.sum("cnt_a")).head()[0] or 0)
     tot_b = float(cb.agg(F.sum("cnt_b")).head()[0] or 0)
+    if tot_a == 0.0 or tot_b == 0.0:
+        # An empty (or zero-token) snapshot would make cnt/0.0 yield
+        # NaN/Infinity rows that sort to the top-k silently (advice r6);
+        # fail loudly like add_lsh_signatures does on empty input.
+        raise ValueError(
+            "corpus_drift_topk: a snapshot has zero tokens "
+            f"(tot_a={tot_a:.0f}, tot_b={tot_b:.0f}) — drift is undefined"
+        )
     joined = ca.join(cb, "token", "full_outer").select(
         "token",
         F.coalesce("cnt_a", F.lit(0)).cast("bigint").alias("cnt_a"),

@@ -71,6 +71,13 @@ def _parse_field(expr: str, name: str, lo: int, hi: int) -> frozenset[int]:
         elif "-" in body:
             a_s, b_s = body.split("-", 1)
             a, b = int(a_s), int(b_s)
+        elif step_s:
+            # unix-cron (cronie / Cloud Scheduler): a step on a bare
+            # number means "start here, every S to the top of the range"
+            # — '3/6' in the hour field is 3-23/6 = {3, 9, 15, 21}, not
+            # {3}. Expanding to just {N} would silently underfire an
+            # imported cadence (advice r6).
+            a, b = int(body), vhi
         else:
             a = b = int(body)
         if not (lo <= a <= vhi and lo <= b <= vhi and a <= b):

@@ -72,6 +72,7 @@ class ClickUpClient:
         chunk_sleep_s: float = 0.5,  # fetch_clickup_data.py:112
         timeout_s: float = 30.0,  # fetch_clickup_data.py:58
         session: Any | None = None,
+        auth_scheme: str | None = None,
     ):
         import requests
 
@@ -84,10 +85,17 @@ class ClickUpClient:
         self.timeout_s = timeout_s
         self.session = session or requests.Session()
         # the reference sends `Bearer <token>` on the time-entries
-        # fetcher (:50) and the raw token on the others (:642) — ClickUp
-        # accepts both; standardize on the raw personal token form.
+        # fetcher (:50) and the raw token on the others (:642). ClickUp
+        # accepts both for PERSONAL tokens (`pk_…`) but OAuth2 access
+        # tokens require the Bearer prefix on every endpoint (advice
+        # r6) — default to raw for pk_ tokens, Bearer otherwise, and
+        # let auth_scheme ('' | 'Bearer') override either way.
+        if auth_scheme is None:
+            auth_scheme = "" if token.startswith("pk_") else "Bearer"
+        self.auth_scheme = auth_scheme
+        auth_value = f"{auth_scheme} {token}".strip() if auth_scheme else token
         self.session.headers.update(
-            {"Authorization": token, "Content-Type": "application/json"}
+            {"Authorization": auth_value, "Content-Type": "application/json"}
         )
 
     # -- transport ---------------------------------------------------------

@@ -146,6 +146,7 @@ def streaming_doc_neardup_ingest(
             "left_anti",
         )
         stale = bids.join(indexed, "did", "semi").localCheckpoint()
+        has_stale = bool(stale.head(1))
         parts = []
         if fresh.head(1):
             parts.append(
@@ -153,7 +154,7 @@ def streaming_doc_neardup_ingest(
                     fresh, index_path, id_col, text_col, threshold=threshold
                 )
             )
-        if stale.head(1):  # crashed attempt appended these already
+        if has_stale:  # crashed attempt appended these already
             parts.append(
                 doc_neardup_index_pairs_for_ids(
                     spark, index_path, stale, threshold=threshold
@@ -164,7 +165,17 @@ def streaming_doc_neardup_ingest(
             for extra in parts[1:]:
                 pairs = pairs.unionByName(extra)
             pairs = pairs.dropDuplicates(["id_a", "id_b"])
-            if fs.exists(jvm.org.apache.hadoop.fs.Path(pairs_path)):
+            # Double-write of pair rows is only possible on the RECOVERY
+            # path: a crash after the pairs write but before the marker
+            # necessarily left this batch's dids in sig (sig commits
+            # before pairs), so stale is non-empty on the redelivery.
+            # Steady-state batches (stale empty) therefore skip this
+            # anti-join — the old unconditional form scanned the ENTIRE
+            # accumulated pairs table per batch, an O(pairs-table) cost
+            # that grew without bound over the stream's life (advice r6).
+            if has_stale and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(pairs_path)
+            ):
                 prev = spark.read.parquet(pairs_path).select("id_a", "id_b")
                 pairs = pairs.join(prev, ["id_a", "id_b"], "left_anti")
             pairs.write.mode("append").parquet(pairs_path)

@@ -112,8 +112,29 @@ def test_retry_on_injected_429_then_500(api_server):
     hits = [p for p, _, _ in api_server.request_log if p == path]
     assert len(hits) == 3
     assert sleeps == [1.0, 2.0]
-    # the auth header rode every request
-    assert all(a == "tok-123" for _, _, a in api_server.request_log)
+    # the auth header rode every request — tok-123 isn't a pk_ personal
+    # token, so the OAuth2 Bearer scheme applies (advice r6)
+    assert all(a == "Bearer tok-123" for _, _, a in api_server.request_log)
+
+
+def test_auth_scheme_selection(api_server):
+    """pk_ personal tokens go raw (the reference's :642 form), anything
+    else gets the Bearer prefix OAuth2 requires, and auth_scheme
+    overrides either default."""
+    api_server.entries = [_entry("e1", start_ms=T0, at_ms=T0)]
+
+    def hdr(**kw):
+        api_server.request_log.clear()
+        ClickUpClient(
+            kw.pop("token"), "team9", base_url=api_server.base_url,
+            page_sleep_s=0.0, chunk_sleep_s=0.0, **kw,
+        ).fetch_time_entries_chunk(T0 - DAY, T0 + DAY)
+        return api_server.request_log[-1][2]
+
+    assert hdr(token="pk_123_ABC") == "pk_123_ABC"
+    assert hdr(token="oauth-access-tok") == "Bearer oauth-access-tok"
+    assert hdr(token="pk_123_ABC", auth_scheme="Bearer") == "Bearer pk_123_ABC"
+    assert hdr(token="oauth-access-tok", auth_scheme="") == "oauth-access-tok"
 
 
 def test_non_retryable_4xx_raises_immediately(api_server):
