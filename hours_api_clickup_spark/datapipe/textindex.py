@@ -231,7 +231,10 @@ def inverted_index_read(spark: SparkSession, path: str) -> DataFrame:
 
 
 def inverted_index_delete(
-    spark: SparkSession, path: str, doc_ids: list, seq: int | None = None
+    spark: SparkSession,
+    path: str,
+    doc_ids: "list | DataFrame",
+    seq: int | None = None,
 ) -> None:
     """Tombstone delete (VERDICT r5 #7): drop documents from the
     persisted index WITHOUT touching its postings — one tiny
@@ -239,13 +242,15 @@ def inverted_index_delete(
     read or rewritten (plan-gated: base files are bit-identical after
     a delete); probes apply the broadcast tombstone filter at read
     time; ``inverted_index_compact`` makes the deletes physical and
-    drops the marker dir. Cost: O(deletes), zero corpus I/O."""
+    drops the marker dir. Cost: O(deletes), zero corpus I/O.
+    ``doc_ids`` is an id list or a DataFrame of ids (distributed marker
+    write, no driver collect — verdict r6 #3)."""
     from hours_api_clickup_spark.datapipe.similarity import (
         _next_seq,
         _write_tombstones,
     )
 
-    if not doc_ids:
+    if isinstance(doc_ids, list) and not doc_ids:
         return
     if seq is None:
         seq = _next_seq(spark, path, inverted_index_read)

