@@ -206,20 +206,48 @@ def decode_audio(content: bytes):
     return np.frombuffer(frames, dtype=np.int16), rate
 
 
+def _pil_image_module():
+    """Import-guarded Pillow access (verdict r6 #4 — the sinks/bigquery
+    pattern): returns ``PIL.Image`` or None when Pillow is absent. The
+    indirection exists so tests can exercise the dispatch with a fake
+    module and so absence degrades to the named-dependency ValueError,
+    never an ImportError inside a Spark task."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    return Image
+
+
 def decode_media(content: bytes, media_type: str | None = None):
     """Decode an opaque media payload to an HxWx3 uint8 RGB array.
 
     Sniffs the magic bytes — ``BM`` → BMP, ``P6`` → PPM — the two
-    uncompressed formats decodable without external libraries.
-    Compressed formats raise ValueError with the dependency named;
-    production adds try-import PIL/soundfile/av branches here, inside
-    the same per-batch worker.
+    uncompressed formats decodable without external libraries; PNG and
+    JPEG decode through an import-guarded Pillow branch IN THE SAME
+    per-batch worker (one Python crossing per Arrow batch either way).
+    With Pillow absent, compressed formats raise ValueError naming the
+    dependency — a malformed corpus fails loudly, never silently.
     """
+    import numpy as np
+
     raw = bytes(content)
     if raw[:2] == b"BM":
         return decode_bmp(raw)
     if raw[:2] == b"P6":
         return decode_ppm(raw)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n" or raw[:3] == b"\xff\xd8\xff":
+        image_mod = _pil_image_module()
+        if image_mod is not None:
+            import io
+
+            with image_mod.open(io.BytesIO(raw)) as img:
+                return np.asarray(img.convert("RGB"), dtype=np.uint8)
+        fmt = "PNG" if raw[:1] == b"\x89" else "JPEG"
+        raise ValueError(
+            f"{fmt} decode needs Pillow (pip install pillow); "
+            "BMP/PPM decode without it"
+        )
     if raw[:4] == b"RIFF":
         raise ValueError(
             "RIFF/WAV is audio — use decode_audio (returns samples, "
@@ -227,7 +255,7 @@ def decode_media(content: bytes, media_type: str | None = None):
         )
     raise ValueError(
         f"no built-in codec for media_type={media_type!r} "
-        f"(magic={raw[:4]!r}); PNG/JPEG/MP3/MP4 need PIL/soundfile/av"
+        f"(magic={raw[:4]!r}); MP3/MP4 need soundfile/av"
     )
 
 
