@@ -70,6 +70,13 @@ class BigQuerySinkConfig:
     dataset: str
     fact_table: str = "fact_time_entries"
     staging_table: str = "staging_time_entries"
+    #: staging upload path: "pandas" = the reference's
+    #: load_table_from_dataframe (driver collects the window — correct
+    #: for the bounded refresh window, a bottleneck on a 100× table);
+    #: "direct" = the spark-bigquery connector's Storage Write API path
+    #: (df.write.format("bigquery"), executors stream straight to BQ —
+    #: the distributed path; verdict r6 #5).
+    write_method: str = "pandas"
 
 
 class BigQuerySink:
@@ -112,8 +119,33 @@ class BigQuerySink:
 
     def upload_staging(self, df) -> int:
         """WRITE_TRUNCATE load of one refresh window's staging rows.
-        Accepts a Spark DataFrame (bounded: one window) or a pandas
-        frame; applies the reference's nullable-Int64 casts."""
+
+        ``write_method="pandas"`` (default): accepts a Spark DataFrame
+        (bounded: one window) or a pandas frame; applies the
+        reference's nullable-Int64 casts and loads through the client —
+        the reference's exact call shape.
+
+        ``write_method="direct"``: Spark DataFrame only; executors
+        stream to BigQuery through the spark-bigquery connector's
+        Storage Write API (``writeMethod=direct``), truncating the
+        staging table (``mode=overwrite`` ≡ WRITE_TRUNCATE). No driver
+        collect — the path for anything bigger than a refresh window."""
+        if self.config.write_method == "direct":
+            if not hasattr(df, "write"):
+                raise TypeError(
+                    "write_method='direct' needs a Spark DataFrame "
+                    "(executors write; a pandas frame has no "
+                    "distributed path)"
+                )
+            n = df.count()
+            (
+                df.write.format("bigquery")
+                .option("table", self._table_id(self.config.staging_table))
+                .option("writeMethod", "direct")
+                .mode("overwrite")
+                .save()
+            )
+            return n
         pdf = df.toPandas() if hasattr(df, "toPandas") else df.copy()
         for col in _NULLABLE_INT_COLS:
             if col in pdf.columns:

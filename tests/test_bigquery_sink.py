@@ -183,3 +183,63 @@ def test_upload_accepts_spark_dataframe(spark, sink):
     n = s.upload_staging(sdf)
     assert n == 1
     assert client.calls[0][3]["duration_ms"] == "Int64"
+
+
+class _FakeWriter:
+    """Records the df.write option chain the direct path builds."""
+
+    def __init__(self, log):
+        self.log = log
+        self.opts = {}
+
+    def format(self, fmt):
+        self.log.append(("format", fmt))
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def mode(self, m):
+        self.log.append(("mode", m))
+        return self
+
+    def save(self):
+        self.log.append(("save", dict(self.opts)))
+
+
+class _FakeSparkDF:
+    def __init__(self, log, n=7):
+        self.write = _FakeWriter(log)
+        self._n = n
+
+    def count(self):
+        return self._n
+
+
+def test_direct_write_method_uses_connector_not_driver(sink):
+    """Verdict r6 #5: write_method='direct' streams from executors via
+    the spark-bigquery connector — the exact option set is pinned and
+    the pandas/client load path is never touched."""
+    _, client, bq = sink
+    cfg = BigQuerySinkConfig("proj", "hours", write_method="direct")
+    s = BigQuerySink(cfg, client=client, bq=bq)
+    log: list = []
+    n = s.upload_staging(_FakeSparkDF(log, n=7))
+    assert n == 7
+    assert ("format", "bigquery") in log and ("mode", "overwrite") in log
+    save = next(e for e in log if e[0] == "save")[1]
+    assert save == {
+        "table": "proj.hours.staging_time_entries",
+        "writeMethod": "direct",
+    }
+    # the driver-side client path stayed cold
+    assert not any(c[0] == "load" for c in client.calls)
+
+
+def test_direct_write_method_rejects_pandas(sink):
+    _, client, bq = sink
+    cfg = BigQuerySinkConfig("proj", "hours", write_method="direct")
+    s = BigQuerySink(cfg, client=client, bq=bq)
+    with pytest.raises(TypeError, match="direct"):
+        s.upload_staging(_staging_pdf())
