@@ -499,3 +499,61 @@ def test_day_bucket_div_matches_duckdb_pre_1970(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_merge_changelog_snapshot_under_concurrent_append(spark, tmp_path):
+    """Verdict r6 #7: a refresh that planned against a fact snapshot
+    must not be corrupted by files APPENDED to the store while it runs —
+    the committed (merged, changelog) pair reflects the snapshot
+    listing (serializable as refresh-before-append), and the NEXT
+    refresh converges: it sees the appended rows and reports the
+    in-window strays as deletions."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh_with_changelog,
+    )
+
+    fact_path = str(tmp_path / "fact")
+    spark.createDataFrame(
+        [(1, 60, 1.0), (2, 60, 2.0), (3, 10, 3.0)], ["id", "day", "v"]
+    ).write.parquet(fact_path)
+    stg = spark.createDataFrame([(1, 61, 1.5), (4, 62, 4.0)], ["id", "day", "v"])
+    w = F.col("day") >= 50
+
+    # plan against the snapshot (read.parquet pins the file listing)
+    snapshot = spark.read.parquet(fact_path)
+    merged, changes = merge_refresh_with_changelog(snapshot, stg, w, key="id")
+
+    # concurrent append lands while the refresh is "running": one
+    # in-window stray and one out-of-window history row
+    spark.createDataFrame(
+        [(7, 70, 7.0), (8, 5, 8.0)], ["id", "day", "v"]
+    ).write.mode("append").parquet(fact_path)
+
+    got = {(r["id"], r["day"], r["v"]) for r in merged.collect()}
+    assert got == {(1, 61, 1.5), (4, 62, 4.0), (3, 10, 3.0)}, got
+    assert {(r["id"], r["change"]) for r in changes.collect()} == {
+        (1, "updated"),
+        (4, "inserted"),
+        (2, "deleted"),
+    }
+
+    # commit the refresh, then run the NEXT refresh from a FRESH read of
+    # the store (snapshot + appended files): convergence — the appended
+    # in-window stray id=7 is absent from staging, so it is deleted and
+    # reported; the out-of-window id=8 survives untouched
+    committed = str(tmp_path / "fact2")
+    merged.write.parquet(committed)
+    spark.createDataFrame(
+        [(7, 70, 7.0), (8, 5, 8.0)], ["id", "day", "v"]
+    ).write.mode("append").parquet(committed)
+    spark.catalog.refreshByPath(committed)
+    merged2, changes2 = merge_refresh_with_changelog(
+        spark.read.parquet(committed), stg, w, key="id"
+    )
+    assert {(r["id"], r["change"]) for r in changes2.collect()} == {
+        (7, "deleted")
+    }
+    got2 = {(r["id"], r["day"], r["v"]) for r in merged2.collect()}
+    assert got2 == {(1, 61, 1.5), (4, 62, 4.0), (3, 10, 3.0), (8, 5, 8.0)}

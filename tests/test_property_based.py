@@ -1061,3 +1061,91 @@ def test_next_fire_is_earliest_matching_existing_wall_time(
                 expr, after, cand, local,
             )
             cand += dt.timedelta(minutes=1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),  # id
+            st.integers(0, 100),  # day offset (window = day >= 50)
+            st.integers(0, 3),  # payload — OVERLAPS staging's range so
+            # unchanged-in-window keys occur and must emit NO change row
+        ),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    stg_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30), st.integers(0, 100), st.integers(0, 3)
+        ),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_changelog_matches_delta_merge_model(spark, fact_rows, stg_rows):
+    """Verdict r6 #7: merge_refresh_with_changelog must agree with the
+    Delta-style MERGE reference model — whenMatched UPDATE, whenNotMatched
+    INSERT, whenNotMatchedBySource + window DELETE — on arbitrary
+    populations, and the changelog must name exactly the keys whose
+    state changed (unchanged matches emit nothing)."""
+    from hours_api_clickup_spark.operators.merge import (
+        merge_refresh,
+        merge_refresh_with_changelog,
+    )
+
+    fact_rows = fact_rows or [(999, 0, 0)]
+    stg_rows = stg_rows or [(998, 0, 1)]
+    fact = spark.createDataFrame(fact_rows, ["id", "day", "v"])
+    stg = spark.createDataFrame(stg_rows, ["id", "day", "v"])
+    w = F.col("day") >= 50
+    merged, changes = merge_refresh_with_changelog(fact, stg, w, key="id")
+    got_rows = {(r["id"], r["day"], r["v"]) for r in merged.collect()}
+    got_changes = {(r["id"], r["change"]) for r in changes.collect()}
+
+    # the Delta MERGE model, window-scoped (source := staging-in-window):
+    #   whenMatched                 -> UPDATE SET * (target in-window)
+    #   whenNotMatched              -> INSERT *
+    #   whenNotMatchedBySource AND window(target) -> DELETE
+    fact_d = {t[0]: t for t in fact_rows}
+    stg_w = {t[0]: t for t in stg_rows if t[1] >= 50}
+    want_rows = set(stg_w.values()) | {
+        t for i, t in fact_d.items() if t[1] < 50 and i not in stg_w
+    }
+    # NOTE the subtlety the window algebra adds over vanilla Delta: a
+    # fact row OUTSIDE the window whose key IS staged-in-window is
+    # replaced (key moved into the window), handled above by the
+    # anti-join on stg_w keys.
+    assert got_rows == want_rows
+
+    want_changes = set()
+    fact_w = {t[0]: t for t in fact_rows if t[1] >= 50}
+    for i, t in stg_w.items():
+        if i not in fact_w:
+            want_changes.add((i, "inserted"))
+        elif (fact_w[i][1], fact_w[i][2]) != (t[1], t[2]):
+            want_changes.add((i, "updated"))
+        # identical (day, v) -> unchanged -> no row
+    for i in fact_w:
+        if i not in stg_w:
+            want_changes.add((i, "deleted"))
+    assert got_changes == want_changes
+
+    # the merged side is definitionally merge_refresh — same plan algebra
+    plain = {
+        (r["id"], r["day"], r["v"]) for r in merge_refresh(fact, stg, w).collect()
+    }
+    assert got_rows == plain
+
+    # idempotence: a second refresh from the merged state is a no-op
+    merged2, changes2 = merge_refresh_with_changelog(
+        spark.createDataFrame(sorted(got_rows), ["id", "day", "v"]), stg, w, key="id"
+    )
+    assert changes2.count() == 0
+    assert {
+        (r["id"], r["day"], r["v"]) for r in merged2.collect()
+    } == got_rows

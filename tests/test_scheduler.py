@@ -293,3 +293,132 @@ def test_step_on_star_fields_count_as_unrestricted():
     assert t.replace(tzinfo=None) == dt.datetime(2026, 2, 23, 0, 0), t
     # and never a non-Monday, even with matching dom
     assert t.isoweekday() == 1
+
+
+def test_step_on_bare_number_expands_to_range_top():
+    """Advice r6: unix-cron (cronie / Cloud Scheduler) reads 'N/S' as
+    N-max/S — '3/6' in the hour field is {3, 9, 15, 21}, not {3}. The
+    old expansion to just {N} silently underfired imported cadences."""
+    assert parse_cron("0 3/6 * * *").hour == frozenset({3, 9, 15, 21})
+    assert parse_cron("10/15 * * * *").minute == frozenset({10, 25, 40, 55})
+    # day-of-week: '5/2' is 5-7/2 = {5, 7} with 7 aliased to Sunday
+    assert parse_cron("0 0 * * 5/2").day_of_week == frozenset({5, 0})
+    # a bare-number step counts as restricted for the dom/dow OR rule
+    spec = parse_cron("0 0 1/10 * *")
+    assert spec.day_of_month == frozenset({1, 11, 21, 31})
+    assert spec.dom_restricted is True
+    # fires line up with cronie: after Jan 2 the next dom hit is the 11th
+    t = next_fire(spec, oslo(2026, 1, 2, 0, 0))
+    assert t.replace(tzinfo=None) == dt.datetime(2026, 1, 11, 0, 0), t
+
+
+def test_scheduler_multiday_rehearsal_matches_oneshot(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """Verdict r6 #6 — end-to-end cadence rehearsal: drive `--mode
+    scheduler` ticks over a simulated multi-day Oslo clock (each tick a
+    separate CLI invocation reloading the watermark file = a process
+    restart), crossing the quarterly reindex boundary, and assert (a)
+    the reference cadence fired exactly as deploy.sh:66-136 specifies,
+    (b) watermarks survive the restarts (a same-instant re-tick runs
+    nothing), and (c) the warehouse converges to the same state as the
+    one-shot syncs — the reference's two-tier consistency design."""
+    import json as _json
+
+    import hours_api_clickup_spark.session as session_mod
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.__main__ import main
+    from hours_api_clickup_spark.sources.readers import (
+        read_raw_tasks,
+        read_raw_time_entries,
+    )
+    from tests.test_domain_semantics import _entry
+    from tests.test_pipelines import _task
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    t0 = 1_703_030_400_000  # 2023-12-20 00:00 UTC — inside every
+    # tick's 60-day lookback window
+    entries = tmp_path / "entries.json"
+    with open(entries, "w") as f:
+        for r in [
+            _entry("e1", start_ms=t0, at_ms=t0),
+            _entry("e2", start_ms=t0 + 3_600_000, at_ms=t0 + 3_600_000),
+            _entry("e3", start_ms=t0 + 7_200_000, at_ms=t0 + 7_200_000),
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    tasks = tmp_path / "tasks.json"
+    with open(tasks, "w") as f:
+        for r in [
+            _task("t1"),
+            _task("t2", custom_item_id=1001,
+                  custom_fields=[{"id": "connected_lists", "value": "l1"}]),
+            _task("t3", custom_item_id=1005, custom_fields=[]),
+        ]:
+            f.write(_json.dumps(r) + "\n")
+
+    state = str(tmp_path / "state.json")
+    wh = str(tmp_path / "wh")
+
+    def tick(now_iso: str, today: str) -> list[dict]:
+        rc = main([
+            "--mode", "scheduler", "--entries", str(entries),
+            "--tasks", str(tasks), "--state", state, "--out", wh,
+            "--now", now_iso, "--today-oslo", today,
+        ])
+        assert rc == 0
+        return _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["ran"]
+
+    # T1: fresh state — a newly-created scheduler never runs
+    # retroactively
+    assert tick("2023-12-31T10:30:00+01:00", "2023-12-31") == []
+    ran = []
+    # T2: 12:00 and 18:00 refreshes elapsed → at-most-once catch-up
+    ran += tick("2023-12-31T23:30:00+01:00", "2023-12-31")
+    # T3: midnight refresh + the QUARTERLY reindex (Jan 1, 02:00)
+    ran += tick("2024-01-01T02:30:00+01:00", "2024-01-01")
+    # T4: 06:00 refresh + all four daily dims (03/04/05/06)
+    ran += tick("2024-01-01T07:00:00+01:00", "2024-01-01")
+    # T5: SAME instant re-tick after "restart" — watermarks held
+    assert tick("2024-01-01T07:00:00+01:00", "2024-01-01") == []
+    # T6: next day, one catch-up refresh + the four dims
+    ran += tick("2024-01-02T09:00:00+01:00", "2024-01-02")
+
+    assert all(r["status"] == "success" for r in ran), ran
+    by_job: dict[str, int] = {}
+    for r in ran:
+        by_job[r["job"]] = by_job.get(r["job"], 0) + 1
+    assert by_job == {
+        "refresh-6h": 4,           # T2 (18:00), T3 (00:00), T4 (06:00), T6
+        "full-reindex-quarterly": 1,  # 2024-01-01 02:00 only
+        "lists-sync-daily": 2,     # Jan 1 + Jan 2
+        "tasks-sync-daily": 2,
+        "accounts-sync-daily": 2,
+        "apps-sync-daily": 2,
+    }, by_job
+    # the persisted watermarks carry every job
+    blob = _json.loads(open(state).read())
+    assert set(blob["last_fire"]) == set(by_job)
+    # quarterly watermark pinned at its cron instant, not the tick time
+    assert blob["last_fire"]["full-reindex-quarterly"].startswith(
+        "2024-01-01T02:00"
+    )
+
+    # two-tier consistency: the cadence-built warehouse equals the
+    # one-shot syncs over the same (static) inputs
+    raw_e = read_raw_time_entries(spark, str(entries))
+    raw_t = read_raw_tasks(spark, str(tasks))
+    oneshot = str(tmp_path / "oneshot")
+    pipelines.sync_full_reindex(spark, raw_e, f"{oneshot}/fact")
+    pipelines.sync_tasks(raw_t, f"{oneshot}/dim_tasks")
+
+    def rows(path):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+
+    assert rows(f"{wh}/fact_time_entries") == rows(f"{oneshot}/fact")
+    assert rows(f"{wh}/dim_tasks") == rows(f"{oneshot}/dim_tasks")
