@@ -83,6 +83,63 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+
+    # Fixed-work calibration (verdict r6 #1): this host's deliverable
+    # throughput drifts within a day (identical idle-guest suites
+    # measured 144.8s and 187.9s three hours apart in r6), making
+    # cross-round absolute seconds unusable. This row is CONSTANT work —
+    # 30M-row hash → 4096-group agg → sort, no table reads, no Python
+    # workers — so BENCH_r{N}/BENCH_r{M} ratios of it estimate the host
+    # drift factor and per-query rows can be normalized against it.
+    # Reported (start and end of suite), never added to ``value``.
+    from pyspark.sql import functions as F
+
+    def _calibrate_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(30_000_000)
+            .select(((F.col("id") * 2654435761) % 10_000_019).alias("k"))
+            .groupBy((F.col("k") % 4096).alias("b"))
+            .agg(F.sum("k").alias("s"), F.count("*").alias("c"))
+            .orderBy("b")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    cal0 = statistics.median(_calibrate_once() for _ in range(3))
+    timings["calibration_fixed_work"] = round(cal0, 3)
+    print(f"# calibration_fixed_work (suite start): {cal0:.3f}s", file=sys.stderr)
+
+    # Ingest-time caches (the LSH pair table and every persisted
+    # ANN/text index) build lazily inside their FIRST consumer — with
+    # the fixed alphabetical order that made knn_ivf_probe's timed row
+    # conflate an 8s index build with a 1.6s steady-state probe
+    # (verdict r6 #1). Warm every cache-consuming query once UNTIMED so
+    # probe rows measure their steady-state claim; build cost stays in
+    # the *_cold rows below, where it is labeled as such.
+    CACHE_CONSUMERS = (
+        "dedup_minhash_lsh",
+        "dedup_cluster_lsh",
+        "dedup_corpus_manifest",
+        "neardup_degree_histogram",
+        "knn_lsh_probe",
+        "knn_lsh_probe_tombstone",
+        "knn_ivf_probe",
+        "knn_ivf_probe_tombstone",
+        "knn_ivfpq_probe",
+        "text_index_term_probe",
+        "text_index_phrase_probe",
+        "text_index_tombstone_probe",
+    )
+    for name in CACHE_CONSUMERS:
+        if name in QUERIES and name not in EXCLUDE:
+            run_once(name)
+    print(
+        f"# warmed {len(CACHE_CONSUMERS)} cache-consumer queries untimed",
+        file=sys.stderr,
+    )
     for name in BENCH_QUERIES:
         med = statistics.median(run_once(name) for _ in range(N_RUNS))
         timings[name] = round(med, 3)
@@ -332,6 +389,41 @@ def main() -> None:
         return time.perf_counter() - t0
 
     t_text_scan = statistics.median(_scan_once() for _ in range(N_RUNS))
+
+    # Probe-under-churn: land a tombstone delete batch (DataFrame-shaped,
+    # distributed marker write), then run the same term probe through the
+    # merge-on-read view — the delta vs text_index_term_probe_100k pins
+    # the tombstone-filter overhead a live index pays between compactions
+    # (claimed ~0: the broadcast filter rides above the pruned scan).
+    from hours_api_clickup_spark.datapipe.textindex import (
+        inverted_index_delete,
+    )
+
+    inverted_index_delete(
+        spark, tidx, bigdocs.filter(_F2.col("doc_id") % 97 == 0).select("doc_id")
+    )
+    churn_reader = inverted_index_read(spark, tidx)
+
+    def _probe_churn_once() -> float:
+        t0 = time.perf_counter()
+        index_term_topk(spark, churn_reader, ["merge", "vector"], k=10).collect()
+        return time.perf_counter() - t0
+
+    _probe_churn_once()  # same untimed first-read warm as the clean probe
+    t_probe_churn = statistics.median(_probe_churn_once() for _ in range(N_RUNS))
+    timings["text_index_probe_under_churn"] = round(t_probe_churn, 3)
+    print(
+        f"# text index probe under tombstone churn: {t_probe_churn:.3f}s "
+        f"(clean probe {t_text_probe:.3f}s)",
+        file=sys.stderr,
+    )
+
+    # end-of-suite calibration twin: the start/end ratio exposes
+    # WITHIN-run host drift the same way the cross-round ratio exposes
+    # between-run drift
+    cal1 = statistics.median(_calibrate_once() for _ in range(3))
+    timings["calibration_fixed_work_end"] = round(cal1, 3)
+    print(f"# calibration_fixed_work (suite end): {cal1:.3f}s", file=sys.stderr)
     timings["text_index_build_90k"] = round(t_text_build, 3)
     timings["text_index_append_batch"] = round(t_text_append, 3)
     timings["text_index_term_probe_100k"] = round(t_text_probe, 3)
