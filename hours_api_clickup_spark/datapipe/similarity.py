@@ -491,8 +491,10 @@ def lsh_index_delete(
     #3) — the DataFrame form writes the markers distributed, so
     "delete every vector matching this predicate" never collects the
     doomed set to the driver."""
-    if isinstance(vids, list) and not vids:
-        return
+    if not isinstance(vids, DataFrame):
+        vids = list(vids)  # any iterable; empty → no-op (review r7)
+        if not vids:
+            return
     if seq is None:
         seq = _next_seq(spark, path, lsh_index_read)
     _write_tombstones(spark, f"{path}/tombstones", "vid", vids, int(seq))
@@ -525,6 +527,11 @@ def _write_tombstones(spark, tomb_path: str, key: str, keys, seq: int) -> None:
             .dropDuplicates()
             .withColumn("seq", F.lit(int(seq)).cast("long"))
         )
+        # materialize ONCE: without the checkpoint the emptiness probe
+        # and the write each evaluate the doomed-set predicate as a
+        # separate job — double I/O, and over changing data the two
+        # could see different snapshots (review r7)
+        tomb = tomb.localCheckpoint(eager=True)
         if not tomb.head(1):
             return  # empty delete set: don't create the marker dir —
             # its bare existence would defeat the no-tombstone fast path
@@ -1520,8 +1527,10 @@ def ivf_index_delete(
     partition touched; probes exclude at read, compaction folds.
     ``ids`` is an id list or a DataFrame of ids (distributed marker
     write, no driver collect)."""
-    if isinstance(ids, list) and not ids:
-        return
+    if not isinstance(ids, DataFrame):
+        ids = list(ids)  # any iterable; empty → no-op (review r7)
+        if not ids:
+            return
     if seq is None:
         seq = _next_seq(spark, path, ivf_index_read)
     _write_tombstones(spark, f"{path}/tombstones", id_col, ids, int(seq))

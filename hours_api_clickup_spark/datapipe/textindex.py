@@ -250,8 +250,10 @@ def inverted_index_delete(
         _write_tombstones,
     )
 
-    if isinstance(doc_ids, list) and not doc_ids:
-        return
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = list(doc_ids)  # any iterable; empty → no-op (review r7)
+        if not doc_ids:
+            return
     if seq is None:
         seq = _next_seq(spark, path, inverted_index_read)
     _write_tombstones(spark, f"{path}/tombstones", "doc_id", doc_ids, int(seq))

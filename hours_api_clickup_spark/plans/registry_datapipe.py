@@ -487,6 +487,11 @@ def _index_tmp(prefix: str, sf_dir: str, leaf: str) -> str:
             shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
         except PermissionError:
             pass  # pid alive under another uid — leave its dirs alone
+        except (OverflowError, ValueError):
+            # /tmp is world-writable: a garbage entry whose digit run
+            # exceeds the C pid range must not crash every index query
+            # on the host (review r7) — skip it, never reclaim it
+            pass
 
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(tmp, f"{prefix}{os.getpid()}_{sf_tag}")

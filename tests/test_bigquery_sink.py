@@ -212,8 +212,18 @@ class _FakeSparkDF:
     def __init__(self, log, n=7):
         self.write = _FakeWriter(log)
         self._n = n
+        self.log = log
+
+    def persist(self):
+        self.log.append(("persist",))
+        return self
+
+    def unpersist(self):
+        self.log.append(("unpersist",))
+        return self
 
     def count(self):
+        self.log.append(("count",))
         return self._n
 
 
@@ -235,6 +245,22 @@ def test_direct_write_method_uses_connector_not_driver(sink):
     }
     # the driver-side client path stayed cold
     assert not any(c[0] == "load" for c in client.calls)
+    # single upstream evaluation: persisted BEFORE the count, released
+    # after the save (review r7 — count-then-save without persist runs
+    # the upstream plan twice)
+    order = [e[0] for e in log]
+    assert order.index("persist") < order.index("count")
+    assert order.index("save") < order.index("unpersist")
+
+
+def test_write_method_typos_fail_fast():
+    """Review r7: anything but 'pandas'/'direct' must raise at config
+    time — a typo silently taking the pandas branch would driver-collect
+    the very table the direct path exists for."""
+    with pytest.raises(ValueError, match="write_method"):
+        BigQuerySinkConfig("proj", "hours", write_method="DIRECT")
+    with pytest.raises(ValueError, match="write_method"):
+        BigQuerySinkConfig("proj", "hours", write_method="Direct")
 
 
 def test_direct_write_method_rejects_pandas(sink):

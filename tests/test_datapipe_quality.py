@@ -1059,9 +1059,15 @@ def test_index_tmp_sweeps_dead_process_dirs(tmp_path, monkeypatch):
     other_family = tmp_path / f"hac_lsh_{dead_pid}_deadbeef"
     other_family.mkdir()
 
+    # a garbage entry whose digit run exceeds the C pid range must be
+    # skipped, not crash the sweep (review r7: /tmp is world-writable)
+    garbage = tmp_path / f"hac_ivf_{10**30}_junk"
+    garbage.mkdir()
+
     leaf = _index_tmp("hac_ivf_", "/root/testdata/sf0.001", "idx")
     assert not dead.exists(), "dead-pid sibling not swept"
     assert mine_other.exists(), "live-pid sibling wrongly swept"
     assert other_family.exists(), "other family wrongly swept"
+    assert garbage.exists(), "overflow-pid entry should be left alone"
     # stable naming: same inputs → same root across calls
     assert leaf == _index_tmp("hac_ivf_", "/root/testdata/sf0.001", "idx")

@@ -1981,6 +1981,22 @@ class TestIndexTombstones:
             spark, lsh2, emb.filter(F.lit(False)).select("vec_id")
         )
         assert not os.path.exists(f"{lsh2}/tombstones")
+        # empty NON-list iterables are the same no-op (review r7: the
+        # docstring says "list/iterable"; set()/tuple() must not fall
+        # through to an uninferrable empty createDataFrame)
+        lsh_index_delete(spark, lsh2, set())
+        lsh_index_delete(spark, lsh2, tuple())
+        ivf_index_delete(spark, ivf_path, "vec_id", iter(()))
+        inverted_index_delete(spark, txt_path, set())
+        assert not os.path.exists(f"{lsh2}/tombstones")
+        # and a non-empty generator deletes like a list
+        lsh_index_delete(spark, lsh2, (v for v in [1, 2]))
+        assert (
+            lsh_index_read(spark, lsh2)
+            .filter(F.col("vid").isin([1, 2]))
+            .count()
+            == 0
+        )
 
         # a multi-column DataFrame without the key column is rejected
         import pytest as _pytest
