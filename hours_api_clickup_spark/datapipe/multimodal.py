@@ -113,12 +113,20 @@ def decode_bmp(data: bytes):
 
     if data[:2] != b"BM":
         raise ValueError("not a BMP stream")
-    pixel_off = struct.unpack_from("<I", data, 10)[0]
-    w, h = struct.unpack_from("<ii", data, 18)
-    bpp = struct.unpack_from("<H", data, 28)[0]
-    comp = struct.unpack_from("<I", data, 30)[0]
+    try:
+        pixel_off = struct.unpack_from("<I", data, 10)[0]
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        comp = struct.unpack_from("<I", data, 30)[0]
+    except struct.error as exc:
+        # normalize to ValueError: a malformed corpus blob must surface
+        # as the decode contract's error class inside a Spark task, not
+        # struct internals (review r7 fuzz)
+        raise ValueError(f"truncated BMP header: {exc}") from exc
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={comp}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions: {w}x{h}")
     row_bytes = w * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
     rows = []
@@ -195,14 +203,20 @@ def decode_audio(content: bytes):
 
     import numpy as np
 
-    with wave.open(io.BytesIO(bytes(content)), "rb") as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise ValueError(
-                f"unsupported WAV layout: width={w.getsampwidth()} "
-                f"channels={w.getnchannels()}"
-            )
-        rate = w.getframerate()
-        frames = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError(
+                    f"unsupported WAV layout: width={w.getsampwidth()} "
+                    f"channels={w.getnchannels()}"
+                )
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as exc:
+        # normalize to ValueError (the decode contract's error class) —
+        # stdlib wave leaks wave.Error / EOFError on truncated or
+        # non-RIFF blobs (review r7 fuzz)
+        raise ValueError(f"malformed WAV stream: {exc}") from exc
     return np.frombuffer(frames, dtype=np.int16), rate
 
 

@@ -211,3 +211,44 @@ def test_png_roundtrip_with_real_pil():
     PIL_Image.fromarray(px).save(buf, format="PNG")
     out = decode_media(buf.getvalue())
     assert np.array_equal(out, px)
+
+
+def test_fuzz_decoders_raise_valueerror_never_leak(monkeypatch):
+    """Review r7 fuzz: on ARBITRARY bytes every decoder either succeeds
+    or raises ValueError — never struct.error / wave.Error / EOFError /
+    a hang. A malformed corpus blob inside a Spark task must surface as
+    the decode contract's error class (callers quarantine on it)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        decode_audio,
+        decode_video_frame,
+        video_frame_count,
+    )
+
+    payload = st.binary(min_size=0, max_size=160)
+    magic = st.sampled_from(
+        [b"", b"BM", b"P6", b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff"]
+    )
+
+    @settings(
+        max_examples=400,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(prefix=magic, body=payload, idx=st.integers(0, 3))
+    def run(prefix, body, idx):
+        blob = prefix + body
+        for fn in (
+            decode_media,
+            decode_audio,
+            video_frame_count,
+            lambda b: decode_video_frame(b, idx),
+        ):
+            try:
+                fn(blob)
+            except ValueError:
+                pass  # the contract
+
+    run()

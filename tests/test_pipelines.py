@@ -1207,3 +1207,61 @@ def test_read_fact_or_empty_recovers_mid_swap_crash(spark, tmp_path):
 
     got = read_fact_or_empty(spark, fact, spark.range(0))
     assert got.count() == 5  # recovered, not treated as first run
+
+
+def test_streaming_doc_neardup_steady_state_never_scans_pairs_table(
+    spark, tmp_path, monkeypatch
+):
+    """Advice r6: the prev-pairs anti-join is a recovery-only cost. On a
+    clean run (no redelivery) NO batch may read the accumulated pairs
+    table — the old unconditional anti-join scanned a table that grows
+    without bound, once per steady-state batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from hours_api_clickup_spark.datapipe.dedup import minhash_lsh_pairs
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_doc_neardup_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stage = str(tmp_path / "stage")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    idx = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+
+    reads: list[str] = []
+    real_parquet = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        reads.extend(paths)
+        return real_parquet(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    q = streaming_doc_neardup_ingest(
+        stream, idx, pairs_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    monkeypatch.setattr(DataFrameReader, "parquet", real_parquet)
+
+    pair_reads = [p for p in reads if str(p).startswith(pairs_path)]
+    assert pair_reads == [], pair_reads
+    # and the output is still the one-shot pair table (nothing skipped)
+    streamed = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert streamed == full
