@@ -133,11 +133,20 @@ def main() -> None:
         "text_index_phrase_probe",
         "text_index_tombstone_probe",
     )
-    for name in CACHE_CONSUMERS:
-        if name in QUERIES and name not in EXCLUDE:
-            run_once(name)
+    warmed = [
+        name
+        for name in CACHE_CONSUMERS
+        if name in QUERIES and name not in EXCLUDE
+    ]
+    for name in warmed:
+        run_once(name)
+    # count the names actually warmed: a renamed/removed consumer
+    # silently skipping while the log claims 12 would re-conflate build
+    # with probe in its timed row unnoticed (review r7)
+    missing = sorted(set(CACHE_CONSUMERS) - set(warmed))
     print(
-        f"# warmed {len(CACHE_CONSUMERS)} cache-consumer queries untimed",
+        f"# warmed {len(warmed)}/{len(CACHE_CONSUMERS)} cache-consumer "
+        f"queries untimed" + (f"; MISSING: {missing}" if missing else ""),
         file=sys.stderr,
     )
     for name in BENCH_QUERIES:
@@ -202,8 +211,6 @@ def main() -> None:
     #   rebuild — sign + write the whole corpus from scratch.
     # At 100 TB the ingest cadence runs append, with upsert/compact on
     # the amortization cadence; rebuild is the quantizer-retrain path.
-    import tempfile
-
     from pyspark.sql import functions as _F
 
     from hours_api_clickup_spark.datapipe.similarity import (
@@ -236,9 +243,15 @@ def main() -> None:
         .localCheckpoint()
     )
     base = big.filter(_F.col("vec_id") % 2000 != 0)
-    batch = big.filter(_F.col("vec_id") % 2000 == 0)  # ~100-vector batch
+    emb_batch = big.filter(_F.col("vec_id") % 2000 == 0)  # ~100-vector batch
 
-    ap_path = tempfile.mkdtemp(prefix="bench_lsh_ap_") + "/idx"
+    # scratch dirs go through the registry's _index_tmp (pid-keyed name,
+    # wipe-on-reuse, dead-pid sweep): bare mkdtemp leaked four index
+    # copies per bench run into /tmp forever — the exact accumulation
+    # failure r6 fixed on the registry side (review r7)
+    from hours_api_clickup_spark.plans.registry_datapipe import _index_tmp
+
+    ap_path = _index_tmp("bench_lsh_ap_", SF_DIR, "idx")
     lsh_index_write(base, "embedding", "vec_id", ap_path, dim=64)
 
     # Cap the EXPENSIVE ingest medians at 3 runs regardless of
@@ -256,19 +269,19 @@ def main() -> None:
     # bumps seq, the log's actual shape.
     def _upsert_once() -> float:
         t0 = time.perf_counter()
-        lsh_index_upsert(batch, "embedding", "vec_id", ap_path, dim=64)
+        lsh_index_upsert(emb_batch, "embedding", "vec_id", ap_path, dim=64)
         return time.perf_counter() - t0
 
     t_upsert = statistics.median(_upsert_once() for _ in range(INGEST_RUNS))
 
     def _append_once(seq: int) -> float:
         t0 = time.perf_counter()
-        lsh_index_append(batch, "embedding", "vec_id", ap_path, dim=64, seq=seq)
+        lsh_index_append(emb_batch, "embedding", "vec_id", ap_path, dim=64, seq=seq)
         return time.perf_counter() - t0
 
     t_append = statistics.median(_append_once(2 + i) for i in range(INGEST_RUNS))
 
-    rb_path = tempfile.mkdtemp(prefix="bench_lsh_rb_") + "/idx"
+    rb_path = _index_tmp("bench_lsh_rb_", SF_DIR, "idx")
 
     def _rebuild_once() -> float:
         t0 = time.perf_counter()
@@ -299,23 +312,31 @@ def main() -> None:
     )
 
     docs = load_table(spark, SF_DIR, "documents")
-    corpus = docs.filter(_F2.col("doc_id") % 10 != 0)
-    batch = docs.filter(_F2.col("doc_id") % 10 == 0)
-    didx = tempfile.mkdtemp(prefix="bench_docidx_") + "/idx"
+    corpus = docs.filter(_F2.col("doc_id") % 20 >= INGEST_RUNS)
+    didx = _index_tmp("bench_docidx_", SF_DIR, "idx")
     doc_neardup_index_write(corpus, "doc_id", "text", didx)
 
-    # median like the LSH rows above (re-appending the same batch is the
-    # re-ingest workload — same O(batch) shingle+sign shape)
-    def _doc_append_once() -> float:
+    # median like the LSH rows above, but over DISJOINT ~5% slices:
+    # doc_neardup_index_append's contract is new-ids-only (re-ingest
+    # goes through a rebuild, dedup.py "Precondition"), so re-appending
+    # the same batch timed a workload the API does not support — every
+    # doc collided with its own prior copy in all bands, inflating runs
+    # 2..N with degenerate self-pairs (review r7). Each run now folds a
+    # fresh same-sized slice, the actual ingest cadence.
+    def _doc_append_once(i: int) -> float:
+        doc_batch = docs.filter(_F2.col("doc_id") % 20 == i)
         t0 = time.perf_counter()
-        doc_neardup_index_append(batch, didx, "doc_id", "text").count()
+        doc_neardup_index_append(doc_batch, didx, "doc_id", "text").count()
         return time.perf_counter() - t0
 
-    t_doc_append = statistics.median(_doc_append_once() for _ in range(INGEST_RUNS))
+    t_doc_append = statistics.median(
+        _doc_append_once(i) for i in range(INGEST_RUNS)
+    )
     timings["doc_index_append_batch"] = round(t_doc_append, 3)
     print(
-        f"# doc near-dup index: 10% batch fold {t_doc_append:.3f}s vs "
-        f"cold one-shot (dedup_minhash_lsh_cold row)",
+        f"# doc near-dup index: 5% batch fold {t_doc_append:.3f}s "
+        f"(median of {INGEST_RUNS} disjoint slices) vs cold one-shot "
+        f"(dedup_minhash_lsh_cold row)",
         file=sys.stderr,
     )
 
@@ -345,13 +366,31 @@ def main() -> None:
     )
     t_corpus = bigdocs.filter(_F2.col("doc_id") % 10 != 0)
     t_batch = bigdocs.filter(_F2.col("doc_id") % 10 == 0)
-    tidx = tempfile.mkdtemp(prefix="bench_textidx_") + "/idx"
-    t0 = time.perf_counter()
-    inverted_index_write(t_corpus, "text", "doc_id", tidx)
-    t_text_build = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    inverted_index_append(t_batch, "text", "doc_id", tidx, seq=1)
-    t_text_append = time.perf_counter() - t0
+    tidx = _index_tmp("bench_textidx_", SF_DIR, "idx")
+
+    # build/append were the last single-shot write rows; median them
+    # like every other ingest row (review r7 — the single-shot GEMM +
+    # multi-file-commit class bounced 2-4× between same-code runs).
+    # Re-building overwrites via the staged swap (safe); re-appending
+    # the same batch at a bumped seq is the text index's supported
+    # re-ingest shape (merge-on-read, same as the LSH append row).
+    def _text_build_once() -> float:
+        t0 = time.perf_counter()
+        inverted_index_write(t_corpus, "text", "doc_id", tidx)
+        return time.perf_counter() - t0
+
+    t_text_build = statistics.median(
+        _text_build_once() for _ in range(INGEST_RUNS)
+    )
+
+    def _text_append_once(seq: int) -> float:
+        t0 = time.perf_counter()
+        inverted_index_append(t_batch, "text", "doc_id", tidx, seq=seq)
+        return time.perf_counter() - t0
+
+    t_text_append = statistics.median(
+        _text_append_once(1 + i) for i in range(INGEST_RUNS)
+    )
     # probe vs scan: the row's claim is STEADY-STATE query cost, so
     # both are medians of N_RUNS (a single-shot probe right after the
     # build bounced 1.1-8.2s across rounds — mostly first-read

@@ -55,11 +55,30 @@ class PlanAuditError(AssertionError):
 
 
 def physical_plan(df: DataFrame) -> str:
-    """The simple-mode physical plan as a string."""
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain()
-    return buf.getvalue()
+    """The simple-mode physical plan as a string.
+
+    Goes through QueryExecution.explainString directly: capturing
+    ``df.explain()`` via redirect_stdout swaps the process-global
+    ``sys.stdout``, so two threads gating plans concurrently could read
+    each other's (or mixed) plan text (review r7). The redirect path
+    remains as a fallback for API drift."""
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+    except Exception:  # noqa: BLE001 — connect mode / JVM API drift
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+
+def _tree_depth(line: str) -> int:
+    """Indentation depth of one explain-tree line: the offset where the
+    operator text starts, past the ``+- : | `` scaffolding."""
+    return len(line) - len(line.lstrip(" :+-|"))
 
 
 def audit_plan(
@@ -84,15 +103,21 @@ def audit_plan(
         # SinglePartition exchange in the same operator chain. Plain
         # co-occurrence anywhere in the plan false-positived on clean
         # pipelines that have a keyed window AND an unrelated global
-        # single-row aggregate (review r6) — so require the exchange to
-        # appear between the Window line and the next Exchange above it
-        # in the printed bottom-up tree (explain prints operators with
-        # children below, so the window's input follows its line).
+        # single-row aggregate (review r6), so the scan looks for the
+        # first Exchange BELOW the Window line — and it must stay
+        # INSIDE the window's subtree (lines strictly deeper than the
+        # Window's indentation): a window whose input needs no shuffle
+        # (bucketed scan) would otherwise leak the scan into a sibling
+        # join branch and flag that branch's unrelated SinglePartition
+        # aggregate (review r7).
         lines = plan.splitlines()
         for i, line in enumerate(lines):
             if "Window" not in line:
                 continue
+            w_depth = _tree_depth(line)
             for nxt in lines[i + 1:]:
+                if _tree_depth(nxt) <= w_depth:
+                    break  # left the window's subtree: no exchange input
                 if "Exchange" in nxt:
                     if "SinglePartition" in nxt:
                         problems.append(
@@ -110,11 +135,21 @@ def audit_plan(
             "an Arrow-batched pandas_udf/mapInPandas"
         )
     if "global-sort" not in allow:
-        if "rangepartitioning" in plan and "TakeOrderedAndProject" not in plan:
+        # per-line, not plan-wide: a top-k that compiles to
+        # TakeOrderedAndProject produces NO rangepartitioning exchange,
+        # so any such exchange in the plan IS a full-table sort (or an
+        # intentional repartitionByRange — allowlist it). The old
+        # plan-wide waiver let a genuine full sort hide behind an
+        # unrelated top-k elsewhere in the same plan (review r7).
+        if any(
+            "Exchange" in line and "rangepartitioning" in line
+            for line in plan.splitlines()
+        ):
             problems.append(
-                "global-sort: rangepartitioning exchange without a "
-                "top-k — full-table sort; orderBy().limit() compiles to "
-                "the per-partition heap form if k is what you meant"
+                "global-sort: rangepartitioning exchange — full-table "
+                "sort; orderBy().limit() compiles to the per-partition "
+                "heap form if top-k is what you meant (allowlist for an "
+                "intentional repartitionByRange)"
             )
     return problems
 

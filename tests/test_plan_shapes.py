@@ -682,3 +682,60 @@ def test_corpus_drift_two_aggs_topk_no_global_window(spark):
     assert plan.count("SortMergeJoin") <= 1  # the vocab full-outer only
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPlanAuditTreeShapes:
+    """Review r7: the audit's tree walks must respect subtree bounds —
+    exercised with synthetic plan strings via the ``plan=`` override
+    (shapes like a bucketed-scan window need table setup a unit test
+    shouldn't pay for)."""
+
+    def test_keyed_window_without_exchange_does_not_leak_to_sibling(self):
+        from hours_api_clickup_spark.plans.audit import audit_plan
+
+        # Window's subtree (bucketed scan, no exchange) ends before the
+        # join's other branch, which holds an unrelated global
+        # aggregate's SinglePartition exchange — must NOT flag.
+        plan = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastHashJoin [k], [k2], Inner
+   :- Window [row_number() ...], [k], [id ASC]
+   :  +- Sort [k ASC, id ASC], false, 0
+   :     +- FileScan parquet bucketed(k, 8)
+   +- BroadcastExchange IdentityBroadcastMode
+      +- Exchange SinglePartition
+         +- HashAggregate(keys=[], functions=[count(1)])
+"""
+        assert not any(
+            p.startswith("global-window") for p in audit_plan(None, plan=plan)
+        )
+
+    def test_global_window_flagged_at_any_nesting_depth(self):
+        from hours_api_clickup_spark.plans.audit import audit_plan
+
+        plan = """AdaptiveSparkPlan isFinalPlan=false
++- Project [id, rn]
+   +- Window [row_number() ...], [id ASC]
+      +- Sort [id ASC], false, 0
+         +- Exchange SinglePartition
+            +- Range (0, 100)
+"""
+        assert any(
+            p.startswith("global-window") for p in audit_plan(None, plan=plan)
+        )
+
+    def test_full_sort_not_hidden_by_unrelated_topk(self):
+        from hours_api_clickup_spark.plans.audit import audit_plan
+
+        # the old plan-wide waiver passed this: a genuine full-table
+        # sort coexisting with an unrelated top-k elsewhere
+        plan = """AdaptiveSparkPlan isFinalPlan=false
++- Union
+   :- Sort [ts ASC], true, 0
+   :  +- Exchange rangepartitioning(ts ASC, 32)
+   :     +- FileScan parquet events
+   +- TakeOrderedAndProject(limit=10, orderBy=[score DESC])
+      +- FileScan parquet docs
+"""
+        assert any(
+            p.startswith("global-sort") for p in audit_plan(None, plan=plan)
+        )
