@@ -1033,6 +1033,12 @@ def doc_neardup_index_append(
     bband = bband.localCheckpoint()
 
     old_bands = spark.read.parquet(f"{path}/bands")
+    tomb = _doc_tombstones(spark, path)
+    if tomb is not None:
+        # tombstoned documents stop producing candidates — the delete
+        # path's read-side contract (their band rows are still on disk
+        # until doc_neardup_index_compact folds them out)
+        old_bands = old_bands.join(F.broadcast(tomb), "did", "left_anti")
     # batch bands broadcast → the corpus bands scan stays map-side
     cross = (
         old_bands.join(
@@ -1179,6 +1185,9 @@ def doc_neardup_index_pairs_for_ids(
     est_margin = 0.2
     min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
     bands = spark.read.parquet(f"{path}/bands")
+    tomb = _doc_tombstones(spark, path)
+    if tomb is not None:
+        bands = bands.join(F.broadcast(tomb), "did", "left_anti")
     mine = bands.join(
         F.broadcast(ids.select(F.col(ids.columns[0]).alias("did"))), "did"
     ).select(F.col("did").alias("bdid"), "band", "bucket")
@@ -1194,3 +1203,79 @@ def doc_neardup_index_pairs_for_ids(
     return _verify_candidate_pairs(
         spark, path, cand, None, min_matches, threshold
     )
+
+
+def _doc_tombstones(spark, path: str):
+    """(did) rows tombstoned out of this index, or None when the marker
+    dir is absent (the fast path — zero extra work for indexes that
+    never saw a delete)."""
+    from hours_api_clickup_spark.datapipe.similarity import _fs_exists
+
+    tomb_path = f"{path}/tombstones"
+    if not _fs_exists(spark, tomb_path):
+        return None
+    return spark.read.parquet(tomb_path).select("did").dropDuplicates()
+
+
+def doc_neardup_index_delete(spark, path: str, doc_ids) -> None:
+    """Tombstone delete for the document near-dup signature index — the
+    takedown path (a removed/retracted document must stop producing
+    candidates and pairs): one tiny (did) marker batch appended under
+    ``{path}/tombstones``; NO sig or bands file is read or rewritten.
+    Every read path (``doc_neardup_index_append`` candidate generation,
+    ``doc_neardup_index_pairs_for_ids``) applies the broadcast
+    anti-filter; ``doc_neardup_index_compact`` folds the deletes in
+    physically and drops the marker dir. Completes the delete story
+    across all five persisted index families (LSH / IVF / IVFPQ /
+    inverted text / near-dup signatures).
+
+    Unlike the seq-versioned vector/text tombstones, sig rows carry no
+    version: re-ingest of a deleted id goes through a rebuild — the
+    index's standing re-ingest contract (``doc_neardup_index_append``
+    precondition) — so markers are plain did keys, no LSM resurrection
+    semantics. ``doc_ids`` is a list/iterable or a DataFrame of ids
+    (distributed marker write, no driver collect)."""
+    from hours_api_clickup_spark.datapipe.similarity import _write_tombstones
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = list(doc_ids)
+        if not doc_ids:
+            return
+    _write_tombstones(spark, f"{path}/tombstones", "did", doc_ids, 0)
+
+
+def doc_neardup_index_compact(spark, path: str) -> None:
+    """Fold tombstones physically: rewrite ``sig`` and ``bands`` minus
+    the tombstoned dids — staged + swapped like every compactor here
+    (an in-place overwrite deletes the live dir at job start, so a
+    mid-compact crash would destroy the index) — then drop the marker
+    dir. O(corpus), run on the compaction cadence. No tombstones: no-op."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _delete_partition_dirs,
+        _fs_recover_swap,
+        _fs_swap_dir,
+    )
+
+    _fs_recover_swap(spark, f"{path}/sig")
+    _fs_recover_swap(spark, f"{path}/bands")
+    tomb = _doc_tombstones(spark, path)
+    if tomb is None:
+        return
+    tomb = tomb.localCheckpoint(eager=True)  # read once, reused twice
+    live_sig = spark.read.parquet(f"{path}/sig").join(
+        F.broadcast(tomb), "did", "left_anti"
+    )
+    staged = f"{path}/sig__staged"
+    live_sig.repartitionByRange(8, "did").sortWithinPartitions(
+        "did"
+    ).write.mode("overwrite").parquet(staged)
+    _fs_swap_dir(spark, f"{path}/sig", staged)
+    live_bands = spark.read.parquet(f"{path}/bands").join(
+        F.broadcast(tomb), "did", "left_anti"
+    )
+    staged = f"{path}/bands__staged"
+    live_bands.sortWithinPartitions("band", "bucket").write.mode(
+        "overwrite"
+    ).parquet(staged)
+    _fs_swap_dir(spark, f"{path}/bands", staged)
+    _delete_partition_dirs(spark, path, ["tombstones"])

@@ -2006,6 +2006,96 @@ class TestIndexTombstones:
                 spark, lsh2, emb.select("vec_id", "embedding").withColumnRenamed("vec_id", "other")
             )
 
+    def test_doc_neardup_delete_append_and_compact(self, spark, tmp_path):
+        """r7: tombstone delete on the near-dup signature index — the
+        takedown path. Zero sig/bands I/O at delete time; appended
+        batches stop pairing with deleted docs (incremental ≡ one-shot
+        over the corpus MINUS the deleted slice); compaction folds the
+        deletes physically and drops the marker dir."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_append,
+            doc_neardup_index_compact,
+            doc_neardup_index_delete,
+            doc_neardup_index_pairs_for_ids,
+            doc_neardup_index_write,
+            minhash_lsh_pairs,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        doomed = corpus.filter(F.col("doc_id") % 7 == 1).select("doc_id")
+        doomed_ids = {r[0] for r in doomed.collect()}
+        assert doomed_ids  # the delete must have something to bite
+
+        path = str(tmp_path / "didx")
+        doc_neardup_index_write(corpus, "doc_id", "text", path)
+        sig_before = self._listing(f"{path}/sig")
+        bands_before = self._listing(f"{path}/bands")
+        doc_neardup_index_delete(spark, path, doomed)  # DataFrame-shaped
+        # zero corpus I/O: not one sig or bands file added/removed/resized
+        assert self._listing(f"{path}/sig") == sig_before
+        assert self._listing(f"{path}/bands") == bands_before
+        assert os.path.isdir(f"{path}/tombstones")
+
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in doc_neardup_index_append(
+                batch, path, "doc_id", "text"
+            ).collect()
+        }
+        # oracle: one-shot pairs over (corpus ∖ doomed) ∪ batch,
+        # restricted to pairs touching the batch
+        remaining = corpus.join(doomed, "doc_id", "left_anti")
+        batch_ids = {r[0] for r in batch.select("doc_id").collect()}
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(
+                remaining.unionByName(batch), "doc_id", "text"
+            ).collect()
+            if r.id_a in batch_ids or r.id_b in batch_ids
+        }
+        assert got == want
+        assert not ({a for a, _ in got} | {b for _, b in got}) & doomed_ids
+
+        # recovery path respects the tombstones too
+        rec = {
+            (r.id_a, r.id_b)
+            for r in doc_neardup_index_pairs_for_ids(
+                spark, path, batch.select(F.col("doc_id").alias("did"))
+            ).collect()
+        }
+        assert rec == set(want)
+
+        # compaction folds physically and drops the markers
+        n_live = remaining.count() + batch.count()
+        doc_neardup_index_compact(spark, path)
+        assert not os.path.exists(f"{path}/tombstones")
+        assert spark.read.parquet(f"{path}/sig").count() == n_live
+        assert (
+            spark.read.parquet(f"{path}/bands")
+            .filter(F.col("did").isin(list(doomed_ids)))
+            .count()
+            == 0
+        )
+        # post-compact reads are unchanged
+        rec2 = {
+            (r.id_a, r.id_b)
+            for r in doc_neardup_index_pairs_for_ids(
+                spark, path, batch.select(F.col("doc_id").alias("did"))
+            ).collect()
+        }
+        assert rec2 == set(want)
+        # list-shaped and empty-iterable inputs behave like the others
+        doc_neardup_index_delete(spark, path, set())
+        assert not os.path.exists(f"{path}/tombstones")
+
 
 def test_zorder_layout_prunes_box_probes(spark, tmp_path):
     """End-to-end scan-skip proof for the z-order layout: for a box
