@@ -1019,7 +1019,14 @@ def doc_neardup_index_append(
     batch ids are new (the standard ingest contract; re-ingest goes
     through a rebuild, as with the vector-index compaction cadence).
     """
+    from hours_api_clickup_spark.datapipe.similarity import _fs_recover_swap
+
     spark = batch.sparkSession
+    # roll back a crashed compact's half-finished swap before reading
+    # (the _fs_swap_dir contract: every reader/writer entry point
+    # recovers first — review r7)
+    _fs_recover_swap(spark, f"{path}/sig")
+    _fs_recover_swap(spark, f"{path}/bands")
     est_margin = 0.2
     min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
 
@@ -1182,6 +1189,11 @@ def doc_neardup_index_pairs_for_ids(
     for a crashed streaming ingest attempt — the batch's index append
     completed (its dids are in ``{path}/sig``) but the pairs write did
     not (review r6); see streaming/ann_ingest.py."""
+    from hours_api_clickup_spark.datapipe.similarity import _fs_recover_swap
+
+    # roll back a crashed compact's half-finished swap first (review r7)
+    _fs_recover_swap(spark, f"{path}/sig")
+    _fs_recover_swap(spark, f"{path}/bands")
     est_margin = 0.2
     min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
     bands = spark.read.parquet(f"{path}/bands")
@@ -1248,20 +1260,53 @@ def doc_neardup_index_compact(spark, path: str) -> None:
     """Fold tombstones physically: rewrite ``sig`` and ``bands`` minus
     the tombstoned dids — staged + swapped like every compactor here
     (an in-place overwrite deletes the live dir at job start, so a
-    mid-compact crash would destroy the index) — then drop the marker
-    dir. O(corpus), run on the compaction cadence. No tombstones: no-op."""
+    mid-compact crash would destroy the index) — then drop exactly the
+    marker FILES the rewrite consumed: a delete landing while the
+    O(corpus) rewrite runs appends a new marker file the end-of-compact
+    drop must not erase (review r7), so the drop is bounded to the
+    snapshot listing and the dir survives if new markers arrived.
+    O(corpus), run on the compaction cadence. No tombstones (or an
+    index that was never written): no-op. After a compact, re-ingesting
+    a previously deleted id resurrects it — BEFORE a compact, markers
+    persist across rebuilds, so a takedown survives index maintenance.
+
+    Maintenance contract (shared with every index compactor here):
+    single writer — run with the ingest stream quiescent; a compact
+    racing an ingest batch that crashed between its sig write and its
+    done-marker could fold the batch's dids out of sig and make the
+    redelivery guard re-classify them as fresh."""
     from hours_api_clickup_spark.datapipe.similarity import (
-        _delete_partition_dirs,
+        _fs_exists,
         _fs_recover_swap,
         _fs_swap_dir,
     )
 
     _fs_recover_swap(spark, f"{path}/sig")
     _fs_recover_swap(spark, f"{path}/bands")
-    tomb = _doc_tombstones(spark, path)
-    if tomb is None:
+    if not _fs_exists(spark, f"{path}/sig"):
+        return  # delete-before-build: markers stay until an index exists
+    if not _fs_exists(spark, f"{path}/tombstones"):
         return
-    tomb = tomb.localCheckpoint(eager=True)  # read once, reused twice
+    # snapshot the marker FILES first and fold EXACTLY those: a marker
+    # landing after this listing is neither folded nor deleted — it
+    # simply survives into the next compact
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    tomb_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = tomb_dir.getFileSystem(hconf)
+    consumed = [
+        st.getPath()
+        for st in fs.listStatus(tomb_dir)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    ]
+    if not consumed:
+        return
+    tomb = (
+        spark.read.parquet(*[str(p) for p in consumed])
+        .select("did")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # read once, reused twice
+    )
     live_sig = spark.read.parquet(f"{path}/sig").join(
         F.broadcast(tomb), "did", "left_anti"
     )
@@ -1278,4 +1323,14 @@ def doc_neardup_index_compact(spark, path: str) -> None:
         "overwrite"
     ).parquet(staged)
     _fs_swap_dir(spark, f"{path}/bands", staged)
-    _delete_partition_dirs(spark, path, ["tombstones"])
+    for p in consumed:
+        fs.delete(p, False)
+    # drop the dir only when no NEW marker arrived during the rewrite
+    # (underscore files — _SUCCESS — are commit debris, not markers)
+    leftover = [
+        st
+        for st in fs.listStatus(tomb_dir)
+        if not st.getPath().getName().startswith("_")
+    ]
+    if not leftover:
+        fs.delete(tomb_dir, True)

@@ -132,6 +132,32 @@ def streaming_doc_neardup_ingest(
         fs = marker.getFileSystem(hconf)
         if fs.exists(marker):
             return  # fully applied by a previous attempt
+        # roll back a crashed compact's half-finished swap BEFORE the
+        # existence probe: mid-swap, sig is briefly absent and a bare
+        # exists() would misread that as first-run — the bootstrap
+        # overwrite below would then silently replace the whole corpus
+        # index with an empty one (review r7)
+        from hours_api_clickup_spark.datapipe.dedup import _doc_tombstones
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _fs_recover_swap,
+        )
+
+        _fs_recover_swap(spark, f"{index_path}/sig")
+        _fs_recover_swap(spark, f"{index_path}/bands")
+        # a takedown issued between this batch's publication and its
+        # arrival must win: drop tombstoned dids from the batch while
+        # the markers live (post-compact, a re-ingest is an intentional
+        # resurrection — the documented lifecycle)
+        tomb = _doc_tombstones(spark, index_path)
+        if tomb is not None:
+            batch_df = batch_df.join(
+                F.broadcast(tomb),
+                batch_df[id_col] == tomb["did"],
+                "left_anti",
+            )
+            if not batch_df.head(1):
+                fs.mkdirs(marker)  # everything tombstoned: batch done
+                return
         p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/sig")
         if not fs.exists(p):
             # bootstrap with an EMPTY index so the first batch's own

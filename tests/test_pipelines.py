@@ -1265,3 +1265,69 @@ def test_streaming_doc_neardup_steady_state_never_scans_pairs_table(
         for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert streamed == full
+
+
+def test_streaming_doc_neardup_drops_tombstoned_dids_from_batches(
+    spark, tmp_path
+):
+    """Review r7: a takedown issued between a document's publication
+    and its arrival must win — the ingest drops tombstoned dids from
+    incoming batches while the markers live, so the deleted doc never
+    enters sig/bands or the pair table."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.dedup import (
+        doc_neardup_index_delete,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_doc_neardup_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stage = str(tmp_path / "stage")
+    idx = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    second = docs.filter(F.col("doc_id") % 3 == 1)
+    first.coalesce(1).write.mode("append").parquet(stage)
+
+    def drain():
+        q = streaming_doc_neardup_ingest(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            idx, pairs_path, ckpt,
+        )
+        q.awaitTermination(300)
+
+    drain()  # first slice indexed
+    # takedown lands for a doc that is IN the second, not-yet-arrived
+    # slice (and one already-indexed doc, exercising both directions)
+    doomed_incoming = second.select("doc_id").head()[0]
+    doomed_indexed = first.select("doc_id").head()[0]
+    doc_neardup_index_delete(
+        spark, idx, [doomed_incoming, doomed_indexed]
+    )
+    second.coalesce(1).write.mode("append").parquet(stage)
+    drain()  # second slice arrives after the takedown
+
+    sig_dids = {
+        r[0] for r in spark.read.parquet(f"{idx}/sig").select("did").collect()
+    }
+    assert doomed_incoming not in sig_dids  # never ingested
+    assert doomed_indexed in sig_dids  # still physical until compact...
+    import os
+
+    if os.path.exists(pairs_path):
+        touched = {
+            x
+            for r in spark.read.parquet(pairs_path).collect()
+            for x in (r.id_a, r.id_b)
+        }
+        # ...but produces no NEW pairs: batch-2 candidates were
+        # anti-filtered against the tombstones
+        assert doomed_incoming not in touched

@@ -2191,3 +2191,123 @@ def test_as_of_join_rejects_colliding_right_cols(spark):
     )
     with _pytest.raises(ValueError, match="collide"):
         as_of_join(left, right, "k", "ts", "rts", right_cols=["status"])
+
+
+class TestDocNeardupCompactCrashWindows:
+    """Review r7: the compactor's crash/concurrency windows."""
+
+    def test_readers_recover_mid_compact_swap(self, spark, tmp_path):
+        """A crash between _fs_swap_dir's two renames leaves live
+        absent and __old present; every reader must roll it back, and
+        the streaming bootstrap must NOT misread it as first-run."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_append,
+            doc_neardup_index_pairs_for_ids,
+            doc_neardup_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        path = str(tmp_path / "didx")
+        doc_neardup_index_write(corpus, "doc_id", "text", path)
+        n_sig = spark.read.parquet(f"{path}/sig").count()
+
+        # simulate the mid-swap crash on sig
+        os.rename(f"{path}/sig", f"{path}/sig__old")
+        pairs = doc_neardup_index_append(batch, path, "doc_id", "text")
+        assert pairs.count() > 0  # recovered, corpus visible
+        assert os.path.isdir(f"{path}/sig")
+        assert not os.path.exists(f"{path}/sig__old")
+        assert (
+            spark.read.parquet(f"{path}/sig").count()
+            == n_sig + batch.count()
+        )
+        # and on bands, for the recovery-path reader
+        os.rename(f"{path}/bands", f"{path}/bands__old")
+        rec = doc_neardup_index_pairs_for_ids(
+            spark, path, batch.select(F.col("doc_id").alias("did"))
+        )
+        assert {(r.id_a, r.id_b) for r in rec.collect()} == {
+            (r.id_a, r.id_b) for r in pairs.collect()
+        }
+        assert os.path.isdir(f"{path}/bands")
+
+    def test_delete_landing_during_compact_survives(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A marker appended while the O(corpus) rewrite runs must NOT
+        be erased by the end-of-compact drop — it survives into the
+        next compact and keeps filtering reads meanwhile."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        import hours_api_clickup_spark.datapipe.similarity as sim
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_compact,
+            doc_neardup_index_delete,
+            doc_neardup_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        ids = [r[0] for r in corpus.select("doc_id").head(3)]
+        early, late = ids[0], ids[1]
+        path = str(tmp_path / "didx")
+        doc_neardup_index_write(corpus, "doc_id", "text", path)
+        doc_neardup_index_delete(spark, path, [early])
+
+        real_swap = sim._fs_swap_dir
+        fired = []
+
+        def inject_late_delete(spark_, live, staged):
+            if not fired:
+                fired.append(1)
+                doc_neardup_index_delete(spark, path, [late])
+            return real_swap(spark_, live, staged)
+
+        monkeypatch.setattr(sim, "_fs_swap_dir", inject_late_delete)
+        doc_neardup_index_compact(spark, path)
+        monkeypatch.setattr(sim, "_fs_swap_dir", real_swap)
+
+        # early folded physically; late's marker survived the drop
+        sig = spark.read.parquet(f"{path}/sig")
+        assert sig.filter(F.col("did") == early).count() == 0
+        assert os.path.isdir(f"{path}/tombstones")
+        tomb_dids = {
+            r[0]
+            for r in spark.read.parquet(f"{path}/tombstones")
+            .select("did")
+            .collect()
+        }
+        assert tomb_dids == {late}
+        # the NEXT compact folds it and clears the dir
+        doc_neardup_index_compact(spark, path)
+        assert not os.path.exists(f"{path}/tombstones")
+        assert spark.read.parquet(f"{path}/sig").filter(
+            F.col("did") == late
+        ).count() == 0
+
+    def test_compact_before_index_exists_is_noop(self, spark, tmp_path):
+        """Delete-before-build: markers persist, compact doesn't crash
+        on the missing sig dir."""
+        import os
+
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_compact,
+            doc_neardup_index_delete,
+        )
+
+        path = str(tmp_path / "didx")
+        doc_neardup_index_delete(spark, path, [1, 2])
+        doc_neardup_index_compact(spark, path)  # must not raise
+        assert os.path.isdir(f"{path}/tombstones")
