@@ -1142,8 +1142,13 @@ def test_merge_changelog_matches_delta_merge_model(spark, fact_rows, stg_rows):
     assert got_rows == plain
 
     # idempotence: a second refresh from the merged state is a no-op
+    # (explicit schema: the merged state can be EMPTY — fact entirely
+    # in-window with nothing staged — and inference would fail)
     merged2, changes2 = merge_refresh_with_changelog(
-        spark.createDataFrame(sorted(got_rows), ["id", "day", "v"]), stg, w, key="id"
+        spark.createDataFrame(
+            sorted(got_rows), "id bigint, day bigint, v bigint"
+        ),
+        stg, w, key="id",
     )
     assert changes2.count() == 0
     assert {
