@@ -1276,6 +1276,7 @@ def doc_neardup_index_compact(spark, path: str) -> None:
     done-marker could fold the batch's dids out of sig and make the
     redelivery guard re-classify them as fresh."""
     from hours_api_clickup_spark.datapipe.similarity import (
+        _fs_drop_consumed,
         _fs_exists,
         _fs_recover_swap,
         _fs_swap_dir,
@@ -1323,14 +1324,9 @@ def doc_neardup_index_compact(spark, path: str) -> None:
         "overwrite"
     ).parquet(staged)
     _fs_swap_dir(spark, f"{path}/bands", staged)
-    for p in consumed:
-        fs.delete(p, False)
-    # drop the dir only when no NEW marker arrived during the rewrite
-    # (underscore files — _SUCCESS — are commit debris, not markers)
-    leftover = [
-        st
-        for st in fs.listStatus(tomb_dir)
-        if not st.getPath().getName().startswith("_")
-    ]
-    if not leftover:
-        fs.delete(tomb_dir, True)
+    # delete exactly the consumed markers, then a NON-recursive dir
+    # drop that refuses a non-empty dir — a marker committed at ANY
+    # point after the snapshot survives for the next compact. The
+    # list-then-recursive-delete form this replaces had a TOCTOU window
+    # that erased such a marker: a lost takedown (ADVICE r7).
+    _fs_drop_consumed(fs, tomb_dir, consumed)

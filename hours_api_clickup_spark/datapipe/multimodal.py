@@ -194,17 +194,59 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def _soundfile_module():
+    """Import-guarded libsndfile access (the ``_pil_image_module``
+    pattern, verdict r7 #4): returns the ``soundfile`` module or None
+    when absent, so compressed-audio decode degrades to the
+    named-dependency ValueError instead of an ImportError inside a
+    Spark task."""
+    try:
+        import soundfile
+    except ImportError:
+        return None
+    return soundfile
+
+
+def _decode_audio_compressed(raw: bytes):
+    """MP3/OGG/FLAC branch of :func:`decode_audio` through
+    import-guarded soundfile, in the same per-batch worker (one Python
+    crossing per Arrow batch either way). Multi-channel input yields
+    channel 0 — deterministic; a trainer wanting full stereo decodes
+    upstream. Decoder errors normalize to the contract's ValueError."""
+    sf = _soundfile_module()
+    if sf is None:
+        raise ValueError(
+            f"compressed audio (magic={raw[:4]!r}) needs soundfile "
+            "(pip install soundfile); WAV decodes without it"
+        )
+    import io
+
+    import numpy as np
+
+    try:
+        data, rate = sf.read(io.BytesIO(raw), dtype="int16", always_2d=True)
+    except (OSError, RuntimeError) as exc:
+        # soundfile.LibsndfileError is a RuntimeError subclass
+        raise ValueError(f"malformed audio stream: {exc}") from exc
+    return np.ascontiguousarray(np.asarray(data)[:, 0]), int(rate)
+
+
 def decode_audio(content: bytes):
-    """WAV bytes → (int16 sample array, sample_rate). Mono 16-bit PCM
-    only — the uncompressed format stdlib ``wave`` parses; compressed
-    audio (MP3/AAC) raises in :func:`decode_media`."""
+    """Audio bytes → (int16 sample array, sample_rate). RIFF/WAV (mono
+    16-bit PCM) decodes via stdlib ``wave``; anything else (MP3/OGG/
+    FLAC magic or unknown) routes through the import-guarded soundfile
+    branch, which raises ValueError naming the dependency when absent —
+    a compressed corpus fails loudly, never silently."""
     import io
     import wave
 
     import numpy as np
 
+    raw = bytes(content)
+    if raw[:4] != b"RIFF":
+        return _decode_audio_compressed(raw)
     try:
-        with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+        with wave.open(io.BytesIO(raw), "rb") as w:
             if w.getsampwidth() != 2 or w.getnchannels() != 1:
                 raise ValueError(
                     f"unsupported WAV layout: width={w.getsampwidth()} "
@@ -255,8 +297,15 @@ def decode_media(content: bytes, media_type: str | None = None):
         if image_mod is not None:
             import io
 
-            with image_mod.open(io.BytesIO(raw)) as img:
-                return np.asarray(img.convert("RGB"), dtype=np.uint8)
+            try:
+                with image_mod.open(io.BytesIO(raw)) as img:
+                    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+            except (OSError, SyntaxError) as exc:
+                # normalize to ValueError (the decode contract's error
+                # class) — Pillow leaks UnidentifiedImageError (an
+                # OSError), truncated-file OSError, and legacy
+                # SyntaxError on malformed blobs (ADVICE r7)
+                raise ValueError(f"malformed image stream: {exc}") from exc
         fmt = "PNG" if raw[:1] == b"\x89" else "JPEG"
         raise ValueError(
             f"{fmt} decode needs Pillow (pip install pillow); "
@@ -267,9 +316,15 @@ def decode_media(content: bytes, media_type: str | None = None):
             "RIFF/WAV is audio — use decode_audio (returns samples, "
             "not pixels)"
         )
+    if _is_mp4(raw):
+        raise ValueError(
+            "ISO-BMFF/MP4 is video — use decode_video_frame / "
+            "video_frame_count (PyAV branch)"
+        )
     raise ValueError(
         f"no built-in codec for media_type={media_type!r} "
-        f"(magic={raw[:4]!r}); MP3/MP4 need soundfile/av"
+        f"(magic={raw[:4]!r}); compressed audio routes through "
+        "decode_audio (soundfile branch)"
     )
 
 
@@ -601,10 +656,64 @@ def encode_video(frames) -> bytes:
     return b"".join(parts)
 
 
+def _av_module():
+    """Import-guarded PyAV access (the ``_pil_image_module`` pattern,
+    verdict r7 #4): returns the ``av`` module or None when absent."""
+    try:
+        import av
+    except ImportError:
+        return None
+    return av
+
+
+def _is_mp4(raw: bytes) -> bool:
+    """ISO-BMFF sniff: bytes 4..8 are ``ftyp`` in MP4/MOV/M4V."""
+    return len(raw) >= 12 and raw[4:8] == b"ftyp"
+
+
+def _av_decode_video(raw: bytes, frame_idx: int | None):
+    """MP4/MOV branch of the video surface through import-guarded PyAV
+    (verdict r7 #4). ``frame_idx=None`` → frame count; else that frame
+    as an HxWx3 uint8 RGB array. Sequential decode up to the target
+    index — compressed GOPs make exact frame seeks codec-dependent, so
+    exactness wins over speed here; the packed VID0 container keeps the
+    O(1)-seek property the samplers exercise. Absent dependency →
+    ValueError naming it; decoder errors normalize to the contract's
+    ValueError."""
+    av = _av_module()
+    if av is None:
+        raise ValueError(
+            "MP4/MOV decode needs av (pip install av); "
+            "VID0 decodes without it"
+        )
+    import io
+
+    try:
+        with av.open(io.BytesIO(raw)) as container:
+            stream = container.streams.video[0]
+            if frame_idx is None:
+                n = int(getattr(stream, "frames", 0) or 0)
+                if n:
+                    return n
+                return sum(1 for _ in container.decode(stream))
+            for i, frame in enumerate(container.decode(stream)):
+                if i == frame_idx:
+                    return frame.to_ndarray(format="rgb24")
+        raise IndexError(f"frame {frame_idx} out of range")
+    except (IndexError, ValueError):
+        raise
+    except Exception as exc:
+        # PyAV error classes mix FFmpegError with builtin OSError
+        # subclasses per errno — normalize every decoder leak
+        raise ValueError(f"malformed MP4 stream: {exc}") from exc
+
+
 def video_frame_count(data: bytes) -> int:
     import struct
 
     raw = bytes(data)
+    if _is_mp4(raw):
+        return _av_decode_video(raw, None)
     if raw[:4] != b"VID0":
         raise ValueError("not a VID0 stream")
     return struct.unpack_from("<I", raw, 4)[0]
@@ -613,10 +722,16 @@ def video_frame_count(data: bytes) -> int:
 def decode_video_frame(data: bytes, frame_idx: int):
     """Seek to frame ``frame_idx`` via the length prefixes and decode
     ONLY that frame — O(frames skipped) header reads, one frame's pixel
-    decode; the other frames' payload bytes are never parsed."""
+    decode; the other frames' payload bytes are never parsed. MP4/MOV
+    blobs route through the import-guarded PyAV branch instead."""
     import struct
 
     raw = bytes(data)
+    if _is_mp4(raw):
+        out = _av_decode_video(raw, int(frame_idx))
+        if not hasattr(out, "shape"):
+            raise ValueError("av frame decode returned a non-array")
+        return out
     n = video_frame_count(raw)
     if not 0 <= frame_idx < n:
         raise IndexError(f"frame {frame_idx} not in [0, {n})")

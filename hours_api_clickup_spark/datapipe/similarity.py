@@ -593,6 +593,51 @@ def _base_committed(spark, path: str) -> bool:
     return _fs_exists(spark, f"{path}/base/_SUCCESS")
 
 
+def _fs_snapshot_files(spark, dir_path: str):
+    """Snapshot the non-underscore files of a merge-on-read tier
+    directory — the ``consumed`` set of a compact. Fold-then-delete
+    EXACTLY these, so a file committed during the O(corpus) rewrite is
+    never erased unfolded (ADVICE r7: the doc-neardup compact lost a
+    takedown this way; the log/tombstone tiers of every family had the
+    same window). Returns ``(fs, dir Path, [file Path])``; a missing
+    dir yields ``[]``."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return fs, p, []
+    files = [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    ]
+    return fs, p, files
+
+
+def _fs_drop_consumed(fs, dir_path, consumed) -> None:
+    """Delete exactly a compact's consumed snapshot plus commit debris
+    (underscore files — never data), then attempt a NON-recursive dir
+    delete: it refuses a non-empty directory, so a file committed at
+    ANY point after the snapshot survives for the next compact. The
+    recursive-delete form this replaces had a TOCTOU window that
+    silently erased such files — for a tombstone tier, a lost takedown
+    (ADVICE r7). Entries the fold read but the snapshot missed stay in
+    the tier as same-seq duplicates, which the max-seq read resolution
+    already tolerates (the crash-between-swap-and-delete case)."""
+    for f in consumed:
+        fs.delete(f, False)
+    if not fs.exists(dir_path):
+        return
+    for st in fs.listStatus(dir_path):
+        if st.isFile() and st.getPath().getName().startswith("_"):
+            fs.delete(st.getPath(), False)
+    try:
+        fs.delete(dir_path, False)
+    except Exception:
+        pass  # a new file landed during the fold — keep it
+
+
 def _fs_recover_swap(spark, live: str) -> None:
     """Roll back a crashed ``_fs_swap_dir``: if ``live`` is missing but
     ``live__old`` survives, rename it back (the pre-swap index state).
@@ -887,6 +932,13 @@ def lsh_index_compact(spark, path: str) -> None:
     (see ``lsh_index_append``)."""
     from pyspark.sql import Window
 
+    # snapshot the MOR tiers' files BEFORE the read view lists them:
+    # the fold sees a superset (benign same-seq duplicates, resolved by
+    # the read path), and only the snapshot is deleted afterwards — an
+    # entry committed during the O(corpus) rewrite is never erased
+    # unfolded (ADVICE r7)
+    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+    _, tomb_p, consumed_tomb = _fs_snapshot_files(spark, f"{path}/tombstones")
     index = lsh_index_read(spark, path)
     w = Window.partitionBy("vid")
     latest = (
@@ -907,14 +959,8 @@ def lsh_index_compact(spark, path: str) -> None:
         "sig"
     ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
     _fs_swap_dir(spark, f"{path}/base", staged)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/log").getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    for sub in ("log", "tombstones"):
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
-        if fs.exists(p):
-            fs.delete(p, True)
+    _fs_drop_consumed(fs, log_p, consumed_log)
+    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def lsh_probe_topk(
@@ -1586,6 +1632,9 @@ def ivf_index_compact(spark, path: str, id_col: str) -> None:
     ``{path}/base`` and delete the log. O(corpus), compaction cadence."""
     from pyspark.sql import Window
 
+    # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
+    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+    _, tomb_p, consumed_tomb = _fs_snapshot_files(spark, f"{path}/tombstones")
     index = ivf_index_read(spark, path)
     w = Window.partitionBy(id_col)
     latest = (
@@ -1602,15 +1651,8 @@ def ivf_index_compact(spark, path: str, id_col: str) -> None:
         "cluster_id"
     ).parquet(staged)
     _fs_swap_dir(spark, f"{path}/base", staged)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/log").getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    # the read view already applied log + tombstones; both are folded in
-    for sub in ("log", "tombstones"):
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
-        if fs.exists(p):
-            fs.delete(p, True)
+    _fs_drop_consumed(fs, log_p, consumed_log)
+    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def ivf_index_upsert(

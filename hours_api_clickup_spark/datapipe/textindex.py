@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hours_api_clickup_spark.datapipe.similarity import (
+    _fs_drop_consumed,
     _fs_recover_swap,
+    _fs_snapshot_files,
     _fs_swap_dir,
 )
 
@@ -189,6 +191,9 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
     only after the swap lands; a crash between swap and delete leaves a
     base∪log view that double-counts nothing (max-seq resolution is
     idempotent over the re-folded rows)."""
+    # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
+    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+    _, tomb_p, consumed_tomb = _fs_snapshot_files(spark, f"{path}/tombstones")
     index = inverted_index_read(spark, path)
     w = Window.partitionBy("doc_id")
     latest = (
@@ -202,15 +207,8 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
         "token", "doc_id"
     ).write.mode("overwrite").partitionBy("tb").parquet(staged)
     _fs_swap_dir(spark, f"{path}/base", staged)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/log").getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    # the read view already applied log + tombstones; both are folded in
-    for sub in ("log", "tombstones"):
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
-        if fs.exists(p):
-            fs.delete(p, True)
+    _fs_drop_consumed(fs, log_p, consumed_log)
+    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def inverted_index_read(spark: SparkSession, path: str) -> DataFrame:

@@ -56,8 +56,8 @@ def test_unsupported_formats_raise_with_dependency_named():
     if not has_pil:
         with pytest.raises(ValueError, match="Pillow"):
             decode_media(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(ValueError, match="soundfile/av"):
-        decode_media(b"\x00\x00\x00 ftypmp42")  # MP4 container
+    with pytest.raises(ValueError, match="decode_video_frame"):
+        decode_media(b"\x00\x00\x00 ftypmp42")  # MP4 is video, not pixels
     with pytest.raises(ValueError, match="unsupported BMP"):
         # 8-bit BMP header (bpp=8)
         import struct
@@ -252,3 +252,196 @@ def test_fuzz_decoders_raise_valueerror_never_leak(monkeypatch):
                 pass  # the contract
 
     run()
+
+
+def test_pil_branch_normalizes_decode_errors(monkeypatch):
+    """ADVICE r7: with Pillow PRESENT, a malformed PNG/JPEG blob must
+    raise the decode contract's ValueError, not leak
+    PIL.UnidentifiedImageError/OSError out of a Spark task (callers
+    quarantine on ValueError). Pinned with a fake module so it runs in
+    this Pillow-less container; the real-lib path importorskips."""
+    from hours_api_clickup_spark.datapipe import multimodal as mm
+
+    class _Unidentified(OSError):  # PIL.UnidentifiedImageError is an OSError
+        pass
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(buf):
+            raise _Unidentified("cannot identify image file")
+
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: _FakeImageModule)
+    with pytest.raises(ValueError, match="malformed image stream"):
+        mm.decode_media(b"\x89PNG\r\n\x1a\n" + b"garbage")
+
+    class _LegacySyntax:
+        @staticmethod
+        def open(buf):
+            raise SyntaxError("not a PNG file")  # legacy PIL plugin path
+
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: _LegacySyntax)
+    with pytest.raises(ValueError, match="malformed image stream"):
+        mm.decode_media(b"\xff\xd8\xff\xe0" + b"garbage")
+
+
+def test_real_pil_malformed_blob_raises_valueerror():
+    """The same contract against real Pillow wherever it exists: a blob
+    with valid PNG magic but garbage body → ValueError."""
+    pytest.importorskip("PIL.Image")
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_mp3_dispatch_through_soundfile_branch(monkeypatch):
+    """Verdict r7 #4: non-RIFF audio magic routes to the import-guarded
+    soundfile branch (fake-module here — the container lacks
+    libsndfile; the real-lib path importorskips below). Multi-channel
+    yields channel 0; decoder errors normalize to ValueError; absence
+    raises the named-dependency ValueError."""
+    from hours_api_clickup_spark.datapipe import multimodal as mm
+
+    seen = {}
+
+    class _FakeSoundfile:
+        @staticmethod
+        def read(buf, dtype, always_2d):
+            seen["payload"] = buf.read()
+            seen["dtype"] = dtype
+            return np.array([[5, 9], [6, 10], [7, 11]], dtype=np.int16), 8000
+
+    monkeypatch.setattr(mm, "_soundfile_module", lambda: _FakeSoundfile)
+    mp3_payload = b"ID3\x04" + b"fake-mpeg-frames"
+    samples, rate = mm.decode_audio(mp3_payload)
+    assert rate == 8000 and samples.tolist() == [5, 6, 7]  # channel 0
+    assert seen["payload"] == mp3_payload and seen["dtype"] == "int16"
+
+    class _Libsndfile(RuntimeError):  # soundfile.LibsndfileError shape
+        pass
+
+    class _FakeBroken:
+        @staticmethod
+        def read(buf, dtype, always_2d):
+            raise _Libsndfile("unrecognised format")
+
+    monkeypatch.setattr(mm, "_soundfile_module", lambda: _FakeBroken)
+    with pytest.raises(ValueError, match="malformed audio stream"):
+        mm.decode_audio(mp3_payload)
+
+    monkeypatch.setattr(mm, "_soundfile_module", lambda: None)
+    with pytest.raises(ValueError, match="needs soundfile"):
+        mm.decode_audio(mp3_payload)
+
+    # RIFF/WAV still bypasses soundfile entirely
+    monkeypatch.setattr(
+        mm, "_soundfile_module", lambda: (_ for _ in ()).throw(AssertionError)
+    )
+    wav = mm.encode_wav(np.arange(32, dtype=np.int16))
+    got, got_rate = mm.decode_audio(wav)
+    assert got_rate == 8000 and got.tolist() == list(range(32))
+
+
+def test_mp4_dispatch_through_av_branch(monkeypatch):
+    """Verdict r7 #4: ftyp magic routes video_frame_count /
+    decode_video_frame to the import-guarded PyAV branch; VID0 blobs
+    never touch it; errors and absence follow the decode contract."""
+    from hours_api_clickup_spark.datapipe import multimodal as mm
+
+    want = _gradient_pixels(4)
+    mp4_payload = b"\x00\x00\x00\x18ftypisom" + b"fake-moov-mdat"
+
+    class _FakeFrame:
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return want
+
+    class _FakeStreams:
+        video = [type("S", (), {"frames": 0})()]
+
+    class _FakeContainer:
+        streams = _FakeStreams()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, stream):
+            return iter([_FakeFrame(), _FakeFrame(), _FakeFrame()])
+
+    class _FakeAv:
+        @staticmethod
+        def open(buf):
+            return _FakeContainer()
+
+    monkeypatch.setattr(mm, "_av_module", lambda: _FakeAv)
+    assert mm.video_frame_count(mp4_payload) == 3  # counted by decode
+    assert np.array_equal(mm.decode_video_frame(mp4_payload, 1), want)
+    with pytest.raises(IndexError):
+        mm.decode_video_frame(mp4_payload, 7)
+
+    class _FakeAvBroken:
+        @staticmethod
+        def open(buf):
+            raise OSError("moov atom not found")
+
+    monkeypatch.setattr(mm, "_av_module", lambda: _FakeAvBroken)
+    with pytest.raises(ValueError, match="malformed MP4 stream"):
+        mm.video_frame_count(mp4_payload)
+
+    monkeypatch.setattr(mm, "_av_module", lambda: None)
+    with pytest.raises(ValueError, match="needs av"):
+        mm.decode_video_frame(mp4_payload, 0)
+
+    # VID0 blobs never touch PyAV
+    monkeypatch.setattr(
+        mm, "_av_module", lambda: (_ for _ in ()).throw(AssertionError)
+    )
+    clip = mm.encode_video([_gradient_pixels(1), _gradient_pixels(2)])
+    assert mm.video_frame_count(clip) == 2
+    assert np.array_equal(mm.decode_video_frame(clip, 1), _gradient_pixels(2))
+    # decode_media names the right entry point for ftyp blobs
+    with pytest.raises(ValueError, match="decode_video_frame"):
+        mm.decode_media(mp4_payload)
+
+
+def test_real_soundfile_mp3_roundtrip():
+    """Wherever libsndfile exists: FLAC (lossless) roundtrip through the
+    compressed branch — same contract as the PIL real-lib twin."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    from hours_api_clickup_spark.datapipe import multimodal as mm
+
+    samples = np.arange(-500, 500, dtype=np.int16)
+    buf = io.BytesIO()
+    sf.write(buf, samples, 8000, format="FLAC")
+    got, rate = mm.decode_audio(buf.getvalue())
+    assert rate == 8000 and got.tolist() == samples.tolist()
+
+
+def test_real_av_mp4_frame_decode():
+    """Wherever PyAV exists: encode a 3-frame clip and decode frame 1
+    through the ftyp branch."""
+    av = pytest.importorskip("av")
+    import io
+
+    from hours_api_clickup_spark.datapipe import multimodal as mm
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(3):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 32, 3), i * 40, dtype=np.uint8), format="rgb24"
+            )
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    raw = buf.getvalue()
+    assert mm.video_frame_count(raw) == 3
+    out = mm.decode_video_frame(raw, 1)
+    assert out.shape == (16, 32, 3)

@@ -2311,3 +2311,178 @@ class TestDocNeardupCompactCrashWindows:
         doc_neardup_index_delete(spark, path, [1, 2])
         doc_neardup_index_compact(spark, path)  # must not raise
         assert os.path.isdir(f"{path}/tombstones")
+
+
+class TestCompactConsumedSnapshot:
+    """ADVICE r7: a compact must never erase a MOR-tier file it did not
+    fold. The fix is the consumed-snapshot protocol (delete exactly the
+    snapshot, then a NON-recursive dir drop that refuses a non-empty
+    dir) shared by all five index families via
+    similarity._fs_drop_consumed."""
+
+    def test_drop_consumed_keeps_late_file(self, spark, tmp_path):
+        """A file committed after the snapshot survives the drop; the
+        consumed files and commit debris (_SUCCESS) are removed; the
+        dir itself stays for the next compact."""
+        import os
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _fs_drop_consumed,
+            _fs_snapshot_files,
+        )
+
+        d = tmp_path / "tier"
+        d.mkdir()
+        (d / "part-0001.parquet").write_bytes(b"x")
+        (d / "part-0002.parquet").write_bytes(b"x")
+        (d / "_SUCCESS").write_bytes(b"")
+        fs, dir_p, consumed = _fs_snapshot_files(spark, str(d))
+        assert len(consumed) == 2
+        (d / "part-late.parquet").write_bytes(b"x")  # the TOCTOU arrival
+        _fs_drop_consumed(fs, dir_p, consumed)
+        assert os.path.isdir(d)
+        assert sorted(os.listdir(d)) == ["part-late.parquet"]
+
+    def test_drop_consumed_removes_quiet_dir(self, spark, tmp_path):
+        """With no late arrival the tier dir is fully removed — the
+        steady-state compact leaves no empty debris behind."""
+        import os
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _fs_drop_consumed,
+            _fs_snapshot_files,
+        )
+
+        d = tmp_path / "tier"
+        d.mkdir()
+        (d / "part-0001.parquet").write_bytes(b"x")
+        (d / "_SUCCESS").write_bytes(b"")
+        fs, dir_p, consumed = _fs_snapshot_files(spark, str(d))
+        _fs_drop_consumed(fs, dir_p, consumed)
+        assert not os.path.exists(d)
+
+    def test_lsh_append_during_compact_survives(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An ingest batch committed while the O(corpus) compact rewrite
+        runs must stay queryable afterwards: the old recursive log
+        delete silently erased it (lost data); now only the snapshotted
+        files are dropped and the non-recursive dir delete refuses the
+        non-empty log dir."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        import hours_api_clickup_spark.datapipe.similarity as sim
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_append,
+            lsh_index_compact,
+            lsh_index_read,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        old = emb.filter(F.col("vec_id") < 300)
+        appended = emb.filter(
+            (F.col("vec_id") >= 300) & (F.col("vec_id") < 320)
+        )
+        late = emb.filter((F.col("vec_id") >= 320) & (F.col("vec_id") < 330))
+        path = str(tmp_path / "lsh")
+        lsh_index_write(old, "embedding", "vec_id", path, dim=64)
+        lsh_index_append(appended, "embedding", "vec_id", path, dim=64)
+
+        real_swap = sim._fs_swap_dir
+        fired = []
+
+        def inject_late_append(spark_, live, staged):
+            if not fired:
+                fired.append(1)
+                lsh_index_append(late, "embedding", "vec_id", path, dim=64)
+            return real_swap(spark_, live, staged)
+
+        monkeypatch.setattr(sim, "_fs_swap_dir", inject_late_append)
+        lsh_index_compact(spark, path)
+        monkeypatch.setattr(sim, "_fs_swap_dir", real_swap)
+
+        # the mid-compact batch survived in the log tier...
+        assert os.path.isdir(f"{path}/log")
+        vids = {
+            r[0]
+            for r in lsh_index_read(spark, path)
+            .select("vid")
+            .distinct()
+            .collect()
+        }
+        assert vids == {r[0] for r in emb.filter(F.col("vec_id") < 330).select("vec_id").collect()}
+        # ...and the NEXT quiescent compact folds it and clears the log
+        lsh_index_compact(spark, path)
+        assert not os.path.exists(f"{path}/log")
+        vids2 = {
+            r[0]
+            for r in lsh_index_read(spark, path)
+            .select("vid")
+            .distinct()
+            .collect()
+        }
+        assert vids2 == vids
+
+
+def test_zorder_manifest_prunes_whole_files(spark, tmp_path):
+    """Verdict r7 #3: with a published per-file min/max manifest the box
+    probe skips whole FILES at split planning — scan_stats numFiles
+    strictly below the table's file count (engine-native footer pruning
+    only ever drops row groups; numFiles stayed constant). Result rows
+    identical to the unpruned read; files the manifest doesn't know are
+    kept; an impossible box reads zero files without crashing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.zorder import (
+        read_pruned,
+        scan_stats,
+        zorder_write_manifested,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        F.pmod("user_id", F.lit(256)).alias("x"),
+        F.pmod(F.expr("unix_millis(ts) div 3600000"), F.lit(256)).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write_manifested(
+        ev, F.col("x"), F.col("y"), zpath, "x", "y", bits=8, n_files=16
+    )
+    n_data_files = len(
+        [f for f in os.listdir(zpath) if f.endswith(".parquet")]
+    )
+    assert n_data_files > 4  # the probe needs a multi-file layout
+
+    box = F.col("x").between(96, 127) & F.col("y").between(64, 95)
+    pruned = read_pruned(
+        spark, zpath, {"x": (96, 127), "y": (64, 95)}
+    ).filter(box)
+    full = spark.read.parquet(zpath).filter(box)
+    want = sorted(r[0] for r in full.select("event_id").collect())
+    got = sorted(r[0] for r in pruned.select("event_id").collect())
+    assert got == want and len(got) > 0
+
+    pruned_files, _ = scan_stats(pruned)
+    full_files, _ = scan_stats(full)
+    assert full_files == n_data_files
+    assert pruned_files < n_data_files, (pruned_files, n_data_files)
+
+    # impossible box: every file pruned, schema preserved, zero rows
+    nothing = read_pruned(spark, zpath, {"x": (1000, 2000)})
+    assert nothing.count() == 0
+    assert set(nothing.columns) == {"event_id", "x", "y"}
+
+    # a file the manifest doesn't know (post-publish append) is KEPT —
+    # pruning must never hide unprofiled data
+    extra = ev.filter(F.col("x").between(96, 127)).limit(7)
+    extra.coalesce(1).write.mode("append").parquet(zpath)
+    repruned = read_pruned(spark, zpath, {"x": (96, 127), "y": (64, 95)})
+    full_after = spark.read.parquet(zpath).filter(box)
+    assert repruned.filter(box).count() == full_after.count()
