@@ -74,6 +74,107 @@ def zorder_write(
     ).drop("__z").write.mode("overwrite").parquet(path)
 
 
+def collect_file_stats(
+    spark, path: str, stat_cols: dict[str, Column | str]
+) -> dict[str, dict[str, list]]:
+    """One distributed pass over a freshly-written layout: per-FILE
+    min/max of each stat column, keyed by bare file name (the manifest
+    survives a directory move). The driver-side result is one tiny row
+    per file — bounded by the file count, never the row count."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for name, col in stat_cols.items():
+        c = F.col(col) if isinstance(col, str) else col
+        aggs.append(F.min(c).alias(f"__min_{name}"))
+        aggs.append(F.max(c).alias(f"__max_{name}"))
+    rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    return {
+        r["__f"].rsplit("/", 1)[-1]: {
+            name: [r[f"__min_{name}"], r[f"__max_{name}"]]
+            for name in stat_cols
+        }
+        for r in rows
+    }
+
+
+def zorder_write_manifested(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    path: str,
+    x_name: str,
+    y_name: str,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """``zorder_write`` + a published per-file min/max manifest for the
+    two z-dimensions (``sinks/versioned.py::publish_file_stats``).
+    ``x_name``/``y_name`` are COLUMN NAMES of the written table whose
+    ranges the manifest records — they must reproduce the bucketized
+    values ``x``/``y`` clustered on (pass the same expressions when the
+    bucketization isn't a stored column). ``read_pruned`` then skips
+    whole files at split planning — the Delta/Iceberg-grade layer on
+    top of the row-group pruning the layout already buys."""
+    from hours_api_clickup_spark.sinks.versioned import publish_file_stats
+
+    zorder_write(df, x, y, path, bits=bits, n_files=n_files)
+    stats = collect_file_stats(
+        df.sparkSession, path, {x_name: x_name, y_name: y_name}
+    )
+    publish_file_stats(path, stats)
+
+
+def read_pruned(
+    spark, path: str, ranges: dict[str, tuple]
+) -> DataFrame:
+    """Manifest-pruned parquet read: drop files whose recorded
+    ``[min, max]`` cannot intersect the query's closed intervals
+    (``{col: (lo, hi)}``, None = unbounded on that side), then read
+    only the survivors — whole-FILE skipping at split planning, which
+    vanilla Spark cannot do from parquet footers alone (see
+    ``scan_stats``). Correctness never depends on the manifest: callers
+    still apply the real predicate on the returned frame; the manifest
+    only shrinks the file list. Interval semantics are SQL BETWEEN's —
+    null-rejecting, so an all-null file (stats ``[null, null]``) is
+    safely skipped for any constrained column. Files the manifest
+    doesn't know (e.g. appended after publish) are always KEPT; with no
+    manifest at all this degrades to the plain full read."""
+    import os
+
+    from hours_api_clickup_spark.sinks.versioned import read_file_stats
+
+    stats = read_file_stats(path)
+    if stats is None:
+        return spark.read.parquet(path)
+
+    def survives(cols: dict[str, list]) -> bool:
+        for name, bounds in ranges.items():
+            if name not in cols:
+                continue  # unknown column: cannot prune on it
+            lo, hi = bounds
+            mn, mx = cols[name]
+            if mn is None or mx is None:
+                return False  # all-null file; BETWEEN rejects nulls
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        return True
+
+    data_files = [
+        f
+        for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and f.endswith(".parquet")
+    ]
+    keep = [
+        f for f in data_files if f not in stats or survives(stats[f])
+    ]
+    if not keep:
+        # every file pruned: an empty frame with the table's schema
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*[os.path.join(path, f) for f in keep])
+
+
 def scan_stats(df) -> tuple[int, int]:
     """(files, rows) the LAST materialization of ``df`` actually pulled
     through its parquet scan node. In vanilla Spark (no table-format

@@ -141,6 +141,38 @@ def publish_manifest(path: str, months: dict[str, int]) -> None:
     os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
+_FILE_STATS = "_file_stats.json"
+
+
+def publish_file_stats(path: str, stats: dict[str, dict[str, list]]) -> None:
+    """Publish per-file column min/max stats for a layout directory —
+    ``{file_name: {col: [min, max]}}`` — the manifest a table format
+    (Delta/Iceberg) keeps so scans can skip whole FILES at split
+    planning. Vanilla Spark's footer-stats pruning only skips row
+    groups INSIDE files the planner already scheduled; this layer
+    closes that gap without the dependency (verdict r7 #3). Atomic
+    tmp+rename publish like ``publish_manifest``; the underscore name
+    keeps Spark's parquet reader from treating it as data."""
+    import json
+
+    tmp = os.path.join(path, _FILE_STATS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(dict(sorted(stats.items())), f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _FILE_STATS))
+
+
+def read_file_stats(path: str) -> dict[str, dict[str, list]] | None:
+    """The published per-file stats manifest, or None when the layout
+    was written without one (readers must then scan every file)."""
+    import json
+
+    p = os.path.join(path, _FILE_STATS)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def write_month_version(df: DataFrame, path: str, month: str) -> int:
     """Write one month's rows as its next immutable version dir; does
     NOT publish (the caller batches all months into one manifest swap).
