@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "refresh", "full_reindex", "lists", "tasks", "accounts",
-            "apps", "serve", "scheduler",
+            "apps", "serve", "scheduler", "curate",
         ],
     )
     p.add_argument("--days", type=int, default=60)
@@ -46,6 +46,19 @@ def main(argv: list[str] | None = None) -> int:
         "--now",
         help="scheduler mode: tick time override (ISO-8601, aware); "
         "defaults to the current instant",
+    )
+    p.add_argument("--docs", help="curate mode: documents parquet path")
+    p.add_argument(
+        "--benchmark",
+        help="curate mode: eval-set parquet to decontaminate against "
+        "(same doc_id/text schema); omit to skip decontamination",
+    )
+    p.add_argument(
+        "--chunk-size", type=int, default=2048, help="curate: tokens/chunk"
+    )
+    p.add_argument(
+        "--chunks-per-shard", type=int, default=64,
+        help="curate: chunks per training shard",
     )
     args = p.parse_args(argv)
 
@@ -142,6 +155,28 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"sync-{args.mode}")
     try:
+        if args.mode == "curate":
+            # one-command training-corpus build (verdict r7 #6): the
+            # 7-stage curation unit over a documents parquet — dedup →
+            # quality gate → near-dup clusters → (decontaminate) →
+            # split → pack → shards + manifest
+            if not args.docs or not args.out:
+                p.error("--docs and --out are required for curate")
+            docs = spark.read.parquet(args.docs)
+            bench = (
+                spark.read.parquet(args.benchmark)
+                if args.benchmark
+                else None
+            )
+            manifest = pipelines.build_corpus(
+                docs,
+                args.out,
+                benchmark=bench,
+                chunk_size=args.chunk_size,
+                chunks_per_shard=args.chunks_per_shard,
+            )
+            print(json.dumps(manifest, sort_keys=True))
+            return 0
         if args.mode == "serve":
             from http.server import ThreadingHTTPServer
 

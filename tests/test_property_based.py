@@ -1154,3 +1154,108 @@ def test_merge_changelog_matches_delta_merge_model(spark, fact_rows, stg_rows):
     assert {
         (r["id"], r["day"], r["v"]) for r in merged2.collect()
     } == got_rows
+
+
+def _union_find_components(ids, edges):
+    """Plain-Python min-label union-find oracle (verdict r7 #7):
+    attaching the larger root under the smaller keeps every root the
+    min id of its component — exactly connected_components' label."""
+    parent = {n: n for n in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in ids}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_connected_components_matches_union_find(spark, data):
+    """Adversarial graph shapes (long paths, stars, disconnected
+    singletons, self-loops, duplicate + reversed edges) against the
+    union-find oracle — near-clique fixtures alone never exercise
+    multi-round label propagation (verdict r7 #7)."""
+    import pandas as pd
+
+    from hours_api_clickup_spark.datapipe.clusters import (
+        connected_components,
+    )
+
+    ids = data.draw(
+        st.lists(
+            st.integers(0, 10**9), min_size=1, max_size=24, unique=True
+        )
+    )
+    n_edges = data.draw(st.integers(min_value=0, max_value=30))
+    edges = [
+        (
+            data.draw(st.sampled_from(ids)),
+            data.draw(st.sampled_from(ids)),
+        )
+        for _ in range(n_edges)
+    ]
+    # force a long path through ALL drawn ids half the time — the worst
+    # diameter this node count allows
+    if data.draw(st.booleans()):
+        path = sorted(ids, reverse=True)  # min id at the far end
+        edges += list(zip(path, path[1:]))
+
+    nodes_df = spark.createDataFrame(pd.DataFrame({"node": ids}))
+    edges_df = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"id_a": [e[0] for e in edges], "id_b": [e[1] for e in edges]}
+            )
+        )
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            nodes_df, edges_df, "node", max_iter=30
+        ).collect()
+    }
+    assert got == _union_find_components(ids, edges)
+
+
+def test_connected_components_long_path_and_loud_guard(spark):
+    """A 40-node path (diameter 39) converges with an adequate
+    max_iter and matches the oracle; an inadequate max_iter fails
+    LOUDLY (RuntimeError), never returns half-propagated labels."""
+    import pandas as pd
+
+    from hours_api_clickup_spark.datapipe.clusters import (
+        connected_components,
+    )
+
+    ids = list(range(40))
+    path = list(zip(range(39, 0, -1), range(38, -1, -1)))  # 39-38,…,1-0
+    nodes_df = spark.createDataFrame(pd.DataFrame({"node": ids}))
+    edges_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id_a": [u for u, _ in path], "id_b": [v for _, v in path]}
+        )
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            nodes_df, edges_df, "node", max_iter=64
+        ).collect()
+    }
+    assert got == {n: 0 for n in ids}
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes_df, edges_df, "node", max_iter=3)
