@@ -112,6 +112,48 @@ def main() -> None:
     timings["calibration_fixed_work"] = round(cal0, 3)
     print(f"# calibration_fixed_work (suite start): {cal0:.3f}s", file=sys.stderr)
 
+    # Python-worker calibration twin (verdict r7 #1): the JVM row above
+    # under-captures drift on the mapInPandas/GEMM query class — in r7
+    # the JVM row drifted 1.6-1.8× while text-stats/embedding queries
+    # drifted ~2.5× in the same sessions. This row is CONSTANT work
+    # through the python worker path: 32 Arrow batches, each folding a
+    # seeded 384×384 float32 GEMM chain — the same executor-python
+    # round-trip + BLAS throughput those queries spend their time in.
+    # Reported (start and end), never added to ``value``.
+    def _calibrate_python_once() -> float:
+        t0 = time.perf_counter()
+
+        def gemm_batches(it):
+            import numpy as np
+            import pandas as pd
+
+            rng = np.random.default_rng(7)
+            a = rng.standard_normal((384, 384)).astype(np.float32)
+            for pdf in it:
+                acc = a
+                for _ in range(10):
+                    acc = np.tanh(acc @ a)  # tanh keeps values bounded
+                yield pd.DataFrame(
+                    {"s": [float(acc.sum()) + float(pdf["id"].sum())]}
+                )
+
+        (
+            spark.range(320_000)
+            .repartition(32)
+            .mapInPandas(gemm_batches, "s double")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    calp0 = statistics.median(_calibrate_python_once() for _ in range(3))
+    timings["calibration_python_work"] = round(calp0, 3)
+    print(
+        f"# calibration_python_work (suite start): {calp0:.3f}s",
+        file=sys.stderr,
+    )
+
     # Ingest-time caches (the LSH pair table and every persisted
     # ANN/text index) build lazily inside their FIRST consumer — with
     # the fixed alphabetical order that made knn_ivf_probe's timed row
@@ -457,12 +499,42 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Continuous scale evidence (verdict r7 #8): re-measure the flat
+    # probe/delete claims EVERY round in quick form (1x vs 8x corpus;
+    # 0 vs ~5% tombstones) instead of trusting the one-off r7 curves.
+    # Reported rows only; never added to ``value``.
+    from scripts.ann_probe_scaling import run as _probe_scaling
+    from scripts.neardup_delete_scaling import run as _delete_scaling
+
+    for rep, _nv, _nd, t_lsh, _t_ivf, t_txt in _probe_scaling(
+        spark, scales=(1, 8), n_runs=3, sf_dir=SF_DIR, include_ivf=False
+    ):
+        timings[f"scalecheck_lsh_probe_x{rep}"] = round(t_lsh, 3)
+        timings[f"scalecheck_text_probe_x{rep}"] = round(t_txt, 3)
+    for label, _nd, t_del, t_app, _tc in _delete_scaling(
+        spark, levels=(("0pct", None), ("5pct", 19)), base=SF_DIR
+    ):
+        if t_del:
+            timings[f"scalecheck_neardup_delete_{label}"] = round(t_del, 3)
+        timings[f"scalecheck_neardup_append_{label}"] = round(t_app, 3)
+    print(
+        "# scalecheck rows: probe x1/x8 + neardup delete/append at "
+        "0/5% tombstones",
+        file=sys.stderr,
+    )
+
     # end-of-suite calibration twin: the start/end ratio exposes
     # WITHIN-run host drift the same way the cross-round ratio exposes
     # between-run drift
     cal1 = statistics.median(_calibrate_once() for _ in range(3))
     timings["calibration_fixed_work_end"] = round(cal1, 3)
     print(f"# calibration_fixed_work (suite end): {cal1:.3f}s", file=sys.stderr)
+    calp1 = statistics.median(_calibrate_python_once() for _ in range(3))
+    timings["calibration_python_work_end"] = round(calp1, 3)
+    print(
+        f"# calibration_python_work (suite end): {calp1:.3f}s",
+        file=sys.stderr,
+    )
     timings["text_index_build_90k"] = round(t_text_build, 3)
     timings["text_index_append_batch"] = round(t_text_append, 3)
     timings["text_index_term_probe_100k"] = round(t_text_probe, 3)

@@ -13,6 +13,9 @@ as a median of 5 warm runs.
 
 Run:  python scripts/ann_probe_scaling.py   (markdown table to stdout;
 paste into COVERAGE.md)
+``--quick`` drops to scales (1, 8) / 3 runs — the form bench.py calls
+EVERY round so the flat-probe claim stays continuously measured
+(verdict r7 #8).
 """
 
 from __future__ import annotations
@@ -29,7 +32,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALES = (1, 4, 16, 64)
 
 
-def main() -> int:
+def run(
+    spark,
+    scales=SCALES,
+    n_runs: int = 5,
+    sf_dir: str = SF_DIR,
+    include_ivf: bool = True,
+):
+    """Measure probe latency at each corpus scale with a caller-owned
+    session; returns (rep, n_vec, n_doc, t_lsh, t_ivf, t_txt) rows
+    (t_ivf is None when include_ivf=False — bench.py skips the probe
+    with the documented linear component to stay cheap)."""
     from pyspark.sql import functions as F
 
     from hours_api_clickup_spark.datapipe.similarity import (
@@ -46,13 +59,9 @@ def main() -> int:
         inverted_index_write,
     )
     from hours_api_clickup_spark.plans.registry import load_table
-    from hours_api_clickup_spark.session import get_spark
 
-    spark = get_spark(app_name="ann-probe-scaling")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    emb = load_table(spark, SF_DIR, "embeddings")
-    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
     qv = [
         float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
     ]
@@ -92,14 +101,14 @@ def main() -> int:
     def median5(fn) -> float:
         fn()  # untimed first read (partition listing + footers)
         vals = []
-        for _ in range(5):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn()
             vals.append(time.perf_counter() - t0)
         return statistics.median(vals)
 
     rows = []
-    for rep in SCALES:
+    for rep in scales:
         e = replicate_emb(rep)
         d = replicate_docs(rep)
         n_vec = e.count()
@@ -113,15 +122,17 @@ def main() -> int:
             lambda: lsh_probe_topk(spark, reader, qv, k=10, exclude_id=0).collect()
         )
 
-        ivf = f"{base}/ivf"
-        cents = seed_centroids(e, "embedding", "vec_id", n_clusters=16)
-        ivf_index_write(e, "embedding", "vec_id", ivf, cents)
-        t_ivf = median5(
-            lambda: ivf_probe_topk(
-                spark, ivf, "embedding", "vec_id", qv, cents, k=10,
-                nprobe=4, exclude_id=0,
-            ).collect()
-        )
+        t_ivf = None
+        if include_ivf:
+            ivf = f"{base}/ivf"
+            cents = seed_centroids(e, "embedding", "vec_id", n_clusters=16)
+            ivf_index_write(e, "embedding", "vec_id", ivf, cents)
+            t_ivf = median5(
+                lambda: ivf_probe_topk(
+                    spark, ivf, "embedding", "vec_id", qv, cents, k=10,
+                    nprobe=4, exclude_id=0,
+                ).collect()
+            )
 
         txt = f"{base}/txt"
         inverted_index_write(d, "text", "doc_id", txt)
@@ -133,17 +144,33 @@ def main() -> int:
         )
 
         rows.append((rep, n_vec, n_doc, t_lsh, t_ivf, t_txt))
+        ivf_msg = f"{t_ivf:.3f}s" if t_ivf is not None else "skipped"
         print(
             f"# {rep}x: {n_vec} vecs / {n_doc} docs — lsh {t_lsh:.3f}s, "
-            f"ivf {t_ivf:.3f}s, text {t_txt:.3f}s",
+            f"ivf {ivf_msg}, text {t_txt:.3f}s",
             file=sys.stderr,
         )
+    return rows
 
+
+def main(argv=None) -> int:
+    from hours_api_clickup_spark.session import get_spark
+
+    argv = sys.argv[1:] if argv is None else argv
+    quick = "--quick" in argv
+    spark = get_spark(app_name="ann-probe-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = run(
+        spark,
+        scales=(1, 8) if quick else SCALES,
+        n_runs=3 if quick else 5,
+    )
     print("| corpus | vectors | docs | LSH probe | IVF probe (nprobe=4/16) | text term probe |")
     print("|---|---|---|---|---|---|")
     for rep, nv, nd, tl, ti, tt in rows:
+        ti_s = f"{ti:.3f} s" if ti is not None else "—"
         print(
-            f"| x{rep} | {nv:,} | {nd:,} | {tl:.3f} s | {ti:.3f} s | {tt:.3f} s |"
+            f"| x{rep} | {nv:,} | {nd:,} | {tl:.3f} s | {ti_s} | {tt:.3f} s |"
         )
     spark.stop()
     return 0

@@ -1,4 +1,5 @@
-"""Normalize two bench artifacts against their calibration rows (r7).
+"""Normalize two bench artifacts against their calibration rows (r7;
+dual JVM/Python-worker factors since r8).
 
 The host's deliverable throughput drifts within a day (measured r6:
 identical idle-guest suites at 144.8s and 187.9s three hours apart), so
@@ -35,6 +36,7 @@ _UNRANKED_PREFIXES = (
     "doc_index_",
     "text_index_build",
     "text_index_append",
+    "scalecheck_neardup_",  # ingest-class rows, documented noisy
 )
 _UNRANKED_SUFFIXES = ("_cold",)
 
@@ -63,41 +65,68 @@ def main() -> int:
     a, b = _load(sys.argv[1]), _load(sys.argv[2])
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 
-    cal_a = a.get("calibration_fixed_work")
-    cal_b = b.get("calibration_fixed_work")
-    if not cal_a or not cal_b:
+    def _factor(row: str) -> float | None:
+        """Midpoint-of-start/end drift factor for one calibration row
+        pair, or None when either side lacks it. The midpoint is used
+        because within-run drift means neither endpoint alone is the
+        whole run's clock."""
+        cal_a, cal_b = a.get(row), b.get(row)
+        if not cal_a or not cal_b:
+            return None
+        end = row + "_end"
+        if end in a and end in b:
+            cal_a = (cal_a + a[end]) / 2
+            cal_b = (cal_b + b[end]) / 2
+        print(
+            f"host-drift factor (B/A, {row}): {cal_b / cal_a:.3f}  "
+            f"[cal A {cal_a:.3f}s, B {cal_b:.3f}s]"
+        )
+        return cal_b / cal_a
+
+    # Two drift factors since r8: the JVM row (hash→agg→sort) and the
+    # Python-worker row (mapInPandas + GEMM). r7's judge measured them
+    # drifting DIFFERENTLY in the same session (1.6-1.8× vs ~2.5×), so
+    # a query is flagged only when it is slow under BOTH normalizations
+    # — its real drift is some mix of the two classes, bounded by them.
+    factor_jvm = _factor("calibration_fixed_work")
+    factor_py = _factor("calibration_python_work")
+    if factor_jvm is None:
         print(
             "WARNING: calibration_fixed_work missing from one side "
             "(pre-r7 artifact?) — reporting RAW ratios, host drift NOT "
             "removed"
         )
-        factor = 1.0
-    else:
-        # prefer the midpoint of start/end when both runs carry the end
-        # twin: within-run drift means neither endpoint alone is the
-        # whole run's clock
-        if "calibration_fixed_work_end" in a and "calibration_fixed_work_end" in b:
-            cal_a = (cal_a + a["calibration_fixed_work_end"]) / 2
-            cal_b = (cal_b + b["calibration_fixed_work_end"]) / 2
-        factor = cal_b / cal_a
+        factor_jvm = 1.0
+    if factor_py is None:
         print(
-            f"host-drift factor (B/A, fixed work): {factor:.3f}  "
-            f"[cal A {cal_a:.3f}s, B {cal_b:.3f}s]"
+            "NOTE: calibration_python_work missing from one side "
+            "(pre-r8 artifact?) — python-class drift falls back to the "
+            "JVM factor"
         )
+        factor_py = factor_jvm
+    lo, hi = sorted((factor_jvm, factor_py))
 
     shared = sorted(set(a) & set(b))
     rows = []
     for name in shared:
         if not _ranked(name) or a[name] <= 0:
             continue
-        norm_b = b[name] / factor
-        rows.append((norm_b / a[name], name, a[name], b[name], norm_b))
+        # conservative residual: normalize by whichever factor forgives
+        # more — what survives is a slowdown NEITHER drift class explains
+        norm_b = b[name] / hi
+        rows.append(
+            (norm_b / a[name], b[name] / lo / a[name], name, a[name], b[name])
+        )
     rows.sort(reverse=True)
 
-    print(f"\ntop {top_n} normalized slowdowns (B÷factor vs A), {len(rows)} ranked rows:")
-    print(f"{'query':<42} {'A s':>8} {'B s':>8} {'B norm':>8} {'ratio':>7}")
-    for ratio, name, ta, tb, tn in rows[:top_n]:
-        print(f"{name:<42} {ta:>8.3f} {tb:>8.3f} {tn:>8.3f} {ratio:>7.2f}")
+    print(
+        f"\ntop {top_n} residual slowdowns (B normalized by the more-"
+        f"forgiving factor {hi:.3f}; ratio_lo uses {lo:.3f}), "
+        f"{len(rows)} ranked rows:"
+    )
+    print(f"{'query':<42} {'A s':>8} {'B s':>8} {'ratio':>7} {'ratio_lo':>9}")
+    for ratio, ratio_lo, name, ta, tb in rows[:top_n]:
+        print(f"{name:<42} {ta:>8.3f} {tb:>8.3f} {ratio:>7.2f} {ratio_lo:>9.2f}")
 
     unranked = [n for n in shared if not _ranked(n)]
     if unranked:

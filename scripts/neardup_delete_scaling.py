@@ -11,6 +11,9 @@ what scales, not these counts):
 
 Run:  python scripts/neardup_delete_scaling.py  (markdown table to
 stdout; paste into COVERAGE.md)
+``--quick`` drops to the 0 / ~5% tombstone points — the form bench.py
+calls every round so the flat-delete claim stays continuously measured
+(verdict r7 #8).
 """
 
 from __future__ import annotations
@@ -38,15 +41,18 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
-def main() -> None:
-    spark = get_spark(app_name="neardup-delete-scaling")
-    spark.sparkContext.setLogLevel("ERROR")
-    docs = load_table(spark, BASE, "documents")
+LEVELS = (("0", None), ("~5%", 19), ("~25%", (5, 9, 13, 17, 19)))
+
+
+def run(spark, levels=LEVELS, base: str = BASE, n_runs: int = N_RUNS):
+    """Measure delete/append/compact wall time at each tombstone level
+    with a caller-owned session; returns (label, n_del, t_del,
+    t_append, t_compact) rows."""
+    docs = load_table(spark, base, "documents")
     corpus = docs.filter(F.col("doc_id") % 20 >= 4)  # 80%
-    n = corpus.count()
 
     rows = []
-    for label, mod in (("0", None), ("~5%", 19), ("~25%", (5, 9, 13, 17, 19))):
+    for label, mod in levels:
         path = tempfile.mkdtemp(prefix="nd_del_scale_") + "/idx"
         doc_neardup_index_write(corpus, "doc_id", "text", path)
         t_del = 0.0
@@ -69,7 +75,7 @@ def main() -> None:
 
         # disjoint fresh slices per run (the append contract)
         t_append = statistics.median(
-            append_once(i) for i in range(min(N_RUNS, 3))
+            append_once(i) for i in range(min(n_runs, 3))
         )
         t0 = time.perf_counter()
         doc_neardup_index_compact(spark, path)
@@ -81,6 +87,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    return rows
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    quick = "--quick" in argv
+    spark = get_spark(app_name="neardup-delete-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = run(spark, levels=LEVELS[:2] if quick else LEVELS)
     print(
         f"| tombstoned | deleted docs | delete wall | batch append "
         f"(median of {min(N_RUNS, 3)}) | compact |"
@@ -91,7 +106,6 @@ def main() -> None:
             f"| {label} | {n_del:,} | {t_del:.2f} s | {t_append:.2f} s "
             f"| {t_compact:.2f} s |"
         )
-    print(f"corpus: {n:,} docs", file=sys.stderr)
     spark.stop()
 
 
