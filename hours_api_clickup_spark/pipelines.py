@@ -357,6 +357,10 @@ def build_corpus(
     Scale shape: every stage is the registry query's plan (digest-keyed
     shuffles, broadcast benchmark grams, banded LSH buckets — no
     all-pairs, no collects); packing is one range exchange per split.
+    Each stage boundary is localCheckpoint-ed so the pipeline computes
+    every stage exactly ONCE — without it, each stage's survivor count
+    (and the final write) would recompute the whole upstream lineage,
+    turning a 7-stage build O(stages²) in corpus passes.
     """
     import json
     import os
@@ -393,14 +397,14 @@ def build_corpus(
     kept = normalized_exact_dedup(docs, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    docs = docs.join(kept, id_col, "left_semi")
+    docs = docs.join(kept, id_col, "left_semi").localCheckpoint()
     manifest["stages"]["after_exact_dedup"] = docs.count()
 
     # 2. quality gate
     quality = gopher_quality_filter(docs, id_col, text_col)
     docs = docs.join(
         quality.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
+    ).localCheckpoint()
     manifest["stages"]["after_quality_gate"] = docs.count()
 
     # 3. near-dup clusters, min-id representative survives
@@ -413,7 +417,7 @@ def build_corpus(
         clusters.filter(F.col("is_survivor")).select(id_col),
         id_col,
         "left_semi",
-    )
+    ).localCheckpoint()
     manifest["stages"]["after_near_dedup"] = docs.count()
 
     # 4. benchmark decontamination (optional)
@@ -423,7 +427,7 @@ def build_corpus(
             flags.filter(~F.col("contaminated")).select(id_col),
             id_col,
             "left_semi",
-        )
+        ).localCheckpoint()
         manifest["stages"]["after_decontamination"] = docs.count()
 
     # 5. deterministic split
