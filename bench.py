@@ -499,10 +499,25 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # end-of-suite calibration twin: the start/end ratio exposes
+    # WITHIN-run host drift the same way the cross-round ratio exposes
+    # between-run drift
+    cal1 = statistics.median(_calibrate_once() for _ in range(3))
+    timings["calibration_fixed_work_end"] = round(cal1, 3)
+    print(f"# calibration_fixed_work (suite end): {cal1:.3f}s", file=sys.stderr)
+    calp1 = statistics.median(_calibrate_python_once() for _ in range(3))
+    timings["calibration_python_work_end"] = round(calp1, 3)
+    print(
+        f"# calibration_python_work (suite end): {calp1:.3f}s",
+        file=sys.stderr,
+    )
+
     # Continuous scale evidence (verdict r7 #8): re-measure the flat
     # probe/delete claims EVERY round in quick form (1x vs 8x corpus;
     # 0 vs ~5% tombstones) instead of trusting the one-off r7 curves.
-    # Reported rows only; never added to ``value``.
+    # Reported rows only; never added to ``value``. Runs AFTER the
+    # end-of-suite calibration twins so its replica checkpoints and
+    # index builds never sit under the drift rows (review r8).
     from scripts.ann_probe_scaling import run as _probe_scaling
     from scripts.neardup_delete_scaling import run as _delete_scaling
 
@@ -523,18 +538,6 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # end-of-suite calibration twin: the start/end ratio exposes
-    # WITHIN-run host drift the same way the cross-round ratio exposes
-    # between-run drift
-    cal1 = statistics.median(_calibrate_once() for _ in range(3))
-    timings["calibration_fixed_work_end"] = round(cal1, 3)
-    print(f"# calibration_fixed_work (suite end): {cal1:.3f}s", file=sys.stderr)
-    calp1 = statistics.median(_calibrate_python_once() for _ in range(3))
-    timings["calibration_python_work_end"] = round(calp1, 3)
-    print(
-        f"# calibration_python_work (suite end): {calp1:.3f}s",
-        file=sys.stderr,
-    )
     timings["text_index_build_90k"] = round(t_text_build, 3)
     timings["text_index_append_batch"] = round(t_text_append, 3)
     timings["text_index_term_probe_100k"] = round(t_text_probe, 3)

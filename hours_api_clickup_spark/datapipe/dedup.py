@@ -1279,6 +1279,7 @@ def doc_neardup_index_compact(spark, path: str) -> None:
         _fs_drop_consumed,
         _fs_exists,
         _fs_recover_swap,
+        _fs_snapshot_files,
         _fs_swap_dir,
     )
 
@@ -1291,15 +1292,7 @@ def doc_neardup_index_compact(spark, path: str) -> None:
     # snapshot the marker FILES first and fold EXACTLY those: a marker
     # landing after this listing is neither folded nor deleted — it
     # simply survives into the next compact
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    tomb_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
-    fs = tomb_dir.getFileSystem(hconf)
-    consumed = [
-        st.getPath()
-        for st in fs.listStatus(tomb_dir)
-        if st.isFile() and not st.getPath().getName().startswith("_")
-    ]
+    fs, tomb_dir, consumed = _fs_snapshot_files(spark, f"{path}/tombstones")
     if not consumed:
         return
     tomb = (

@@ -300,11 +300,15 @@ def decode_media(content: bytes, media_type: str | None = None):
             try:
                 with image_mod.open(io.BytesIO(raw)) as img:
                     return np.asarray(img.convert("RGB"), dtype=np.uint8)
-            except (OSError, SyntaxError) as exc:
-                # normalize to ValueError (the decode contract's error
-                # class) — Pillow leaks UnidentifiedImageError (an
-                # OSError), truncated-file OSError, and legacy
-                # SyntaxError on malformed blobs (ADVICE r7)
+            except ValueError:
+                raise
+            except Exception as exc:
+                # normalize EVERY decoder leak to the contract's
+                # ValueError (ADVICE r7; review r8 widened from
+                # OSError/SyntaxError): Pillow raises
+                # UnidentifiedImageError (OSError), truncated-file
+                # OSError, legacy SyntaxError, and
+                # DecompressionBombError (plain Exception)
                 raise ValueError(f"malformed image stream: {exc}") from exc
         fmt = "PNG" if raw[:1] == b"\x89" else "JPEG"
         raise ValueError(
@@ -690,6 +694,10 @@ def _av_decode_video(raw: bytes, frame_idx: int | None):
 
     try:
         with av.open(io.BytesIO(raw)) as container:
+            if not len(container.streams.video):
+                # M4A/AAC audio shares the ftyp magic — contract class,
+                # not the IndexError streams.video[0] would leak
+                raise ValueError("no video stream in MP4 container")
             stream = container.streams.video[0]
             if frame_idx is None:
                 n = int(getattr(stream, "frames", 0) or 0)

@@ -929,7 +929,17 @@ def lsh_index_compact(spark, path: str) -> None:
     already applied the deletes, so the rewrite makes them physical).
     O(corpus), run on the compaction cadence; restores exact
     single-version reads after re-ingest-with-changed-signature appends
-    (see ``lsh_index_append``)."""
+    (see ``lsh_index_append``).
+
+    Maintenance contract (shared with every index compactor here):
+    ONE maintainer — schedule compacts with the ingest stream
+    quiescent. The consumed-snapshot protocol below makes a racing
+    append's DATA safe (its log file is neither folded nor deleted —
+    next compact picks it up), but an append that lands inside the
+    base swap's rename gap can roll the swap back via its
+    ``_fs_recover_swap``, failing THIS compact loudly (IOError,
+    retryable; the pre-swap index stays live, nothing is lost —
+    review r8)."""
     from pyspark.sql import Window
 
     # snapshot the MOR tiers' files BEFORE the read view lists them:
@@ -1629,7 +1639,8 @@ def ivf_index_append(
 def ivf_index_compact(spark, path: str, id_col: str) -> None:
     """Fold the IVF append log: newest version per id wins (its single
     assigned cluster row), stale rows in old clusters drop; rewrite
-    ``{path}/base`` and delete the log. O(corpus), compaction cadence."""
+    ``{path}/base`` and delete the log. O(corpus), compaction cadence;
+    single-maintainer contract — see ``lsh_index_compact``."""
     from pyspark.sql import Window
 
     # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)

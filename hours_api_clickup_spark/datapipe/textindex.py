@@ -190,7 +190,8 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
     about-to-be-deleted log survived (ADVICE r3). The log is deleted
     only after the swap lands; a crash between swap and delete leaves a
     base∪log view that double-counts nothing (max-seq resolution is
-    idempotent over the re-folded rows)."""
+    idempotent over the re-folded rows). Single-maintainer contract —
+    see ``similarity.lsh_index_compact``."""
     # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
     fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
     _, tomb_p, consumed_tomb = _fs_snapshot_files(spark, f"{path}/tombstones")

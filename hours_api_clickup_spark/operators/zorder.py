@@ -106,20 +106,25 @@ def zorder_write_manifested(
     y_name: str,
     bits: int = 8,
     n_files: int | None = None,
+    stat_cols: dict[str, Column | str] | None = None,
 ) -> None:
     """``zorder_write`` + a published per-file min/max manifest for the
     two z-dimensions (``sinks/versioned.py::publish_file_stats``).
-    ``x_name``/``y_name`` are COLUMN NAMES of the written table whose
-    ranges the manifest records — they must reproduce the bucketized
-    values ``x``/``y`` clustered on (pass the same expressions when the
-    bucketization isn't a stored column). ``read_pruned`` then skips
-    whole files at split planning — the Delta/Iceberg-grade layer on
-    top of the row-group pruning the layout already buys."""
+    ``x_name``/``y_name`` name the manifest entries and, by default,
+    the stored columns whose ranges are recorded; when the clustered
+    values aren't stored columns, pass ``stat_cols`` mapping those
+    names to expressions over the WRITTEN table that reproduce them
+    (review r8 — the names-only signature made that documented workflow
+    unreachable). ``read_pruned`` then skips whole files at split
+    planning — the Delta/Iceberg-grade layer on top of the row-group
+    pruning the layout already buys."""
     from hours_api_clickup_spark.sinks.versioned import publish_file_stats
 
     zorder_write(df, x, y, path, bits=bits, n_files=n_files)
     stats = collect_file_stats(
-        df.sparkSession, path, {x_name: x_name, y_name: y_name}
+        df.sparkSession,
+        path,
+        stat_cols if stat_cols is not None else {x_name: x_name, y_name: y_name},
     )
     publish_file_stats(path, stats)
 
@@ -161,18 +166,27 @@ def read_pruned(
                 return False
         return True
 
-    data_files = [
-        f
-        for f in os.listdir(path)
-        if not f.startswith(("_", ".")) and f.endswith(".parquet")
-    ]
+    # recursive walk (review r8): a nested/partitioned layout's files
+    # live below subdirectories — a top-level-only listing would find
+    # nothing and silently return an empty frame, violating the
+    # "unknown files are always KEPT" invariant. Manifest keys are bare
+    # file names (unique: Spark part files carry a UUID).
+    data_files = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")) and f.endswith(".parquet"):
+                data_files.append(os.path.join(root, f))
     keep = [
-        f for f in data_files if f not in stats or survives(stats[f])
+        p
+        for p in data_files
+        if os.path.basename(p) not in stats
+        or survives(stats[os.path.basename(p)])
     ]
     if not keep:
         # every file pruned: an empty frame with the table's schema
         return spark.read.parquet(path).where(F.lit(False))
-    return spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    return spark.read.parquet(*keep)
 
 
 def scan_stats(df) -> tuple[int, int]:

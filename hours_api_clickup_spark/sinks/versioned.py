@@ -157,7 +157,11 @@ def publish_file_stats(path: str, stats: dict[str, dict[str, list]]) -> None:
 
     tmp = os.path.join(path, _FILE_STATS + ".tmp")
     with open(tmp, "w") as f:
-        json.dump(dict(sorted(stats.items())), f, sort_keys=True)
+        # default=str: date/timestamp/Decimal stats stringify instead of
+        # crashing the publish AFTER a successful O(corpus) write
+        # (review r8). ISO date/timestamp strings compare correctly as
+        # strings; callers pruning on such columns pass string bounds.
+        json.dump(dict(sorted(stats.items())), f, sort_keys=True, default=str)
     os.replace(tmp, os.path.join(path, _FILE_STATS))
 
 

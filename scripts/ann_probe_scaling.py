@@ -144,6 +144,12 @@ def run(
         )
 
         rows.append((rep, n_vec, n_doc, t_lsh, t_ivf, t_txt))
+        # drop this scale's index copies before the next build — inside
+        # bench.py the session keeps running and leaked dirs would grow
+        # /tmp by several index copies per round (review r8)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
         ivf_msg = f"{t_ivf:.3f}s" if t_ivf is not None else "skipped"
         print(
             f"# {rep}x: {n_vec} vecs / {n_doc} docs — lsh {t_lsh:.3f}s, "

@@ -53,7 +53,8 @@ def run(spark, levels=LEVELS, base: str = BASE, n_runs: int = N_RUNS):
 
     rows = []
     for label, mod in levels:
-        path = tempfile.mkdtemp(prefix="nd_del_scale_") + "/idx"
+        work = tempfile.mkdtemp(prefix="nd_del_scale_")
+        path = work + "/idx"
         doc_neardup_index_write(corpus, "doc_id", "text", path)
         t_del = 0.0
         n_del = 0
@@ -80,6 +81,9 @@ def run(spark, levels=LEVELS, base: str = BASE, n_runs: int = N_RUNS):
         t0 = time.perf_counter()
         doc_neardup_index_compact(spark, path)
         t_compact = time.perf_counter() - t0
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)  # review r8: bench hygiene
         rows.append((label, n_del, t_del, t_append, t_compact))
         print(
             f"# {label}: del={t_del:.2f}s append={t_append:.2f}s "

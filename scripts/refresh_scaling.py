@@ -155,7 +155,7 @@ def main() -> int:
 
         ticks = []
         touched_all: set[str] = set()
-        files_written = 0
+        tick_files: list[int] = []
         for _ in range(N_TICKS):
             before = V.read_manifest(fact)
             t0 = time.perf_counter()
@@ -167,8 +167,8 @@ def main() -> int:
             after = V.read_manifest(fact)
             changed = {m for m in after if after[m] != before.get(m)}
             touched_all |= changed
-            files_written = sum(
-                month_files(fact, m, after[m]) for m in changed
+            tick_files.append(
+                sum(month_files(fact, m, after[m]) for m in changed)
             )
             # GATE: only window months change, history versions persist
             window_months = set(months)
@@ -184,6 +184,13 @@ def main() -> int:
         n_window_months = len(touched_all)
         # GATE: touched months are the window's, independent of history
         assert n_window_months <= (WINDOW_DAYS // 28) + 2, touched_all
+        # GATE (review r8): files written per tick are identical across
+        # ticks AND bounded by the window's month count — a regression
+        # fanning out file counts or rewriting history files fails here,
+        # not in prose
+        assert len(set(tick_files)) == 1, tick_files
+        files_written = tick_files[0]
+        assert files_written <= 2 * n_window_months, tick_files
         rows.append(
             (
                 scale,
@@ -204,6 +211,8 @@ def main() -> int:
 
     # GATE: flat in history (2.5x headroom for host noise)
     assert rows[-1][3] <= 2.5 * t1_median, (rows[-1][3], t1_median)
+    # GATE: files/tick identical at every history scale
+    assert len({r[5] for r in rows}) == 1, [r[5] for r in rows]
 
     print("| scale | history months | history rows | tick median s | "
           "months touched | files/tick | µs per staged row |")

@@ -445,3 +445,48 @@ def test_real_av_mp4_frame_decode():
     assert mm.video_frame_count(raw) == 3
     out = mm.decode_video_frame(raw, 1)
     assert out.shape == (16, 32, 3)
+
+
+def test_av_branch_no_video_stream_and_pil_bomb_normalize(monkeypatch):
+    """Review r8: an ftyp container with no video stream (M4A audio)
+    raises the contract ValueError, not the IndexError streams.video[0]
+    leaks; a PIL DecompressionBombError-shaped plain Exception also
+    normalizes to ValueError."""
+    from hours_api_clickup_spark.datapipe import multimodal as mm
+
+    mp4_payload = b"\x00\x00\x00\x18ftypM4A " + b"fake-mdat"
+
+    class _NoVideoStreams:
+        video = []
+
+    class _FakeContainer:
+        streams = _NoVideoStreams()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeAv:
+        @staticmethod
+        def open(buf):
+            return _FakeContainer()
+
+    monkeypatch.setattr(mm, "_av_module", lambda: _FakeAv)
+    with pytest.raises(ValueError, match="no video stream"):
+        mm.video_frame_count(mp4_payload)
+    with pytest.raises(ValueError, match="no video stream"):
+        mm.decode_video_frame(mp4_payload, 0)
+
+    class _Bomb(Exception):  # PIL.Image.DecompressionBombError shape
+        pass
+
+    class _FakeBombImage:
+        @staticmethod
+        def open(buf):
+            raise _Bomb("exceeds limit of 178956970 pixels")
+
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: _FakeBombImage)
+    with pytest.raises(ValueError, match="malformed image stream"):
+        mm.decode_media(b"\x89PNG\r\n\x1a\n" + b"huge")

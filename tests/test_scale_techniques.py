@@ -2486,3 +2486,48 @@ def test_zorder_manifest_prunes_whole_files(spark, tmp_path):
     repruned = read_pruned(spark, zpath, {"x": (96, 127), "y": (64, 95)})
     full_after = spark.read.parquet(zpath).filter(box)
     assert repruned.filter(box).count() == full_after.count()
+
+
+def test_read_pruned_nested_layout_and_typed_stats(spark, tmp_path):
+    """Review r8: read_pruned must discover files RECURSIVELY (a
+    partitioned layout's files live under subdirs — the top-level-only
+    listing silently returned an empty frame), and publish_file_stats
+    must survive non-JSON-native stat types (dates stringify)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.zorder import (
+        collect_file_stats,
+        read_pruned,
+    )
+    from hours_api_clickup_spark.sinks.versioned import (
+        publish_file_stats,
+        read_file_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 4, dt.date(2024, 1 + i % 12, 5)) for i in range(400)],
+        "k long, p long, d date",
+    )
+    path = str(tmp_path / "nested")
+    df.write.partitionBy("p").parquet(path)
+
+    stats = collect_file_stats(spark, path, {"k": "k", "d": F.col("d")})
+    publish_file_stats(path, stats)  # date min/max must not crash
+    on_disk = read_file_stats(path)
+    assert on_disk and all("d" in v and "k" in v for v in on_disk.values())
+
+    # unpruned range: every row visible through the nested layout
+    out = read_pruned(spark, path, {"k": (None, None)})
+    assert out.count() == 400
+    # a real range still prunes correctly (row parity with plain read)
+    got = read_pruned(spark, path, {"k": (0, 99)}).filter(
+        F.col("k") <= 99
+    ).count()
+    want = spark.read.parquet(path).filter(F.col("k") <= 99).count()
+    assert got == want == 100
+    # ISO date-string bounds work against the stringified stats
+    dated = read_pruned(spark, path, {"d": ("2024-01-01", "2024-03-31")})
+    assert dated.count() > 0
