@@ -191,11 +191,27 @@ def main() -> None:
         f"queries untimed" + (f"; MISSING: {missing}" if missing else ""),
         file=sys.stderr,
     )
-    for name in BENCH_QUERIES:
+    # Mid-run calibration checkpoints (r8): the host's throughput
+    # oscillates on a MINUTES timescale (measured: dedup_simhash 24.3s
+    # and 3.0s eight minutes apart, identical code+data, idle box), so
+    # start/end calibration rows can straddle a slow window without
+    # seeing it. One fixed-work sample at 1/3 and 2/3 of the suite
+    # turns the two-point drift estimate into a profile.
+    third = max(1, len(BENCH_QUERIES) // 3)
+    for idx, name in enumerate(BENCH_QUERIES):
         med = statistics.median(run_once(name) for _ in range(N_RUNS))
         timings[name] = round(med, 3)
         total += med
         print(f"# {name}: median {med:.3f}s of {N_RUNS}", file=sys.stderr)
+        if idx in (third, 2 * third):
+            mid = "mid1" if idx == third else "mid2"
+            c = _calibrate_once()
+            timings[f"calibration_fixed_work_{mid}"] = round(c, 3)
+            print(
+                f"# calibration_fixed_work ({mid}, after {idx + 1} "
+                f"queries): {c:.3f}s",
+                file=sys.stderr,
+            )
 
     comp = statistics.median(
         sum(run_once(name) for name in COMPOSITE) for _ in range(N_RUNS)

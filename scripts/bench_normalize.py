@@ -66,20 +66,25 @@ def main() -> int:
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 
     def _factor(row: str) -> float | None:
-        """Midpoint-of-start/end drift factor for one calibration row
-        pair, or None when either side lacks it. The midpoint is used
-        because within-run drift means neither endpoint alone is the
-        whole run's clock."""
-        cal_a, cal_b = a.get(row), b.get(row)
-        if not cal_a or not cal_b:
+        """Drift factor for one calibration row family, averaged over
+        every checkpoint BOTH runs carry (start, _mid1/_mid2 since r8,
+        _end) — within-run drift means no single point is the whole
+        run's clock, and the host oscillates on a minutes timescale
+        (r8: a mid-suite slow window sat invisibly between fast start
+        and end rows). None when either side lacks the start row."""
+        if not a.get(row) or not b.get(row):
             return None
-        end = row + "_end"
-        if end in a and end in b:
-            cal_a = (cal_a + a[end]) / 2
-            cal_b = (cal_b + b[end]) / 2
+        pts_a, pts_b = [], []
+        for suffix in ("", "_mid1", "_mid2", "_end"):
+            k = row + suffix
+            if k in a and k in b:
+                pts_a.append(a[k])
+                pts_b.append(b[k])
+        cal_a = sum(pts_a) / len(pts_a)
+        cal_b = sum(pts_b) / len(pts_b)
         print(
-            f"host-drift factor (B/A, {row}): {cal_b / cal_a:.3f}  "
-            f"[cal A {cal_a:.3f}s, B {cal_b:.3f}s]"
+            f"host-drift factor (B/A, {row}, {len(pts_a)} checkpoints): "
+            f"{cal_b / cal_a:.3f}  [cal A {cal_a:.3f}s, B {cal_b:.3f}s]"
         )
         return cal_b / cal_a
 
