@@ -68,10 +68,16 @@ def zorder_write(
     no global sort into a single task, no skew (the curve spreads
     hot spots of either single dimension across quadrants)."""
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
-    out = df.withColumn("__z", z_value(x, y, bits))
-    out.repartitionByRange(n, F.col("__z")).sortWithinPartitions(
-        "__z"
-    ).drop("__z").write.mode("overwrite").parquet(path)
+    # collision-safe temp name: withColumn REPLACES an existing column,
+    # so a user table already carrying "__z" would lose it through the
+    # final drop (review r8)
+    zcol = "__z"
+    while zcol in df.columns:
+        zcol = "_" + zcol
+    out = df.withColumn(zcol, z_value(x, y, bits))
+    out.repartitionByRange(n, F.col(zcol)).sortWithinPartitions(
+        zcol
+    ).drop(zcol).write.mode("overwrite").parquet(path)
 
 
 def collect_file_stats(
@@ -90,11 +96,40 @@ def collect_file_stats(
     rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     return {
         r["__f"].rsplit("/", 1)[-1]: {
-            name: [r[f"__min_{name}"], r[f"__max_{name}"]]
+            name: [
+                _stat_value(r[f"__min_{name}"], "min"),
+                _stat_value(r[f"__max_{name}"], "max"),
+            ]
             for name in stat_cols
         }
         for r in rows
     }
+
+
+def _stat_value(v, side: str):
+    """JSON-native, ORDER-PRESERVING stat encoding (review r8 — a
+    str() fallback encoded Decimal('11') as "11" < "9" and datetimes
+    with a space that sorts before ISO-T bounds, so pruning dropped
+    files containing matching rows). int/float/bool/str/None pass
+    through; date/datetime → isoformat (ISO-T strings order like the
+    instants — pass isoformat() bounds to read_pruned); Decimal →
+    float widened one ulp OUTWARD on its side so rounding can never
+    shrink a file's [min, max]. Unknown types refuse loudly: a silently
+    wrong-ordering encoding is data loss at read time."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    import decimal
+    import math
+
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return math.nextafter(f, -math.inf if side == "min" else math.inf)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    raise TypeError(
+        f"no order-preserving JSON encoding for stat type "
+        f"{type(v).__name__}; cast the stat column first"
+    )
 
 
 def zorder_write_manifested(
@@ -141,9 +176,13 @@ def read_pruned(
     still apply the real predicate on the returned frame; the manifest
     only shrinks the file list. Interval semantics are SQL BETWEEN's —
     null-rejecting, so an all-null file (stats ``[null, null]``) is
-    safely skipped for any constrained column. Files the manifest
-    doesn't know (e.g. appended after publish) are always KEPT; with no
-    manifest at all this degrades to the plain full read."""
+    safely skipped for any CONSTRAINED column (a fully-unbounded
+    ``(None, None)`` range constrains nothing and keeps it). Files the
+    manifest doesn't know (e.g. appended after publish) are always
+    KEPT; with no manifest at all this degrades to the plain full read.
+    Bound types must match the manifest's encoding (``_stat_value``):
+    plain numbers for numeric columns, ``isoformat()`` strings for
+    date/timestamp columns, floats for Decimal columns."""
     import os
 
     from hours_api_clickup_spark.sinks.versioned import read_file_stats
@@ -157,6 +196,9 @@ def read_pruned(
             if name not in cols:
                 continue  # unknown column: cannot prune on it
             lo, hi = bounds
+            if lo is None and hi is None:
+                continue  # fully unbounded: no predicate, no pruning —
+                # an all-null file must stay visible (review r8)
             mn, mx = cols[name]
             if mn is None or mx is None:
                 return False  # all-null file; BETWEEN rejects nulls
@@ -186,7 +228,11 @@ def read_pruned(
     if not keep:
         # every file pruned: an empty frame with the table's schema
         return spark.read.parquet(path).where(F.lit(False))
-    return spark.read.parquet(*keep)
+    # basePath keeps Hive partition columns in the schema when reading
+    # explicit leaf files — without it a partitioned layout's pruned
+    # read would silently lose its partition columns while the
+    # no-manifest and all-pruned branches kept them (review r8)
+    return spark.read.option("basePath", path).parquet(*keep)
 
 
 def scan_stats(df) -> tuple[int, int]:

@@ -35,13 +35,20 @@ _POINTER = "_LATEST"
 
 
 def _versions(path: str) -> list[int]:
+    """Numeric ``v=N`` DIRECTORY entries — the ONE parser for the
+    version-dir scheme (review r8: write_month_version and prune_months
+    carried their own copies, and none required isdir, so a stray
+    regular FILE named ``v=3`` crashed GC's rmtree mid-loop)."""
     if not os.path.isdir(path):
         return []
-    return sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    )
+    out = []
+    for d in os.listdir(path):
+        if not d.startswith("v="):
+            continue
+        n = d.split("=", 1)[1]
+        if n.isdigit() and os.path.isdir(os.path.join(path, d)):
+            out.append(int(n))
+    return sorted(out)
 
 
 def latest_version(path: str) -> int | None:
@@ -157,10 +164,13 @@ def publish_file_stats(path: str, stats: dict[str, dict[str, list]]) -> None:
 
     tmp = os.path.join(path, _FILE_STATS + ".tmp")
     with open(tmp, "w") as f:
-        # default=str: date/timestamp/Decimal stats stringify instead of
-        # crashing the publish AFTER a successful O(corpus) write
-        # (review r8). ISO date/timestamp strings compare correctly as
-        # strings; callers pruning on such columns pass string bounds.
+        # ORDER-PRESERVING encoding is collect_file_stats' job
+        # (operators/zorder.py — isoformat for temporals, outward-
+        # widened floats for Decimals); default=str here is only the
+        # backstop that keeps a direct caller's exotic type from
+        # crashing the publish AFTER a successful O(corpus) write. A
+        # str() fallback does NOT promise lexicographic order — do not
+        # prune on a column that reached it (review r8).
         json.dump(dict(sorted(stats.items())), f, sort_keys=True, default=str)
     os.replace(tmp, os.path.join(path, _FILE_STATS))
 
@@ -183,12 +193,7 @@ def write_month_version(df: DataFrame, path: str, month: str) -> int:
     ``month`` stays a data column inside the files, so readers get a
     uniform schema without Hive partition discovery."""
     mdir = os.path.join(path, f"month={month}")
-    taken = {
-        int(d.split("=", 1)[1])
-        for d in (os.listdir(mdir) if os.path.isdir(mdir) else [])
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    }
-    next_v = max(taken, default=-1) + 1
+    next_v = max(_versions(mdir), default=-1) + 1
     df.write.mode("errorifexists").parquet(os.path.join(mdir, f"v={next_v}"))
     return next_v
 
@@ -259,23 +264,16 @@ def prune_months(path: str, keep_unreferenced: int = 0) -> list[str]:
     if not os.path.isdir(path):
         return removed
     for d in os.listdir(path):
-        if not d.startswith("month="):
+        mdir = os.path.join(path, d)
+        # directory guard: a marker FILE named month=… must not crash
+        # GC's listdir (review r8); non-numeric/non-dir v= debris is
+        # filtered inside _versions (review r6, unified r8)
+        if not d.startswith("month=") or not os.path.isdir(mdir):
             continue
         month = d.split("=", 1)[1]
-        mdir = os.path.join(path, d)
         live = manifest.get(month)
         dead = sorted(
-            (
-                int(vd.split("=", 1)[1])
-                for vd in os.listdir(mdir)
-                # isdigit: stray non-numeric v= entries (operator debris
-                # like v=3.bak) must not crash GC — same guard as
-                # _versions/write_month_version (review r6)
-                if vd.startswith("v=")
-                and vd.split("=", 1)[1].isdigit()
-                and int(vd.split("=", 1)[1]) != live
-            ),
-            reverse=True,
+            (v for v in _versions(mdir) if v != live), reverse=True
         )
         for v in dead[keep_unreferenced:]:
             shutil.rmtree(os.path.join(mdir, f"v={v}"))

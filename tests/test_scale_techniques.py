@@ -2531,3 +2531,66 @@ def test_read_pruned_nested_layout_and_typed_stats(spark, tmp_path):
     # ISO date-string bounds work against the stringified stats
     dated = read_pruned(spark, path, {"d": ("2024-01-01", "2024-03-31")})
     assert dated.count() > 0
+
+
+def test_read_pruned_partition_cols_nulls_and_decimal_stats(spark, tmp_path):
+    """Review r8 second pass: (a) a pruned read of a partitioned layout
+    keeps the partition column in the schema (basePath); (b) a fully
+    unbounded (None, None) range keeps an all-null-stats file visible;
+    (c) Decimal stats encode as outward-widened floats that order
+    correctly (str(Decimal) made "11" < "9"); (d) zorder_write does not
+    swallow a user column named __z."""
+    import os
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.operators.zorder import (
+        _stat_value,
+        collect_file_stats,
+        read_pruned,
+        zorder_write,
+    )
+    from hours_api_clickup_spark.sinks.versioned import publish_file_stats
+
+    # (a) + (b): partitioned layout, one partition with all-null k
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(100)], "k long, p long, v double"
+    ).union(
+        spark.createDataFrame(
+            [(None, 2, -1.0)] * 5, "k long, p long, v double"
+        )
+    )
+    path = str(tmp_path / "part")
+    df.write.partitionBy("p").parquet(path)
+    publish_file_stats(path, collect_file_stats(spark, path, {"k": "k"}))
+
+    pruned = read_pruned(spark, path, {"k": (None, None)})
+    assert "p" in pruned.columns  # partition column survives basePath
+    assert pruned.count() == 105  # all-null file kept: nothing constrained
+    assert pruned.filter(F.col("p") == 2).count() == 5
+    # a constrained range still skips the all-null file (BETWEEN)
+    lo = read_pruned(spark, path, {"k": (0, 9)})
+    assert lo.filter(F.col("k").between(0, 9)).count() == 10
+
+    # (c) Decimal stat encoding orders correctly
+    mn = _stat_value(Decimal("9"), "min")
+    mx = _stat_value(Decimal("11"), "max")
+    assert isinstance(mn, float) and isinstance(mx, float)
+    assert mn <= 9.0 and mx >= 11.0 and mn < 10.0 < mx
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="order-preserving"):
+        _stat_value(object(), "min")
+
+    # (d) __z user column survives a z-ordered write
+    zin = spark.createDataFrame(
+        [(i, i % 8, i % 8, f"z{i}") for i in range(64)],
+        "k long, x long, y long, __z string",
+    )
+    zpath = str(tmp_path / "zcol")
+    zorder_write(zin, F.col("x"), F.col("y"), zpath, bits=3, n_files=2)
+    back = spark.read.parquet(zpath)
+    assert "__z" in back.columns
+    assert back.filter(F.col("__z") == "z7").count() == 1
+    assert back.count() == 64 and os.path.isdir(zpath)
