@@ -56,7 +56,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not NaN) when either vector has zero norm: 0/0 in Spark
+    doubles is NaN, and Spark orders NaN ABOVE every real double, so a
+    single zero-norm corpus vector (a failed embedding-service row)
+    would silently take rank 1 of every desc top-k (review r8). NULL
+    sorts last under desc and fails every >= threshold — the
+    quarantine-style degradation callers want."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -84,7 +91,14 @@ def brute_force_topk(
         @pandas_udf("double")
         def _score(v: pd.Series) -> pd.Series:
             m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
-            return pd.Series((m @ qv) / (np.linalg.norm(m, axis=1) * qn))
+            denom = np.linalg.norm(m, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (m @ qv) / denom
+            # zero-norm rows score -inf (rank last), never NaN — Spark
+            # sorts NaN above every real double, so one zero vector
+            # would take rank 1 of every top-k (review r8)
+            s[~np.isfinite(s)] = -np.inf
+            return pd.Series(s)
 
         from hours_api_clickup_spark.datapipe.dedup import spread
 
@@ -254,12 +268,9 @@ def add_lsh_signatures(
     def sign_batches(batches):
         pl = hyperplanes(vdim, n_planes, n_tables)
         weights = 1 << np.arange(n_planes)
-        vc = None
         for pdf in batches:
-            if vc is None:
-                vc = vec_col
             m = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vc].values]
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col].values]
             )
             for t in range(n_tables):
                 bits = (m @ pl[t].T) >= 0  # (n, planes)
@@ -475,6 +486,22 @@ def _next_seq(spark, path: str, reader) -> int:
     return hi + 1
 
 
+def _delete_seq(spark, path: str, reader) -> int:
+    """Tombstone seq for a DELETE: the max LIVE seq — high enough to
+    kill every visible version (all have seq ≤ it), and never a number
+    a FUTURE ingest could use. The previous max(live, tomb)+1 form
+    claimed an unused seq, and in a stream-fed index (seq = batch_id)
+    that is exactly the NEXT micro-batch's number: a delete issued
+    between batches N and N+1 got seq N+1, so a vector legitimately
+    re-ingested in batch N+1 tied the tombstone, stayed invisible, and
+    was physically dropped at compaction — a silent lost re-ingest
+    (review r8). Appends keep ``_next_seq``'s max(live, tomb)+1: a
+    re-ingest must OUT-RANK the newest tombstone, and the +1 it claims
+    is immediately consumed by its own rows."""
+    max_seq = reader(spark, path).agg(F.max("seq")).head()[0]
+    return int(max_seq) if max_seq is not None else -1
+
+
 def lsh_index_delete(
     spark, path: str, vids: "list | DataFrame", seq: int | None = None
 ) -> None:
@@ -496,7 +523,7 @@ def lsh_index_delete(
         if not vids:
             return
     if seq is None:
-        seq = _next_seq(spark, path, lsh_index_read)
+        seq = _delete_seq(spark, path, lsh_index_read)
     _write_tombstones(spark, f"{path}/tombstones", "vid", vids, int(seq))
 
 
@@ -893,6 +920,7 @@ def lsh_index_append(
     passes it in."""
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
+    _fs_recover_swap(spark, f"{path}/codes")  # both tiers (review r8)
     df = df.dropDuplicates([id_col])
     if not df.head(1):
         return  # empty batch: nothing to sign/assign, nothing to commit
@@ -1419,6 +1447,12 @@ def train_ivf_centroids(
 
 
 def _lloyd(x: np.ndarray, n_clusters: int, iters: int) -> np.ndarray:
+    if not len(x):
+        raise ValueError("cannot train a quantizer on an empty sample")
+    # clamp like seed_centroids: a corpus smaller than n_clusters gets
+    # one centroid per row instead of rs.choice(replace=False) raising
+    # 'larger sample than population' (review r8)
+    n_clusters = min(n_clusters, len(x))
     rs = np.random.RandomState(42)
     centroids = x[rs.choice(len(x), size=n_clusters, replace=False)]
     for _ in range(iters):
@@ -1588,7 +1622,7 @@ def ivf_index_delete(
         if not ids:
             return
     if seq is None:
-        seq = _next_seq(spark, path, ivf_index_read)
+        seq = _delete_seq(spark, path, ivf_index_read)
     _write_tombstones(spark, f"{path}/tombstones", id_col, ids, int(seq))
 
 
@@ -1609,6 +1643,7 @@ def ivf_index_append(
     compaction); append of NEW ids is exact immediately."""
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
+    _fs_recover_swap(spark, f"{path}/codes")  # both tiers (review r8)
     df = df.dropDuplicates([id_col])
     if not df.head(1):
         return  # empty batch: nothing to sign/assign, nothing to commit
@@ -1691,6 +1726,7 @@ def ivf_index_upsert(
     partitioned base only)."""
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
+    _fs_recover_swap(spark, f"{path}/codes")  # both tiers (review r8)
     df = df.dropDuplicates([id_col])
     if not df.head(1):
         return  # empty batch: nothing to sign/assign, nothing to commit  # one row per id in the batch
@@ -2225,7 +2261,11 @@ def _seq_sq_dist(xb: np.ndarray, c: np.ndarray) -> np.ndarray:
 def pq_encode(
     df: DataFrame, vec_col: str, id_col: str, codebooks: np.ndarray
 ) -> DataFrame:
-    """(vid, codes array<tinyint>) — one Arrow-batched mapInPandas pass;
+    """(vid, codes) — one Arrow-batched mapInPandas pass; the element
+    type adapts to the codebook: tinyint through n_codes ≤ 127 (the
+    8-B/vector storage contract at the default 16 codes), smallint
+    above — classic PQ's 256 codes silently wrapped negative in int8
+    and element_at then indexed the ADC table from the END (review r8).
     per subspace a (batch × n_codes) distance block built by sequential
     per-dimension accumulation (see ``_seq_sq_dist``) and an argmin
     whose first-occurrence rule IS the smallest-code tie-break the
@@ -2233,6 +2273,11 @@ def pq_encode(
     the ingest pass that materializes the code table next to the IVF
     partition layout; probes then never read the vector column."""
     M, J, sub = codebooks.shape
+    if J > 32767:
+        raise ValueError(f"n_codes {J} exceeds smallint code range")
+    code_np, code_sql = (
+        (np.int8, "tinyint") if J <= 127 else (np.int16, "smallint")
+    )
     cb = codebooks
     vec, vid = vec_col, id_col
 
@@ -2241,7 +2286,7 @@ def pq_encode(
             if not len(pdf):
                 continue
             xm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
-            codes = np.empty((len(pdf), M), dtype=np.int8)
+            codes = np.empty((len(pdf), M), dtype=code_np)
             for m in range(M):
                 xb = xm[:, m * sub : (m + 1) * sub]
                 dists = np.stack(
@@ -2255,7 +2300,7 @@ def pq_encode(
     from hours_api_clickup_spark.datapipe.dedup import spread
 
     return spread(df.select(_c(id_col).alias(vid), _c(vec_col).alias(vec))).mapInPandas(
-        enc, "vid long, codes array<tinyint>"
+        enc, f"vid long, codes array<{code_sql}>"
     )
 
 
@@ -2280,6 +2325,21 @@ def pq_adc_table(query_vec, codebooks: np.ndarray) -> list[list[float]]:
             row.append(d)
         dt.append(row)
     return dt
+
+
+def _adc_col(dt) -> Column:
+    """Left-associated ADC sum — element_at(dt_m, code_m + 1) chained
+    in subspace order — shared by pq_adc_topk and ivfpq_probe_topk so
+    the lookup (and any fix to it) cannot drift between them
+    (review r8)."""
+    adc: Column | None = None
+    for m, row in enumerate(dt):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in row]),
+            F.col("codes").getItem(m).cast("int") + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    return adc
 
 
 def pq_adc_topk(
@@ -2315,14 +2375,7 @@ def pq_adc_topk(
     if codes is None:
         codes = pq_encode(df, vec_col, id_col, codebooks)
     dt = pq_adc_table(query_vec, codebooks)
-    adc: Column | None = None
-    for m, row in enumerate(dt):
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in row]),
-            F.col("codes").getItem(m).cast("int") + F.lit(1),
-        )
-        adc = term if adc is None else adc + term
-    cand = codes.select(F.col("vid"), adc.alias("adc"))
+    cand = codes.select(F.col("vid"), _adc_col(dt).alias("adc"))
     if exclude_id is not None:
         cand = cand.filter(F.col("vid") != exclude_id)
     cand_ids = (
@@ -2638,6 +2691,7 @@ def ivfpq_index_append(
     other append paths (compaction = rebuild of both tiers)."""
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
+    _fs_recover_swap(spark, f"{path}/codes")  # both tiers (review r8)
     df = df.dropDuplicates([id_col])
     if not df.head(1):
         return  # empty batch: nothing to sign/assign, nothing to commit
@@ -2699,6 +2753,12 @@ def ivfpq_probe_topk(
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(p) for p in np.argsort(-(centroids @ qn), kind="stable")[:nprobe]]
+    # every reader/writer recovers a crashed swap first (module
+    # contract); the codes tier was the one reader that did not — a
+    # crash between the codes renames left probes throwing
+    # path-not-found with a complete copy sitting in codes__old
+    # (review r8)
+    _fs_recover_swap(spark, f"{index_path}/codes")
     codes = spark.read.parquet(f"{index_path}/codes")
     codes = codes.select(
         "vid",
@@ -2726,14 +2786,7 @@ def ivfpq_probe_topk(
         F.col("seq") == F.col("_mx")
     )
     dt = pq_adc_table(query_vec, codebooks)
-    adc: Column | None = None
-    for m, row in enumerate(dt):
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in row]),
-            F.col("codes").getItem(m).cast("int") + F.lit(1),
-        )
-        adc = term if adc is None else adc + term
-    cand = codes.select(F.col("vid"), adc.alias("adc"))
+    cand = codes.select(F.col("vid"), _adc_col(dt).alias("adc"))
     if exclude_id is not None:
         cand = cand.filter(F.col("vid") != exclude_id)
     cand_ids = (

@@ -245,7 +245,7 @@ def inverted_index_delete(
     ``doc_ids`` is an id list or a DataFrame of ids (distributed marker
     write, no driver collect — verdict r6 #3)."""
     from hours_api_clickup_spark.datapipe.similarity import (
-        _next_seq,
+        _delete_seq,
         _write_tombstones,
     )
 
@@ -254,7 +254,7 @@ def inverted_index_delete(
         if not doc_ids:
             return
     if seq is None:
-        seq = _next_seq(spark, path, inverted_index_read)
+        seq = _delete_seq(spark, path, inverted_index_read)
     _write_tombstones(spark, f"{path}/tombstones", "doc_id", doc_ids, int(seq))
 
 

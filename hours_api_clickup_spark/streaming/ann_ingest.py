@@ -166,13 +166,63 @@ def streaming_doc_neardup_ingest(
             doc_neardup_index_write(empty, id_col, text_col, index_path)
         indexed = spark.read.parquet(f"{index_path}/sig").select("did")
         bids = batch_df.select(F.col(id_col).alias("did")).dropDuplicates()
-        fresh = batch_df.join(
-            F.broadcast(bids.join(indexed, "did", "semi")),
-            batch_df[id_col] == F.col("did"),
-            "left_anti",
-        )
+        # ONE indexed-did scan per batch: stale is pinned once and
+        # fresh derives from it (the old form computed the identical
+        # semi-join twice — a redundant O(index) scan every batch;
+        # review r8)
         stale = bids.join(indexed, "did", "semi").localCheckpoint()
         has_stale = bool(stale.head(1))
+        fresh = batch_df.join(
+            F.broadcast(stale),
+            batch_df[id_col] == stale["did"],
+            "left_anti",
+        )
+        if has_stale:
+            # Redelivery or UPDATE? A crash redelivery carries the SAME
+            # text, so the batch's recomputed signature equals the
+            # stored one; a did arriving with CHANGED text is an update
+            # this append-only path cannot fold — the old signatures
+            # would silently keep serving and the pair table would
+            # diverge from the corpus (review r8). Distinguish the two
+            # exactly and fail loudly on updates, naming the
+            # remediation. Rare path: runs only when stale is
+            # non-empty, over the stale slice alone.
+            from hours_api_clickup_spark.datapipe.dedup import (
+                DEFAULT_NUM_HASHES,
+                DEFAULT_SHINGLE_K,
+                _sig_frame,
+            )
+
+            stale_docs = batch_df.join(
+                F.broadcast(stale),
+                batch_df[id_col] == stale["did"],
+                "left_semi",
+            )
+            resigned = _sig_frame(
+                stale_docs, id_col, text_col,
+                DEFAULT_SHINGLE_K, DEFAULT_NUM_HASHES,
+            ).select(
+                "did",
+                F.array(
+                    *[F.col(f"m{s}") for s in range(DEFAULT_NUM_HASHES)]
+                ).alias("sa_new"),
+            )
+            stored = spark.read.parquet(f"{index_path}/sig").select(
+                "did", "sa"
+            )
+            n_changed = (
+                resigned.join(stored, "did")
+                .filter(F.col("sa_new") != F.col("sa"))
+                .count()
+            )
+            if n_changed:
+                raise ValueError(
+                    f"batch {int(batch_id)} re-ingests {n_changed} "
+                    "already-indexed doc id(s) with CHANGED text — this "
+                    "append-only index cannot fold updates: issue "
+                    "doc_neardup_index_delete for those ids, compact, "
+                    "then re-ingest (the takedown lifecycle), or rebuild"
+                )
         parts = []
         if fresh.head(1):
             parts.append(
@@ -199,9 +249,13 @@ def streaming_doc_neardup_ingest(
             # anti-join — the old unconditional form scanned the ENTIRE
             # accumulated pairs table per batch, an O(pairs-table) cost
             # that grew without bound over the stream's life (advice r6).
-            if has_stale and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(pairs_path)
-            ):
+            # derive the FS from the PAIRS path: index and pairs may
+            # live on different filesystems (s3a index, hdfs pairs),
+            # and the index-derived fs would throw Wrong FS on the
+            # recovery path (review r8)
+            pairs_p = jvm.org.apache.hadoop.fs.Path(pairs_path)
+            pairs_fs = pairs_p.getFileSystem(hconf)
+            if has_stale and pairs_fs.exists(pairs_p):
                 prev = spark.read.parquet(pairs_path).select("id_a", "id_b")
                 pairs = pairs.join(prev, ["id_a", "id_b"], "left_anti")
             pairs.write.mode("append").parquet(pairs_path)

@@ -1331,3 +1331,51 @@ def test_streaming_doc_neardup_drops_tombstoned_dids_from_batches(
         # ...but produces no NEW pairs: batch-2 candidates were
         # anti-filtered against the tombstones
         assert doomed_incoming not in touched
+
+
+def test_streaming_doc_neardup_rejects_changed_text(spark, tmp_path):
+    """Review r8: a doc id re-arriving with CHANGED text is an UPDATE,
+    not a crash redelivery — the append-only index cannot fold it, so
+    the batch must fail loudly (naming the takedown lifecycle) instead
+    of silently serving the old signatures. Identical-text redelivery
+    keeps working (test_streaming_doc_neardup_full_redelivery_is_noop)."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_doc_neardup_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "text")
+    stage = str(tmp_path / "stage")
+    docs.coalesce(1).write.mode("append").parquet(stage)
+    idx = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.select("doc_id", "text").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = streaming_doc_neardup_ingest(stream, idx, pairs_path, ckpt)
+        q.awaitTermination(300)
+        return q
+
+    run()  # batch 0 indexes everything
+
+    # an UPDATE arrives: same id, different text
+    docs.filter(F.col("doc_id") == 7).withColumn(
+        "text", F.lit("completely different rewritten body")
+    ).coalesce(1).write.mode("append").parquet(stage)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="CHANGED text"):
+        run()
+    # the index is untouched by the failed batch: old signature serves
+    sig = spark.read.parquet(f"{idx}/sig")
+    assert sig.filter(F.col("did") == 7).count() == 1

@@ -2594,3 +2594,190 @@ def test_read_pruned_partition_cols_nulls_and_decimal_stats(spark, tmp_path):
     assert "__z" in back.columns
     assert back.filter(F.col("__z") == "z7").count() == 1
     assert back.count() == 64 and os.path.isdir(zpath)
+
+
+class TestThirdReviewPassRegressions:
+    """Review r8 third pass (similarity/ann_ingest surface)."""
+
+    def test_zero_norm_vector_never_wins_topk(self, spark):
+        """A zero-norm corpus vector (failed embedding row) must never
+        outrank real neighbors: 0/0 = NaN and Spark sorts NaN above
+        every real double, so the old scoring put the zero vector at
+        rank 1 of every desc top-k — both scoring paths."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            brute_force_topk,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = (
+            load_table(spark, SF_DIR, "embeddings")
+            .filter(F.col("vec_id") < 100)
+            .select("vec_id", "embedding")
+        )
+        dim = len(emb.head()["embedding"])
+        poisoned = emb.unionByName(
+            spark.createDataFrame(
+                [(99999, [0.0] * dim)], "vec_id long, embedding array<float>"
+            ).select(
+                "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+            )
+        )
+        qv = [float(x) for x in emb.head()["embedding"]]
+        for vectorized in (True, False):
+            got = [
+                r["nbr_id"]
+                for r in brute_force_topk(
+                    poisoned, "embedding", "vec_id", qv, k=5,
+                    vectorized=vectorized,
+                ).collect()
+            ]
+            clean = [
+                r["nbr_id"]
+                for r in brute_force_topk(
+                    emb, "embedding", "vec_id", qv, k=5,
+                    vectorized=vectorized,
+                ).collect()
+            ]
+            assert 99999 not in got
+            assert got == clean
+
+    def test_delete_between_batches_spares_next_batch_reingest(
+        self, spark, tmp_path
+    ):
+        """The seq-collision bug (review r8): a delete issued between
+        stream batches N and N+1 used to claim seq N+1, so a vector
+        legitimately re-ingested in batch N+1 tied the tombstone and
+        was silently lost at compaction. Deletes now stamp max-LIVE
+        seq: they still kill every visible version, and the next
+        batch's re-ingest out-ranks them."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            lsh_index_append,
+            lsh_index_compact,
+            lsh_index_delete,
+            lsh_index_read,
+            lsh_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        path = str(tmp_path / "lsh")
+        # stream topology: seq = batch_id
+        lsh_index_write(
+            emb.filter(F.col("vec_id") < 150), "embedding", "vec_id",
+            path, dim=64,
+        )
+        lsh_index_append(
+            emb.filter(F.col("vec_id").between(150, 199)),
+            "embedding", "vec_id", path, dim=64, seq=1,
+        )
+        victim = 160
+        lsh_index_delete(spark, path, [victim])  # between batches 1 and 2
+
+        def visible() -> bool:
+            return bool(
+                lsh_index_read(spark, path)
+                .filter(F.col("vid") == victim)
+                .head(1)
+            )
+
+        assert not visible()  # the delete killed every live version
+        # batch 2 legitimately re-ingests the victim
+        lsh_index_append(
+            emb.filter(
+                F.col("vec_id").between(200, 219)
+                | (F.col("vec_id") == victim)
+            ),
+            "embedding", "vec_id", path, dim=64, seq=2,
+        )
+        assert visible()  # seq 2 out-ranks the tombstone
+        lsh_index_compact(spark, path)
+        assert visible()  # and compaction does not drop it
+
+    def test_pq_codes_above_128_stay_nonnegative(self, spark):
+        """Classic PQ uses 256 codes; int8 encoding wrapped any code
+        above 127 negative and element_at then indexed the distance
+        table from the END (review r8). Codes are int16 now."""
+        import numpy as np
+        import pandas as pd
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            pq_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        n, dim, n_sub, n_codes = 300, 8, 2, 200
+        vecs = rng.standard_normal((n, dim)).astype(np.float64)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(n), "embedding": [list(v) for v in vecs]}
+            )
+        )
+        sub = dim // n_sub
+        codebooks = rng.standard_normal((n_sub, n_codes, sub))
+        rows = pq_encode(df, "embedding", "vec_id", codebooks).collect()
+        allcodes = [c for r in rows for c in r["codes"]]
+        assert min(allcodes) >= 0 and max(allcodes) < n_codes
+        assert max(allcodes) > 127  # the regime int8 corrupted
+
+    def test_ivfpq_probe_recovers_crashed_codes_swap(self, spark, tmp_path):
+        """A crash between the codes tier's two swap renames leaves
+        codes absent and codes__old complete; probes must roll it back
+        instead of throwing path-not-found until a rebuild (review r8)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            ivfpq_index_write,
+            ivfpq_probe_topk,
+            pq_seed_codebooks,
+            seed_centroids,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        emb = load_table(spark, SF_DIR, "embeddings").filter(
+            F.col("vec_id") < 300
+        )
+        path = str(tmp_path / "ivfpq")
+        cents = seed_centroids(emb, "embedding", "vec_id", n_clusters=8)
+        cbs = pq_seed_codebooks(emb, "embedding", "vec_id", n_subspaces=8, n_codes=16)
+        ivfpq_index_write(emb, "embedding", "vec_id", path, cents, cbs)
+        qv = [float(x) for x in emb.head()["embedding"]]
+        want = [
+            r["nbr_id"]
+            for r in ivfpq_probe_topk(
+                spark, path, "embedding", "vec_id", qv, cents, cbs, k=5
+            ).collect()
+        ]
+        os.rename(f"{path}/codes", f"{path}/codes__old")  # mid-swap crash
+        got = [
+            r["nbr_id"]
+            for r in ivfpq_probe_topk(
+                spark, path, "embedding", "vec_id", qv, cents, cbs, k=5
+            ).collect()
+        ]
+        assert got == want and os.path.isdir(f"{path}/codes")
+
+    def test_quantizer_training_degrades_on_tiny_corpus(self, spark):
+        """Fewer rows than n_clusters: clamp like seed_centroids, never
+        ValueError from rs.choice (review r8)."""
+        import pandas as pd
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            train_ivf_centroids,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(5), "embedding": [[float(i)] * 4 for i in range(1, 6)]}
+            )
+        )
+        cents = train_ivf_centroids(df, "embedding", "vec_id", n_clusters=16)
+        assert 1 <= cents.shape[0] <= 5 and cents.shape[1] == 4
