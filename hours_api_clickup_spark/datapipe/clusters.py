@@ -53,6 +53,7 @@ def connected_components(
 
     Returns ``(node: long, component: long)``.
     """
+    node_ids = nodes.select(_c(node_col).cast("long").alias("node")).distinct()
     sym = (
         edges.select(
             _c(src_col).cast("long").alias("u"),
@@ -64,16 +65,34 @@ def connected_components(
                 _c(src_col).cast("long").alias("v"),
             )
         )
+        # restrict to the declared node universe (and drop null ids):
+        # an endpoint absent from ``nodes`` used to INVENT output rows
+        # the caller never supplied, with labels that may not have
+        # converged through the missing node's other edges (review r8)
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .join(node_ids.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(node_ids.withColumnRenamed("node", "v"), "v", "left_semi")
         # materialize once: every round re-joins this edge list, and the
         # upstream pair-generation plan (GEMM / LSH) must not re-run
         .localCheckpoint(eager=True)
     )
     labels = (
-        nodes.select(_c(node_col).cast("long").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        node_ids.withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def _free_checkpoint(df: DataFrame) -> None:
+        """Best-effort release of a superseded localCheckpoint's cached
+        blocks (standard Pregel-on-Spark discipline): without it each
+        round pins another full label-set copy until context GC — up to
+        max_iter copies on the biggest inputs (review r8). Reaches the
+        checkpointed RDD through the analyzed LogicalRDD; swallows any
+        reflection miss, since retention is a memory-pressure concern,
+        never a correctness one."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
 
     for _ in range(max_iter):
         # neighbor v's current component flows to u …
@@ -93,8 +112,11 @@ def connected_components(
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
         )
+        done = changed.isEmpty()
+        _free_checkpoint(labels)
         labels = new_labels
-        if changed.isEmpty():
+        if done:
+            _free_checkpoint(sym)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"

@@ -93,6 +93,17 @@ def gram_hash_sql(text_expr: str, i_expr: str, k: int) -> str:
     return h
 
 
+def _min_matches(threshold: float, num_hashes: int) -> int:
+    """The sketch prefilter's integer cutoff — matching minhash
+    components ≥ ceil((threshold − margin)·K). ONE definition: the
+    Spark prefilter, the DuckDB oracle, and both persisted-index paths
+    must stay bit-identical or the hash-match gate / the
+    incremental-≡-batch property silently diverge (review r8: four
+    copies of this formula)."""
+    est_margin = 0.2
+    return max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -182,27 +193,54 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def portable_shingle_hash(sh: Column) -> Column:
+    """Polynomial hash mod 2³¹ of a standalone shingle STRING — exactly
+    ``portable_gram_hash`` evaluated over txt[i:i+k]'s characters, so a
+    per-row signature is component-comparable with the bulk path and
+    the persisted doc index. Interpreted HOF: per-row use only."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(sh)),
+        F.lit(0).cast("long"),
+        lambda h, j: F.pmod(
+            h * F.lit(GRAM_BASE) + F.ascii(F.substring(sh, j, F.lit(1))),
+            F.lit(M31),
+        ),
+    )
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> Column:
     """K-permutation MinHash signature as a single column expression:
-    per permutation s, min over shingles of (a_s·md5_hash32(sh)+b_s) mod 2³¹
-    — the same engine-portable family as the bulk path. Empty shingle
-    sets get a per-permutation sentinel (≥ 2³¹, outside the hash range)
-    so they only ever collide with other empties.
+    per permutation s, min over shingles of
+    (a_s·portable_shingle_hash(sh)+b_s) mod 2³¹ — the SAME hash family
+    and constants as ``_sig_frame``, so these signatures are
+    component-comparable with ``minhash_lsh_pairs`` and the persisted
+    doc index (review r8: the md5_hash32 family this used before made
+    per-row signatures silently incomparable — ~0/64 components matched
+    even for identical text, killing the ≥min-matches prefilter;
+    parity is now pinned by test). Empty shingle sets get a
+    per-permutation sentinel (≥ 2³¹, outside the hash range) so they
+    only ever collide with other empties.
 
     Note: higher-order functions evaluate interpreted (outside codegen);
     fine for per-row use, but the bulk path in minhash_lsh_pairs uses the
     explode+groupBy form below, which stays in whole-stage codegen."""
     consts = affine_constants(num_hashes, MINHASH_SALT)
-    base = F.transform(shingles, lambda sh: md5_hash32(sh))
-    mins = [
-        F.coalesce(
-            F.array_min(
-                F.transform(base, lambda h, a=a, b=b: F.pmod(h * a + b, F.lit(M31)))
-            ),
-            F.lit(M31 + s),
+    base = F.transform(shingles, lambda sh: portable_shingle_hash(sh))
+
+    def _perm_min(a: int, b: int) -> Column:
+        # factory closure, NOT default-arg capture: PySpark counts a
+        # lambda's defaults as HOF parameters, so the old
+        # ``lambda h, a=a, b=b`` form was an invalid 3-arg transform
+        # lambda — the function failed on FIRST USE (review r8: it had
+        # no internal caller and no test, so nothing caught it)
+        return F.array_min(
+            F.transform(base, lambda h: F.pmod(h * a + b, F.lit(M31)))
         )
+
+    mins = [
+        F.coalesce(_perm_min(a, b), F.lit(M31 + s))
         for s, (a, b) in enumerate(consts)
     ]
     return F.array(*mins)
@@ -275,9 +313,11 @@ def minhash_lsh_pairs(
 
     Plan shape (the scale path — every stage codegen'd, no interpreted
     higher-order functions in the bulk flow):
-      1. scan → shingles → explode → one xxhash64 per shingle
-      2. groupBy(doc) with K min-aggregates (map-side partial agg: the
-         shuffle carries K longs per doc, not the shingles)
+      1. scan → shingles → explode → one polynomial gram hash per shingle
+      2. groupBy(doc) with K min-aggregates + collect_set of gram
+         hashes (map-side partial agg; the shuffle carries K longs plus
+         the distinct gram-hash set per doc — a measured trade, see the
+         inline comment below)
       3. B band-bucket hashes → explode → self-join on (band, bucket):
          shuffle keyed on the bucket, so cost is Σ bucket² not n²
       4. candidate pairs → join shingle sets back by id → exact-Jaccard
@@ -340,8 +380,7 @@ def _verified_pairs(
     collisions is discarded without ever shipping their gram sets.
     The cutoff is an integer count of matching components (never a
     float compare), so the oracle reproduces it exactly."""
-    est_margin = 0.2
-    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+    min_matches = _min_matches(threshold, num_hashes)
     sig_arr = sig.select(
         "did", F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa")
     )
@@ -428,8 +467,7 @@ def _minhash_oracle_ctes(
     """Shared CTE chain (ends in ``kept``) for the MinHash oracles."""
     rows_per_band = num_hashes // bands
     consts = affine_constants(num_hashes, MINHASH_SALT)
-    est_margin = 0.2
-    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+    min_matches = _min_matches(threshold, num_hashes)
 
     gh = gram_hash_sql(text_col, "i", k)
     min_exprs = ",\n           ".join(
@@ -886,6 +924,12 @@ def duplicated_spans(
                 )
             ).alias("gh"),
         )
+        # materialize once: BOTH the dup-count aggregation and the
+        # semi-join probe read this frame — without the checkpoint the
+        # corpus is re-scanned, re-tokenized and re-hashed a second
+        # time, doubling the operator's dominant cost (review r8; same
+        # reason minhash_lsh_pairs checkpoints sig)
+        .localCheckpoint()
     )
     dup = (
         grams.groupBy("gh")
@@ -981,17 +1025,35 @@ def doc_neardup_index_write(
     never read again; ``{path}/bands`` holds the narrow
     (did, band, bucket) rows the candidate join scans, sorted by
     (band, bucket) for row-group pruning. One signing pass total."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _fs_recover_swap,
+        _fs_swap_dir,
+    )
+
+    spark = df.sparkSession
+    _fs_recover_swap(spark, f"{path}/sig")
+    _fs_recover_swap(spark, f"{path}/bands")
     sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint()
+    # staged + swapped, BANDS COMMITTED BEFORE SIG (review r8): the old
+    # in-place overwrite destroyed the live index at job start (a
+    # mid-rebuild crash left markers pointing at nothing), and writing
+    # sig first inverted the module's commit ordering — "did present in
+    # sig" must imply a COMPLETE index entry (the streaming bootstrap
+    # probes sig existence, and append/pairs_for_ids read bands), so a
+    # crash between the writes wedged the ingest stream permanently.
+    sig_staged, bands_staged = f"{path}/sig__staged", f"{path}/bands__staged"
     sig.select(
         "did",
         F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa"),
         "gset",
     ).repartitionByRange(8, "did").sortWithinPartitions("did").write.mode(
         "overwrite"
-    ).parquet(f"{path}/sig")
+    ).parquet(sig_staged)
     _band_frame(sig, num_hashes, bands).sortWithinPartitions(
         "band", "bucket"
-    ).write.mode("overwrite").parquet(f"{path}/bands")
+    ).write.mode("overwrite").parquet(bands_staged)
+    _fs_swap_dir(spark, f"{path}/bands", bands_staged)
+    _fs_swap_dir(spark, f"{path}/sig", sig_staged)
 
 
 def doc_neardup_index_append(
@@ -1027,8 +1089,7 @@ def doc_neardup_index_append(
     # recovers first — review r7)
     _fs_recover_swap(spark, f"{path}/sig")
     _fs_recover_swap(spark, f"{path}/bands")
-    est_margin = 0.2
-    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+    min_matches = _min_matches(threshold, num_hashes)
 
     bsig = _sig_frame(batch, id_col, text_col, k, num_hashes).localCheckpoint()
     bband = _band_frame(bsig, num_hashes, bands)
@@ -1194,8 +1255,7 @@ def doc_neardup_index_pairs_for_ids(
     # roll back a crashed compact's half-finished swap first (review r7)
     _fs_recover_swap(spark, f"{path}/sig")
     _fs_recover_swap(spark, f"{path}/bands")
-    est_margin = 0.2
-    min_matches = max(0, math.ceil((threshold - est_margin) * num_hashes - 1e-9))
+    min_matches = _min_matches(threshold, num_hashes)
     bands = spark.read.parquet(f"{path}/bands")
     tomb = _doc_tombstones(spark, path)
     if tomb is not None:

@@ -210,9 +210,18 @@ def streaming_doc_neardup_ingest(
             stored = spark.read.parquet(f"{index_path}/sig").select(
                 "did", "sa"
             )
+            # LEFT join from the stale id set, not an inner join on the
+            # recomputed signatures: _sig_frame drops docs shorter than
+            # the shingle size, so an update to sub-k/empty text has NO
+            # resigned row — an inner join silently passed exactly the
+            # update it was built to catch (review r8)
             n_changed = (
-                resigned.join(stored, "did")
-                .filter(F.col("sa_new") != F.col("sa"))
+                stale.join(resigned, "did", "left")
+                .join(stored, "did", "left")
+                .filter(
+                    F.col("sa_new").isNull()
+                    | (F.col("sa_new") != F.col("sa"))
+                )
                 .count()
             )
             if n_changed:

@@ -1379,3 +1379,45 @@ def test_streaming_doc_neardup_rejects_changed_text(spark, tmp_path):
     # the index is untouched by the failed batch: old signature serves
     sig = spark.read.parquet(f"{idx}/sig")
     assert sig.filter(F.col("did") == 7).count() == 1
+
+
+def test_streaming_doc_neardup_rejects_sub_shingle_update(spark, tmp_path):
+    """Review r8 fourth pass: an update whose NEW text is shorter than
+    the shingle size produces no recomputed signature row, and the old
+    inner-join comparison silently passed exactly that update — it must
+    fail the batch like any other changed-text re-ingest."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_doc_neardup_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", "text")
+    stage = str(tmp_path / "stage")
+    docs.coalesce(1).write.mode("append").parquet(stage)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = streaming_doc_neardup_ingest(
+            stream, idx, str(tmp_path / "pairs"), ckpt
+        )
+        q.awaitTermination(300)
+
+    run()
+    docs.filter(F.col("doc_id") == 3).withColumn(
+        "text", F.lit("hi")  # shorter than the shingle k
+    ).coalesce(1).write.mode("append").parquet(stage)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="CHANGED text"):
+        run()

@@ -2781,3 +2781,116 @@ class TestThirdReviewPassRegressions:
         )
         cents = train_ivf_centroids(df, "embedding", "vec_id", n_clusters=16)
         assert 1 <= cents.shape[0] <= 5 and cents.shape[1] == 4
+
+
+class TestFourthReviewPassRegressions:
+    """Review r8 fourth pass (dedup/clusters surface)."""
+
+    def test_minhash_signature_matches_bulk_path(self, spark):
+        """The per-row signature must be component-identical to the
+        bulk path's (_sig_frame) — it used a different hash family, so
+        per-row signatures silently never matched the persisted index
+        (review r8)."""
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.dedup import (
+            DEFAULT_NUM_HASHES,
+            DEFAULT_SHINGLE_K,
+            _sig_frame,
+            char_shingles,
+            minhash_signature,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents").filter(
+            F.col("doc_id") < 40
+        )
+        per_row = {
+            r["did"]: list(r["sig"])
+            for r in docs.select(
+                F.col("doc_id").alias("did"),
+                minhash_signature(
+                    char_shingles("text", DEFAULT_SHINGLE_K)
+                ).alias("sig"),
+            ).collect()
+        }
+        bulk = {
+            r["did"]: [r[f"m{s}"] for s in range(DEFAULT_NUM_HASHES)]
+            for r in _sig_frame(
+                docs, "doc_id", "text", DEFAULT_SHINGLE_K, DEFAULT_NUM_HASHES
+            ).collect()
+        }
+        assert bulk and all(per_row[d] == sig for d, sig in bulk.items())
+
+    def test_doc_neardup_rebuild_crash_keeps_live_index(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A rebuild over a live index that crashes before its swaps
+        must leave the old index fully readable — the old in-place
+        overwrite destroyed it at job start, and sig-before-bands
+        ordering could wedge the ingest stream (review r8)."""
+        from pyspark.sql import functions as F
+
+        import hours_api_clickup_spark.datapipe.similarity as sim
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_pairs_for_ids,
+            doc_neardup_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents").filter(
+            F.col("doc_id") < 400
+        )
+        path = str(tmp_path / "didx")
+        doc_neardup_index_write(docs, "doc_id", "text", path)
+        ids = docs.limit(5).select(F.col("doc_id").alias("did"))
+        want = {
+            (r.id_a, r.id_b)
+            for r in doc_neardup_index_pairs_for_ids(spark, path, ids).collect()
+        }
+
+        real_swap = sim._fs_swap_dir
+
+        def crash_swap(spark_, live, staged):
+            raise RuntimeError("injected crash before any swap")
+
+        monkeypatch.setattr(sim, "_fs_swap_dir", crash_swap)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            doc_neardup_index_write(docs, "doc_id", "text", path)
+        monkeypatch.setattr(sim, "_fs_swap_dir", real_swap)
+        # live index untouched and fully consistent
+        got = {
+            (r.id_a, r.id_b)
+            for r in doc_neardup_index_pairs_for_ids(spark, path, ids).collect()
+        }
+        assert got == want
+        # and a clean rebuild over the debris succeeds
+        doc_neardup_index_write(docs, "doc_id", "text", path)
+        got2 = {
+            (r.id_a, r.id_b)
+            for r in doc_neardup_index_pairs_for_ids(spark, path, ids).collect()
+        }
+        assert got2 == want
+
+    def test_connected_components_ignores_unknown_endpoints(self, spark):
+        """Edges referencing ids outside the declared node universe (or
+        null ids) must not INVENT output rows (review r8)."""
+        import pandas as pd
+
+        from hours_api_clickup_spark.datapipe.clusters import (
+            connected_components,
+        )
+
+        nodes = spark.createDataFrame(pd.DataFrame({"node": [1, 2, 3]}))
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 999), (None, 3)], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(nodes, edges, "node").collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3}
