@@ -298,6 +298,12 @@ def decontaminate_bloom(
     bench_grams = (
         benchmark.select(F.explode(_token_ngrams(tokens(text_col), n)).alias("g"))
         .distinct()
+        # pinned once: the k bloom-word builds AND the exact verify all
+        # read this frame, and ReuseExchange is an optimization, not a
+        # guarantee — in the large-benchmark regime this operator
+        # exists for, k+1 redundant explode+distinct passes over the
+        # benchmark are real money (review r8)
+        .localCheckpoint()
     )
     words_per_hash = []
     for j in range(k_hashes):
@@ -417,7 +423,17 @@ def decontaminate_embeddings(
     """
     from pyspark.sql.functions import pandas_udf
 
-    rows = benchmark.select(_c(vec_col).alias("v")).collect()
+    rows = benchmark.select(_c(vec_col).alias("v")).filter(
+        _c(vec_col).isNotNull()
+    ).collect()
+    if not rows:
+        # empty eval slice: nothing can contaminate — np.stack([]) would
+        # crash the driver instead (review r8)
+        return spread(corpus).select(
+            _c(id_col).alias(id_col),
+            F.lit(0).cast("long").alias("n_bench_hits"),
+            F.lit(False).alias("contaminated"),
+        )
     bm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
     thr = float(threshold)
@@ -1006,7 +1022,11 @@ def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
     0/1/3 canonicalize identically; variant 2 keeps its non-tracking
     ?id= param and stays distinct."""
     did = _c(id_col)
-    page = (did / F.lit(4)).cast("long")
+    # shiftright = exact integer div-4 for the non-negative ids this
+    # synthesizer takes; the old float-divide-then-cast rounded ids
+    # beyond 2^53 before the cast while the oracle's // stayed exact
+    # (review r8)
+    page = F.shiftright(did.cast("long"), 2)
     dom = F.pmod(page, F.lit(5)).cast("string")
     p = page.cast("string")
     variant = F.pmod(did, F.lit(4)).cast("int")
@@ -1127,7 +1147,7 @@ def url_canonical_dedup_oracle_sql(
     q AS (
         SELECT did, path_part,
             array_to_string(list_filter(string_split(query_part, '&'),
-                x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%') AND x != ''),
+                x -> NOT (x LIKE 'utm\\_%' ESCAPE '\\' OR x LIKE 'ref=%') AND x != ''),
                 '&') AS kept_query
         FROM p
     ),

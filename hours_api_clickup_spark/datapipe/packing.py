@@ -132,6 +132,11 @@ def write_training_shards(
     )
     (
         with_shard.repartition(F.col("shard_id"))
+        # sort inside each shard task: repartition alone delivers rows
+        # in shuffle-fetch order, which varies run to run — the
+        # docstring's determinism claim needs a total order, and
+        # start_offset is unique per row (review r8)
+        .sortWithinPartitions("shard_id", "start_offset")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(out_dir)

@@ -239,5 +239,20 @@ def leakage_safe_split(
     independent hashes, and one lands in train while the other scores
     the model. Same deterministic Knuth-hash machinery as
     ``assign_split``; group sizes make the weights approximate at the
-    margin (a whole cluster moves together — that is the point)."""
-    return df.withColumn(out_col, assign_split(group_col, splits, seed))
+    margin (a whole cluster moves together — that is the point).
+
+    String group keys (the URL/domain form) fold through the portable
+    md5 32-bit hash first: ``hash_bucket`` casts its key to long, and a
+    string's cast yields NULL non-ANSI — every ``bucket < th`` was NULL
+    and the whens fell through, silently assigning 100%% of rows to the
+    LAST split (review r8; regression-tested)."""
+    name = group_col if isinstance(group_col, str) else None
+    dtype = dict(df.dtypes).get(name) if name else None
+    key = _c(group_col)
+    if dtype is not None and dtype not in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        from hours_api_clickup_spark.functions.hashing import md5_hash32
+
+        key = md5_hash32(key.cast("string"))
+    return df.withColumn(out_col, assign_split(key, splits, seed))

@@ -1071,3 +1071,125 @@ def test_index_tmp_sweeps_dead_process_dirs(tmp_path, monkeypatch):
     assert garbage.exists(), "overflow-pid entry should be left alone"
     # stable naming: same inputs → same root across calls
     assert leaf == _index_tmp("hac_ivf_", "/root/testdata/sf0.001", "idx")
+
+
+def test_leakage_safe_split_string_group_keys(spark):
+    """Review r8 fifth pass: string group keys (the documented URL /
+    domain form) used to cast to NULL inside hash_bucket, silently
+    assigning 100% of rows to the LAST split. Strings now fold through
+    the portable md5 hash: groups stay whole AND every split receives
+    mass."""
+    import pandas as pd
+
+    from hours_api_clickup_spark.datapipe.sampling import (
+        leakage_safe_split,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "row_id": range(900),
+            "domain": [f"site-{i % 300}.example" for i in range(900)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = leakage_safe_split(
+        df, "domain", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_split) == {"train", "val", "test"}  # not all-one-split
+    assert per_split["train"] > per_split["val"]
+    # every group lands in exactly one split
+    assert (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_training_shards_row_order_is_deterministic(spark, tmp_path):
+    """Review r8 fifth pass: the shard writer claims deterministic
+    contents — two writes of the same packed corpus must produce
+    identical row ORDER inside every shard file, not just identical
+    sets."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hours_api_clickup_spark.datapipe.packing import (
+        pack_into_chunks,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    packed = pack_into_chunks(docs, "doc_id", "n_tokens", 512)
+
+    def write_and_read(d):
+        write_training_shards(packed, d, 8)
+        out = {}
+        for f in sorted(glob.glob(f"{d}/shard_id=*/*.parquet")):
+            shard = f.split("shard_id=")[1].split("/")[0]
+            out.setdefault(shard, []).extend(
+                pq.read_table(f).column("doc_id").to_pylist()
+            )
+        return out
+
+    a = write_and_read(str(tmp_path / "s1"))
+    b = write_and_read(str(tmp_path / "s2"))
+    assert a == b and len(a) > 1  # same per-shard ORDER, multi-shard
+
+
+def test_decontaminate_embeddings_empty_benchmark(spark):
+    """Review r8 fifth pass: an empty (or all-null-vector) eval slice
+    flags nothing instead of crashing np.stack on the driver."""
+    from hours_api_clickup_spark.datapipe.curation import (
+        decontaminate_embeddings,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    empty = emb.filter(F.lit(False))
+    out = decontaminate_embeddings(emb, empty, "embedding", "vec_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["n_bench_hits"] == 0 and not r["contaminated"] for r in rows)
+
+
+def test_url_oracle_tracking_param_wildcard_escaped(spark):
+    """Review r8 fifth pass: the oracle's LIKE 'utm_%' treated '_' as a
+    wildcard, dropping params like 'utmz=1' that the Spark
+    canonicalizer keeps. Pin both the predicate semantics and the
+    Spark/oracle agreement on such a param."""
+    import duckdb
+
+    from hours_api_clickup_spark.datapipe.curation import (
+        canonicalize_url,
+        url_canonical_dedup_oracle_sql,
+    )
+
+    import re
+
+    sql = url_canonical_dedup_oracle_sql("documents", "doc_id")
+    assert "LIKE 'utm_%'" not in sql  # unescaped wildcard is the bug
+    # execute the GENERATED predicate bytes — a text assertion alone
+    # missed the Python-escape variant where ESCAPE '' shipped (the
+    # backslash was eaten by the source string literal)
+    line = next(l for l in sql.splitlines() if "LIKE" in l)
+    pred = re.search(r"x -> (.+)\),?$", line.strip()).group(1)
+    con = duckdb.connect()
+    kept = con.execute(
+        "SELECT list_filter(string_split("
+        "'utm_source=feed&ref=rss&id=3&utmz=1', '&'), x -> " + pred + ")"
+    ).fetchone()[0]
+    assert kept == ["id=3", "utmz=1"]
+    # Spark keeps the non-tracking utmz param
+    got = spark.createDataFrame(
+        [("https://www.Example0.com/page/1?utmz=1&utm_source=feed",)],
+        "url string",
+    ).select(canonicalize_url("url").alias("c")).head()["c"]
+    assert "utmz=1" in got and "utm_source" not in got
