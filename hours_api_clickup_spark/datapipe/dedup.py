@@ -1010,6 +1010,43 @@ def duplicated_spans_oracle_sql(
 # ---------------------------------------------------------------------------
 
 
+_REBUILD_MARKER = "__rebuild_commit"
+
+
+def _doc_index_recover(spark, path: str) -> None:
+    """Joint crash recovery for the sig+bands tier PAIR — every doc-index
+    entry point calls this before touching either tier (ADVICE r8).
+
+    First the per-tier mid-swap rollback (``_fs_recover_swap``), then:
+    if a rebuild's commit marker survives, roll the rebuild FORWARD.
+    The marker is created only after BOTH staged tiers are completely
+    written, so finishing whichever swaps remain (idempotent, same
+    bands-then-sig order as the write) can never publish a partial
+    tier — and the mixed-generation window the two sequential swaps
+    used to leave (new bands, old sig: a crash there made a
+    doc-removing rebuild violate "did in sig ⇒ complete index entry")
+    is closed: readers now see either the old generation or the new,
+    never a mix. A staged dir WITHOUT the marker is an abandoned write
+    (crash before commit) — left alone; the next rebuild/compact
+    overwrites it."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _fs_delete,
+        _fs_exists,
+        _fs_recover_swap,
+        _fs_swap_dir,
+    )
+
+    _fs_recover_swap(spark, f"{path}/sig")
+    _fs_recover_swap(spark, f"{path}/bands")
+    if not _fs_exists(spark, f"{path}/{_REBUILD_MARKER}"):
+        return
+    for tier in ("bands", "sig"):
+        staged = f"{path}/{tier}__staged"
+        if _fs_exists(spark, staged):
+            _fs_swap_dir(spark, f"{path}/{tier}", staged)
+    _fs_delete(spark, f"{path}/{_REBUILD_MARKER}")
+
+
 def doc_neardup_index_write(
     df: DataFrame,
     id_col: str,
@@ -1026,13 +1063,13 @@ def doc_neardup_index_write(
     (did, band, bucket) rows the candidate join scans, sorted by
     (band, bucket) for row-group pruning. One signing pass total."""
     from hours_api_clickup_spark.datapipe.similarity import (
-        _fs_recover_swap,
+        _fs_delete,
         _fs_swap_dir,
+        _fs_touch,
     )
 
     spark = df.sparkSession
-    _fs_recover_swap(spark, f"{path}/sig")
-    _fs_recover_swap(spark, f"{path}/bands")
+    _doc_index_recover(spark, path)
     sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint()
     # staged + swapped, BANDS COMMITTED BEFORE SIG (review r8): the old
     # in-place overwrite destroyed the live index at job start (a
@@ -1041,6 +1078,11 @@ def doc_neardup_index_write(
     # sig" must imply a COMPLETE index entry (the streaming bootstrap
     # probes sig existence, and append/pairs_for_ids read bands), so a
     # crash between the writes wedged the ingest stream permanently.
+    # The commit marker (ADVICE r8) makes the two swaps ONE transaction:
+    # created only after both staged tiers are complete, deleted after
+    # both swaps — a crash between the swaps used to leave mixed
+    # generations (new bands, old sig); now _doc_index_recover rolls the
+    # rebuild forward from the marker.
     sig_staged, bands_staged = f"{path}/sig__staged", f"{path}/bands__staged"
     sig.select(
         "did",
@@ -1052,8 +1094,10 @@ def doc_neardup_index_write(
     _band_frame(sig, num_hashes, bands).sortWithinPartitions(
         "band", "bucket"
     ).write.mode("overwrite").parquet(bands_staged)
+    _fs_touch(spark, f"{path}/{_REBUILD_MARKER}")
     _fs_swap_dir(spark, f"{path}/bands", bands_staged)
     _fs_swap_dir(spark, f"{path}/sig", sig_staged)
+    _fs_delete(spark, f"{path}/{_REBUILD_MARKER}")
 
 
 def doc_neardup_index_append(
@@ -1081,14 +1125,12 @@ def doc_neardup_index_append(
     batch ids are new (the standard ingest contract; re-ingest goes
     through a rebuild, as with the vector-index compaction cadence).
     """
-    from hours_api_clickup_spark.datapipe.similarity import _fs_recover_swap
-
     spark = batch.sparkSession
-    # roll back a crashed compact's half-finished swap before reading
-    # (the _fs_swap_dir contract: every reader/writer entry point
-    # recovers first — review r7)
-    _fs_recover_swap(spark, f"{path}/sig")
-    _fs_recover_swap(spark, f"{path}/bands")
+    # roll back a crashed compact's half-finished swap — and roll a
+    # crashed rebuild's joint publish forward — before reading (the
+    # _fs_swap_dir contract: every reader/writer entry point recovers
+    # first — review r7, ADVICE r8)
+    _doc_index_recover(spark, path)
     min_matches = _min_matches(threshold, num_hashes)
 
     bsig = _sig_frame(batch, id_col, text_col, k, num_hashes).localCheckpoint()
@@ -1250,11 +1292,9 @@ def doc_neardup_index_pairs_for_ids(
     for a crashed streaming ingest attempt — the batch's index append
     completed (its dids are in ``{path}/sig``) but the pairs write did
     not (review r6); see streaming/ann_ingest.py."""
-    from hours_api_clickup_spark.datapipe.similarity import _fs_recover_swap
-
-    # roll back a crashed compact's half-finished swap first (review r7)
-    _fs_recover_swap(spark, f"{path}/sig")
-    _fs_recover_swap(spark, f"{path}/bands")
+    # roll back a crashed compact's swap / forward a crashed rebuild's
+    # joint publish first (review r7, ADVICE r8)
+    _doc_index_recover(spark, path)
     min_matches = _min_matches(threshold, num_hashes)
     bands = spark.read.parquet(f"{path}/bands")
     tomb = _doc_tombstones(spark, path)
@@ -1338,13 +1378,11 @@ def doc_neardup_index_compact(spark, path: str) -> None:
     from hours_api_clickup_spark.datapipe.similarity import (
         _fs_drop_consumed,
         _fs_exists,
-        _fs_recover_swap,
         _fs_snapshot_files,
         _fs_swap_dir,
     )
 
-    _fs_recover_swap(spark, f"{path}/sig")
-    _fs_recover_swap(spark, f"{path}/bands")
+    _doc_index_recover(spark, path)
     if not _fs_exists(spark, f"{path}/sig"):
         return  # delete-before-build: markers stay until an index exists
     if not _fs_exists(spark, f"{path}/tombstones"):

@@ -576,6 +576,24 @@ def _fs_exists(spark, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def _fs_touch(spark, path: str) -> None:
+    """Create (or truncate) an empty marker file — the commit-point
+    primitive for joint multi-directory publishes and leases."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Delete a single file/empty-dir marker; absent path is a no-op."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
 def _fs_swap_dir(spark, live: str, staged: str) -> None:
     """Replace directory ``live`` with ``staged`` via two renames (the
     closest a filesystem sink gets to an atomic pointer flip; the

@@ -378,6 +378,27 @@ def build_corpus(
     )
     from hours_api_clickup_spark.datapipe.sampling import assign_split
 
+    # Fail loudly on a non-integral id (ADVICE r8): every downstream
+    # stage keys on the id numerically — assign_split/hash_bucket cast
+    # it to long (non-numeric strings hash NULL → 100% of rows in the
+    # last split, the exact bug leakage_safe_split fixed in r8), and
+    # stage 3's cluster semi-join on long-cast node ids drops every row
+    # — so a string-id corpus would exit 0 with an EMPTY corpus. An
+    # automatic md5 fold is no fix here: a 32-bit surrogate collides at
+    # corpus scale and the cluster stage would silently merge distinct
+    # docs. Users with string ids should mint a surrogate first, e.g.
+    # ``F.xxhash64(id)`` (collision-check it) or ``zipWithIndex``.
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    id_dtype = dict(docs.dtypes).get(id_col)
+    if id_dtype not in _INTEGRAL:
+        raise ValueError(
+            f"build_corpus requires an integral id column; {id_col!r} is "
+            f"{id_dtype!r}. Mint an integral surrogate first (e.g. "
+            f"F.xxhash64({id_col!r}) with a collision check, or "
+            f"zipWithIndex) — split hashing and cluster resolution key "
+            f"on the id numerically."
+        )
+
     manifest: dict = {
         "params": {
             "id_col": id_col,

@@ -51,6 +51,25 @@ def _versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _taken_numbers(path: str) -> set[int]:
+    """Every numeric ``v=N`` entry — FILES included. A stray regular
+    file named ``v=3`` can't be read or pruned as a version (the isdir
+    filter in ``_versions`` is right for those consumers), but its NAME
+    still blocks a parquet write there, so WRITERS must skip past it
+    when choosing the next number (ADVICE r8: the r8 isdir fix made
+    ``_versions`` dir-only and ``next_v`` collided with such debris,
+    failing the errorifexists write the pre-r8 code skipped past)."""
+    if not os.path.isdir(path):
+        return set()
+    out = set()
+    for d in os.listdir(path):
+        if d.startswith("v="):
+            n = d.split("=", 1)[1]
+            if n.isdigit():
+                out.add(int(n))
+    return out
+
+
 def latest_version(path: str) -> int | None:
     """The PUBLISHED version (pointer file), or None for an empty store.
     Dangling ``v=N`` dirs from interrupted writes are ignored."""
@@ -66,8 +85,9 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     Returns the new version number."""
     current = latest_version(path)
     next_v = 0 if current is None else current + 1
-    # skip over dangling unpublished dirs from interrupted writes
-    taken = set(_versions(path))
+    # skip over dangling unpublished dirs from interrupted writes AND
+    # any non-dir v=N debris whose name would fail the write below
+    taken = _taken_numbers(path)
     while next_v in taken:
         next_v += 1
     df.write.mode("errorifexists").parquet(os.path.join(path, f"v={next_v}"))
@@ -194,6 +214,12 @@ def write_month_version(df: DataFrame, path: str, month: str) -> int:
     uniform schema without Hive partition discovery."""
     mdir = os.path.join(path, f"month={month}")
     next_v = max(_versions(mdir), default=-1) + 1
+    # skip past non-dir v=N debris whose NAME would fail the write
+    # below (ADVICE r8) — without letting far-off debris numbers
+    # inflate the sequence
+    taken = _taken_numbers(mdir)
+    while next_v in taken:
+        next_v += 1
     df.write.mode("errorifexists").parquet(os.path.join(mdir, f"v={next_v}"))
     return next_v
 

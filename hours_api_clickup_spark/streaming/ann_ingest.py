@@ -132,18 +132,18 @@ def streaming_doc_neardup_ingest(
         fs = marker.getFileSystem(hconf)
         if fs.exists(marker):
             return  # fully applied by a previous attempt
-        # roll back a crashed compact's half-finished swap BEFORE the
+        # roll back a crashed compact's half-finished swap — and roll a
+        # crashed rebuild's joint sig+bands publish forward — BEFORE the
         # existence probe: mid-swap, sig is briefly absent and a bare
         # exists() would misread that as first-run — the bootstrap
         # overwrite below would then silently replace the whole corpus
-        # index with an empty one (review r7)
-        from hours_api_clickup_spark.datapipe.dedup import _doc_tombstones
-        from hours_api_clickup_spark.datapipe.similarity import (
-            _fs_recover_swap,
+        # index with an empty one (review r7, ADVICE r8)
+        from hours_api_clickup_spark.datapipe.dedup import (
+            _doc_index_recover,
+            _doc_tombstones,
         )
 
-        _fs_recover_swap(spark, f"{index_path}/sig")
-        _fs_recover_swap(spark, f"{index_path}/bands")
+        _doc_index_recover(spark, index_path)
         # a takedown issued between this batch's publication and its
         # arrival must win: drop tombstoned dids from the batch while
         # the markers live (post-compact, a re-ingest is an intentional

@@ -146,10 +146,22 @@ def run(
         rows.append((rep, n_vec, n_doc, t_lsh, t_ivf, t_txt))
         # drop this scale's index copies before the next build — inside
         # bench.py the session keeps running and leaked dirs would grow
-        # /tmp by several index copies per round (review r8)
+        # /tmp by several index copies per round (review r8) — and
+        # unpersist the replicated frames' localCheckpoint blocks: the
+        # rmtree covers disk only, and the cached replicas would
+        # otherwise accumulate in executor storage memory across every
+        # bench round of the long-lived session, pressuring the very
+        # drift-sensitive timings this script measures (ADVICE r8)
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
+        for frame in (e, d):
+            if frame is emb or frame is docs:
+                continue  # rep==1 reuses the un-checkpointed base table
+            try:
+                frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # retention is memory pressure, never correctness
         ivf_msg = f"{t_ivf:.3f}s" if t_ivf is not None else "skipped"
         print(
             f"# {rep}x: {n_vec} vecs / {n_doc} docs — lsh {t_lsh:.3f}s, "

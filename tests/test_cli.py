@@ -188,3 +188,24 @@ def test_cli_curate_builds_corpus_end_to_end(cli, tmp_path, capsys, spark):
         m2["stages"]["after_decontamination"]
         == m2["stages"]["after_near_dedup"]
     )
+
+
+def test_build_corpus_rejects_non_integral_id(spark, tmp_path):
+    """ADVICE r8: a string id would hash NULL in assign_split (100% of
+    rows in the last split) and drop every row in the cluster
+    semi-join — the build would exit 0 with an EMPTY corpus. The entry
+    must fail loudly instead, before any stage runs."""
+    import pytest
+
+    from hours_api_clickup_spark import pipelines
+
+    docs = spark.createDataFrame(
+        [("a", "some text here"), ("b", "other text here")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        pipelines.build_corpus(docs, str(tmp_path / "corpus"))
+    # nothing written — the check precedes every stage
+    import os
+
+    assert not os.path.exists(str(tmp_path / "corpus"))

@@ -971,6 +971,102 @@ def test_doc_neardup_index_incremental_equals_one_shot(spark, tmp_path):
     assert inc == full
 
 
+def test_doc_neardup_rebuild_crash_between_swaps_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: doc_neardup_index_write's publish was two sequential
+    directory swaps (bands then sig); a crash between them during a
+    doc-REMOVING rebuild left mixed generations — new bands, old sig —
+    so "did present in sig" no longer implied a complete index entry.
+    The commit marker makes the pair one transaction: the next entry
+    point rolls the rebuild FORWARD, and readers only ever observe
+    whole generations."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hours_api_clickup_spark.datapipe.similarity as sim
+    from hours_api_clickup_spark.datapipe.dedup import (
+        _doc_index_recover,
+        doc_neardup_index_append,
+        doc_neardup_index_write,
+        minhash_lsh_pairs,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+    gen_a = docs.filter(F.col("doc_id") % 10 < 8)
+    # gen B REMOVES docs (the case whose mixed-tier window broke the
+    # sig invariant) and is what a takedown-rebuild looks like
+    gen_b = gen_a.filter(F.col("doc_id") % 7 != 1)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    b_ids = {r[0] for r in gen_b.select("doc_id").collect()}
+    removed = {
+        r[0] for r in gen_a.select("doc_id").collect()
+    } - b_ids
+    assert removed  # the rebuild must actually drop docs
+
+    path = str(tmp_path / "didx")
+    doc_neardup_index_write(gen_a, "doc_id", "text", path)
+
+    # crash EXACTLY between the two swaps: bands published, sig not
+    real_swap = sim._fs_swap_dir
+    calls = {"n": 0}
+
+    def crashing(spark_, live, staged):
+        real_swap(spark_, live, staged)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between joint swaps")
+
+    monkeypatch.setattr(sim, "_fs_swap_dir", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        doc_neardup_index_write(gen_b, "doc_id", "text", path)
+    monkeypatch.undo()
+
+    # the mixed state the old code shipped: new bands, OLD sig, marker
+    assert os.path.exists(f"{path}/__rebuild_commit")
+    sig_dids = {
+        r[0] for r in spark.read.parquet(f"{path}/sig").select("did").collect()
+    }
+    assert removed <= sig_dids  # sig is still generation A
+
+    # any entry point recovers: generations align, marker + staged gone
+    _doc_index_recover(spark, path)
+    assert not os.path.exists(f"{path}/__rebuild_commit")
+    assert not os.path.exists(f"{path}/sig__staged")
+    assert not os.path.exists(f"{path}/bands__staged")
+    sig_dids = {
+        r[0] for r in spark.read.parquet(f"{path}/sig").select("did").collect()
+    }
+    band_dids = {
+        r[0]
+        for r in spark.read.parquet(f"{path}/bands").select("did").collect()
+    }
+    assert sig_dids == b_ids
+    assert band_dids <= b_ids
+
+    # and the recovered index behaves: incremental append ≡ one-shot
+    # over (gen B ∪ batch) restricted to pairs touching the batch
+    got = {
+        (r.id_a, r.id_b)
+        for r in doc_neardup_index_append(
+            batch, path, "doc_id", "text"
+        ).collect()
+    }
+    batch_ids = {r[0] for r in batch.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            gen_b.unionByName(batch), "doc_id", "text"
+        ).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == want
+
+
 def test_ivfpq_append_equals_rebuild_probe(spark, tmp_path):
     """IVFADC merge-on-read ingest: probing (write corpus + append
     batch) must return the same neighbors as probing a from-scratch

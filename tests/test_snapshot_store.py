@@ -39,3 +39,37 @@ def test_prune_paths_survive_numeric_named_files(spark, tmp_path):
     # and the debris file does not steal version numbers
     v = V.write_month_version(df, mstore, "2024-01")
     assert v == 1
+
+
+def test_writers_skip_colliding_version_file_debris(spark, tmp_path):
+    """ADVICE r8: the isdir filter in _versions means a regular FILE
+    named exactly v=<next> no longer reserves its number — the writer
+    must skip past it (the errorifexists parquet write would otherwise
+    fail on the debris name), without letting far-off debris inflate
+    the sequence."""
+    import os
+
+    from hours_api_clickup_spark.sinks import versioned as V
+
+    df = spark.range(3)
+
+    # month store: dirs {v=0}, debris FILE at exactly v=1
+    mstore = str(tmp_path / "months")
+    os.makedirs(os.path.join(mstore, "month=2024-01"))
+    V.write_month_version(df, mstore, "2024-01")
+    with open(os.path.join(mstore, "month=2024-01", "v=1"), "w") as f:
+        f.write("debris")
+    v = V.write_month_version(df, mstore, "2024-01")
+    assert v == 2  # skipped the colliding name, took the next free one
+    assert df.sparkSession.read.parquet(
+        os.path.join(mstore, "month=2024-01", "v=2")
+    ).count() == 3
+
+    # snapshot store: published v=0, debris FILE at exactly v=1
+    store = str(tmp_path / "snap")
+    V.write_snapshot(df, store)
+    with open(os.path.join(store, "v=1"), "w") as f:
+        f.write("debris")
+    v = V.write_snapshot(df, store)
+    assert v == 2
+    assert V.latest_version(store) == 2
