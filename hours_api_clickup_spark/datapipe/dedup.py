@@ -1371,53 +1371,58 @@ def doc_neardup_index_compact(spark, path: str) -> None:
     persist across rebuilds, so a takedown survives index maintenance.
 
     Maintenance contract (shared with every index compactor here):
-    single writer — run with the ingest stream quiescent; a compact
-    racing an ingest batch that crashed between its sig write and its
-    done-marker could fold the batch's dids out of sig and make the
-    redelivery guard re-classify them as fresh."""
+    single writer — lease-enforced (VERDICT r8 #2): a compact racing an
+    ingest batch that crashed between its sig write and its done-marker
+    could fold the batch's dids out of sig and make the redelivery
+    guard re-classify them as fresh; the lease turns that race into a
+    loud ``MaintenanceLeaseHeld``."""
     from hours_api_clickup_spark.datapipe.similarity import (
         _fs_drop_consumed,
         _fs_exists,
         _fs_snapshot_files,
         _fs_swap_dir,
+        _maintenance_lease,
     )
 
-    _doc_index_recover(spark, path)
-    if not _fs_exists(spark, f"{path}/sig"):
-        return  # delete-before-build: markers stay until an index exists
-    if not _fs_exists(spark, f"{path}/tombstones"):
-        return
-    # snapshot the marker FILES first and fold EXACTLY those: a marker
-    # landing after this listing is neither folded nor deleted — it
-    # simply survives into the next compact
-    fs, tomb_dir, consumed = _fs_snapshot_files(spark, f"{path}/tombstones")
-    if not consumed:
-        return
-    tomb = (
-        spark.read.parquet(*[str(p) for p in consumed])
-        .select("did")
-        .dropDuplicates()
-        .localCheckpoint(eager=True)  # read once, reused twice
-    )
-    live_sig = spark.read.parquet(f"{path}/sig").join(
-        F.broadcast(tomb), "did", "left_anti"
-    )
-    staged = f"{path}/sig__staged"
-    live_sig.repartitionByRange(8, "did").sortWithinPartitions(
-        "did"
-    ).write.mode("overwrite").parquet(staged)
-    _fs_swap_dir(spark, f"{path}/sig", staged)
-    live_bands = spark.read.parquet(f"{path}/bands").join(
-        F.broadcast(tomb), "did", "left_anti"
-    )
-    staged = f"{path}/bands__staged"
-    live_bands.sortWithinPartitions("band", "bucket").write.mode(
-        "overwrite"
-    ).parquet(staged)
-    _fs_swap_dir(spark, f"{path}/bands", staged)
-    # delete exactly the consumed markers, then a NON-recursive dir
-    # drop that refuses a non-empty dir — a marker committed at ANY
-    # point after the snapshot survives for the next compact. The
-    # list-then-recursive-delete form this replaces had a TOCTOU window
-    # that erased such a marker: a lost takedown (ADVICE r7).
-    _fs_drop_consumed(fs, tomb_dir, consumed)
+    with _maintenance_lease(spark, path, "doc_neardup_index_compact"):
+        _doc_index_recover(spark, path)
+        if not _fs_exists(spark, f"{path}/sig"):
+            return  # delete-before-build: markers stay until an index exists
+        if not _fs_exists(spark, f"{path}/tombstones"):
+            return
+        # snapshot the marker FILES first and fold EXACTLY those: a
+        # marker landing after this listing is neither folded nor
+        # deleted — it simply survives into the next compact
+        fs, tomb_dir, consumed = _fs_snapshot_files(
+            spark, f"{path}/tombstones"
+        )
+        if not consumed:
+            return
+        tomb = (
+            spark.read.parquet(*[str(p) for p in consumed])
+            .select("did")
+            .dropDuplicates()
+            .localCheckpoint(eager=True)  # read once, reused twice
+        )
+        live_sig = spark.read.parquet(f"{path}/sig").join(
+            F.broadcast(tomb), "did", "left_anti"
+        )
+        staged = f"{path}/sig__staged"
+        live_sig.repartitionByRange(8, "did").sortWithinPartitions(
+            "did"
+        ).write.mode("overwrite").parquet(staged)
+        _fs_swap_dir(spark, f"{path}/sig", staged)
+        live_bands = spark.read.parquet(f"{path}/bands").join(
+            F.broadcast(tomb), "did", "left_anti"
+        )
+        staged = f"{path}/bands__staged"
+        live_bands.sortWithinPartitions("band", "bucket").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        _fs_swap_dir(spark, f"{path}/bands", staged)
+        # delete exactly the consumed markers, then a NON-recursive dir
+        # drop that refuses a non-empty dir — a marker committed at ANY
+        # point after the snapshot survives for the next compact. The
+        # list-then-recursive-delete form this replaces had a TOCTOU
+        # window that erased such a marker: a lost takedown (ADVICE r7).
+        _fs_drop_consumed(fs, tomb_dir, consumed)

@@ -22,6 +22,8 @@ Vector math is higher-order Catalyst (zip_with + aggregate over doubles)
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -594,6 +596,83 @@ def _fs_delete(spark, path: str) -> None:
         fs.delete(p, False)
 
 
+class MaintenanceLeaseHeld(RuntimeError):
+    """Another maintainer holds this index's maintenance lease — the
+    loud-refusal form of the single-writer contract (VERDICT r8 #2)."""
+
+
+_LEASE_FILE = "__maintenance_lease"
+LEASE_TTL_SEC = 3600
+
+
+def _acquire_lease(
+    spark, path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC
+) -> None:
+    """Best-effort single-maintainer lease on an index root (VERDICT
+    r8 #2): a marker FILE at ``{path}/__maintenance_lease`` stamped
+    with owner/pid. Compacts and the streaming ingests' foreachBatch
+    bodies acquire it, so the documented failure — a compact racing an
+    ingest batch that crashed between its data write and done-marker
+    re-classifies the batch's ids as fresh — becomes a loud
+    ``MaintenanceLeaseHeld`` instead of a silent wrong answer.
+
+    A lease whose mtime is older than ``ttl_sec`` is presumed crashed
+    and taken over (delete + re-claim); the claim itself is
+    ``fs.create(overwrite=False)``, so two racing takers resolve to one
+    winner and one refusal. Best-effort by design: local/HDFS create is
+    atomic, object stores may be read-after-write-lazy — the lease
+    turns an operator mistake into an error, it is not a distributed
+    lock service."""
+    import os as _os
+    import time as _time
+
+    jvm = spark._jvm
+    lease = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LEASE_FILE}")
+    fs = lease.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(lease):
+        try:
+            mtime = fs.getFileStatus(lease).getModificationTime() / 1000.0
+            age = _time.time() - mtime
+        except Exception:
+            age = 0.0  # raced a concurrent claim: treat as live
+        if age <= ttl_sec:
+            raise MaintenanceLeaseHeld(
+                f"maintenance lease at {path}/{_LEASE_FILE} is live "
+                f"(age {age:.0f}s <= ttl {ttl_sec}s) — another compact "
+                f"or ingest is running; {owner!r} must wait or the "
+                f"holder must release/crash past the ttl"
+            )
+        fs.delete(lease, False)  # stale: holder presumed crashed
+    try:
+        out = fs.create(lease, False)  # overwrite=False → atomic claim
+    except Exception as exc:
+        raise MaintenanceLeaseHeld(
+            f"lost the lease race at {path}/{_LEASE_FILE}: {exc}"
+        ) from None
+    out.write(bytearray(
+        f"{owner} pid={_os.getpid()} t={int(_time.time())}".encode()
+    ))
+    out.close()
+
+
+def _release_lease(spark, path: str) -> None:
+    _fs_delete(spark, f"{path}/{_LEASE_FILE}")
+
+
+@contextmanager
+def _maintenance_lease(
+    spark, path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC
+):
+    """``with _maintenance_lease(spark, path, "lsh_index_compact"): ...``
+    — acquire around every mutating maintenance section; released on
+    any exit so a failed compact never wedges the index."""
+    _acquire_lease(spark, path, owner, ttl_sec)
+    try:
+        yield
+    finally:
+        _release_lease(spark, path)
+
+
 def _fs_swap_dir(spark, live: str, staged: str) -> None:
     """Replace directory ``live`` with ``staged`` via two renames (the
     closest a filesystem sink gets to an atomic pointer flip; the
@@ -978,8 +1057,9 @@ def lsh_index_compact(spark, path: str) -> None:
     (see ``lsh_index_append``).
 
     Maintenance contract (shared with every index compactor here):
-    ONE maintainer — schedule compacts with the ingest stream
-    quiescent. The consumed-snapshot protocol below makes a racing
+    ONE maintainer — enforced by the maintenance LEASE (VERDICT r8 #2):
+    a racing compact/ingest gets a loud ``MaintenanceLeaseHeld``. The
+    consumed-snapshot protocol below additionally makes a racing
     append's DATA safe (its log file is neither folded nor deleted —
     next compact picks it up), but an append that lands inside the
     base swap's rename gap can roll the swap back via its
@@ -988,35 +1068,38 @@ def lsh_index_compact(spark, path: str) -> None:
     review r8)."""
     from pyspark.sql import Window
 
-    # snapshot the MOR tiers' files BEFORE the read view lists them:
-    # the fold sees a superset (benign same-seq duplicates, resolved by
-    # the read path), and only the snapshot is deleted afterwards — an
-    # entry committed during the O(corpus) rewrite is never erased
-    # unfolded (ADVICE r7)
-    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
-    _, tomb_p, consumed_tomb = _fs_snapshot_files(spark, f"{path}/tombstones")
-    index = lsh_index_read(spark, path)
-    w = Window.partitionBy("vid")
-    latest = (
-        index.withColumn("_mx", F.max("seq").over(w))
-        .filter(F.col("seq") == F.col("_mx"))
-        .select(*_INDEX_COLS)
-        # same (vid, t) appended twice at the same seq: keep one
-        .dropDuplicates(["vid", "t"])
-        .localCheckpoint()  # the rewrite below overwrites its own input
-    )
-    # staged + swapped: an in-place overwrite deletes the live base at
-    # job start, so a mid-compact crash would destroy the index with
-    # only the small log surviving (review r6 — the textindex compactor
-    # had this protocol from ADVICE r3; propagated here). The MOR tiers
-    # are deleted only AFTER the swap commits.
-    staged = f"{path}/base__staged"
-    latest.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
-        "sig"
-    ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
-    _fs_swap_dir(spark, f"{path}/base", staged)
-    _fs_drop_consumed(fs, log_p, consumed_log)
-    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
+    with _maintenance_lease(spark, path, "lsh_index_compact"):
+        # snapshot the MOR tiers' files BEFORE the read view lists
+        # them: the fold sees a superset (benign same-seq duplicates,
+        # resolved by the read path), and only the snapshot is deleted
+        # afterwards — an entry committed during the O(corpus) rewrite
+        # is never erased unfolded (ADVICE r7)
+        fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+        _, tomb_p, consumed_tomb = _fs_snapshot_files(
+            spark, f"{path}/tombstones"
+        )
+        index = lsh_index_read(spark, path)
+        w = Window.partitionBy("vid")
+        latest = (
+            index.withColumn("_mx", F.max("seq").over(w))
+            .filter(F.col("seq") == F.col("_mx"))
+            .select(*_INDEX_COLS)
+            # same (vid, t) appended twice at the same seq: keep one
+            .dropDuplicates(["vid", "t"])
+            .localCheckpoint()  # the rewrite overwrites its own input
+        )
+        # staged + swapped: an in-place overwrite deletes the live base
+        # at job start, so a mid-compact crash would destroy the index
+        # with only the small log surviving (review r6 — the textindex
+        # compactor had this protocol from ADVICE r3; propagated here).
+        # The MOR tiers are deleted only AFTER the swap commits.
+        staged = f"{path}/base__staged"
+        latest.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+            "sig"
+        ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
+        _fs_swap_dir(spark, f"{path}/base", staged)
+        _fs_drop_consumed(fs, log_p, consumed_log)
+        _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def lsh_probe_topk(
@@ -1693,30 +1776,34 @@ def ivf_index_compact(spark, path: str, id_col: str) -> None:
     """Fold the IVF append log: newest version per id wins (its single
     assigned cluster row), stale rows in old clusters drop; rewrite
     ``{path}/base`` and delete the log. O(corpus), compaction cadence;
-    single-maintainer contract — see ``lsh_index_compact``."""
+    single-maintainer contract lease-enforced — see
+    ``lsh_index_compact``."""
     from pyspark.sql import Window
 
-    # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
-    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
-    _, tomb_p, consumed_tomb = _fs_snapshot_files(spark, f"{path}/tombstones")
-    index = ivf_index_read(spark, path)
-    w = Window.partitionBy(id_col)
-    latest = (
-        index.withColumn("_mx", F.max("seq").over(w))
-        .filter(F.col("seq") == F.col("_mx"))
-        .drop("_mx")
-        .dropDuplicates([id_col])
-        .localCheckpoint()
-    )
-    # staged + swapped (see lsh_index_compact); MOR tiers deleted only
-    # after the swap commits
-    staged = f"{path}/base__staged"
-    latest.repartition(F.col("cluster_id")).write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(staged)
-    _fs_swap_dir(spark, f"{path}/base", staged)
-    _fs_drop_consumed(fs, log_p, consumed_log)
-    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
+    with _maintenance_lease(spark, path, "ivf_index_compact"):
+        # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
+        fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+        _, tomb_p, consumed_tomb = _fs_snapshot_files(
+            spark, f"{path}/tombstones"
+        )
+        index = ivf_index_read(spark, path)
+        w = Window.partitionBy(id_col)
+        latest = (
+            index.withColumn("_mx", F.max("seq").over(w))
+            .filter(F.col("seq") == F.col("_mx"))
+            .drop("_mx")
+            .dropDuplicates([id_col])
+            .localCheckpoint()
+        )
+        # staged + swapped (see lsh_index_compact); MOR tiers deleted
+        # only after the swap commits
+        staged = f"{path}/base__staged"
+        latest.repartition(F.col("cluster_id")).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(staged)
+        _fs_swap_dir(spark, f"{path}/base", staged)
+        _fs_drop_consumed(fs, log_p, consumed_log)
+        _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def ivf_index_upsert(
@@ -2670,25 +2757,31 @@ def ivfpq_index_write(
     # geometry. A single-pointer manifest (sinks/versioned.py) is the
     # fully-atomic upgrade path; the window here is two renames wide.
     spark = df.sparkSession
-    _fs_recover_swap(spark, f"{path}/base")
-    _fs_recover_swap(spark, f"{path}/codes")
-    b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
-    assigned.repartition(F.col("cluster_id")).write.mode(
-        "overwrite"
-    ).partitionBy("cluster_id").parquet(b_staged)
-    codes = pq_encode(
-        assigned.select(_c(id_col).alias(id_col), _c(vec_col).alias(vec_col)),
-        vec_col,
-        id_col,
-        codebooks,
-    ).join(
-        assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
-    ).withColumn("seq", F.lit(0).cast("long"))
-    codes.repartition(F.col("cluster_id")).write.mode(
-        "overwrite"
-    ).partitionBy("cluster_id").parquet(c_staged)
-    _fs_swap_dir(spark, f"{path}/codes", c_staged)
-    _fs_swap_dir(spark, f"{path}/base", b_staged)
+    # the IVFADC family's compaction IS this rebuild (both tiers), so
+    # the maintenance lease lives here (VERDICT r8 #2) — a rebuild
+    # racing another maintainer on the same path refuses loudly
+    with _maintenance_lease(spark, path, "ivfpq_index_write"):
+        _fs_recover_swap(spark, f"{path}/base")
+        _fs_recover_swap(spark, f"{path}/codes")
+        b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
+        assigned.repartition(F.col("cluster_id")).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(b_staged)
+        codes = pq_encode(
+            assigned.select(
+                _c(id_col).alias(id_col), _c(vec_col).alias(vec_col)
+            ),
+            vec_col,
+            id_col,
+            codebooks,
+        ).join(
+            assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
+        ).withColumn("seq", F.lit(0).cast("long"))
+        codes.repartition(F.col("cluster_id")).write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(c_staged)
+        _fs_swap_dir(spark, f"{path}/codes", c_staged)
+        _fs_swap_dir(spark, f"{path}/base", b_staged)
 
 
 def ivfpq_index_append(

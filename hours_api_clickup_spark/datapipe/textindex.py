@@ -190,26 +190,33 @@ def inverted_index_compact(spark: SparkSession, path: str) -> None:
     about-to-be-deleted log survived (ADVICE r3). The log is deleted
     only after the swap lands; a crash between swap and delete leaves a
     base∪log view that double-counts nothing (max-seq resolution is
-    idempotent over the re-folded rows). Single-maintainer contract —
-    see ``similarity.lsh_index_compact``."""
-    # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
-    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
-    _, tomb_p, consumed_tomb = _fs_snapshot_files(spark, f"{path}/tombstones")
-    index = inverted_index_read(spark, path)
-    w = Window.partitionBy("doc_id")
-    latest = (
-        index.withColumn("_mx", F.max("seq").over(w))
-        .filter(F.col("seq") == F.col("_mx"))
-        .select(*_POSTING_COLS)
-        .dropDuplicates(["token", "doc_id"])
+    idempotent over the re-folded rows). Single-maintainer contract
+    lease-enforced — see ``similarity.lsh_index_compact``."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _maintenance_lease,
     )
-    staged = f"{path}/base__staged"
-    latest.repartition("tb").sortWithinPartitions(
-        "token", "doc_id"
-    ).write.mode("overwrite").partitionBy("tb").parquet(staged)
-    _fs_swap_dir(spark, f"{path}/base", staged)
-    _fs_drop_consumed(fs, log_p, consumed_log)
-    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
+
+    with _maintenance_lease(spark, path, "inverted_index_compact"):
+        # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
+        fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+        _, tomb_p, consumed_tomb = _fs_snapshot_files(
+            spark, f"{path}/tombstones"
+        )
+        index = inverted_index_read(spark, path)
+        w = Window.partitionBy("doc_id")
+        latest = (
+            index.withColumn("_mx", F.max("seq").over(w))
+            .filter(F.col("seq") == F.col("_mx"))
+            .select(*_POSTING_COLS)
+            .dropDuplicates(["token", "doc_id"])
+        )
+        staged = f"{path}/base__staged"
+        latest.repartition("tb").sortWithinPartitions(
+            "token", "doc_id"
+        ).write.mode("overwrite").partitionBy("tb").parquet(staged)
+        _fs_swap_dir(spark, f"{path}/base", staged)
+        _fs_drop_consumed(fs, log_p, consumed_log)
+        _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def inverted_index_read(spark: SparkSession, path: str) -> DataFrame:

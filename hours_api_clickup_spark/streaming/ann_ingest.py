@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from hours_api_clickup_spark.datapipe.similarity import (
     DEFAULT_PLANES,
     DEFAULT_TABLES,
+    _maintenance_lease,
     lsh_index_append,
 )
 
@@ -53,16 +54,22 @@ def streaming_lsh_ingest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        lsh_index_append(
-            batch_df,
-            vec_col,
-            id_col,
-            index_path,
-            planes=planes,
-            tables=tables,
-            dim=dim,
-            seq=int(batch_id),
-        )
+        # maintenance lease held for the batch's mutation (VERDICT r8
+        # #2): a compact racing this batch gets a loud refusal instead
+        # of folding a half-committed batch out of the index
+        with _maintenance_lease(
+            batch_df.sparkSession, index_path, f"streaming_lsh b{batch_id}"
+        ):
+            lsh_index_append(
+                batch_df,
+                vec_col,
+                id_col,
+                index_path,
+                planes=planes,
+                tables=tables,
+                dim=dim,
+                seq=int(batch_id),
+            )
 
     return (
         vec_stream.writeStream.foreachBatch(apply_batch)
@@ -120,9 +127,7 @@ def streaming_doc_neardup_ingest(
         doc_neardup_index_write,
     )
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
+    def _apply_locked(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
@@ -270,6 +275,20 @@ def streaming_doc_neardup_ingest(
             pairs.write.mode("append").parquet(pairs_path)
         fs.mkdirs(marker)  # commit point: batch now invisible to retries
 
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        # maintenance lease held across the whole batch mutation
+        # (VERDICT r8 #2): the exact race the lease exists for is a
+        # compact folding sig between this batch's append and its
+        # done-marker — re-classifying its dids as fresh on redelivery
+        with _maintenance_lease(
+            batch_df.sparkSession,
+            index_path,
+            f"streaming_doc_neardup b{int(batch_id)}",
+        ):
+            _apply_locked(batch_df, batch_id)
+
     return (
         doc_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -301,9 +320,13 @@ def streaming_text_index_ingest(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        inverted_index_append(
-            batch_df, text_col, id_col, index_path, seq=int(batch_id)
-        )
+        # lease for the batch's mutation — see streaming_lsh_ingest
+        with _maintenance_lease(
+            batch_df.sparkSession, index_path, f"streaming_text b{batch_id}"
+        ):
+            inverted_index_append(
+                batch_df, text_col, id_col, index_path, seq=int(batch_id)
+            )
 
     return (
         doc_stream.writeStream.foreachBatch(apply_batch)

@@ -971,6 +971,215 @@ def test_doc_neardup_index_incremental_equals_one_shot(spark, tmp_path):
     assert inc == full
 
 
+class TestMaintenanceLease:
+    """VERDICT r8 #2: the single-maintainer contract every compactor
+    documented is now a MECHANISM — a lease file checked by compacts
+    and the streaming ingests — so a racing maintainer gets a loud
+    MaintenanceLeaseHeld instead of the silent wrong answer (a compact
+    racing a crashed-mid-batch ingest re-classifies its ids as
+    fresh)."""
+
+    def _refuses_then_succeeds(self, spark, path, compact, listings):
+        """While a simulated ingest holds the lease, ``compact`` must
+        refuse loudly and touch NOTHING; after release it must run."""
+        import pytest
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            MaintenanceLeaseHeld,
+            _acquire_lease,
+            _release_lease,
+        )
+
+        before = {d: self._listing(f"{path}/{d}") for d in listings}
+        _acquire_lease(spark, path, "simulated-ingest")
+        try:
+            with pytest.raises(MaintenanceLeaseHeld, match="lease"):
+                compact()
+            # zero divergence: not one tier file added/removed/resized
+            for d in listings:
+                assert self._listing(f"{path}/{d}") == before[d]
+        finally:
+            _release_lease(spark, path)
+        compact()  # released: the same call goes through
+
+    @staticmethod
+    def _listing(root):
+        import os
+
+        out = []
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out.append((p, os.path.getsize(p)))
+        return sorted(out)
+
+    def test_all_family_compacts_lease_guarded(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe import similarity as S
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_compact,
+            doc_neardup_index_delete,
+            doc_neardup_index_write,
+        )
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_compact,
+            inverted_index_delete,
+            inverted_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR_SMOKE
+
+        emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+        docs = load_table(spark, SF_DIR_SMOKE, "documents")
+
+        # LSH
+        p = str(tmp_path / "lsh")
+        S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+        S.lsh_index_delete(spark, p, [0, 1])
+        self._refuses_then_succeeds(
+            spark, p, lambda: S.lsh_index_compact(spark, p),
+            ["base", "tombstones"],
+        )
+
+        # IVF
+        p = str(tmp_path / "ivf")
+        cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=4)
+        S.ivf_index_write(emb, "embedding", "vec_id", p, cents)
+        S.ivf_index_delete(spark, p, "vec_id", [0, 1])
+        self._refuses_then_succeeds(
+            spark, p, lambda: S.ivf_index_compact(spark, p, "vec_id"),
+            ["base", "tombstones"],
+        )
+
+        # inverted text
+        p = str(tmp_path / "txt")
+        inverted_index_write(docs, "text", "doc_id", p)
+        inverted_index_delete(spark, p, [0, 1])
+        self._refuses_then_succeeds(
+            spark, p, lambda: inverted_index_compact(spark, p),
+            ["base", "tombstones"],
+        )
+
+        # doc near-dup signatures
+        p = str(tmp_path / "didx")
+        doc_neardup_index_write(docs, "doc_id", "text", p)
+        doc_neardup_index_delete(spark, p, [0, 1])
+        self._refuses_then_succeeds(
+            spark, p, lambda: doc_neardup_index_compact(spark, p),
+            ["sig", "bands", "tombstones"],
+        )
+
+        # IVFPQ: the family's compaction is the two-tier rebuild
+        import pytest
+
+        p = str(tmp_path / "ivfpq")
+        cb = S.pq_seed_codebooks(
+            emb, "embedding", "vec_id", n_subspaces=4, n_codes=16
+        )
+        S.ivfpq_index_write(emb, "embedding", "vec_id", p, cents, cb)
+        S._acquire_lease(spark, p, "simulated-ingest")
+        try:
+            with pytest.raises(S.MaintenanceLeaseHeld, match="lease"):
+                S.ivfpq_index_write(emb, "embedding", "vec_id", p, cents, cb)
+        finally:
+            S._release_lease(spark, p)
+        S.ivfpq_index_write(emb, "embedding", "vec_id", p, cents, cb)
+
+        # a compact that FAILS mid-run releases the lease (in-process
+        # failure ≠ crash): nothing wedges
+        p = str(tmp_path / "lsh2")
+        S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+        S.lsh_index_delete(spark, p, [0])
+        import os
+
+        real_swap = S._fs_swap_dir
+
+        def boom(*a, **k):
+            raise RuntimeError("injected compact failure")
+
+        S._fs_swap_dir = boom
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                S.lsh_index_compact(spark, p)
+        finally:
+            S._fs_swap_dir = real_swap
+        assert not os.path.exists(f"{p}/{S._LEASE_FILE}")
+        S.lsh_index_compact(spark, p)  # retry succeeds immediately
+
+    def test_stale_lease_taken_over(self, spark, tmp_path):
+        """A lease older than the ttl is a crashed holder: the next
+        maintainer takes over instead of wedging forever."""
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe import similarity as S
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR_SMOKE
+
+        emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+        p = str(tmp_path / "lsh")
+        S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+        S.lsh_index_delete(spark, p, [0])
+        S._acquire_lease(spark, p, "crashed-holder")
+        lease = f"{p}/{S._LEASE_FILE}"
+        old = time.time() - S.LEASE_TTL_SEC - 60
+        os.utime(lease, (old, old))
+        S.lsh_index_compact(spark, p)  # takeover, no refusal
+        assert not os.path.exists(lease)  # and released afterwards
+
+    def test_streaming_ingest_vs_compact_race_fails_loudly(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The injected CONCURRENT form: a compact firing while a
+        foreachBatch batch holds the lease refuses, the streaming query
+        surfaces the error, and the index shows zero divergence."""
+        import os
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        import hours_api_clickup_spark.streaming.ann_ingest as AI
+        from hours_api_clickup_spark.datapipe import similarity as S
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR_SMOKE
+
+        emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+        idx = str(tmp_path / "idx")
+        S.lsh_index_write(emb.filter(F.col("vec_id") < 10),
+                          "embedding", "vec_id", idx, dim=64)
+        before = self._listing(idx)
+
+        real_append = AI.lsh_index_append
+
+        def compact_racing_append(batch_df, *a, **k):
+            # the scheduler mistake the lease exists to catch: compact
+            # fired while this batch's mutation is in flight
+            S.lsh_index_compact(batch_df.sparkSession, idx)
+            return real_append(batch_df, *a, **k)
+
+        monkeypatch.setattr(AI, "lsh_index_append", compact_racing_append)
+
+        stage = str(tmp_path / "stage")
+        emb.filter(F.col("vec_id") >= 10).limit(20).coalesce(
+            1
+        ).write.parquet(stage)
+        stream = spark.readStream.schema(emb.schema).parquet(stage)
+        q = AI.streaming_lsh_ingest(
+            stream, idx, str(tmp_path / "ckpt"), dim=64
+        )
+        with pytest.raises(Exception, match="[Ll]ease"):
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+        # zero divergence: the refusal aborted the batch before any
+        # mutation, and the lease was released on the way out
+        assert self._listing(idx) == before
+        assert not os.path.exists(f"{idx}/{S._LEASE_FILE}")
+
+
 def test_doc_neardup_rebuild_crash_between_swaps_rolls_forward(
     spark, tmp_path, monkeypatch
 ):
