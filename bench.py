@@ -16,6 +16,18 @@ times the reference's refresh analog (transform → dedup → windowed
 merge) end-to-end so round-over-round regressions on the flagship
 pipeline are attributable; it re-runs queries already counted, so it is
 reported but NOT added to ``value``.
+
+Self-defense against degraded host windows (verdict r8): the host's
+throughput oscillates on a MINUTES timescale, and in r8 a slow window
+landed on an alphabetically contiguous query block BETWEEN the two
+mid-run calibration checkpoints — the artifact recorded 2-4× inflated
+rows with only a prose caveat pointing at a clean run. Now a fixed-work
+calibration sample runs every ~12 queries and at every tail-section
+boundary; any window whose bounding checkpoints exceed 1.5× the median
+checkpoint is DEGRADED, and rows measured inside it are either re-run
+(when re-runnable and the re-run's own calibration bracket is clean) or
+stamped into the artifact's top-level ``suspect`` list.
+bench_normalize.py excludes suspect rows from residual ranking.
 """
 
 from __future__ import annotations
@@ -49,6 +61,92 @@ BENCH_QUERIES = sorted(name for name in QUERIES if name not in EXCLUDE)
 # keep-latest dedup → windowed MERGE (BASELINE.md "refresh").
 COMPOSITE = ("transform_projection", "dedupe_keep_latest", "merge_refresh_window")
 
+# A calibration checkpoint must exceed this multiple of the run's MEDIAN
+# checkpoint for its adjacent windows to count as degraded. Median, not
+# min: the end-of-suite sample is systematically the fastest (JVM fully
+# aged), so a min baseline would sit every clean run's start row right
+# at the flag line.
+DEGRADE_THRESHOLD = 1.5
+
+
+class SuiteRecorder:
+    """Timed rows + the ordered calibration-checkpoint profile.
+
+    Every timed row remembers which inter-checkpoint WINDOW it was
+    measured in, so a post-suite audit can re-run or suspect-stamp
+    exactly the rows a degraded host window touched (verdict r8: the
+    contaminated m-block fell invisibly between two checkpoints 27
+    queries apart).
+    """
+
+    def __init__(self) -> None:
+        self.timings: dict[str, float] = {}
+        self.checkpoints: list[tuple[str, float]] = []  # ordered
+        self.row_window: dict[str, int] = {}
+
+    def checkpoint(self, label: str, sec: float) -> None:
+        self.checkpoints.append((label, sec))
+
+    def record(self, name: str, sec: float) -> None:
+        self.timings[name] = round(sec, 3)
+        self.row_window[name] = max(0, len(self.checkpoints) - 1)
+
+
+def degraded_windows(
+    checkpoints: list[tuple[str, float]],
+    threshold: float = DEGRADE_THRESHOLD,
+) -> set[int]:
+    """Window i spans checkpoints[i] → checkpoints[i+1]; it is degraded
+    when EITHER bounding sample exceeds threshold × the median
+    checkpoint. A uniformly slow run flags nothing — whole-run drift is
+    the normalization factor's job, this catches windows."""
+    if len(checkpoints) < 2:
+        return set()
+    secs = [s for _, s in checkpoints]
+    base = statistics.median(secs)
+    return {
+        i
+        for i in range(len(secs) - 1)
+        if max(secs[i], secs[i + 1]) > threshold * base
+    }
+
+
+def audit_rows(
+    rec: SuiteRecorder,
+    rerun_fns: dict,
+    calibrate,
+    threshold: float = DEGRADE_THRESHOLD,
+) -> tuple[list[str], dict[str, float]]:
+    """Post-suite policy for rows measured inside degraded windows.
+
+    Re-runnable rows are re-measured once, with the whole re-run batch
+    bracketed by fresh calibration samples: a clean bracket replaces the
+    contaminated value (original kept in ``reruns``), a dirty bracket —
+    the host is STILL slow — stamps them ``suspect`` with the original
+    value intact. Rows with no re-run recipe (ingest rows mutate index
+    state; cold rows clear session caches) go straight to ``suspect``.
+    Returns (suspect, reruns); mutates rec.timings on successful re-run.
+    """
+    bad = degraded_windows(rec.checkpoints, threshold)
+    if not bad:
+        return [], {}
+    base = statistics.median(s for _, s in rec.checkpoints)
+    affected = sorted(n for n, w in rec.row_window.items() if w in bad)
+    suspect = [n for n in affected if n not in rerun_fns]
+    to_rerun = [n for n in affected if n in rerun_fns]
+    reruns: dict[str, float] = {}
+    if to_rerun:
+        pre = calibrate()
+        fresh = {n: rerun_fns[n]() for n in to_rerun}
+        post = calibrate()
+        if max(pre, post) <= threshold * base:
+            for n, v in fresh.items():
+                reruns[n] = rec.timings[n]
+                rec.timings[n] = round(v, 3)
+        else:
+            suspect += to_rerun
+    return sorted(suspect), reruns
+
 
 def main() -> None:
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
@@ -81,8 +179,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
-    total = 0.0
+    rec = SuiteRecorder()
+    timings = rec.timings
 
     # Fixed-work calibration (verdict r6 #1): this host's deliverable
     # throughput drifts within a day (identical idle-guest suites
@@ -110,6 +208,7 @@ def main() -> None:
 
     cal0 = statistics.median(_calibrate_once() for _ in range(3))
     timings["calibration_fixed_work"] = round(cal0, 3)
+    rec.checkpoint("start", cal0)
     print(f"# calibration_fixed_work (suite start): {cal0:.3f}s", file=sys.stderr)
 
     # Python-worker calibration twin (verdict r7 #1): the JVM row above
@@ -191,32 +290,50 @@ def main() -> None:
         f"queries untimed" + (f"; MISSING: {missing}" if missing else ""),
         file=sys.stderr,
     )
-    # Mid-run calibration checkpoints (r8): the host's throughput
-    # oscillates on a MINUTES timescale (measured: dedup_simhash 24.3s
-    # and 3.0s eight minutes apart, identical code+data, idle box), so
-    # start/end calibration rows can straddle a slow window without
-    # seeing it. One fixed-work sample at 1/3 and 2/3 of the suite
-    # turns the two-point drift estimate into a profile.
+    # Mid-run calibration checkpoints (r8, densified r9): the host's
+    # throughput oscillates on a MINUTES timescale (measured:
+    # dedup_simhash 24.3s and 3.0s eight minutes apart, identical
+    # code+data, idle box). r8's two mid-points at 1/3 and 2/3 left
+    # ~27-query blind windows and the contaminated m-block fell exactly
+    # inside one — so now a fixed-work sample lands every ~12 queries
+    # (~1% of suite wall), and the post-suite audit acts on the profile.
+    # The first checkpoint at/after each third is ALSO stored under the
+    # classic _mid1/_mid2 row names bench_normalize averages into the
+    # cross-round drift factor.
     third = max(1, len(BENCH_QUERIES) // 3)
+    stride = max(1, len(BENCH_QUERIES) // 12)
+    mids_stored = 0
     for idx, name in enumerate(BENCH_QUERIES):
         med = statistics.median(run_once(name) for _ in range(N_RUNS))
-        timings[name] = round(med, 3)
-        total += med
+        rec.record(name, med)
         print(f"# {name}: median {med:.3f}s of {N_RUNS}", file=sys.stderr)
-        if idx in (third, 2 * third):
-            mid = "mid1" if idx == third else "mid2"
-            c = _calibrate_once()
-            timings[f"calibration_fixed_work_{mid}"] = round(c, 3)
+        done = idx + 1
+        if done % stride == 0 and done < len(BENCH_QUERIES):
+            # MIN of two samples: a genuinely degraded window (minutes
+            # timescale) slows both, while a one-off scheduler blip on
+            # a single ~0.7s sample must not trigger a 13-query re-run
+            # (smoke-measured: one 1.504×-median sample flagged 26
+            # clean rows)
+            c = min(_calibrate_once(), _calibrate_once())
+            rec.checkpoint(f"q{done:03d}", c)
+            if mids_stored == 0 and done >= third:
+                timings["calibration_fixed_work_mid1"] = round(c, 3)
+                mids_stored = 1
+            elif mids_stored == 1 and done >= 2 * third:
+                timings["calibration_fixed_work_mid2"] = round(c, 3)
+                mids_stored = 2
             print(
-                f"# calibration_fixed_work ({mid}, after {idx + 1} "
-                f"queries): {c:.3f}s",
+                f"# calibration checkpoint (after {done} queries): "
+                f"{c:.3f}s",
                 file=sys.stderr,
             )
+
+    rec.checkpoint("post_queries", min(_calibrate_once(), _calibrate_once()))
 
     comp = statistics.median(
         sum(run_once(name) for name in COMPOSITE) for _ in range(N_RUNS)
     )
-    timings["pipeline_refresh_composite"] = round(comp, 3)
+    rec.record("pipeline_refresh_composite", comp)
     print(f"# pipeline_refresh_composite: median {comp:.3f}s", file=sys.stderr)
 
     # The training-data product as ONE timed unit: quality gate → span
@@ -235,8 +352,9 @@ def main() -> None:
     cur = statistics.median(
         sum(run_once(name) for name in CURATION) for _ in range(N_RUNS)
     )
-    timings["pipeline_curation_composite"] = round(cur, 3)
+    rec.record("pipeline_curation_composite", cur)
     print(f"# pipeline_curation_composite: median {cur:.3f}s", file=sys.stderr)
+    rec.checkpoint("post_composites", min(_calibrate_once(), _calibrate_once()))
 
     # Ingest-time artifacts (LSH pair table, persisted ANN indexes) are
     # session-cached, so the medians above measure steady-state QUERY
@@ -255,8 +373,9 @@ def main() -> None:
         _registry._LSH_PAIRS_CACHE.clear()
         _registry._ANN_INDEX_CACHE.clear()
         cold = run_once(name)
-        timings[name + "_cold"] = round(cold, 3)
+        rec.record(name + "_cold", cold)
         print(f"# {name}_cold (ingest+query): {cold:.3f}s", file=sys.stderr)
+    rec.checkpoint("post_cold", min(_calibrate_once(), _calibrate_once()))
 
     # Steady-state ingest: folding a batch into the live LSH index.
     # Three grades, all reported (not added to ``value``):
@@ -348,9 +467,10 @@ def main() -> None:
 
     t_rebuild = statistics.median(_rebuild_once() for _ in range(INGEST_RUNS))
 
-    timings["lsh_index_append_batch"] = round(t_append, 3)
-    timings["lsh_index_upsert_batch"] = round(t_upsert, 3)
-    timings["lsh_index_full_rebuild_200k"] = round(t_rebuild, 3)
+    rec.record("lsh_index_append_batch", t_append)
+    rec.record("lsh_index_upsert_batch", t_upsert)
+    rec.record("lsh_index_full_rebuild_200k", t_rebuild)
+    rec.checkpoint("post_lsh_ingest", min(_calibrate_once(), _calibrate_once()))
     print(
         f"# lsh index ingest (200k corpus, 100-vector batch): append "
         f"{t_append:.3f}s, upsert {t_upsert:.3f}s, full rebuild "
@@ -390,7 +510,77 @@ def main() -> None:
     t_doc_append = statistics.median(
         _doc_append_once(i) for i in range(INGEST_RUNS)
     )
-    timings["doc_index_append_batch"] = round(t_doc_append, 3)
+    rec.record("doc_index_append_batch", t_doc_append)
+    rec.checkpoint("post_doc_ingest", min(_calibrate_once(), _calibrate_once()))
+
+    # File-skip payoff, continuously measured (verdict r8 #5): the
+    # manifest layer (zorder_write_manifested → read_pruned) was
+    # gate-tested once in r8; these rows price it every round. One
+    # z-ordered+manifested events layout (untimed ingest-class work),
+    # then the SAME box probe through the manifest-pruned read vs the
+    # plain read of the same files — the delta is whole-FILE skipping
+    # at split planning, the layer vanilla parquet footers can't buy.
+    from hours_api_clickup_spark.operators.zorder import (
+        read_pruned,
+        scan_stats,
+        zorder_write_manifested,
+    )
+
+    zev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        _F2.pmod("user_id", _F2.lit(256)).alias("x"),
+        _F2.pmod(
+            _F2.expr("unix_millis(ts) div 3600000"), _F2.lit(256)
+        ).alias("y"),
+    )
+    zpath = _index_tmp("bench_zorder_", SF_DIR, "idx")
+    zorder_write_manifested(
+        zev, _F2.col("x"), _F2.col("y"), zpath, "x", "y", bits=8, n_files=64
+    )
+    zbox = _F2.col("x").between(96, 127) & _F2.col("y").between(64, 95)
+
+    def _zread_pruned():
+        return read_pruned(
+            spark, zpath, {"x": (96, 127), "y": (64, 95)}
+        ).filter(zbox)
+
+    def _zread_plain():
+        return spark.read.parquet(zpath).filter(zbox)
+
+    # the numFiles gate, re-proven in-run: the pruned scan must plan
+    # strictly fewer files AND return the identical row count (the
+    # manifest only shrinks the file list; the real predicate stays)
+    znf_pruned, znr_pruned = scan_stats(_zread_pruned())
+    znf_plain, znr_plain = scan_stats(_zread_plain())
+    if znf_pruned >= znf_plain or znr_pruned != znr_plain:
+        print(
+            f"# WARNING zorder manifest gate FAILED: pruned "
+            f"{znf_pruned} files/{znr_pruned} rows vs plain "
+            f"{znf_plain}/{znr_plain}",
+            file=sys.stderr,
+        )
+    rec.record("zorder_files_planned_pruned", float(znf_pruned))
+    rec.record("zorder_files_planned_plain", float(znf_plain))
+
+    def _zprobe_once(reader) -> float:
+        t0 = time.perf_counter()
+        reader().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    t_zpruned = statistics.median(
+        _zprobe_once(_zread_pruned) for _ in range(N_RUNS)
+    )
+    t_zplain = statistics.median(
+        _zprobe_once(_zread_plain) for _ in range(N_RUNS)
+    )
+    rec.record("zorder_pruned_probe", t_zpruned)
+    rec.record("zorder_plain_probe", t_zplain)
+    print(
+        f"# zorder box probe: manifest-pruned {t_zpruned:.3f}s "
+        f"({znf_pruned} files planned) vs plain {t_zplain:.3f}s "
+        f"({znf_plain} files), rows identical ({znr_pruned})",
+        file=sys.stderr,
+    )
     print(
         f"# doc near-dup index: 5% batch fold {t_doc_append:.3f}s "
         f"(median of {INGEST_RUNS} disjoint slices) vs cold one-shot "
@@ -508,7 +698,11 @@ def main() -> None:
 
     _probe_churn_once()  # same untimed first-read warm as the clean probe
     t_probe_churn = statistics.median(_probe_churn_once() for _ in range(N_RUNS))
-    timings["text_index_probe_under_churn"] = round(t_probe_churn, 3)
+    rec.record("text_index_probe_under_churn", t_probe_churn)
+    rec.record("text_index_build_90k", t_text_build)
+    rec.record("text_index_append_batch", t_text_append)
+    rec.record("text_index_term_probe_100k", t_text_probe)
+    rec.record("text_scan_term_topk_100k", t_text_scan)
     print(
         f"# text index probe under tombstone churn: {t_probe_churn:.3f}s "
         f"(clean probe {t_text_probe:.3f}s)",
@@ -520,6 +714,7 @@ def main() -> None:
     # between-run drift
     cal1 = statistics.median(_calibrate_once() for _ in range(3))
     timings["calibration_fixed_work_end"] = round(cal1, 3)
+    rec.checkpoint("end", cal1)
     print(f"# calibration_fixed_work (suite end): {cal1:.3f}s", file=sys.stderr)
     calp1 = statistics.median(_calibrate_python_once() for _ in range(3))
     timings["calibration_python_work_end"] = round(calp1, 3)
@@ -540,30 +735,57 @@ def main() -> None:
     for rep, _nv, _nd, t_lsh, _t_ivf, t_txt in _probe_scaling(
         spark, scales=(1, 8), n_runs=3, sf_dir=SF_DIR, include_ivf=False
     ):
-        timings[f"scalecheck_lsh_probe_x{rep}"] = round(t_lsh, 3)
-        timings[f"scalecheck_text_probe_x{rep}"] = round(t_txt, 3)
+        rec.record(f"scalecheck_lsh_probe_x{rep}", t_lsh)
+        rec.record(f"scalecheck_text_probe_x{rep}", t_txt)
     for label, _nd, t_del, t_app, _tc in _delete_scaling(
         spark, levels=(("0pct", None), ("5pct", 19)), base=SF_DIR
     ):
         if t_del:
-            timings[f"scalecheck_neardup_delete_{label}"] = round(t_del, 3)
-        timings[f"scalecheck_neardup_append_{label}"] = round(t_app, 3)
+            rec.record(f"scalecheck_neardup_delete_{label}", t_del)
+        rec.record(f"scalecheck_neardup_append_{label}", t_app)
+    rec.checkpoint("final", min(_calibrate_once(), _calibrate_once()))
     print(
         "# scalecheck rows: probe x1/x8 + neardup delete/append at "
         "0/5% tombstones",
         file=sys.stderr,
     )
-
-    timings["text_index_build_90k"] = round(t_text_build, 3)
-    timings["text_index_append_batch"] = round(t_text_append, 3)
-    timings["text_index_term_probe_100k"] = round(t_text_probe, 3)
-    timings["text_scan_term_topk_100k"] = round(t_text_scan, 3)
     print(
         f"# text index (100k docs): build {t_text_build:.3f}s, 10% "
         f"batch append {t_text_append:.3f}s, term probe "
         f"{t_text_probe:.3f}s vs scan-form {t_text_scan:.3f}s",
         file=sys.stderr,
     )
+
+    # Post-suite audit (verdict r8): act on the checkpoint profile
+    # instead of leaving a prose caveat. Plain query rows and the two
+    # composites are re-runnable; the cold/ingest/scalecheck rows mutate
+    # session caches or index state, so a degraded window stamps them
+    # suspect with the recorded value intact.
+    rerun_fns = {
+        name: (
+            lambda n=name: statistics.median(
+                run_once(n) for _ in range(N_RUNS)
+            )
+        )
+        for name in BENCH_QUERIES
+    }
+    rerun_fns["pipeline_refresh_composite"] = lambda: statistics.median(
+        sum(run_once(n) for n in COMPOSITE) for _ in range(N_RUNS)
+    )
+    rerun_fns["pipeline_curation_composite"] = lambda: statistics.median(
+        sum(run_once(n) for n in CURATION) for _ in range(N_RUNS)
+    )
+    suspect, reruns = audit_rows(rec, rerun_fns, _calibrate_once)
+    if suspect or reruns:
+        print(
+            f"# degraded-window audit: {len(reruns)} rows re-run clean, "
+            f"{len(suspect)} stamped suspect: {suspect}",
+            file=sys.stderr,
+        )
+    else:
+        print("# degraded-window audit: clean profile", file=sys.stderr)
+
+    total = sum(timings[name] for name in BENCH_QUERIES)
 
     # The driver tail-captures only the last ~2 KB of stdout; round 2's
     # 79-query line overflowed it and BENCH_r02.json recorded parsed:null.
@@ -577,6 +799,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(BENCH_QUERIES),
+        "calibration_profile": [
+            {"label": lbl, "sec": round(s, 3)} for lbl, s in rec.checkpoints
+        ],
+        "suspect": suspect,
+        "reruns": {k: round(v, 3) for k, v in reruns.items()},
     }
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -594,6 +821,8 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf,
                 "n_queries": len(BENCH_QUERIES),
+                "suspect_rows": len(suspect),
+                "rerun_rows": len(reruns),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -37,11 +37,12 @@ _UNRANKED_PREFIXES = (
     "text_index_build",
     "text_index_append",
     "scalecheck_neardup_",  # ingest-class rows, documented noisy
+    "zorder_files_planned_",  # file COUNTS (gate evidence), not seconds
 )
 _UNRANKED_SUFFIXES = ("_cold",)
 
 
-def _load(path: str) -> dict[str, float]:
+def _load(path: str) -> tuple[dict[str, float], set[str]]:
     blob = json.load(open(path))
     # three shapes: driver BENCH_r{N}.json wraps the stdout line under
     # "parsed"; bench.py's own line / BENCH_DETAIL.json carry "queries"
@@ -49,7 +50,14 @@ def _load(path: str) -> dict[str, float]:
     if isinstance(blob.get("parsed"), dict):
         blob = blob["parsed"]
     q = blob.get("queries", blob)
-    return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+    # rows bench.py's degraded-window audit stamped suspect (r9): their
+    # recorded seconds are known-contaminated by a host window, so they
+    # must never rank as residual slowdowns
+    suspect = {str(s) for s in blob.get("suspect", [])}
+    return (
+        {k: float(v) for k, v in q.items() if isinstance(v, (int, float))},
+        suspect,
+    )
 
 
 def _ranked(name: str) -> bool:
@@ -62,7 +70,8 @@ def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    a, b = _load(sys.argv[1]), _load(sys.argv[2])
+    (a, sus_a), (b, sus_b) = _load(sys.argv[1]), _load(sys.argv[2])
+    suspect = sus_a | sus_b
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 
     def _factor(row: str) -> float | None:
@@ -114,7 +123,7 @@ def main() -> int:
     shared = sorted(set(a) & set(b))
     rows = []
     for name in shared:
-        if not _ranked(name) or a[name] <= 0:
+        if not _ranked(name) or a[name] <= 0 or name in suspect:
             continue
         # conservative residual: normalize by whichever factor forgives
         # more — what survives is a slowdown NEITHER drift class explains
@@ -132,6 +141,15 @@ def main() -> int:
     print(f"{'query':<42} {'A s':>8} {'B s':>8} {'ratio':>7} {'ratio_lo':>9}")
     for ratio, ratio_lo, name, ta, tb in rows[:top_n]:
         print(f"{name:<42} {ta:>8.3f} {tb:>8.3f} {ratio:>7.2f} {ratio_lo:>9.2f}")
+
+    flagged = sorted(n for n in shared if n in suspect and _ranked(n))
+    if flagged:
+        print(
+            f"\nsuspect rows excluded from ranking ({len(flagged)} — "
+            "recorded inside a degraded host window):"
+        )
+        for name in flagged:
+            print(f"  {name}: A {a[name]:.3f}s  B {b[name]:.3f}s")
 
     unranked = [n for n in shared if not _ranked(n)]
     if unranked:

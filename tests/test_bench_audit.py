@@ -1,0 +1,203 @@
+"""bench.py's degraded-window audit (verdict r8 item: the contaminated
+m-block artifact carried only a prose caveat — the checkpoint profile
+must ACT, re-running or suspect-stamping rows a slow host window
+touched) and bench_normalize's exclusion of suspect rows.
+
+No Spark session: the audit logic is pure timing policy, tested with
+fake clocks and (for the end-to-end case) real injected sleeps.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import pytest
+
+import bench
+from bench import SuiteRecorder, audit_rows, degraded_windows
+
+
+def _cps(*secs):
+    return [(f"c{i}", s) for i, s in enumerate(secs)]
+
+
+class TestDegradedWindows:
+    def test_clean_profile_flags_nothing(self):
+        assert degraded_windows(_cps(0.85, 0.73, 0.82, 0.57)) == set()
+
+    def test_slow_checkpoint_flags_both_adjacent_windows(self):
+        # windows 1 (c1→c2) and 2 (c2→c3) share the 2.0s sample
+        assert degraded_windows(_cps(0.6, 0.6, 2.0, 0.6, 0.6)) == {1, 2}
+
+    def test_uniformly_slow_run_flags_nothing(self):
+        # whole-run drift is the normalization factor's job, not the
+        # window audit's — relative to its own median nothing stands out
+        assert degraded_windows(_cps(3.0, 3.1, 2.9, 3.0)) == set()
+
+    def test_median_baseline_tolerates_fast_suite_end(self):
+        # the end sample is systematically the fastest (aged JVM); a
+        # min baseline would flag the ordinary ~1.5× start row —
+        # median must not (measured clean r8 profile)
+        assert degraded_windows(_cps(0.849, 0.726, 0.822, 0.568)) == set()
+
+    def test_single_checkpoint_no_windows(self):
+        assert degraded_windows(_cps(1.0)) == set()
+
+
+class TestAuditRows:
+    def _rec(self, checkpoints, rows):
+        rec = SuiteRecorder()
+        for lbl, s in checkpoints:
+            rec.checkpoint(lbl, s)
+        # assign windows directly: rows is {name: (sec, window)}
+        for name, (sec, window) in rows.items():
+            rec.timings[name] = sec
+            rec.row_window[name] = window
+        return rec
+
+    def test_clean_profile_never_calibrates(self):
+        rec = self._rec(_cps(0.6, 0.6, 0.6), {"q": (1.0, 0)})
+
+        def boom():
+            raise AssertionError("calibrate called on a clean profile")
+
+        assert audit_rows(rec, {"q": lambda: 0.5}, boom) == ([], {})
+        assert rec.timings["q"] == 1.0
+
+    def test_clean_bracket_replaces_contaminated_rows(self):
+        rec = self._rec(
+            _cps(0.6, 2.0, 0.6),
+            {"qa": (5.0, 0), "qb": (4.0, 1), "qc": (1.0, 2)},
+        )
+        out = audit_rows(
+            rec, {"qa": lambda: 1.5, "qb": lambda: 1.2}, lambda: 0.6
+        )
+        assert out == ([], {"qa": 5.0, "qb": 4.0})
+        assert rec.timings["qa"] == 1.5
+        assert rec.timings["qb"] == 1.2
+        assert rec.timings["qc"] == 1.0  # window 2 has no right checkpoint
+
+    def test_dirty_bracket_stamps_suspect_and_keeps_values(self):
+        rec = self._rec(_cps(0.6, 2.0, 0.6), {"qa": (5.0, 0)})
+        suspect, reruns = audit_rows(rec, {"qa": lambda: 1.5}, lambda: 2.5)
+        assert suspect == ["qa"] and reruns == {}
+        assert rec.timings["qa"] == 5.0
+
+    def test_non_rerunnable_rows_go_straight_to_suspect(self):
+        rec = self._rec(
+            _cps(0.6, 2.0, 0.6),
+            {"lsh_index_append_batch": (9.0, 1), "qa": (5.0, 1)},
+        )
+        suspect, reruns = audit_rows(rec, {"qa": lambda: 1.0}, lambda: 0.6)
+        assert suspect == ["lsh_index_append_batch"]
+        assert reruns == {"qa": 5.0}
+
+
+class TestSleepInjectedEndToEnd:
+    """Drive the real loop shape with injected sleeps: a host window
+    slows both the queries and the calibration samples mid-suite; the
+    audit must catch the window via the checkpoints and re-run the
+    inflated rows once the host is healthy again."""
+
+    def test_degraded_window_rows_rerun_clean(self):
+        host = {"slow": False}
+
+        def calibrate():
+            t0 = time.perf_counter()
+            time.sleep(0.05 if host["slow"] else 0.01)
+            return time.perf_counter() - t0
+
+        def run_once(_name):
+            t0 = time.perf_counter()
+            time.sleep(0.05 if host["slow"] else 0.01)
+            return time.perf_counter() - t0
+
+        names = [f"q{i}" for i in range(6)]
+        rec = SuiteRecorder()
+        rec.checkpoint("start", calibrate())
+        for idx, name in enumerate(names):
+            if idx == 2:
+                host["slow"] = True  # window lands on q2..q3
+            if idx == 4:
+                host["slow"] = False
+            rec.record(name, run_once(name))
+            if (idx + 1) % 2 == 0:
+                rec.checkpoint(f"q{idx + 1:03d}", calibrate())
+
+        bad = degraded_windows(rec.checkpoints)
+        assert bad, "the slow window must be visible in the profile"
+        inflated = {n for n, w in rec.row_window.items() if w in bad}
+        assert "q2" in inflated or "q3" in inflated
+
+        rerun_fns = {n: (lambda n=n: run_once(n)) for n in names}
+        suspect, reruns = audit_rows(rec, rerun_fns, calibrate)
+        assert suspect == []
+        assert set(reruns) == inflated
+        # q2/q3 were genuinely contaminated; q4/q5 ride along because
+        # their window shares the slow checkpoint (conservative by
+        # design — either bounding sample flags the window)
+        assert reruns["q2"] >= 0.045 and reruns["q3"] >= 0.045
+        for name in reruns:
+            assert rec.timings[name] < 0.03  # the clean re-measure
+
+
+class TestBenchNormalizeSuspectExclusion:
+    def _artifact(self, tmp_path, name, queries, suspect=()):
+        p = tmp_path / name
+        p.write_text(
+            json.dumps(
+                {
+                    "metric": "suite_wall_time",
+                    "value": 1.0,
+                    "queries": queries,
+                    "suspect": list(suspect),
+                }
+            )
+        )
+        return str(p)
+
+    def test_suspect_rows_listed_not_ranked(self, tmp_path, capsys, monkeypatch):
+        from scripts import bench_normalize
+
+        base = {
+            "calibration_fixed_work": 0.6,
+            "calibration_fixed_work_end": 0.6,
+            "alpha": 1.0,
+            "beta": 1.0,
+        }
+        a = self._artifact(tmp_path, "a.json", base)
+        b = self._artifact(
+            tmp_path,
+            "b.json",
+            {**base, "alpha": 4.0, "beta": 1.1},
+            suspect=["alpha"],
+        )
+        monkeypatch.setattr(sys, "argv", ["bench_normalize.py", a, b])
+        assert bench_normalize.main() == 0
+        out = capsys.readouterr().out
+        ranked, excluded = out.split("suspect rows excluded", 1)
+        assert "alpha" not in ranked.split("residual slowdowns", 1)[1]
+        assert "alpha" in excluded
+        assert "beta" in ranked  # healthy rows still rank
+
+
+class TestBenchWiring:
+    """The module-level pieces main() relies on must stay consistent."""
+
+    def test_threshold_is_the_documented_value(self):
+        assert bench.DEGRADE_THRESHOLD == pytest.approx(1.5)
+
+    def test_recorder_assigns_current_window(self):
+        rec = SuiteRecorder()
+        rec.checkpoint("start", 0.5)
+        rec.record("early", 1.0)
+        rec.checkpoint("mid", 0.5)
+        rec.record("late", 1.0)
+        assert rec.row_window == {"early": 0, "late": 1}
+
+    def test_record_before_any_checkpoint_is_window_zero(self):
+        rec = SuiteRecorder()
+        rec.record("r", 1.0)
+        assert rec.row_window["r"] == 0
