@@ -206,6 +206,58 @@ def _token_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+def _bench_gram_set(benchmark: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct ``n``-gram set of the benchmark side, one column ``g``."""
+    return benchmark.select(
+        F.explode(_token_ngrams(tokens(text_col), n)).alias("g")
+    ).distinct()
+
+
+def _corpus_gram_stream(
+    corpus: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(``did``, ``g``) rows for the CORPUS side. Stays codegen'd
+    (explode of the offset sequence + unrolled concat — ``n`` is a plan
+    literal); the interpreted array-slice HOF is reserved for the small
+    benchmark side. ONE implementation shared by ``decontaminate`` and
+    ``decontaminate_bloom`` (deferred r8 refactor): the two passes
+    promise bit-identical output, and a duplicated gram builder is
+    exactly the drift pattern that hid r8's string-key split bug."""
+    did = _c(id_col).alias("did")
+    return (
+        spread(corpus)
+        .select(did, tokens(text_col).alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select(
+            "did",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - (n - 1))).alias("i"),
+            "tk",
+        )
+        .select(
+            "did",
+            F.concat_ws(
+                " ", *[F.element_at("tk", F.col("i") + j) for j in range(n)]
+            ).alias("g"),
+        )
+    )
+
+
+def _gram_hits_report(
+    corpus: DataFrame, hits: DataFrame, id_col: str
+) -> DataFrame:
+    """One row per corpus doc: hit count + contaminated flag."""
+    did = _c(id_col).alias("did")
+    return (
+        corpus.select(did)
+        .join(hits, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -227,44 +279,14 @@ def decontaminate(
     per-document count aggregation, keyed by doc id. Plan-gated in
     tests/test_plan_shapes.py.
     """
-    did = _c(id_col).alias("did")
-    bench_grams = (
-        benchmark.select(F.explode(_token_ngrams(tokens(text_col), n)).alias("g"))
-        .distinct()
-    )
-    # Corpus side stays codegen'd (explode of the offset sequence +
-    # unrolled concat — n is a plan literal); the interpreted
-    # array-slice HOF is reserved for the small benchmark side.
-    corpus_grams = (
-        spread(corpus)
-        .select(did, tokens(text_col).alias("tk"))
-        .filter(F.size("tk") >= n)
-        .select(
-            "did",
-            F.explode(F.sequence(F.lit(1), F.size("tk") - (n - 1))).alias("i"),
-            "tk",
-        )
-        .select(
-            "did",
-            F.concat_ws(
-                " ", *[F.element_at("tk", F.col("i") + j) for j in range(n)]
-            ).alias("g"),
-        )
-    )
+    bench_grams = _bench_gram_set(benchmark, text_col, n)
+    corpus_grams = _corpus_gram_stream(corpus, id_col, text_col, n)
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")
         .groupBy("did")
         .agg(F.count("*").alias("n_hit_grams"))
     )
-    return (
-        corpus.select(did)
-        .join(hits, "did", "left")
-        .select(
-            F.col("did").alias(id_col),
-            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
-            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
-        )
-    )
+    return _gram_hits_report(corpus, hits, id_col)
 
 
 def decontaminate_bloom(
@@ -294,17 +316,12 @@ def decontaminate_bloom(
     plain shuffled semi-join — small ⋈ large, no broadcast needed.
     fp rate ≈ (1 - e^{-k·G/m})^k; defaults give <1% at G=10⁴ grams.
     """
-    did = _c(id_col).alias("did")
-    bench_grams = (
-        benchmark.select(F.explode(_token_ngrams(tokens(text_col), n)).alias("g"))
-        .distinct()
-        # pinned once: the k bloom-word builds AND the exact verify all
-        # read this frame, and ReuseExchange is an optimization, not a
-        # guarantee — in the large-benchmark regime this operator
-        # exists for, k+1 redundant explode+distinct passes over the
-        # benchmark are real money (review r8)
-        .localCheckpoint()
-    )
+    # pinned once: the k bloom-word builds AND the exact verify all
+    # read this frame, and ReuseExchange is an optimization, not a
+    # guarantee — in the large-benchmark regime this operator
+    # exists for, k+1 redundant explode+distinct passes over the
+    # benchmark are real money (review r8)
+    bench_grams = _bench_gram_set(benchmark, text_col, n).localCheckpoint()
     words_per_hash = []
     for j in range(k_hashes):
         pos = f"pmod(xxhash64(g, {j}), {m_bits})"
@@ -319,23 +336,7 @@ def decontaminate_bloom(
             .agg(F.bit_or("bit").alias("word"))
         )
 
-    corpus_grams = (
-        spread(corpus)
-        .select(did, tokens(text_col).alias("tk"))
-        .filter(F.size("tk") >= n)
-        .select(
-            "did",
-            F.explode(F.sequence(F.lit(1), F.size("tk") - (n - 1))).alias("i"),
-            "tk",
-        )
-        .select(
-            "did",
-            F.concat_ws(
-                " ", *[F.element_at("tk", F.col("i") + j) for j in range(n)]
-            ).alias("g"),
-        )
-    )
-    cand = corpus_grams
+    cand = _corpus_gram_stream(corpus, id_col, text_col, n)
     for j, words in enumerate(words_per_hash):
         pos = F.pmod(F.xxhash64(F.col("g"), F.lit(j)), F.lit(m_bits))
         cand = (
@@ -354,15 +355,7 @@ def decontaminate_bloom(
         .groupBy("did")
         .agg(F.count("*").alias("n_hit_grams"))
     )
-    return (
-        corpus.select(did)
-        .join(hits, "did", "left")
-        .select(
-            F.col("did").alias(id_col),
-            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
-            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
-        )
-    )
+    return _gram_hits_report(corpus, hits, id_col)
 
 
 def decontaminate_oracle_sql(
@@ -967,13 +960,15 @@ def cap_per_domain(
     single domain-key shuffle — the hot domain contributes n rows per
     input partition, never its full row count (plan-gated).
     """
-    from hours_api_clickup_spark.datapipe.sampling import KNUTH_A, _MOD_31, _MOD_32
+    from hours_api_clickup_spark.datapipe.sampling import hash_bucket
     from pyspark.sql import Window
 
     did = _c(id_col)
-    bucket = F.pmod(
-        F.pmod(did.cast("long"), F.lit(_MOD_31)) * F.lit(KNUTH_A), F.lit(_MOD_32)
-    )
+    # THE module hash, not a local copy (deferred r8 refactor): the
+    # seed=0 form is the exact expression this function used to inline,
+    # so the oracle SQL below stays bit-identical — and any future fix
+    # to hash_bucket (like r8's string-key one) reaches this stage too
+    bucket = hash_bucket(did)
     domain = extract_domain(url_col).alias("domain")
     w = Window.partitionBy("domain").orderBy(F.col("__b").asc(), did.asc())
     return (
