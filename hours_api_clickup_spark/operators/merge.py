@@ -188,34 +188,40 @@ def merge_refresh_partitioned_atomic(
     from hours_api_clickup_spark.sinks import versioned as V
 
     months = window_months(window_lo, window_hi)
-    manifest = V.read_manifest(fact_path)
-    w = F2.col(date_col).between(F2.lit(window_lo), F2.lit(window_hi))
-    s_w = staging.filter(w).withColumn(
-        "month", F2.date_format(F2.col(date_col), "yyyy-MM")
-    )
-    live = [m for m in months if m in manifest]
-    if live:
-        fact_slice = V.read_months(spark, fact_path, months=live)
-        merged_slice = merge_refresh(
-            fact_slice, s_w.select(*fact_slice.columns), w, key=key
+    # the WHOLE read-manifest → write-versions → swap-pointer cycle
+    # runs under the store's publish lease (verdict r8 #8): a second
+    # refresh racing this one would derive its new manifest from the
+    # same stale read and silently erase these months at publish —
+    # lease-guarded, it refuses loudly instead
+    with V.publish_lease(fact_path, "merge_refresh_partitioned_atomic"):
+        manifest = V.read_manifest(fact_path)
+        w = F2.col(date_col).between(F2.lit(window_lo), F2.lit(window_hi))
+        s_w = staging.filter(w).withColumn(
+            "month", F2.date_format(F2.col(date_col), "yyyy-MM")
         )
-    else:
-        merged_slice = s_w
-    merged_slice = merged_slice.localCheckpoint(eager=True)
+        live = [m for m in months if m in manifest]
+        if live:
+            fact_slice = V.read_months(spark, fact_path, months=live)
+            merged_slice = merge_refresh(
+                fact_slice, s_w.select(*fact_slice.columns), w, key=key
+            )
+        else:
+            merged_slice = s_w
+        merged_slice = merged_slice.localCheckpoint(eager=True)
 
-    out_versions: dict[str, int] = {}
-    for m in sorted(
-        r["month"]
-        for r in merged_slice.select("month").distinct().collect()
-    ):
-        out_versions[m] = V.write_month_version(
-            merged_slice.filter(F2.col("month") == m), fact_path, m
-        )
-    if _crash_before_publish is not None:
-        _crash_before_publish()
-    new_manifest = {m: v for m, v in manifest.items() if m not in months}
-    new_manifest.update(out_versions)
-    V.publish_manifest(fact_path, new_manifest)
+        out_versions: dict[str, int] = {}
+        for m in sorted(
+            r["month"]
+            for r in merged_slice.select("month").distinct().collect()
+        ):
+            out_versions[m] = V.write_month_version(
+                merged_slice.filter(F2.col("month") == m), fact_path, m
+            )
+        if _crash_before_publish is not None:
+            _crash_before_publish()
+        new_manifest = {m: v for m, v in manifest.items() if m not in months}
+        new_manifest.update(out_versions)
+        V.publish_manifest(fact_path, new_manifest)
     return months
 
 

@@ -28,10 +28,75 @@ dependencies.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_LATEST"
+
+_LEASE = "__publish_lease"
+LEASE_TTL_SEC = 3600
+
+
+class PublishLeaseHeld(RuntimeError):
+    """Another maintainer holds this store's publish lease — the loud-
+    refusal form of the store's single-writer contract (verdict r8 #8,
+    the sibling of the index maintainers'
+    ``datapipe.similarity.MaintenanceLeaseHeld``)."""
+
+
+@contextmanager
+def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
+    """Best-effort single-writer lease on a store root. The store's
+    publish cycle is read-manifest → write versions → swap pointer, and
+    its GC keeps only manifest-referenced versions — two concurrent
+    maintainers can silently erase each other's published months (both
+    derive the new manifest from the same stale read) or GC a version
+    an in-flight publish is about to reference. Every such cycle
+    (atomic merge, bootstrap, snapshot write, both pruners) runs under
+    this lease so the race becomes a loud ``PublishLeaseHeld``.
+
+    Same semantics as the index maintenance lease: ``O_EXCL`` create is
+    the atomic claim, a lease older than ``ttl_sec`` is presumed
+    crashed and taken over, and in-process failures release on the way
+    out. Local-FS primitives because this store IS local-FS by design
+    (object stores should use a real table format's commit protocol,
+    see module docstring)."""
+    import time
+
+    os.makedirs(path, exist_ok=True)
+    lease = os.path.join(path, _LEASE)
+    if os.path.exists(lease):
+        try:
+            age = time.time() - os.path.getmtime(lease)
+        except OSError:
+            age = 0.0  # raced a concurrent claim: treat as live
+        if age <= ttl_sec:
+            raise PublishLeaseHeld(
+                f"publish lease at {lease} is live (age {age:.0f}s <= "
+                f"ttl {ttl_sec}s) — another publish/GC is running; "
+                f"{owner!r} must wait or the holder must release/crash "
+                f"past the ttl"
+            )
+        try:
+            os.unlink(lease)  # stale: holder presumed crashed
+        except FileNotFoundError:
+            pass
+    try:
+        fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise PublishLeaseHeld(
+            f"lost the publish-lease race at {lease}"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(f"{owner} pid={os.getpid()} t={int(time.time())}")
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lease)
+        except FileNotFoundError:
+            pass
 
 
 def _versions(path: str) -> list[int]:
@@ -83,19 +148,22 @@ def latest_version(path: str) -> int | None:
 def write_snapshot(df: DataFrame, path: str) -> int:
     """Write ``df`` as the next immutable version and publish it.
     Returns the new version number."""
-    current = latest_version(path)
-    next_v = 0 if current is None else current + 1
-    # skip over dangling unpublished dirs from interrupted writes AND
-    # any non-dir v=N debris whose name would fail the write below
-    taken = _taken_numbers(path)
-    while next_v in taken:
-        next_v += 1
-    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={next_v}"))
-    tmp = os.path.join(path, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(next_v))
-    os.replace(tmp, os.path.join(path, _POINTER))  # atomic publish
-    return next_v
+    with publish_lease(path, "write_snapshot"):
+        current = latest_version(path)
+        next_v = 0 if current is None else current + 1
+        # skip over dangling unpublished dirs from interrupted writes
+        # AND any non-dir v=N debris whose name would fail the write
+        taken = _taken_numbers(path)
+        while next_v in taken:
+            next_v += 1
+        df.write.mode("errorifexists").parquet(
+            os.path.join(path, f"v={next_v}")
+        )
+        tmp = os.path.join(path, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(next_v))
+        os.replace(tmp, os.path.join(path, _POINTER))  # atomic publish
+        return next_v
 
 
 def read_snapshot(
@@ -114,18 +182,22 @@ def prune_snapshots(path: str, keep_last: int = 2) -> list[int]:
     removed version numbers."""
     import shutil
 
-    published = latest_version(path)
-    vers = _versions(path)
-    # dangling versions NEWER than the pointer are unpublished wrecks
-    # from interrupted writes — prune them outright and never let them
-    # consume the keep budget (review r6: a dangling v=6 above a
-    # published v=5 must not evict the time-travelable v=3)
-    dangling = [v for v in vers if published is not None and v > published]
-    older = [v for v in vers if v != published and v not in dangling]
-    doomed = older[: max(0, len(older) - (keep_last - 1))] + dangling
-    for v in doomed:
-        shutil.rmtree(os.path.join(path, f"v={v}"))
-    return doomed
+    with publish_lease(path, "prune_snapshots"):
+        published = latest_version(path)
+        vers = _versions(path)
+        # dangling versions NEWER than the pointer are unpublished
+        # wrecks from interrupted writes — prune them outright and
+        # never let them consume the keep budget (review r6: a dangling
+        # v=6 above a published v=5 must not evict the time-travelable
+        # v=3)
+        dangling = [
+            v for v in vers if published is not None and v > published
+        ]
+        older = [v for v in vers if v != published and v not in dangling]
+        doomed = older[: max(0, len(older) - (keep_last - 1))] + dangling
+        for v in doomed:
+            shutil.rmtree(os.path.join(path, f"v={v}"))
+        return doomed
 
 
 # ---------------------------------------------------------------------------
@@ -266,13 +338,14 @@ def bootstrap_months(
     months = sorted(
         r["month"] for r in with_month.select("month").distinct().collect()
     )
-    manifest = {
-        m: write_month_version(
-            with_month.filter(F.col("month") == m), path, m
-        )
-        for m in months
-    }
-    publish_manifest(path, manifest)
+    with publish_lease(path, "bootstrap_months"):
+        manifest = {
+            m: write_month_version(
+                with_month.filter(F.col("month") == m), path, m
+            )
+            for m in months
+        }
+        publish_manifest(path, manifest)
     return manifest
 
 
@@ -285,27 +358,29 @@ def prune_months(path: str, keep_unreferenced: int = 0) -> list[str]:
     a time-travel/rollback grace window before space is reclaimed)."""
     import shutil
 
-    manifest = read_manifest(path)
     removed: list[str] = []
     if not os.path.isdir(path):
         return removed
-    for d in os.listdir(path):
-        mdir = os.path.join(path, d)
-        # directory guard: a marker FILE named month=… must not crash
-        # GC's listdir (review r8); non-numeric/non-dir v= debris is
-        # filtered inside _versions (review r6, unified r8)
-        if not d.startswith("month=") or not os.path.isdir(mdir):
-            continue
-        month = d.split("=", 1)[1]
-        live = manifest.get(month)
-        dead = sorted(
-            (v for v in _versions(mdir) if v != live), reverse=True
-        )
-        for v in dead[keep_unreferenced:]:
-            shutil.rmtree(os.path.join(mdir, f"v={v}"))
-            removed.append(f"{month}/v={v}")
-        if live is None and not os.listdir(mdir):
-            os.rmdir(mdir)
+    with publish_lease(path, "prune_months"):
+        manifest = read_manifest(path)
+        for d in os.listdir(path):
+            mdir = os.path.join(path, d)
+            # directory guard: a marker FILE named month=… must not
+            # crash GC's listdir (review r8); non-numeric/non-dir v=
+            # debris is filtered inside _versions (review r6, unified
+            # r8)
+            if not d.startswith("month=") or not os.path.isdir(mdir):
+                continue
+            month = d.split("=", 1)[1]
+            live = manifest.get(month)
+            dead = sorted(
+                (v for v in _versions(mdir) if v != live), reverse=True
+            )
+            for v in dead[keep_unreferenced:]:
+                shutil.rmtree(os.path.join(mdir, f"v={v}"))
+                removed.append(f"{month}/v={v}")
+            if live is None and not os.listdir(mdir):
+                os.rmdir(mdir)
     return removed
 
 

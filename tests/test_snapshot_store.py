@@ -73,3 +73,108 @@ def test_writers_skip_colliding_version_file_debris(spark, tmp_path):
     v = V.write_snapshot(df, store)
     assert v == 2
     assert V.latest_version(store) == 2
+
+
+class TestPublishLease:
+    """Verdict r8 #8: the store's read-manifest → write → swap cycle
+    and its GC assume a single writer; a second maintainer must get a
+    loud PublishLeaseHeld, never a silent lost update."""
+
+    def _hold(self, store):
+        import os
+
+        os.makedirs(store, exist_ok=True)
+        with open(os.path.join(store, "__publish_lease"), "w") as f:
+            f.write("other pid=1 t=0")
+
+    def test_snapshot_write_and_prune_refuse_under_held_lease(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import pytest
+
+        from hours_api_clickup_spark.sinks import versioned as V
+
+        df = spark.range(3)
+        store = str(tmp_path / "snap")
+        V.write_snapshot(df, store)
+        self._hold(store)
+        with pytest.raises(V.PublishLeaseHeld):
+            V.write_snapshot(df, store)
+        with pytest.raises(V.PublishLeaseHeld):
+            V.prune_snapshots(store)
+        assert V.latest_version(store) == 0  # store untouched
+        os.unlink(os.path.join(store, "__publish_lease"))
+        assert V.write_snapshot(df, store) == 1  # released: goes through
+
+    def test_month_cycle_refuses_under_held_lease(self, spark, tmp_path):
+        import datetime as dt
+
+        import pytest
+
+        from hours_api_clickup_spark.operators.merge import (
+            merge_refresh_partitioned_atomic,
+        )
+        from hours_api_clickup_spark.sinks import versioned as V
+
+        df = spark.createDataFrame(
+            [(1, dt.date(2024, 1, 5), "a")], "id long, start_date_oslo date, v string"
+        )
+        store = str(tmp_path / "months")
+        V.bootstrap_months(df, store)
+        before = V.read_manifest(store)
+        self._hold(store)
+        with pytest.raises(V.PublishLeaseHeld):
+            merge_refresh_partitioned_atomic(
+                spark, store, df, dt.date(2024, 1, 1), dt.date(2024, 1, 31)
+            )
+        with pytest.raises(V.PublishLeaseHeld):
+            V.prune_months(store)
+        with pytest.raises(V.PublishLeaseHeld):
+            V.bootstrap_months(df, store)
+        assert V.read_manifest(store) == before  # nothing moved
+
+    def test_stale_lease_taken_over(self, spark, tmp_path):
+        import os
+
+        from hours_api_clickup_spark.sinks import versioned as V
+
+        df = spark.range(2)
+        store = str(tmp_path / "snap")
+        self._hold(store)
+        lease = os.path.join(store, "__publish_lease")
+        os.utime(lease, (1, 1))  # ancient mtime: holder presumed dead
+        assert V.write_snapshot(df, store) == 0
+        assert not os.path.exists(lease)  # and released afterwards
+
+    def test_failed_cycle_releases_the_lease(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        import pytest
+
+        from hours_api_clickup_spark.operators.merge import (
+            merge_refresh_partitioned_atomic,
+        )
+        from hours_api_clickup_spark.sinks import versioned as V
+
+        df = spark.createDataFrame(
+            [(1, dt.date(2024, 1, 5), "a")], "id long, start_date_oslo date, v string"
+        )
+        store = str(tmp_path / "months")
+
+        def boom():
+            raise RuntimeError("crash before publish")
+
+        with pytest.raises(RuntimeError, match="crash before publish"):
+            merge_refresh_partitioned_atomic(
+                spark, store, df, dt.date(2024, 1, 1), dt.date(2024, 1, 31),
+                _crash_before_publish=boom,
+            )
+        assert not os.path.exists(os.path.join(store, "__publish_lease"))
+        # the retry (the documented crash-recovery path) goes through
+        merge_refresh_partitioned_atomic(
+            spark, store, df, dt.date(2024, 1, 1), dt.date(2024, 1, 31)
+        )
+        assert V.read_months(spark, store).count() == 1
