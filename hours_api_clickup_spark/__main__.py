@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         "--chunks-per-shard", type=int, default=64,
         help="curate: chunks per training shard",
     )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="curate: restart a crashed build from its last committed "
+        "stage (refuses if parameters or input changed)",
+    )
     args = p.parse_args(argv)
 
     from hours_api_clickup_spark import pipelines
@@ -174,6 +179,7 @@ def main(argv: list[str] | None = None) -> int:
                 benchmark=bench,
                 chunk_size=args.chunk_size,
                 chunks_per_shard=args.chunks_per_shard,
+                resume=args.resume,
             )
             print(json.dumps(manifest, sort_keys=True))
             return 0

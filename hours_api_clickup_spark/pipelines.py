@@ -330,6 +330,7 @@ def build_corpus(
     chunk_size: int = 2048,
     chunks_per_shard: int = 64,
     minhash_threshold: float = 0.7,
+    resume: bool = False,
 ) -> dict:
     """End-to-end training-corpus build (verdict r7 #6): the curation
     stages that were individually green as registry queries, wired as
@@ -357,10 +358,19 @@ def build_corpus(
     Scale shape: every stage is the registry query's plan (digest-keyed
     shuffles, broadcast benchmark grams, banded LSH buckets — no
     all-pairs, no collects); packing is one range exchange per split.
-    Each stage boundary is localCheckpoint-ed so the pipeline computes
-    every stage exactly ONCE — without it, each stage's survivor count
-    (and the final write) would recompute the whole upstream lineage,
-    turning a 7-stage build O(stages²) in corpus passes.
+    Each curation stage persists its survivor-id parquet under
+    ``{out_dir}/_stages/`` — that write is the stage boundary that
+    keeps the build O(stages), not O(stages²) (each stage reads the
+    input ⋈ the previous ids parquet, never the full upstream lineage),
+    AND it makes a crashed build restartable (verdict r8 #7): with
+    ``resume=True`` (CLI ``--resume``) every stage whose ids parquet
+    committed (``_SUCCESS`` marker) is reloaded instead of recomputed,
+    work restarts at the first incomplete stage, and the post-curation
+    writes (docs/shards) re-run in overwrite mode, so the resumed build
+    produces identical manifest counts. Resume refuses loudly when the
+    persisted run's parameters or input row count differ from the
+    current call — stage ids from a different configuration or corpus
+    would silently mis-filter.
     """
     import json
     import os
@@ -414,47 +424,96 @@ def build_corpus(
     }
     manifest["stages"]["input"] = docs.count()
 
+    spark = docs.sparkSession
+    stages_dir = os.path.join(out_dir, "_stages")
+    run_path = os.path.join(stages_dir, "run.json")
+    run_stamp = {
+        "params": manifest["params"],
+        "input_count": manifest["stages"]["input"],
+    }
+    if resume and os.path.exists(run_path):
+        with open(run_path) as f:
+            prev = json.load(f)
+        if prev != run_stamp:
+            raise ValueError(
+                f"cannot resume: persisted stage state at {stages_dir} "
+                f"was built with different parameters or a different "
+                f"input ({prev} vs {run_stamp}); rerun without resume "
+                f"to rebuild from scratch"
+            )
+    else:
+        # fresh build: stale stage debris from a prior (possibly
+        # differently-parameterized) run must not be mistaken for
+        # progress by a LATER --resume
+        import shutil
+
+        shutil.rmtree(stages_dir, ignore_errors=True)
+        os.makedirs(stages_dir, exist_ok=True)
+        tmp = run_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(run_stamp, f, sort_keys=True)
+        os.replace(tmp, run_path)
+
+    input_docs = docs
+
+    def _stage(name: str, compute_ids):
+        """Survivor docs after this stage, loading the stage's committed
+        ids parquet when resuming, else computing+persisting it. The
+        parquet read-back is also the lineage pin (formerly a
+        localCheckpoint): each stage plans input ⋈ ids, never the whole
+        upstream chain."""
+        sdir = os.path.join(stages_dir, name)
+        if not (resume and os.path.exists(os.path.join(sdir, "_SUCCESS"))):
+            compute_ids().write.mode("overwrite").parquet(sdir)
+        ids = spark.read.parquet(sdir)
+        surv = input_docs.join(ids.select(id_col), id_col, "left_semi")
+        return surv, ids.count()
+
     # 1. exact dedup on normalized text (min-id survivor)
-    kept = normalized_exact_dedup(docs, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    docs, n = _stage(
+        "01_exact_dedup",
+        lambda: normalized_exact_dedup(docs, text_col, id_col).select(
+            F.col("keep_id").alias(id_col)
+        ),
     )
-    docs = docs.join(kept, id_col, "left_semi").localCheckpoint()
-    manifest["stages"]["after_exact_dedup"] = docs.count()
+    manifest["stages"]["after_exact_dedup"] = n
 
     # 2. quality gate
-    quality = gopher_quality_filter(docs, id_col, text_col)
-    docs = docs.join(
-        quality.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-    ).localCheckpoint()
-    manifest["stages"]["after_quality_gate"] = docs.count()
+    docs, n = _stage(
+        "02_quality_gate",
+        lambda: gopher_quality_filter(docs, id_col, text_col)
+        .filter(F.col("keep"))
+        .select(id_col),
+    )
+    manifest["stages"]["after_quality_gate"] = n
 
     # 3. near-dup clusters, min-id representative survives
-    pairs = minhash_lsh_pairs(
-        docs, id_col, text_col, k=5, num_hashes=64, bands=16,
-        threshold=minhash_threshold,
-    ).select("id_a", "id_b")
-    clusters = resolve_dup_clusters(docs.select(id_col), pairs, id_col)
-    docs = docs.join(
-        clusters.filter(F.col("is_survivor")).select(id_col),
-        id_col,
-        "left_semi",
-    ).localCheckpoint()
-    manifest["stages"]["after_near_dedup"] = docs.count()
+    def _near_dedup_ids():
+        pairs = minhash_lsh_pairs(
+            docs, id_col, text_col, k=5, num_hashes=64, bands=16,
+            threshold=minhash_threshold,
+        ).select("id_a", "id_b")
+        clusters = resolve_dup_clusters(docs.select(id_col), pairs, id_col)
+        return clusters.filter(F.col("is_survivor")).select(id_col)
+
+    docs, n = _stage("03_near_dedup", _near_dedup_ids)
+    manifest["stages"]["after_near_dedup"] = n
 
     # 4. benchmark decontamination (optional)
     if benchmark is not None:
-        flags = decontaminate(docs, benchmark, id_col, text_col, n=decontam_n)
-        docs = docs.join(
-            flags.filter(~F.col("contaminated")).select(id_col),
-            id_col,
-            "left_semi",
-        ).localCheckpoint()
-        manifest["stages"]["after_decontamination"] = docs.count()
+        docs, n = _stage(
+            "04_decontamination",
+            lambda: decontaminate(
+                docs, benchmark, id_col, text_col, n=decontam_n
+            )
+            .filter(~F.col("contaminated"))
+            .select(id_col),
+        )
+        manifest["stages"]["after_decontamination"] = n
 
     # 5. deterministic split
     curated = docs.withColumn("split", assign_split(id_col, list(splits)))
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-    spark = curated.sparkSession
     curated = spark.read.parquet(os.path.join(out_dir, "docs"))
 
     # 6+7. pack and shard each split independently (offsets must be

@@ -209,3 +209,81 @@ def test_build_corpus_rejects_non_integral_id(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "corpus"))
+
+
+def test_build_corpus_crash_resume_matches_clean_build(spark, tmp_path):
+    """Verdict r8 #7: a build killed mid-stage resumes from its last
+    committed stage-id parquet and produces an identical manifest to an
+    uninterrupted build — and the completed stages are NOT recomputed
+    (their curation operators are poisoned during the resume)."""
+    import json as _json
+    import os
+
+    import pytest
+
+    import hours_api_clickup_spark.datapipe.clusters as clusters_mod
+    import hours_api_clickup_spark.datapipe.curation as curation_mod
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    docs_path = str(tmp_path / "docs_in")
+    load_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(
+        docs_path
+    )
+    docs = spark.read.parquet(docs_path)
+
+    clean = pipelines.build_corpus(
+        docs, str(tmp_path / "clean"), chunk_size=64, chunks_per_shard=4
+    )
+
+    out = str(tmp_path / "resumable")
+    with pytest.MonkeyPatch.context() as mp:
+        def boom(*a, **k):
+            raise RuntimeError("injected kill in stage 3")
+
+        mp.setattr(clusters_mod, "resolve_dup_clusters", boom)
+        with pytest.raises(RuntimeError, match="injected kill"):
+            pipelines.build_corpus(
+                docs, out, chunk_size=64, chunks_per_shard=4
+            )
+    # stages 1-2 committed, stage 3 absent, completion never claimed
+    st = os.path.join(out, "_stages")
+    assert os.path.exists(os.path.join(st, "01_exact_dedup", "_SUCCESS"))
+    assert os.path.exists(os.path.join(st, "02_quality_gate", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(st, "03_near_dedup", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+
+    # resume refuses when the parameters or the input corpus changed —
+    # stage ids from a different run would silently mis-filter
+    with pytest.raises(ValueError, match="cannot resume"):
+        pipelines.build_corpus(
+            docs, out, chunk_size=128, chunks_per_shard=4, resume=True
+        )
+    with pytest.raises(ValueError, match="cannot resume"):
+        pipelines.build_corpus(
+            docs.limit(100), out, chunk_size=64, chunks_per_shard=4,
+            resume=True,
+        )
+
+    # the real resume: completed stages must load from disk, so poison
+    # their operators — only stage 3+ work may run
+    with pytest.MonkeyPatch.context() as mp:
+        def poisoned(*a, **k):
+            raise AssertionError("completed stage recomputed on resume")
+
+        mp.setattr(curation_mod, "normalized_exact_dedup", poisoned)
+        mp.setattr(curation_mod, "gopher_quality_filter", poisoned)
+        resumed = pipelines.build_corpus(
+            docs, out, chunk_size=64, chunks_per_shard=4, resume=True
+        )
+    assert resumed == clean
+    disk = _json.load(open(os.path.join(out, "manifest.json")))
+    assert disk == clean
+
+    # a fresh (non-resume) rebuild wipes the stage state and restamps
+    rebuilt = pipelines.build_corpus(
+        docs, out, chunk_size=32, chunks_per_shard=4
+    )
+    stamp = _json.load(open(os.path.join(st, "run.json")))
+    assert stamp["params"]["chunk_size"] == 32
+    assert rebuilt["params"]["chunk_size"] == 32
