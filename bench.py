@@ -761,13 +761,17 @@ def main() -> None:
     # composites are re-runnable; the cold/ingest/scalecheck rows mutate
     # session caches or index state, so a degraded window stamps them
     # suspect with the recorded value intact.
+    def _remeasure(name: str) -> float:
+        # the cold rows above CLEARED the session index caches, so a
+        # cache-consuming probe re-run here would time an index rebuild
+        # and record it as a clean steady-state value — re-warm those
+        # names untimed first, exactly like the pre-loop warm pass
+        if name in CACHE_CONSUMERS:
+            run_once(name)
+        return statistics.median(run_once(name) for _ in range(N_RUNS))
+
     rerun_fns = {
-        name: (
-            lambda n=name: statistics.median(
-                run_once(n) for _ in range(N_RUNS)
-            )
-        )
-        for name in BENCH_QUERIES
+        name: (lambda n=name: _remeasure(n)) for name in BENCH_QUERIES
     }
     rerun_fns["pipeline_refresh_composite"] = lambda: statistics.median(
         sum(run_once(n) for n in COMPOSITE) for _ in range(N_RUNS)
@@ -775,7 +779,11 @@ def main() -> None:
     rerun_fns["pipeline_curation_composite"] = lambda: statistics.median(
         sum(run_once(n) for n in CURATION) for _ in range(N_RUNS)
     )
-    suspect, reruns = audit_rows(rec, rerun_fns, _calibrate_once)
+    # min-of-two bracket samples, same blip-damping as the checkpoints:
+    # a single slow sample must not condemn every re-run row to suspect
+    suspect, reruns = audit_rows(
+        rec, rerun_fns, lambda: min(_calibrate_once(), _calibrate_once())
+    )
     if suspect or reruns:
         print(
             f"# degraded-window audit: {len(reruns)} rows re-run clean, "
