@@ -616,26 +616,34 @@ def _acquire_lease(
     re-classifies the batch's ids as fresh — becomes a loud
     ``MaintenanceLeaseHeld`` instead of a silent wrong answer.
 
-    A lease whose mtime is older than ``ttl_sec`` is presumed crashed
-    and taken over (delete + re-claim); the claim itself is
-    ``fs.create(overwrite=False)``, so two racing takers resolve to one
-    winner and one refusal. Best-effort by design: local/HDFS create is
-    atomic, object stores may be read-after-write-lazy — the lease
-    turns an operator mistake into an error, it is not a distributed
-    lock service."""
+    Staleness is two-tier: a holder on THIS host whose pid is gone is
+    presumed crashed immediately (a killed ingest must not block its
+    own restart for the whole ttl — the streaming foreachBatch bodies
+    re-acquire per batch), anything else waits out ``ttl_sec`` by
+    mtime (pid liveness means nothing across hosts; a recycled pid
+    just falls back to the ttl). Takeover is delete + re-claim; the
+    claim itself is ``fs.create(overwrite=False)``, so two racing
+    takers resolve to one winner and one refusal. Best-effort by
+    design: local/HDFS create is atomic, object stores may be
+    read-after-write-lazy — the lease turns an operator mistake into
+    an error, it is not a distributed lock service."""
     import os as _os
+    import socket as _socket
     import time as _time
 
     jvm = spark._jvm
     lease = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LEASE_FILE}")
     fs = lease.getFileSystem(spark._jsc.hadoopConfiguration())
+    host = _socket.gethostname()
     if fs.exists(lease):
         try:
             mtime = fs.getFileStatus(lease).getModificationTime() / 1000.0
             age = _time.time() - mtime
         except Exception:
             age = 0.0  # raced a concurrent claim: treat as live
-        if age <= ttl_sec:
+        if age <= ttl_sec and not _lease_holder_known_dead(
+            jvm, fs, lease, host
+        ):
             raise MaintenanceLeaseHeld(
                 f"maintenance lease at {path}/{_LEASE_FILE} is live "
                 f"(age {age:.0f}s <= ttl {ttl_sec}s) — another compact "
@@ -650,9 +658,42 @@ def _acquire_lease(
             f"lost the lease race at {path}/{_LEASE_FILE}: {exc}"
         ) from None
     out.write(bytearray(
-        f"{owner} pid={_os.getpid()} t={int(_time.time())}".encode()
+        f"{owner} host={host} pid={_os.getpid()} "
+        f"t={int(_time.time())}".encode()
     ))
     out.close()
+
+
+def _lease_holder_known_dead(jvm, fs, lease, host: str) -> bool:
+    """True only when the lease names THIS host and its pid no longer
+    exists — the one case staleness is provable without waiting out
+    the ttl. Any read/parse failure, foreign host, or live/recycled
+    pid returns False (fall back to the mtime ttl)."""
+    import os as _os
+
+    try:
+        stream = fs.open(lease)
+        try:
+            content = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        fields = dict(
+            kv.split("=", 1) for kv in content.split() if "=" in kv
+        )
+        if fields.get("host") != host:
+            return False
+        pid = int(fields["pid"])
+    except Exception:
+        return False
+    try:
+        _os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive under another uid
+    return False
 
 
 def _release_lease(spark, path: str) -> None:

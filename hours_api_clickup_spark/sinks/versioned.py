@@ -57,21 +57,27 @@ def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
     this lease so the race becomes a loud ``PublishLeaseHeld``.
 
     Same semantics as the index maintenance lease: ``O_EXCL`` create is
-    the atomic claim, a lease older than ``ttl_sec`` is presumed
-    crashed and taken over, and in-process failures release on the way
-    out. Local-FS primitives because this store IS local-FS by design
-    (object stores should use a real table format's commit protocol,
-    see module docstring)."""
+    the atomic claim, a stale lease is taken over, and in-process
+    failures release on the way out. Staleness is two-tier: a holder on
+    THIS host whose pid is gone is presumed crashed immediately (a
+    killed publisher must not block its own restart for the whole
+    ttl), anything else waits out ``ttl_sec`` by mtime (pid liveness
+    means nothing across hosts, and a recycled pid just falls back to
+    the ttl). Local-FS primitives because this store IS local-FS by
+    design (object stores should use a real table format's commit
+    protocol, see module docstring)."""
+    import socket
     import time
 
     os.makedirs(path, exist_ok=True)
     lease = os.path.join(path, _LEASE)
+    host = socket.gethostname()
     if os.path.exists(lease):
         try:
             age = time.time() - os.path.getmtime(lease)
         except OSError:
             age = 0.0  # raced a concurrent claim: treat as live
-        if age <= ttl_sec:
+        if age <= ttl_sec and not _holder_known_dead(lease, host):
             raise PublishLeaseHeld(
                 f"publish lease at {lease} is live (age {age:.0f}s <= "
                 f"ttl {ttl_sec}s) — another publish/GC is running; "
@@ -89,7 +95,9 @@ def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
             f"lost the publish-lease race at {lease}"
         ) from None
     with os.fdopen(fd, "w") as f:
-        f.write(f"{owner} pid={os.getpid()} t={int(time.time())}")
+        f.write(
+            f"{owner} host={host} pid={os.getpid()} t={int(time.time())}"
+        )
     try:
         yield
     finally:
@@ -97,6 +105,31 @@ def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
             os.unlink(lease)
         except FileNotFoundError:
             pass
+
+
+def _holder_known_dead(lease: str, host: str) -> bool:
+    """True only when the lease names THIS host and its pid no longer
+    exists — the one case staleness is provable without waiting out the
+    ttl. Any parse failure, foreign host, or live/recycled pid returns
+    False (fall back to the mtime ttl)."""
+    try:
+        with open(lease) as f:
+            content = f.read()
+        fields = dict(
+            kv.split("=", 1) for kv in content.split() if "=" in kv
+        )
+        if fields.get("host") != host:
+            return False
+        pid = int(fields["pid"])
+    except (OSError, KeyError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive under another uid
+    return False
 
 
 def _versions(path: str) -> list[int]:

@@ -3199,3 +3199,38 @@ class TestFourthReviewPassRegressions:
             for r in connected_components(nodes, edges, "node").collect()
         }
         assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_index_lease_dead_same_host_holder_taken_over(spark, tmp_path):
+    """Same two-tier staleness as the store's publish lease: a killed
+    ingest's lease (this host, pid gone, mtime fresh) must not block
+    the restarted ingest for the whole ttl — takeover is immediate.
+    A live same-host holder and a fresh foreign-host holder both still
+    refuse."""
+    import os
+    import socket
+    import subprocess
+
+    import pytest
+
+    import hours_api_clickup_spark.datapipe.similarity as S
+
+    p = str(tmp_path / "idx")
+    os.makedirs(p)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(p, S._LEASE_FILE), "w") as f:
+        f.write(f"crashed host={socket.gethostname()} pid={proc.pid} t=0")
+    S._acquire_lease(spark, p, "restarted-ingest")  # takes over
+    S._release_lease(spark, p)
+
+    with open(os.path.join(p, S._LEASE_FILE), "w") as f:
+        f.write(f"live host={socket.gethostname()} pid={os.getpid()} t=0")
+    with pytest.raises(S.MaintenanceLeaseHeld):
+        S._acquire_lease(spark, p, "racer")
+    os.unlink(os.path.join(p, S._LEASE_FILE))
+
+    with open(os.path.join(p, S._LEASE_FILE), "w") as f:
+        f.write(f"remote host=some-other-host pid={proc.pid} t=0")
+    with pytest.raises(S.MaintenanceLeaseHeld):
+        S._acquire_lease(spark, p, "racer")

@@ -178,3 +178,61 @@ class TestPublishLease:
             spark, store, df, dt.date(2024, 1, 1), dt.date(2024, 1, 31)
         )
         assert V.read_months(spark, store).count() == 1
+
+    def test_dead_same_host_holder_taken_over_immediately(
+        self, spark, tmp_path
+    ):
+        """A holder on THIS host whose pid is gone is provably crashed:
+        the next maintainer must take over at once instead of blocking
+        on the hour-long ttl (a killed publisher must not wedge its own
+        restart)."""
+        import os
+        import socket
+        import subprocess
+
+        from hours_api_clickup_spark.sinks import versioned as V
+
+        df = spark.range(2)
+        store = str(tmp_path / "snap")
+        os.makedirs(store)
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        with open(os.path.join(store, "__publish_lease"), "w") as f:
+            f.write(f"crashed host={socket.gethostname()} pid={proc.pid} t=0")
+        # mtime is FRESH (inside the ttl) — only the dead pid proves it
+        assert V.write_snapshot(df, store) == 0
+
+    def test_live_same_host_holder_still_refuses(self, spark, tmp_path):
+        import os
+        import socket
+
+        import pytest
+
+        from hours_api_clickup_spark.sinks import versioned as V
+
+        store = str(tmp_path / "snap")
+        os.makedirs(store)
+        with open(os.path.join(store, "__publish_lease"), "w") as f:
+            f.write(f"live host={socket.gethostname()} pid={os.getpid()} t=0")
+        with pytest.raises(V.PublishLeaseHeld):
+            V.write_snapshot(spark.range(2), store)
+
+    def test_foreign_host_holder_waits_out_the_ttl(self, spark, tmp_path):
+        """pid liveness means nothing across hosts — a fresh lease from
+        another machine must refuse even if that pid happens to be dead
+        locally."""
+        import os
+        import subprocess
+
+        import pytest
+
+        from hours_api_clickup_spark.sinks import versioned as V
+
+        store = str(tmp_path / "snap")
+        os.makedirs(store)
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        with open(os.path.join(store, "__publish_lease"), "w") as f:
+            f.write(f"remote host=some-other-host pid={proc.pid} t=0")
+        with pytest.raises(V.PublishLeaseHeld):
+            V.write_snapshot(spark.range(2), store)
