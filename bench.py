@@ -817,7 +817,17 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     headline = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
+        sorted(
+            (
+                kv
+                for kv in timings.items()
+                # counts, not seconds — a 64-file row would top a
+                # seconds-ranked headline
+                if not kv[0].startswith("zorder_files_planned_")
+            ),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:12]
     )
     headline["pipeline_refresh_composite"] = timings["pipeline_refresh_composite"]
     print(
