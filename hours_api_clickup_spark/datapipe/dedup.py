@@ -1061,7 +1061,38 @@ def doc_neardup_index_write(
     prefilter + exact-Jaccard verification need, so the TEXT column is
     never read again; ``{path}/bands`` holds the narrow
     (did, band, bucket) rows the candidate join scans, sorted by
-    (band, bucket) for row-group pruning. One signing pass total."""
+    (band, bucket) for row-group pruning. One signing pass total.
+
+    A rebuild is maintenance: it runs under the single-maintainer
+    LEASE (a rebuild racing a compact or the streaming ingest refuses
+    loudly instead of silently discarding in-flight batches). Unlike
+    the ANN families there is no stale-tier refusal — this family's
+    tombstones are did-keyed takedown markers that DELIBERATELY
+    survive rebuilds (takedown-wins until a compact consumes them; a
+    post-compact re-ingest is the intentional resurrect path)."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _maintenance_lease,
+    )
+
+    with _maintenance_lease(
+        df.sparkSession, path, "doc_neardup_index_write"
+    ):
+        _doc_neardup_index_write_unlocked(
+            df, id_col, text_col, path, k, num_hashes, bands
+        )
+
+
+def _doc_neardup_index_write_unlocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """``doc_neardup_index_write`` body for callers already inside a
+    leased maintenance section (the streaming ingest's bootstrap)."""
     from hours_api_clickup_spark.datapipe.similarity import (
         _fs_delete,
         _fs_swap_dir,

@@ -399,7 +399,32 @@ def lsh_index_write(
     On-disk layout is LSM-shaped: ``{path}/base`` holds the (t, sb)-
     partitioned bulk; ``{path}/log`` (written by ``lsh_index_append``)
     holds small unpartitioned batch files merged at read time
-    (``lsh_index_read``) and folded in by ``lsh_index_compact``."""
+    (``lsh_index_read``) and folded in by ``lsh_index_compact``.
+
+    A rebuild is maintenance: it runs under the single-maintainer
+    LEASE (a rebuild racing a compact or streaming ingest refuses
+    loudly) and refuses while a log/tombstone tier exists — the fresh
+    seq=0 base would be outranked by stale log rows and silently
+    killed by old tombstones (``_refuse_stale_mor_tiers``)."""
+    with _maintenance_lease(df.sparkSession, path, "lsh_index_write"):
+        _lsh_index_write_unlocked(
+            df, vec_col, id_col, path, planes, tables, dim
+        )
+
+
+def _lsh_index_write_unlocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    dim: int | None = None,
+) -> None:
+    """``lsh_index_write`` body for callers already inside a leased
+    maintenance section (an append/upsert's bootstrap fallback under a
+    streaming batch's lease). Still refuses stale MOR tiers."""
+    _refuse_stale_mor_tiers(df.sparkSession, path, "lsh_index_write")
     union = _signature_rows(df, vec_col, id_col, planes, tables, dim).withColumn(
         # ingest sequence for merge-on-read: probes and compaction keep
         # the max-seq row per vid (lsh_index_append)
@@ -596,6 +621,56 @@ def _fs_delete(spark, path: str) -> None:
         fs.delete(p, False)
 
 
+def _fs_write_file_atomic(spark, path: str, content: str) -> None:
+    """Write a small marker file ATOMICALLY (create ``.tmp`` + rename):
+    the file is either absent or complete, never truncated — required
+    when the content is load-bearing for crash recovery (the IVFPQ
+    rebuild marker lists the consumed tier files)."""
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = tmp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    out.write(bytearray(content.encode()))
+    out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def _fs_read_file(spark, path: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_drop_listed(spark, dir_path: str, file_strs: list) -> None:
+    """``_fs_drop_consumed`` from persisted path STRINGS — the recovery
+    side of a consumed-tier snapshot: delete exactly the listed files
+    (missing ones are already-done work of the crashed run), then the
+    underscore debris + a NON-recursive dir delete that refuses a
+    non-empty directory, so files landed after the snapshot survive."""
+    jvm = spark._jvm
+    dp = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = dp.getFileSystem(spark._jsc.hadoopConfiguration())
+    for s in file_strs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(s), False)
+    if not fs.exists(dp):
+        return
+    for st in fs.listStatus(dp):
+        if st.isFile() and st.getPath().getName().startswith("_"):
+            fs.delete(st.getPath(), False)
+    try:
+        fs.delete(dp, False)
+    except Exception:
+        pass  # a new file landed after the snapshot — keep it
+
+
 class MaintenanceLeaseHeld(RuntimeError):
     """Another maintainer holds this index's maintenance lease — the
     loud-refusal form of the single-writer contract (VERDICT r8 #2)."""
@@ -706,12 +781,44 @@ def _maintenance_lease(
 ):
     """``with _maintenance_lease(spark, path, "lsh_index_compact"): ...``
     — acquire around every mutating maintenance section; released on
-    any exit so a failed compact never wedges the index."""
+    any exit so a failed compact never wedges the index.
+
+    Deliberately NOT re-entrant: a compact fired from a scheduler
+    thread while a streaming batch holds the lease in the SAME driver
+    process is exactly the race this exists to refuse
+    (tests/test_scale_techniques.py::test_streaming_ingest_vs_compact_
+    race_fails_loudly). Maintenance sections that legitimately nest —
+    an ingest's bootstrap falling back to a full build, an upsert
+    folding the log first — call the ``*_unlocked`` cores instead."""
     _acquire_lease(spark, path, owner, ttl_sec)
     try:
         yield
     finally:
         _release_lease(spark, path)
+
+
+def _refuse_stale_mor_tiers(
+    spark, path: str, owner: str, tiers: tuple = ("log", "tombstones")
+) -> None:
+    """A full REBUILD writes its corpus at ``seq=0``, so any surviving
+    merge-on-read tier OUTRANKS it: a stale log row (seq ≥ 0, the old
+    value) wins the max-seq fold over the fresh base row, and an old
+    tombstone (survival requires ``seq > tombstone seq``) silently
+    kills every re-ingested key — data loss, not a merge. Rebuild
+    writers therefore refuse while a MOR tier exists. Compact first
+    (folds the log, consumes the tombstones) or build into a fresh
+    path and flip a pointer. The IVFADC family is the exception: its
+    compaction IS the rebuild, so ``ivfpq_index_write`` CONSUMES the
+    tiers transactionally instead of refusing."""
+    stale = [t for t in tiers if _fs_exists(spark, f"{path}/{t}")]
+    if stale:
+        raise ValueError(
+            f"{owner}: refusing to rebuild {path} while merge-on-read "
+            f"tier(s) {stale} exist — the rebuild's seq=0 rows would be "
+            f"outranked by stale log entries and killed by old "
+            f"tombstones (silent data loss). Run the family's compact "
+            f"first, or build into a fresh path and swap pointers."
+        )
 
 
 def _fs_swap_dir(spark, live: str, staged: str) -> None:
@@ -882,7 +989,27 @@ def lsh_index_upsert(
     If no index exists at ``path`` yet, bootstraps via
     ``lsh_index_write`` (first batch = the index). If an append log
     exists it is compacted first — upsert's touched-bucket overwrite is
-    defined on the partitioned base layout only."""
+    defined on the partitioned base layout only.
+
+    Runs under the single-maintainer LEASE: the upsert rewrites base
+    partition directories in place, so one racing a compact's base
+    swap silently loses whichever finishes first."""
+    spark = df.sparkSession
+    with _maintenance_lease(spark, path, "lsh_index_upsert"):
+        _lsh_index_upsert_unlocked(
+            df, vec_col, id_col, path, planes, tables, dim
+        )
+
+
+def _lsh_index_upsert_unlocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+    dim: int | None = None,
+) -> None:
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
     # A batch may carry the same id more than once; bucket rewrite logic
@@ -896,7 +1023,9 @@ def lsh_index_upsert(
     # against it would silently serve an index missing the corpus
     # (review r6; textindex protocol)
     if not _base_committed(spark, path):
-        lsh_index_write(df, vec_col, id_col, path, planes, tables, dim=dim)
+        _lsh_index_write_unlocked(
+            df, vec_col, id_col, path, planes, tables, dim=dim
+        )
         return
     if _fs_exists(spark, f"{path}/log") or _fs_exists(
         spark, f"{path}/tombstones"
@@ -904,7 +1033,7 @@ def lsh_index_upsert(
         # fold both MOR tiers (append log + delete markers) first —
         # upsert's overwrite and seq bookkeeping are defined on the
         # partitioned base alone
-        lsh_index_compact(spark, path)
+        _lsh_index_compact_unlocked(spark, path)
     index = spark.read.parquet(f"{path}/base")
 
     new_rows = _signature_rows(
@@ -1065,9 +1194,12 @@ def lsh_index_append(
     # committed-base gate, not bare existence: an interrupted build
     # leaves the directory present but uncommitted, and appending
     # against it would silently serve an index missing the corpus
-    # (review r6; textindex protocol)
+    # (review r6; textindex protocol). Unlocked core: the streaming
+    # ingest already holds the maintenance lease around this append.
     if not _base_committed(spark, path):
-        lsh_index_write(df, vec_col, id_col, path, planes, tables, dim=dim)
+        _lsh_index_write_unlocked(
+            df, vec_col, id_col, path, planes, tables, dim=dim
+        )
         return
     if seq is None:
         # stats-read fallback; a production deployment passes ``seq``
@@ -1107,40 +1239,46 @@ def lsh_index_compact(spark, path: str) -> None:
     ``_fs_recover_swap``, failing THIS compact loudly (IOError,
     retryable; the pre-swap index stays live, nothing is lost —
     review r8)."""
+    with _maintenance_lease(spark, path, "lsh_index_compact"):
+        _lsh_index_compact_unlocked(spark, path)
+
+
+def _lsh_index_compact_unlocked(spark, path: str) -> None:
+    """``lsh_index_compact`` body for callers already inside a leased
+    maintenance section (``lsh_index_upsert`` folding the log first)."""
     from pyspark.sql import Window
 
-    with _maintenance_lease(spark, path, "lsh_index_compact"):
-        # snapshot the MOR tiers' files BEFORE the read view lists
-        # them: the fold sees a superset (benign same-seq duplicates,
-        # resolved by the read path), and only the snapshot is deleted
-        # afterwards — an entry committed during the O(corpus) rewrite
-        # is never erased unfolded (ADVICE r7)
-        fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
-        _, tomb_p, consumed_tomb = _fs_snapshot_files(
-            spark, f"{path}/tombstones"
-        )
-        index = lsh_index_read(spark, path)
-        w = Window.partitionBy("vid")
-        latest = (
-            index.withColumn("_mx", F.max("seq").over(w))
-            .filter(F.col("seq") == F.col("_mx"))
-            .select(*_INDEX_COLS)
-            # same (vid, t) appended twice at the same seq: keep one
-            .dropDuplicates(["vid", "t"])
-            .localCheckpoint()  # the rewrite overwrites its own input
-        )
-        # staged + swapped: an in-place overwrite deletes the live base
-        # at job start, so a mid-compact crash would destroy the index
-        # with only the small log surviving (review r6 — the textindex
-        # compactor had this protocol from ADVICE r3; propagated here).
-        # The MOR tiers are deleted only AFTER the swap commits.
-        staged = f"{path}/base__staged"
-        latest.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
-            "sig"
-        ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
-        _fs_swap_dir(spark, f"{path}/base", staged)
-        _fs_drop_consumed(fs, log_p, consumed_log)
-        _fs_drop_consumed(fs, tomb_p, consumed_tomb)
+    # snapshot the MOR tiers' files BEFORE the read view lists
+    # them: the fold sees a superset (benign same-seq duplicates,
+    # resolved by the read path), and only the snapshot is deleted
+    # afterwards — an entry committed during the O(corpus) rewrite
+    # is never erased unfolded (ADVICE r7)
+    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+    _, tomb_p, consumed_tomb = _fs_snapshot_files(
+        spark, f"{path}/tombstones"
+    )
+    index = lsh_index_read(spark, path)
+    w = Window.partitionBy("vid")
+    latest = (
+        index.withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+        .select(*_INDEX_COLS)
+        # same (vid, t) appended twice at the same seq: keep one
+        .dropDuplicates(["vid", "t"])
+        .localCheckpoint()  # the rewrite overwrites its own input
+    )
+    # staged + swapped: an in-place overwrite deletes the live base
+    # at job start, so a mid-compact crash would destroy the index
+    # with only the small log surviving (review r6 — the textindex
+    # compactor had this protocol from ADVICE r3; propagated here).
+    # The MOR tiers are deleted only AFTER the swap commits.
+    staged = f"{path}/base__staged"
+    latest.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+        "sig"
+    ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
+    _fs_swap_dir(spark, f"{path}/base", staged)
+    _fs_drop_consumed(fs, log_p, consumed_log)
+    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def lsh_probe_topk(
@@ -1717,7 +1855,23 @@ def ivf_index_write(
 
     Same LSM layout as the LSH index: ``{path}/base`` holds the
     cluster-partitioned bulk, ``{path}/log`` (``ivf_index_append``)
-    holds per-batch files folded in by ``ivf_index_compact``."""
+    holds per-batch files folded in by ``ivf_index_compact``.
+
+    Lease + stale-tier contract: see ``lsh_index_write``."""
+    with _maintenance_lease(df.sparkSession, path, "ivf_index_write"):
+        _ivf_index_write_unlocked(df, vec_col, id_col, path, centroids)
+
+
+def _ivf_index_write_unlocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+) -> None:
+    """``ivf_index_write`` body for callers already inside a leased
+    maintenance section. Still refuses stale MOR tiers."""
+    _refuse_stale_mor_tiers(df.sparkSession, path, "ivf_index_write")
     assigned = ivf_assign(df, vec_col, centroids).withColumn(
         "seq", F.lit(0).cast("long")
     )
@@ -1792,9 +1946,10 @@ def ivf_index_append(
     # committed-base gate, not bare existence: an interrupted build
     # leaves the directory present but uncommitted, and appending
     # against it would silently serve an index missing the corpus
-    # (review r6; textindex protocol)
+    # (review r6; textindex protocol). Unlocked core: a streaming
+    # ingest wrapping this append already holds the maintenance lease.
     if not _base_committed(spark, path):
-        ivf_index_write(df, vec_col, id_col, path, centroids)
+        _ivf_index_write_unlocked(df, vec_col, id_col, path, centroids)
         return
     if seq is None:
         # _next_seq, NOT max(live seq): the read view is already
@@ -1819,32 +1974,38 @@ def ivf_index_compact(spark, path: str, id_col: str) -> None:
     ``{path}/base`` and delete the log. O(corpus), compaction cadence;
     single-maintainer contract lease-enforced — see
     ``lsh_index_compact``."""
+    with _maintenance_lease(spark, path, "ivf_index_compact"):
+        _ivf_index_compact_unlocked(spark, path, id_col)
+
+
+def _ivf_index_compact_unlocked(spark, path: str, id_col: str) -> None:
+    """``ivf_index_compact`` body for callers already inside a leased
+    maintenance section (``ivf_index_upsert`` folding the log first)."""
     from pyspark.sql import Window
 
-    with _maintenance_lease(spark, path, "ivf_index_compact"):
-        # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
-        fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
-        _, tomb_p, consumed_tomb = _fs_snapshot_files(
-            spark, f"{path}/tombstones"
-        )
-        index = ivf_index_read(spark, path)
-        w = Window.partitionBy(id_col)
-        latest = (
-            index.withColumn("_mx", F.max("seq").over(w))
-            .filter(F.col("seq") == F.col("_mx"))
-            .drop("_mx")
-            .dropDuplicates([id_col])
-            .localCheckpoint()
-        )
-        # staged + swapped (see lsh_index_compact); MOR tiers deleted
-        # only after the swap commits
-        staged = f"{path}/base__staged"
-        latest.repartition(F.col("cluster_id")).write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id").parquet(staged)
-        _fs_swap_dir(spark, f"{path}/base", staged)
-        _fs_drop_consumed(fs, log_p, consumed_log)
-        _fs_drop_consumed(fs, tomb_p, consumed_tomb)
+    # consumed-snapshot protocol — see lsh_index_compact (ADVICE r7)
+    fs, log_p, consumed_log = _fs_snapshot_files(spark, f"{path}/log")
+    _, tomb_p, consumed_tomb = _fs_snapshot_files(
+        spark, f"{path}/tombstones"
+    )
+    index = ivf_index_read(spark, path)
+    w = Window.partitionBy(id_col)
+    latest = (
+        index.withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+        .drop("_mx")
+        .dropDuplicates([id_col])
+        .localCheckpoint()
+    )
+    # staged + swapped (see lsh_index_compact); MOR tiers deleted
+    # only after the swap commits
+    staged = f"{path}/base__staged"
+    latest.repartition(F.col("cluster_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(staged)
+    _fs_swap_dir(spark, f"{path}/base", staged)
+    _fs_drop_consumed(fs, log_p, consumed_log)
+    _fs_drop_consumed(fs, tomb_p, consumed_tomb)
 
 
 def ivf_index_upsert(
@@ -1869,7 +2030,21 @@ def ivf_index_upsert(
     column (dynamic partition pruning). Bootstraps via
     ``ivf_index_write`` when no index exists at ``path``; an existing
     append log is compacted first (the overwrite is defined on the
-    partitioned base only)."""
+    partitioned base only).
+
+    Runs under the single-maintainer LEASE — see ``lsh_index_upsert``."""
+    spark = df.sparkSession
+    with _maintenance_lease(spark, path, "ivf_index_upsert"):
+        _ivf_index_upsert_unlocked(df, vec_col, id_col, path, centroids)
+
+
+def _ivf_index_upsert_unlocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+) -> None:
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
     _fs_recover_swap(spark, f"{path}/codes")  # both tiers (review r8)
@@ -1881,7 +2056,7 @@ def ivf_index_upsert(
     # against it would silently serve an index missing the corpus
     # (review r6; textindex protocol)
     if not _base_committed(spark, path):
-        ivf_index_write(df, vec_col, id_col, path, centroids)
+        _ivf_index_write_unlocked(df, vec_col, id_col, path, centroids)
         return
     if _fs_exists(spark, f"{path}/log") or _fs_exists(
         spark, f"{path}/tombstones"
@@ -1889,7 +2064,7 @@ def ivf_index_upsert(
         # fold both MOR tiers first: the overwrite below is defined on
         # the partitioned base only, and the upsert's seq bookkeeping
         # must not have to out-rank live tombstones
-        ivf_index_compact(spark, path, id_col)
+        _ivf_index_compact_unlocked(spark, path, id_col)
     index = spark.read.parquet(f"{path}/base")
     new_rows = ivf_assign(df, vec_col, centroids).localCheckpoint()
     batch_ids = new_rows.select(_c(id_col).alias("__nid")).dropDuplicates()
@@ -2787,7 +2962,23 @@ def ivfpq_index_write(
     cluster_id (identical layout to ``ivf_index_write`` — all its
     append/compact maintenance applies), ``{path}/codes`` holds
     (vid, codes) partitioned the same way. The sidecar is what probes
-    scan; the base is what the re-rank fetches C rows from."""
+    scan; the base is what the re-rank fetches C rows from.
+
+    This rebuild IS the family's compaction (the codes tier cannot
+    fold incrementally), so unlike the other families' rebuild writers
+    it does not refuse existing merge-on-read tiers — it CONSUMES them
+    transactionally: the tier files present at rebuild start are
+    obsolete (``df`` re-ingests the whole corpus), and leaving them
+    would let a stale log row (seq ≥ 0) outrank the fresh seq=0 base
+    in the max-seq fold, or an old tombstone silently kill a
+    re-included key. The snapshot of consumed files rides a commit
+    MARKER written only after BOTH staged tiers are complete; a crash
+    anywhere is rolled FORWARD by ``_ivfpq_recover`` at every family
+    entry point — swaps finished, exactly the consumed files dropped —
+    so readers only ever converge to whole generations. Tier files
+    landing AFTER the snapshot are not consumed and survive."""
+    import json as _json
+
     assigned = ivf_assign(df, vec_col, centroids).withColumn(
         "seq", F.lit(0).cast("long")
     ).localCheckpoint()  # one assignment job feeds both writes
@@ -2796,14 +2987,19 @@ def ivfpq_index_write(
     # base fetch cannot resolve simply drop out (probe returns fewer
     # rows), whereas old codes over a NEW base could rank against stale
     # geometry. A single-pointer manifest (sinks/versioned.py) is the
-    # fully-atomic upgrade path; the window here is two renames wide.
+    # fully-atomic upgrade path; the marker below rolls a crash in that
+    # window forward at the next entry point.
     spark = df.sparkSession
     # the IVFADC family's compaction IS this rebuild (both tiers), so
     # the maintenance lease lives here (VERDICT r8 #2) — a rebuild
     # racing another maintainer on the same path refuses loudly
     with _maintenance_lease(spark, path, "ivfpq_index_write"):
-        _fs_recover_swap(spark, f"{path}/base")
-        _fs_recover_swap(spark, f"{path}/codes")
+        _ivfpq_recover(spark, path)
+        consumed = {}
+        for tier in ("log", "codes_log", "tombstones"):
+            _, _tp, files = _fs_snapshot_files(spark, f"{path}/{tier}")
+            if files:
+                consumed[f"{path}/{tier}"] = [str(f) for f in files]
         b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
         assigned.repartition(F.col("cluster_id")).write.mode(
             "overwrite"
@@ -2821,8 +3017,49 @@ def ivfpq_index_write(
         codes.repartition(F.col("cluster_id")).write.mode(
             "overwrite"
         ).partitionBy("cluster_id").parquet(c_staged)
+        # commit point: both staged tiers are complete — from here a
+        # crash rolls FORWARD (atomic content: tmp+rename)
+        _fs_write_file_atomic(
+            spark, f"{path}/{_IVFPQ_REBUILD_MARKER}", _json.dumps(consumed)
+        )
         _fs_swap_dir(spark, f"{path}/codes", c_staged)
         _fs_swap_dir(spark, f"{path}/base", b_staged)
+        for tier_dir, files in consumed.items():
+            _fs_drop_listed(spark, tier_dir, files)
+        _fs_delete(spark, f"{path}/{_IVFPQ_REBUILD_MARKER}")
+
+
+_IVFPQ_REBUILD_MARKER = "__rebuild_commit"
+
+
+def _ivfpq_recover(spark, path: str) -> None:
+    """Joint crash recovery for the IVFADC rebuild's tier PAIR plus its
+    consumed-snapshot drops — every family entry point calls this
+    before touching the index (the sig+bands twin of
+    ``dedup._doc_index_recover``). Per-tier mid-swap rollback first;
+    then, if a rebuild's commit marker survives, roll it forward: the
+    marker exists only once BOTH staged tiers are complete, so
+    finishing the remaining swaps (codes-then-base, the write order)
+    and dropping exactly the consumed tier files it lists can never
+    publish a partial generation — and never erases a tier file landed
+    after the crashed rebuild's snapshot. Staged dirs WITHOUT a marker
+    are an abandoned pre-commit write: left alone, overwritten by the
+    next rebuild."""
+    import json as _json
+
+    _fs_recover_swap(spark, f"{path}/base")
+    _fs_recover_swap(spark, f"{path}/codes")
+    marker = f"{path}/{_IVFPQ_REBUILD_MARKER}"
+    if not _fs_exists(spark, marker):
+        return
+    consumed = _json.loads(_fs_read_file(spark, marker))
+    for tier in ("codes", "base"):
+        staged = f"{path}/{tier}__staged"
+        if _fs_exists(spark, staged):
+            _fs_swap_dir(spark, f"{path}/{tier}", staged)
+    for tier_dir, files in consumed.items():
+        _fs_drop_listed(spark, tier_dir, files)
+    _fs_delete(spark, marker)
 
 
 def ivfpq_index_append(
@@ -2842,8 +3079,10 @@ def ivfpq_index_append(
     BOTH tiers; the staleness contract for moved re-ingests matches the
     other append paths (compaction = rebuild of both tiers)."""
     spark = df.sparkSession
-    _fs_recover_swap(spark, f"{path}/base")
-    _fs_recover_swap(spark, f"{path}/codes")  # both tiers (review r8)
+    # joint recovery: swap rollback + rebuild-marker roll-forward (a
+    # crashed rebuild must finish consuming its tiers before any new
+    # log entry lands, or the drop below could erase it)
+    _ivfpq_recover(spark, path)
     df = df.dropDuplicates([id_col])
     if not df.head(1):
         return  # empty batch: nothing to sign/assign, nothing to commit
@@ -2909,8 +3148,10 @@ def ivfpq_probe_topk(
     # contract); the codes tier was the one reader that did not — a
     # crash between the codes renames left probes throwing
     # path-not-found with a complete copy sitting in codes__old
-    # (review r8)
-    _fs_recover_swap(spark, f"{index_path}/codes")
+    # (review r8). Joint recovery also rolls a crashed rebuild's
+    # consumed-tier commit forward, so this probe never ranks fresh
+    # base rows against the stale log/tombstones the rebuild consumed.
+    _ivfpq_recover(spark, index_path)
     codes = spark.read.parquet(f"{index_path}/codes")
     codes = codes.select(
         "vid",

@@ -98,8 +98,38 @@ def inverted_index_write(
     Crash safety: postings land in ``{path}/base__staged`` and are
     renamed in (``_fs_swap_dir``, the ANN-family protocol) — an
     interrupted build/rebuild never leaves a half-written directory
-    where ``{path}/base`` used to be (ADVICE r3)."""
+    where ``{path}/base`` used to be (ADVICE r3).
+
+    Lease + stale-tier contract: a rebuild is maintenance (single-
+    maintainer LEASE; racing maintainers refuse loudly) and refuses
+    while a log/tombstone tier exists — the fresh seq=0 postings
+    would be outranked by stale log rows and killed by old tombstones
+    (``similarity._refuse_stale_mor_tiers``)."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _maintenance_lease,
+    )
+
     spark = docs.sparkSession
+    with _maintenance_lease(spark, path, "inverted_index_write"):
+        _inverted_index_write_unlocked(docs, text_col, id_col, path, n_buckets)
+
+
+def _inverted_index_write_unlocked(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n_buckets: int = DEFAULT_TEXT_BUCKETS,
+) -> None:
+    """``inverted_index_write`` body for callers already inside a
+    leased maintenance section (the streaming text ingest's bootstrap
+    fallback). Still refuses stale MOR tiers."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _refuse_stale_mor_tiers,
+    )
+
+    spark = docs.sparkSession
+    _refuse_stale_mor_tiers(spark, path, "inverted_index_write")
     _fs_recover_swap(spark, f"{path}/base")
     postings = _posting_rows(docs, text_col, id_col, n_buckets, seq=0)
     staged = f"{path}/base__staged"
@@ -157,8 +187,10 @@ def inverted_index_append(
     if not _base_committed(spark, path):
         # no base, or only the wreck of an uncommitted one — (re)build.
         # Covers the streaming first-batch retry in
-        # streaming_text_index_ingest, which funnels through here.
-        inverted_index_write(docs, text_col, id_col, path, n_buckets)
+        # streaming_text_index_ingest, which funnels through here —
+        # UNLOCKED core: that ingest already holds the maintenance
+        # lease around this append.
+        _inverted_index_write_unlocked(docs, text_col, id_col, path, n_buckets)
         return
     if seq is None:
         # stats-read fallback; a production deployment passes ``seq``

@@ -122,9 +122,9 @@ def streaming_doc_neardup_ingest(
     anti-joined against the existing pair table so a crash after the
     pairs write but before the marker cannot double-write pairs."""
     from hours_api_clickup_spark.datapipe.dedup import (
+        _doc_neardup_index_write_unlocked,
         doc_neardup_index_append,
         doc_neardup_index_pairs_for_ids,
-        doc_neardup_index_write,
     )
 
     def _apply_locked(batch_df: DataFrame, batch_id: int) -> None:
@@ -166,9 +166,12 @@ def streaming_doc_neardup_ingest(
         p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/sig")
         if not fs.exists(p):
             # bootstrap with an EMPTY index so the first batch's own
-            # near-dup pairs are emitted by the same append path
+            # near-dup pairs are emitted by the same append path —
+            # UNLOCKED core: this batch already holds the lease
             empty = batch_df.filter(F.lit(False))
-            doc_neardup_index_write(empty, id_col, text_col, index_path)
+            _doc_neardup_index_write_unlocked(
+                empty, id_col, text_col, index_path
+            )
         indexed = spark.read.parquet(f"{index_path}/sig").select("did")
         bids = batch_df.select(F.col(id_col).alias("did")).dropDuplicates()
         # ONE indexed-did scan per batch: stale is pinned once and

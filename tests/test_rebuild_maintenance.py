@@ -1,0 +1,304 @@
+"""Rebuild writers are maintenance (r9, completing VERDICT r8 #2).
+
+The r8 lease covered compacts and streaming-ingest batches; the full
+REBUILD writers were the remaining unleased maintainer — a standalone
+``lsh_index_write`` racing a streaming ingest silently discarded its
+in-flight batches. And independent of racing, a rebuild OVER a live
+merge-on-read index was a latent silent wrong answer: the rebuild's
+fresh ``seq=0`` rows are outranked by any stale log entry (max-seq
+fold) and killed by any existing tombstone (survival requires
+``seq > tombstone seq``). Three families (LSH/IVF/text) now refuse
+that state loudly — compact first, or build into a fresh path; the
+IVFADC family, whose documented compaction IS the two-tier rebuild,
+instead CONSUMES the tiers transactionally under a commit marker that
+rolls crashes forward.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import hours_api_clickup_spark.datapipe.similarity as S
+from hours_api_clickup_spark.plans.registry import load_table
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _emb(spark):
+    return load_table(spark, SF_DIR_SMOKE, "embeddings")
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR_SMOKE, "documents")
+
+
+class TestRebuildWritersLeaseGuarded:
+    """Every full-rebuild writer (and the in-place upserts) refuses
+    while another maintainer holds the index lease."""
+
+    def _refuses_then_succeeds(self, spark, path, op):
+        S._acquire_lease(spark, path, "simulated-maintainer")
+        try:
+            with pytest.raises(S.MaintenanceLeaseHeld, match="lease"):
+                op()
+        finally:
+            S._release_lease(spark, path)
+        op()  # released: the same call goes through
+
+    def test_lsh_write_and_upsert(self, spark, tmp_path):
+        emb = _emb(spark)
+        p = str(tmp_path / "lsh")
+        self._refuses_then_succeeds(
+            spark, p,
+            lambda: S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64),
+        )
+        self._refuses_then_succeeds(
+            spark, p,
+            lambda: S.lsh_index_upsert(
+                emb.limit(5), "embedding", "vec_id", p, dim=64
+            ),
+        )
+
+    def test_ivf_write_and_upsert(self, spark, tmp_path):
+        emb = _emb(spark)
+        cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=4)
+        p = str(tmp_path / "ivf")
+        self._refuses_then_succeeds(
+            spark, p,
+            lambda: S.ivf_index_write(emb, "embedding", "vec_id", p, cents),
+        )
+        self._refuses_then_succeeds(
+            spark, p,
+            lambda: S.ivf_index_upsert(
+                emb.limit(5), "embedding", "vec_id", p, cents
+            ),
+        )
+
+    def test_text_write(self, spark, tmp_path):
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_write,
+        )
+
+        docs = _docs(spark)
+        p = str(tmp_path / "txt")
+        self._refuses_then_succeeds(
+            spark, p,
+            lambda: inverted_index_write(docs, "text", "doc_id", p),
+        )
+
+    def test_doc_neardup_write(self, spark, tmp_path):
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_write,
+        )
+
+        docs = _docs(spark)
+        p = str(tmp_path / "nd")
+        self._refuses_then_succeeds(
+            spark, p,
+            lambda: doc_neardup_index_write(docs, "doc_id", "text", p),
+        )
+
+
+class TestRebuildRefusesStaleMorTiers:
+    """LSH/IVF/text rebuilds refuse while a log or tombstone tier
+    exists: the seq=0 rebuild would be outranked/killed silently.
+    After the family's compact consumes the tiers, the same rebuild
+    goes through."""
+
+    def test_lsh(self, spark, tmp_path):
+        emb = _emb(spark)
+        p = str(tmp_path / "lsh")
+        S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+        S.lsh_index_append(emb.limit(3), "embedding", "vec_id", p, dim=64)
+        with pytest.raises(ValueError, match="merge-on-read"):
+            S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+        S.lsh_index_compact(spark, p)
+        S.lsh_index_delete(spark, p, [0])
+        with pytest.raises(ValueError, match="tombstones"):
+            S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+        S.lsh_index_compact(spark, p)
+        S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+
+    def test_ivf(self, spark, tmp_path):
+        emb = _emb(spark)
+        cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=4)
+        p = str(tmp_path / "ivf")
+        S.ivf_index_write(emb, "embedding", "vec_id", p, cents)
+        S.ivf_index_append(emb.limit(3), "embedding", "vec_id", p, cents)
+        with pytest.raises(ValueError, match="merge-on-read"):
+            S.ivf_index_write(emb, "embedding", "vec_id", p, cents)
+        S.ivf_index_compact(spark, p, "vec_id")
+        S.ivf_index_write(emb, "embedding", "vec_id", p, cents)
+
+    def test_text(self, spark, tmp_path):
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_append,
+            inverted_index_compact,
+            inverted_index_write,
+        )
+
+        docs = _docs(spark)
+        p = str(tmp_path / "txt")
+        inverted_index_write(docs, "text", "doc_id", p)
+        inverted_index_append(docs.limit(3), "text", "doc_id", p)
+        with pytest.raises(ValueError, match="merge-on-read"):
+            inverted_index_write(docs, "text", "doc_id", p)
+        inverted_index_compact(spark, p)
+        inverted_index_write(docs, "text", "doc_id", p)
+
+    def test_upsert_still_folds_tiers_itself(self, spark, tmp_path):
+        """The upserts keep their own fold-first behavior (they compact
+        via the unlocked core under one lease) — no refusal there."""
+        emb = _emb(spark)
+        p = str(tmp_path / "lsh")
+        S.lsh_index_write(emb, "embedding", "vec_id", p, dim=64)
+        S.lsh_index_append(emb.limit(3), "embedding", "vec_id", p, dim=64)
+        S.lsh_index_upsert(emb.limit(5), "embedding", "vec_id", p, dim=64)
+        import os
+
+        assert not os.path.exists(f"{p}/log")  # folded, not refused
+
+
+class TestIvfpqRebuildConsumesTiers:
+    """The IVFADC rebuild (= the family's compaction) consumes the
+    merge-on-read tiers transactionally. Previously it left them in
+    place: a stale log row outranked the rebuild's fresh value in the
+    max-seq fold, and an old tombstone silently killed a re-included
+    key — the exact silent-wrong-answer the takedown soak could not
+    see because its rebuild corpus happened to agree with the log."""
+
+    def _fixtures(self, spark):
+        emb = _emb(spark)
+        cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=4)
+        cb = S.pq_seed_codebooks(
+            emb, "embedding", "vec_id", n_subspaces=4, n_codes=16
+        )
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]
+        ]
+        return emb, cents, cb, qv
+
+    def _probe(self, spark, path, qv, cents, cb):
+        return [
+            tuple(r)
+            for r in S.ivfpq_probe_topk(
+                spark, path, "embedding", "vec_id", qv, cents, cb,
+                k=10, nprobe=4, n_candidates=64, exclude_id=1,
+            ).collect()
+        ]
+
+    def _lifecycle(self, spark, tmp_path, crash_between_swaps=False):
+        """build(A) → append(B) → delete(X⊂A) → rebuild(C) where C
+        re-includes X and CHANGES B's vectors — both divergence modes
+        at once. Returns (rebuilt path, fresh-twin path, C)."""
+        emb, cents, cb, qv = self._fixtures(spark)
+        a = emb.filter(F.col("vec_id") % 3 != 0)
+        b = emb.filter(F.col("vec_id") % 3 == 0)
+        doomed = [
+            r[0]
+            for r in a.select("vec_id").orderBy("vec_id").limit(3).collect()
+        ]
+        # C: everything, with B's vectors NEGATED (changes every cosine
+        # rank involving them) and the deleted ids re-included
+        flipped = b.withColumn(
+            "embedding", F.expr("transform(embedding, v -> -v)")
+        )
+        c = a.unionByName(flipped)
+
+        p = str(tmp_path / "ivfpq")
+        S.ivfpq_index_write(a, "embedding", "vec_id", p, cents, cb)
+        S.ivfpq_index_append(b, "embedding", "vec_id", p, cents, cb)
+        S.ivf_index_delete(spark, p, "vec_id", doomed)
+
+        if crash_between_swaps:
+            real_swap = S._fs_swap_dir
+            calls = {"n": 0}
+
+            def crash_second(spark_, live, staged):
+                calls["n"] += 1
+                if calls["n"] == 2:
+                    raise RuntimeError("injected crash between swaps")
+                real_swap(spark_, live, staged)
+
+            S._fs_swap_dir = crash_second
+            try:
+                with pytest.raises(RuntimeError, match="injected"):
+                    S.ivfpq_index_write(c, "embedding", "vec_id", p, cents, cb)
+            finally:
+                S._fs_swap_dir = real_swap
+            import os
+
+            assert os.path.exists(f"{p}/{S._IVFPQ_REBUILD_MARKER}")
+            # in-process failure released the lease; the marker stays
+            # for the roll-forward
+            assert not os.path.exists(f"{p}/{S._LEASE_FILE}")
+        else:
+            S.ivfpq_index_write(c, "embedding", "vec_id", p, cents, cb)
+
+        fresh = str(tmp_path / "twin")
+        S.ivfpq_index_write(c, "embedding", "vec_id", fresh, cents, cb)
+        return p, fresh, c, cents, cb, qv, doomed
+
+    def test_rebuild_equals_fresh_twin(self, spark, tmp_path):
+        import os
+
+        p, fresh, c, cents, cb, qv, doomed = self._lifecycle(spark, tmp_path)
+        # tiers consumed: nothing left to outrank or kill the rebuild
+        for tier in ("log", "codes_log", "tombstones"):
+            assert not os.path.exists(f"{p}/{tier}"), tier
+        assert not os.path.exists(f"{p}/{S._IVFPQ_REBUILD_MARKER}")
+        # the read view IS the rebuild corpus: re-included deleted ids
+        # are back, changed vectors serve their NEW values
+        view = S.ivf_index_read(spark, p)
+        assert view.count() == c.count()
+        assert not set(doomed) - {
+            r[0] for r in view.select("vec_id").collect()
+        }
+        assert self._probe(spark, p, qv, cents, cb) == self._probe(
+            spark, fresh, qv, cents, cb
+        )
+
+    def test_crash_between_swaps_rolls_forward(self, spark, tmp_path):
+        import os
+
+        p, fresh, c, cents, cb, qv, doomed = self._lifecycle(
+            spark, tmp_path, crash_between_swaps=True
+        )
+        # first family entry point after the crash finishes the job:
+        # remaining swap + consumed-tier drops + marker delete
+        got = self._probe(spark, p, qv, cents, cb)
+        assert not os.path.exists(f"{p}/{S._IVFPQ_REBUILD_MARKER}")
+        for tier in ("log", "codes_log", "tombstones"):
+            assert not os.path.exists(f"{p}/{tier}"), tier
+        assert got == self._probe(spark, fresh, qv, cents, cb)
+
+    def test_tier_entries_after_snapshot_survive(self, spark, tmp_path):
+        """A tombstone landing between the rebuild's snapshot and its
+        drops is NOT consumed — takedown-wins (the consumed-snapshot
+        contract every compactor shares)."""
+        emb, cents, cb, qv = self._fixtures(spark)
+        p = str(tmp_path / "ivfpq")
+        S.ivfpq_index_write(emb, "embedding", "vec_id", p, cents, cb)
+        S.ivfpq_index_append(
+            emb.limit(3), "embedding", "vec_id", p, cents, cb
+        )
+
+        real_swap = S._fs_swap_dir
+
+        def late_tombstone_then_swap(spark_, live, staged):
+            # fires inside the rebuild, after the snapshot was taken
+            S._fs_swap_dir = real_swap
+            S.ivf_index_delete(spark_, p, "vec_id", [2], seq=99)
+            real_swap(spark_, live, staged)
+
+        S._fs_swap_dir = late_tombstone_then_swap
+        try:
+            S.ivfpq_index_write(emb, "embedding", "vec_id", p, cents, cb)
+        finally:
+            S._fs_swap_dir = real_swap
+        import os
+
+        assert os.path.exists(f"{p}/tombstones")  # survived the drops
+        view_ids = {r[0] for r in S.ivf_index_read(spark, p).select("vec_id").collect()}
+        assert 2 not in view_ids
