@@ -3052,7 +3052,16 @@ def _ivfpq_recover(spark, path: str) -> None:
     marker = f"{path}/{_IVFPQ_REBUILD_MARKER}"
     if not _fs_exists(spark, marker):
         return
-    consumed = _json.loads(_fs_read_file(spark, marker))
+    try:
+        content = _fs_read_file(spark, marker)
+    except Exception:
+        # the marker vanished between the exists() and the read: the
+        # live maintainer just completed this roll-forward itself — a
+        # truncated marker is impossible (atomic tmp+rename write)
+        if not _fs_exists(spark, marker):
+            return
+        raise
+    consumed = _json.loads(content)
     for tier in ("codes", "base"):
         staged = f"{path}/{tier}__staged"
         if _fs_exists(spark, staged):
