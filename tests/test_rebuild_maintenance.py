@@ -302,3 +302,57 @@ class TestIvfpqRebuildConsumesTiers:
         assert os.path.exists(f"{p}/tombstones")  # survived the drops
         view_ids = {r[0] for r in S.ivf_index_read(spark, p).select("vec_id").collect()}
         assert 2 not in view_ids
+
+
+class TestCompactSmallFilesSafety:
+    """The generic layout compactor swaps the WHOLE directory, so —
+    unlike the index compactors, whose consumed-snapshot protocol lets
+    a racing append's file survive for the next compact — a file
+    appended during its rewrite used to be silently erased by the
+    swap. Now: snapshot-exact read + pre-swap drift check (loud abort,
+    live table untouched) + maintainer lease in a sibling lock dir."""
+
+    def test_concurrent_append_aborts_without_losing_it(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from hours_api_clickup_spark.operators.compaction import (
+            compact_small_files,
+        )
+
+        docs = _docs(spark).limit(50)
+        path = str(tmp_path / "tbl")
+        docs.repartition(8).write.parquet(path)
+
+        def inject():
+            docs.limit(1).write.mode("append").parquet(path)
+
+        with pytest.raises(RuntimeError, match="changed during"):
+            compact_small_files(
+                spark, path, target_bytes=10**9,
+                _inject_before_drift_check=inject,
+            )
+        # live table intact INCLUDING the racing append; staged dropped
+        assert spark.read.parquet(path).count() == 51
+        assert not os.path.exists(path + "__staged")
+        assert not os.path.exists(f"{path}__lock/{S._LEASE_FILE}")
+        # writers quiescent: the retry compacts everything
+        assert compact_small_files(spark, path, target_bytes=10**9) == 1
+        assert spark.read.parquet(path).count() == 51
+
+    def test_lease_guarded(self, spark, tmp_path):
+        from hours_api_clickup_spark.operators.compaction import (
+            compact_small_files,
+        )
+
+        docs = _docs(spark).limit(20)
+        path = str(tmp_path / "tbl")
+        docs.repartition(8).write.parquet(path)
+        S._acquire_lease(spark, f"{path}__lock", "simulated-maintainer")
+        try:
+            with pytest.raises(S.MaintenanceLeaseHeld, match="lease"):
+                compact_small_files(spark, path, target_bytes=10**9)
+        finally:
+            S._release_lease(spark, f"{path}__lock")
+        assert compact_small_files(spark, path, target_bytes=10**9) == 1
