@@ -741,6 +741,14 @@ def simhash_pairs(
     block is a recall-lossy prefilter — near-dups still share chunks
     with high probability.)
     """
+    # Deliberately NOT pinned: the self-join's build side is broadcast
+    # (computed once), so a localCheckpoint of the signatures saves only
+    # the probe side's recompute — measured at ≤5% of the query (the
+    # signature aggregation is cheap next to the join) — while pinning
+    # executor storage per call. The historic 8× run-to-run spread on
+    # this row is cold-start + host windows, not plan instability
+    # (steady-state re-measured at ~1.7s, identical with and without
+    # the pin).
     sig = simhash_signatures(df, id_col, toks_col)
     chunked = sig.select(
         "did",

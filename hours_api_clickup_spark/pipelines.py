@@ -430,6 +430,12 @@ def build_corpus(
     run_stamp = {
         "params": manifest["params"],
         "input_count": manifest["stages"]["input"],
+        # a resume must not silently reuse stage 04 against a DIFFERENT
+        # eval set of the same presence: the count is a cheap drift
+        # tripwire (eval suites are tiny; a same-count content swap
+        # still slips through — a content digest would close that at
+        # the cost of hashing the benchmark text every build)
+        "benchmark_count": benchmark.count() if benchmark is not None else None,
     }
     if resume and os.path.exists(run_path):
         with open(run_path) as f:

@@ -264,6 +264,12 @@ def test_build_corpus_crash_resume_matches_clean_build(spark, tmp_path):
             docs.limit(100), out, chunk_size=64, chunks_per_shard=4,
             resume=True,
         )
+    # ... and when an eval set appears that the crashed run didn't have
+    with pytest.raises(ValueError, match="cannot resume"):
+        pipelines.build_corpus(
+            docs, out, chunk_size=64, chunks_per_shard=4,
+            benchmark=docs.limit(5).select("text"), resume=True,
+        )
 
     # the real resume: completed stages must load from disk, so poison
     # their operators — only stage 3+ work may run
@@ -287,3 +293,33 @@ def test_build_corpus_crash_resume_matches_clean_build(spark, tmp_path):
     stamp = _json.load(open(os.path.join(st, "run.json")))
     assert stamp["params"]["chunk_size"] == 32
     assert rebuilt["params"]["chunk_size"] == 32
+
+
+def test_build_corpus_resume_refuses_benchmark_drift(spark, tmp_path):
+    """Presence is a param, but a DIFFERENT eval set of the same
+    presence must also refuse a resume — the committed stage-04 ids
+    decontaminated against the OLD benchmark's grams, and reusing them
+    against a new eval set silently ships contaminated documents. The
+    stamp carries the benchmark's row count as the drift tripwire."""
+    import pytest
+
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench1 = docs.limit(5).select("text")
+    out = str(tmp_path / "c")
+    pipelines.build_corpus(
+        docs, out, chunk_size=64, chunks_per_shard=4, benchmark=bench1
+    )
+    with pytest.raises(ValueError, match="cannot resume"):
+        pipelines.build_corpus(
+            docs, out, chunk_size=64, chunks_per_shard=4,
+            benchmark=docs.limit(9).select("text"), resume=True,
+        )
+    # the SAME benchmark resumes fine (reusing every committed stage)
+    again = pipelines.build_corpus(
+        docs, out, chunk_size=64, chunks_per_shard=4, benchmark=bench1,
+        resume=True,
+    )
+    assert again["stages"]["input"] == docs.count()
