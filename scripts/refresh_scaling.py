@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -208,6 +209,10 @@ def main() -> int:
             f"{files_written} files",
             file=sys.stderr,
         )
+        # drop this scale's store before the next (bench-hygiene
+        # convention shared with ann_probe/neardup_delete scaling:
+        # repeated manual runs must not accumulate dead stores in /tmp)
+        shutil.rmtree(work, ignore_errors=True)
 
     # GATE: flat in history (2.5x headroom for host noise)
     assert rows[-1][3] <= 2.5 * t1_median, (rows[-1][3], t1_median)

@@ -12,6 +12,7 @@ paste into COVERAGE.md)
 from __future__ import annotations
 
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -65,6 +66,10 @@ def main() -> None:
         )
         rows.append((frac_label, n_del, t_del, t_probe))
         print(f"# {frac_label}: del={t_del:.2f}s probe={t_probe:.2f}s", file=sys.stderr)
+        # bench-hygiene convention (ann_probe/neardup_delete scaling):
+        # drop this level's index so repeated manual runs don't
+        # accumulate dead copies in /tmp
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
     print("| tombstoned | deleted ids | delete wall | probe (median of %d) |" % N_RUNS)
     print("|---|---|---|---|")
