@@ -2977,6 +2977,26 @@ def ivfpq_index_write(
     entry point — swaps finished, exactly the consumed files dropped —
     so readers only ever converge to whole generations. Tier files
     landing AFTER the snapshot are not consumed and survive."""
+    # the IVFADC family's compaction IS this rebuild (both tiers), so
+    # the maintenance lease lives here (VERDICT r8 #2) — a rebuild
+    # racing another maintainer on the same path refuses loudly
+    with _maintenance_lease(df.sparkSession, path, "ivfpq_index_write"):
+        _ivfpq_index_write_unlocked(
+            df, vec_col, id_col, path, centroids, codebooks
+        )
+
+
+def _ivfpq_index_write_unlocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> None:
+    """``ivfpq_index_write`` body for callers already inside a leased
+    maintenance section (the streaming ingest's bootstrap fallback via
+    ``ivfpq_index_append``)."""
     import json as _json
 
     assigned = ivf_assign(df, vec_col, centroids).withColumn(
@@ -2990,43 +3010,39 @@ def ivfpq_index_write(
     # fully-atomic upgrade path; the marker below rolls a crash in that
     # window forward at the next entry point.
     spark = df.sparkSession
-    # the IVFADC family's compaction IS this rebuild (both tiers), so
-    # the maintenance lease lives here (VERDICT r8 #2) — a rebuild
-    # racing another maintainer on the same path refuses loudly
-    with _maintenance_lease(spark, path, "ivfpq_index_write"):
-        _ivfpq_recover(spark, path)
-        consumed = {}
-        for tier in ("log", "codes_log", "tombstones"):
-            _, _tp, files = _fs_snapshot_files(spark, f"{path}/{tier}")
-            if files:
-                consumed[f"{path}/{tier}"] = [str(f) for f in files]
-        b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
-        assigned.repartition(F.col("cluster_id")).write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id").parquet(b_staged)
-        codes = pq_encode(
-            assigned.select(
-                _c(id_col).alias(id_col), _c(vec_col).alias(vec_col)
-            ),
-            vec_col,
-            id_col,
-            codebooks,
-        ).join(
-            assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
-        ).withColumn("seq", F.lit(0).cast("long"))
-        codes.repartition(F.col("cluster_id")).write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id").parquet(c_staged)
-        # commit point: both staged tiers are complete — from here a
-        # crash rolls FORWARD (atomic content: tmp+rename)
-        _fs_write_file_atomic(
-            spark, f"{path}/{_IVFPQ_REBUILD_MARKER}", _json.dumps(consumed)
-        )
-        _fs_swap_dir(spark, f"{path}/codes", c_staged)
-        _fs_swap_dir(spark, f"{path}/base", b_staged)
-        for tier_dir, files in consumed.items():
-            _fs_drop_listed(spark, tier_dir, files)
-        _fs_delete(spark, f"{path}/{_IVFPQ_REBUILD_MARKER}")
+    _ivfpq_recover(spark, path)
+    consumed = {}
+    for tier in ("log", "codes_log", "tombstones"):
+        _, _tp, files = _fs_snapshot_files(spark, f"{path}/{tier}")
+        if files:
+            consumed[f"{path}/{tier}"] = [str(f) for f in files]
+    b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
+    assigned.repartition(F.col("cluster_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(b_staged)
+    codes = pq_encode(
+        assigned.select(
+            _c(id_col).alias(id_col), _c(vec_col).alias(vec_col)
+        ),
+        vec_col,
+        id_col,
+        codebooks,
+    ).join(
+        assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
+    ).withColumn("seq", F.lit(0).cast("long"))
+    codes.repartition(F.col("cluster_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(c_staged)
+    # commit point: both staged tiers are complete — from here a
+    # crash rolls FORWARD (atomic content: tmp+rename)
+    _fs_write_file_atomic(
+        spark, f"{path}/{_IVFPQ_REBUILD_MARKER}", _json.dumps(consumed)
+    )
+    _fs_swap_dir(spark, f"{path}/codes", c_staged)
+    _fs_swap_dir(spark, f"{path}/base", b_staged)
+    for tier_dir, files in consumed.items():
+        _fs_drop_listed(spark, tier_dir, files)
+    _fs_delete(spark, f"{path}/{_IVFPQ_REBUILD_MARKER}")
 
 
 _IVFPQ_REBUILD_MARKER = "__rebuild_commit"
@@ -3098,9 +3114,12 @@ def ivfpq_index_append(
     # committed-base gate, not bare existence: an interrupted build
     # leaves the directory present but uncommitted, and appending
     # against it would silently serve an index missing the corpus
-    # (review r6; textindex protocol)
+    # (review r6; textindex protocol). Unlocked core: a streaming
+    # ingest wrapping this append already holds the maintenance lease.
     if not _base_committed(spark, path):
-        ivfpq_index_write(df, vec_col, id_col, path, centroids, codebooks)
+        _ivfpq_index_write_unlocked(
+            df, vec_col, id_col, path, centroids, codebooks
+        )
         return
     if seq is None:
         # _next_seq, not max(live seq) — the read view is tombstone-

@@ -79,6 +79,95 @@ def streaming_lsh_ingest(
     )
 
 
+def streaming_ivf_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Drain a (id, vector) stream into the IVF index's append log —
+    the cluster-partitioned twin of ``streaming_lsh_ingest``: one
+    assignment GEMM per micro-batch against the FROZEN quantizer
+    (retrain is an explicit offline rebuild), one sorted log file,
+    ``seq = batch_id``, redelivery idempotent by the same max-seq
+    merge-on-read argument. First batch bootstraps the index through
+    the append's committed-base gate."""
+    from hours_api_clickup_spark.datapipe.similarity import ivf_index_append
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        # lease for the batch's mutation — see streaming_lsh_ingest
+        with _maintenance_lease(
+            batch_df.sparkSession, index_path, f"streaming_ivf b{batch_id}"
+        ):
+            ivf_index_append(
+                batch_df,
+                vec_col,
+                id_col,
+                index_path,
+                centroids,
+                seq=int(batch_id),
+            )
+
+    return (
+        vec_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_ivfpq_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Drain a (id, vector) stream into the IVFADC index: one
+    assignment GEMM + one PQ-encode pass per micro-batch, committed as
+    one vector-log file AND one code-log file at the same
+    ``seq = batch_id`` (``ivfpq_index_append``); probes resolve
+    max-seq on both tiers, so a redelivered batch's duplicate files
+    are invisible. Compaction cadence = the two-tier rebuild
+    (``ivfpq_index_write``), which consumes the streamed logs
+    transactionally."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        ivfpq_index_append,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        # lease for the batch's mutation — see streaming_lsh_ingest
+        with _maintenance_lease(
+            batch_df.sparkSession,
+            index_path,
+            f"streaming_ivfpq b{batch_id}",
+        ):
+            ivfpq_index_append(
+                batch_df,
+                vec_col,
+                id_col,
+                index_path,
+                centroids,
+                codebooks,
+                seq=int(batch_id),
+            )
+
+    return (
+        vec_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_doc_neardup_ingest(
     doc_stream: DataFrame,
     index_path: str,

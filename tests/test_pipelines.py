@@ -765,6 +765,148 @@ def test_streaming_lsh_ingest_equals_batch_index(spark, tmp_path):
     assert canon(idx) == canon(batch_idx)
 
 
+def test_streaming_ivf_ingest_equals_batch_index(spark, tmp_path):
+    """The IVF twin of the streaming-LSH parity test: vectors drained
+    through foreachBatch (assignment against the frozen quantizer,
+    seq = batch_id) must produce the same live view as a one-shot
+    build, restarting over the same checkpoint must append nothing,
+    and probes agree."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import hours_api_clickup_spark.datapipe.similarity as S
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_ivf_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=8)
+    stage = str(tmp_path / "stage")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    def stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    streaming_ivf_ingest(stream(), idx, ckpt, cents).awaitTermination(300)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    S.ivf_index_write(emb, "embedding", "vec_id", batch_idx, cents)
+
+    def canon(path):
+        from pyspark.sql import Window
+
+        live = S.ivf_index_read(spark, path)
+        w = Window.partitionBy("vec_id")
+        live = (
+            live.withColumn("_mx", F.max("seq").over(w))
+            .filter(F.col("seq") == F.col("_mx"))
+            .dropDuplicates(["vec_id"])
+        )
+        return sorted(
+            (r["vec_id"], r["cluster_id"]) for r in live.collect()
+        )
+
+    assert canon(idx) == canon(batch_idx)
+
+    # exactly-once: a restart over the drained checkpoint appends nothing
+    n_log = len(os.listdir(f"{idx}/log"))
+    streaming_ivf_ingest(stream(), idx, ckpt, cents).awaitTermination(300)
+    assert len(os.listdir(f"{idx}/log")) == n_log
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probe = lambda p: [  # noqa: E731
+        r["nbr_id"]
+        for r in S.ivf_probe_topk(
+            spark, p, "embedding", "vec_id", qv, cents, k=5, nprobe=8,
+            exclude_id=0,
+        ).collect()
+    ]
+    assert probe(idx) == probe(batch_idx)
+
+    # compaction folds the streamed log; live view unchanged
+    S.ivf_index_compact(spark, idx, "vec_id")
+    assert not os.path.exists(f"{idx}/log")
+    assert canon(idx) == canon(batch_idx)
+
+
+def test_streaming_ivfpq_ingest_equals_batch_index(spark, tmp_path):
+    """The IVFADC twin: each micro-batch commits a vector-log AND a
+    code-log file at the same seq; probes (ADC over codes ∪ codes_log,
+    re-rank from base ∪ log) must match a one-shot build, and the
+    family's compaction — the two-tier rebuild — must consume the
+    streamed logs transactionally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import hours_api_clickup_spark.datapipe.similarity as S
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_ivfpq_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=8)
+    cb = S.pq_seed_codebooks(
+        emb, "embedding", "vec_id", n_subspaces=4, n_codes=16
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    def stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    streaming_ivfpq_ingest(stream(), idx, ckpt, cents, cb).awaitTermination(300)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    S.ivfpq_index_write(emb, "embedding", "vec_id", batch_idx, cents, cb)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    probe = lambda p: [  # noqa: E731
+        tuple(r)
+        for r in S.ivfpq_probe_topk(
+            spark, p, "embedding", "vec_id", qv, cents, cb, k=5,
+            nprobe=8, n_candidates=64, exclude_id=0,
+        ).collect()
+    ]
+    assert probe(idx) == probe(batch_idx)
+
+    # exactly-once: restart appends nothing to either log tier
+    n_log = len(os.listdir(f"{idx}/log"))
+    n_clog = len(os.listdir(f"{idx}/codes_log"))
+    streaming_ivfpq_ingest(stream(), idx, ckpt, cents, cb).awaitTermination(300)
+    assert len(os.listdir(f"{idx}/log")) == n_log
+    assert len(os.listdir(f"{idx}/codes_log")) == n_clog
+
+    # the family's compaction (= the rebuild) consumes the streamed
+    # logs transactionally and preserves the probe
+    live = S.ivf_index_read(spark, idx).select("vec_id", "embedding")
+    S.ivfpq_index_write(live, "embedding", "vec_id", idx, cents, cb)
+    for tier in ("log", "codes_log", "tombstones"):
+        assert not os.path.exists(f"{idx}/{tier}"), tier
+    assert probe(idx) == probe(batch_idx)
+
+
 def test_streaming_doc_neardup_equals_one_shot(spark, tmp_path):
     """Documents drained through the streaming near-dup ingest: the
     accumulated pair table must equal the one-shot minhash_lsh_pairs
