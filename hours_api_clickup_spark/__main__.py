@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "refresh", "full_reindex", "lists", "tasks", "accounts",
-            "apps", "serve", "scheduler", "curate",
+            "apps", "serve", "scheduler", "curate", "maintain",
         ],
     )
     p.add_argument("--days", type=int, default=60)
@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
         "--resume", action="store_true",
         help="curate: restart a crashed build from its last committed "
         "stage (refuses if parameters or input changed)",
+    )
+    p.add_argument(
+        "--index", action="append", default=[], metavar="FAMILY=PATH[:OPT]",
+        help="maintain: compaction/GC target, repeatable — "
+        "lsh=/p | ivf=/p[:id_col] | text=/p | docneardup=/p | "
+        "store=/p[:keep] | snapshots=/p[:keep]. A target whose "
+        "maintenance lease is held reports deferred (retry next sweep).",
     )
     args = p.parse_args(argv)
 
@@ -183,6 +190,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(manifest, sort_keys=True))
             return 0
+        if args.mode == "maintain":
+            # one compaction/GC sweep over persisted indexes and
+            # versioned stores — the scheduled-cadence glue the LSM
+            # ingest topology assumes; per-target isolation, held
+            # leases report deferred
+            if not args.index:
+                p.error("--index FAMILY=PATH[:OPT] required for maintain")
+            results = pipelines.run_maintenance(spark, args.index)
+            print(json.dumps(results, sort_keys=True))
+            return 0 if all(
+                r["status"] in ("ok", "deferred") for r in results
+            ) else 1
         if args.mode == "serve":
             from http.server import ThreadingHTTPServer
 

@@ -548,3 +548,86 @@ def build_corpus(
         json.dump(manifest, f, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
+
+
+def run_maintenance(spark: SparkSession, targets: list[str]) -> list[dict]:
+    """One maintenance sweep over persisted index/store targets — the
+    compaction-cadence glue the 100 TB ingest topology assumes
+    ("streams append O(batch) files continuously; compact folds the
+    log on a scheduled cadence"). Exposed as CLI ``--mode maintain``.
+
+    ``targets`` are ``family=path`` specs:
+
+    - ``lsh=/path``           → ``lsh_index_compact``
+    - ``ivf=/path[:id_col]``  → ``ivf_index_compact`` (default vec_id)
+    - ``text=/path``          → ``inverted_index_compact``
+    - ``docneardup=/path``    → ``doc_neardup_index_compact``
+    - ``store=/path[:keep]``  → ``prune_months`` (keep_unreferenced,
+      default 0) on a versioned month store
+    - ``snapshots=/path[:keep]`` → ``prune_snapshots`` (keep_last,
+      default 2)
+
+    (IVFADC is deliberately absent: its compaction IS the two-tier
+    rebuild, which needs the corpus and quantizers — run it through
+    the ingest pipeline, not a generic sweep.)
+
+    Per-target isolation mirrors the scheduler's per-job contract: a
+    held maintenance/publish LEASE — some ingest or publish is running
+    — reports the target ``deferred`` (retry next sweep); any other
+    failure reports ``error``; neither stops the remaining targets.
+    """
+    from hours_api_clickup_spark.datapipe.dedup import (
+        doc_neardup_index_compact,
+    )
+    from hours_api_clickup_spark.datapipe.similarity import (
+        MaintenanceLeaseHeld,
+        ivf_index_compact,
+        lsh_index_compact,
+    )
+    from hours_api_clickup_spark.datapipe.textindex import (
+        inverted_index_compact,
+    )
+    from hours_api_clickup_spark.sinks.versioned import (
+        PublishLeaseHeld,
+        prune_months,
+        prune_snapshots,
+    )
+
+    results: list[dict] = []
+    for spec in targets:
+        family, _, rest = spec.partition("=")
+        path, _, opt = rest.partition(":")
+        out = {"target": spec, "family": family, "path": path}
+        try:
+            if not path:
+                raise ValueError(f"malformed target {spec!r}: family=path")
+            if family == "lsh":
+                lsh_index_compact(spark, path)
+            elif family == "ivf":
+                ivf_index_compact(spark, path, opt or "vec_id")
+            elif family == "text":
+                inverted_index_compact(spark, path)
+            elif family == "docneardup":
+                doc_neardup_index_compact(spark, path)
+            elif family == "store":
+                out["removed"] = prune_months(
+                    path, keep_unreferenced=int(opt or 0)
+                )
+            elif family == "snapshots":
+                out["removed"] = prune_snapshots(
+                    path, keep_last=int(opt or 2)
+                )
+            else:
+                raise ValueError(f"unknown maintenance family {family!r}")
+            out["status"] = "ok"
+        except (MaintenanceLeaseHeld, PublishLeaseHeld) as exc:
+            # an ingest/publish holds the lease: defer, don't fail —
+            # the next sweep retries (the scheduler's watermark-stays
+            # semantics)
+            out["status"] = "deferred"
+            out["reason"] = str(exc)
+        except Exception as exc:  # noqa: BLE001 — per-target isolation
+            out["status"] = "error"
+            out["error"] = f"{type(exc).__name__}: {exc}"
+        results.append(out)
+    return results

@@ -323,3 +323,62 @@ def test_build_corpus_resume_refuses_benchmark_drift(spark, tmp_path):
         resume=True,
     )
     assert again["stages"]["input"] == docs.count()
+
+
+def test_cli_maintain_sweeps_indexes_and_defers_on_lease(
+    cli, tmp_path, capsys, spark
+):
+    """--mode maintain: one sweep folds every target family's MOR
+    tiers; a target whose lease is held reports deferred (exit 0 —
+    retry next sweep, the scheduler's watermark semantics); a garbage
+    spec reports error and exits 1 without stopping other targets."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import hours_api_clickup_spark.datapipe.similarity as S
+    from hours_api_clickup_spark.datapipe.textindex import (
+        inverted_index_append,
+        inverted_index_write,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    docs = load_table(spark, SF_DIR_SMOKE, "documents")
+
+    lsh = str(tmp_path / "lsh")
+    S.lsh_index_write(emb, "embedding", "vec_id", lsh, dim=64)
+    S.lsh_index_append(emb.limit(3), "embedding", "vec_id", lsh, dim=64)
+    txt = str(tmp_path / "txt")
+    inverted_index_write(docs, "text", "doc_id", txt)
+    inverted_index_append(docs.limit(3), "text", "doc_id", txt)
+
+    rc = cli(["--mode", "maintain", "--index", f"lsh={lsh}",
+              "--index", f"text={txt}"])
+    out = _out(capsys)
+    assert rc == 0
+    assert [r["status"] for r in out] == ["ok", "ok"]
+    assert not os.path.exists(f"{lsh}/log")
+    assert not os.path.exists(f"{txt}/log")
+
+    # a held lease defers exactly that target; the rest still run
+    S.lsh_index_append(emb.limit(3), "embedding", "vec_id", lsh, dim=64)
+    S._acquire_lease(spark, lsh, "simulated-ingest")
+    try:
+        rc = cli(["--mode", "maintain", "--index", f"lsh={lsh}",
+                  "--index", f"text={txt}"])
+        out = _out(capsys)
+    finally:
+        S._release_lease(spark, lsh)
+    assert rc == 0
+    assert [r["status"] for r in out] == ["deferred", "ok"]
+    assert os.path.exists(f"{lsh}/log")  # untouched under the lease
+
+    # malformed family: error status, nonzero exit, siblings unaffected
+    rc = cli(["--mode", "maintain", "--index", "bogus=/nowhere",
+              "--index", f"lsh={lsh}"])
+    out = _out(capsys)
+    assert rc == 1
+    assert [r["status"] for r in out] == ["error", "ok"]
+    assert not os.path.exists(f"{lsh}/log")
