@@ -94,19 +94,26 @@ def sync_refresh(
     staging = _stage_entries(raw_entries)
     if backup_path:
         csv_backup(staging, backup_path)
-    fact = read_fact_or_empty(spark, fact_path, staging)
-    merged = merge_refresh(
-        fact, staging, refresh_window_pred(today_oslo, days), key="id"
-    )
-    obs = None
-    if expectations:
-        from hours_api_clickup_spark.operators.validate import (
-            observe_expectations,
+    # the read → merge → overwrite cycle runs under the table lock
+    # (r9): two refreshes racing on one fact path — two scheduler
+    # dispatches, two threaded HTTP requests, or a batch refresh racing
+    # the streaming per-micro-batch merge — both read the same old
+    # fact and the loser's merged rows are silently erased by the
+    # winner's swap. Lease-guarded, the loser refuses loudly instead.
+    with _table_lock(spark, fact_path, "sync_refresh"):
+        fact = read_fact_or_empty(spark, fact_path, staging)
+        merged = merge_refresh(
+            fact, staging, refresh_window_pred(today_oslo, days), key="id"
         )
+        obs = None
+        if expectations:
+            from hours_api_clickup_spark.operators.validate import (
+                observe_expectations,
+            )
 
-        merged, obs = observe_expectations(merged, expectations)
-    # self-overwrite safety: materialize before truncating the source
-    rows = _overwrite_via_checkpoint(merged, fact_path)
+            merged, obs = observe_expectations(merged, expectations)
+        # self-overwrite safety: materialize before truncating the source
+        rows = _overwrite_via_checkpoint(merged, fact_path)
     metrics = None
     if obs is not None:
         from hours_api_clickup_spark.operators.validate import (
@@ -117,6 +124,20 @@ def sync_refresh(
     return SyncResult(
         table=fact_path, rows=rows, mode="refresh", metrics=metrics
     )
+
+
+def _table_lock(spark: SparkSession, path: str, owner: str):
+    """Single-writer lease for a plain parquet table's read-modify-write
+    cycle, held in a ``{path}__lock`` SIBLING (the cycle swaps the table
+    directory itself, so a lease inside it would ride out with the
+    swap — the ``compact_small_files`` convention). Shared by the batch
+    syncs and the streaming refresh's foreachBatch, so any two of them
+    racing one table exclude each other loudly."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _maintenance_lease,
+    )
+
+    return _maintenance_lease(spark, f"{path}__lock", owner)
 
 
 def sync_refresh_partitioned(
@@ -150,15 +171,20 @@ def sync_refresh_partitioned(
     fs = jvm.org.apache.hadoop.fs.Path(fact_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(fact_path)):
-        # first run: bootstrap the layout
-        write_fact_partitioned(
-            staging.filter(refresh_window_pred(today_oslo, days)), fact_path
-        )
-    else:
-        merge_refresh_partitioned(
-            spark, fact_path, staging, lo, today_oslo, key="id"
-        )
+    # table lock: see sync_refresh — the partitioned merge reads month
+    # partitions and dynamic-overwrites them, the same read-modify-write
+    # cycle with the same racing-writer lost-update mode
+    with _table_lock(spark, fact_path, "sync_refresh_partitioned"):
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(fact_path)):
+            # first run: bootstrap the layout
+            write_fact_partitioned(
+                staging.filter(refresh_window_pred(today_oslo, days)),
+                fact_path,
+            )
+        else:
+            merge_refresh_partitioned(
+                spark, fact_path, staging, lo, today_oslo, key="id"
+            )
     # reference parity: the reported metric is the TABLE's row count
     # after the load (fetch_clickup_data.py reports the loaded table).
     # Cost note: a parquet count() is answered from row-group metadata
@@ -212,9 +238,12 @@ def sync_full_reindex(
     staging = _stage_entries(raw_entries)
     if backup_path:
         csv_backup(staging, backup_path)
-    fact = read_fact_or_empty(spark, fact_path, staging)
-    merged = merge_full_reindex(fact, staging)
-    rows = _overwrite_via_checkpoint(merged, fact_path)
+    # table lock: see sync_refresh — a reindex racing any other writer
+    # on this fact path must refuse, not silently erase the loser
+    with _table_lock(spark, fact_path, "sync_full_reindex"):
+        fact = read_fact_or_empty(spark, fact_path, staging)
+        merged = merge_full_reindex(fact, staging)
+        rows = _overwrite_via_checkpoint(merged, fact_path)
     return SyncResult(table=fact_path, rows=rows, mode="full_reindex")
 
 
@@ -284,10 +313,14 @@ def _snapshot_sync(
     dim = build(raw)
     if backup_path:
         csv_backup(dim, backup_path)
-    write_table_overwrite(dim, path)
-    # count the materialized output — re-counting `dim` would re-run the
-    # whole build (and raw scan) a second time
-    rows = dim.sparkSession.read.parquet(path).count()
+    # table lock: a snapshot load has no read-modify cycle, but two
+    # racing in-place overwrites (WRITE_TRUNCATE parity) interleave
+    # their delete-then-write phases into a mixed directory
+    with _table_lock(dim.sparkSession, path, f"sync_{mode}"):
+        write_table_overwrite(dim, path)
+        # count the materialized output — re-counting `dim` would re-run
+        # the whole build (and raw scan) a second time
+        rows = dim.sparkSession.read.parquet(path).count()
     return SyncResult(table=path, rows=rows, mode=mode)
 
 

@@ -73,24 +73,39 @@ def streaming_refresh(
         from hours_api_clickup_spark.datapipe.similarity import (
             _fs_recover_swap,
         )
-        from hours_api_clickup_spark.pipelines import read_fact_or_empty
+        from hours_api_clickup_spark.pipelines import (
+            _table_lock,
+            read_fact_or_empty,
+        )
 
         # watermark-advancing no-data batches must not rewrite the fact
         # table (an O(fact) no-op pass through the commit path)
         if not batch_df.head(1):
             return
-        _fs_recover_swap(spark, fact_path)  # roll back a mid-swap crash
-        # reject edits outside the refresh window (the reference's MERGE
-        # source prefilter, fetch_clickup_data.py:1280-1282 — entries
-        # outside the window are locked history)
-        windowed = batch_df.filter(refresh_window_pred(today_oslo, days))
-        staging = dedupe_latest(windowed, key="id", ts="at")
-        fact = read_fact_or_empty(spark, fact_path, staging)
-        # upsert WITHOUT the delete branch: a micro-batch is an
-        # incremental slice, not a window snapshot — deletes reconcile
-        # in the scheduled batch refresh (see merge_upsert docstring)
-        merged = merge_upsert(fact, staging, key="id")
-        _overwrite_swap(merged, fact_path)
+        # table lock shared with the batch syncs (r9): the documented
+        # deployment runs this stream ALONGSIDE the scheduled batch
+        # refresh ("deletes reconcile in the scheduled batch refresh"),
+        # and an unguarded race between this read→merge→swap and that
+        # one silently erases whichever lands first. Under the lock the
+        # loser fails loudly (this batch errors and the stream retries
+        # it on restart; a scheduler-dispatched sync defers per its
+        # per-job isolation).
+        with _table_lock(spark, fact_path, f"streaming_refresh b{batch_id}"):
+            _fs_recover_swap(spark, fact_path)  # roll back mid-swap crash
+            # reject edits outside the refresh window (the reference's
+            # MERGE source prefilter, fetch_clickup_data.py:1280-1282 —
+            # entries outside the window are locked history)
+            windowed = batch_df.filter(
+                refresh_window_pred(today_oslo, days)
+            )
+            staging = dedupe_latest(windowed, key="id", ts="at")
+            fact = read_fact_or_empty(spark, fact_path, staging)
+            # upsert WITHOUT the delete branch: a micro-batch is an
+            # incremental slice, not a window snapshot — deletes
+            # reconcile in the scheduled batch refresh (see merge_upsert
+            # docstring)
+            merged = merge_upsert(fact, staging, key="id")
+            _overwrite_swap(merged, fact_path)
 
     return (
         flat.writeStream.foreachBatch(apply_batch)

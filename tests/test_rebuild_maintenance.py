@@ -304,6 +304,93 @@ class TestIvfpqRebuildConsumesTiers:
         assert 2 not in view_ids
 
 
+class TestFactTableLock:
+    """The fact-table read→merge→overwrite cycles (batch syncs AND the
+    streaming refresh's foreachBatch) share a single-writer lease in a
+    ``{path}__lock`` sibling: two of them racing one table both read
+    the same old fact and the loser's merged rows were silently erased
+    by the winner's swap — now the loser refuses loudly."""
+
+    def _raw(self, spark, tmp_path, rows, name):
+        import json
+
+        from hours_api_clickup_spark.sources.readers import (
+            read_raw_time_entries,
+        )
+        from tests.test_domain_semantics import _entry
+
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(_entry(**r)) + "\n")
+        return read_raw_time_entries(spark, str(p))
+
+    def test_syncs_refuse_under_held_lock(self, spark, tmp_path):
+        import datetime as dt
+
+        from hours_api_clickup_spark import pipelines
+
+        t0 = 1700000000000
+        raw = self._raw(
+            spark, tmp_path,
+            [dict(eid="e1", start_ms=t0, at_ms=t0)], "a.json",
+        )
+        fact = str(tmp_path / "fact")
+        today = dt.date(2023, 11, 20)
+        r = pipelines.sync_refresh(spark, raw, fact, today)
+        assert r.rows == 1
+
+        S._acquire_lease(spark, f"{fact}__lock", "simulated-writer")
+        try:
+            with pytest.raises(S.MaintenanceLeaseHeld, match="lease"):
+                pipelines.sync_refresh(spark, raw, fact, today)
+            with pytest.raises(S.MaintenanceLeaseHeld, match="lease"):
+                pipelines.sync_full_reindex(spark, raw, fact)
+        finally:
+            S._release_lease(spark, f"{fact}__lock")
+        # released: both cycles run again
+        assert pipelines.sync_refresh(spark, raw, fact, today).rows == 1
+        assert pipelines.sync_full_reindex(spark, raw, fact).rows == 1
+
+    def test_streaming_batch_refuses_under_held_lock(self, spark, tmp_path):
+        import datetime as dt
+        import json
+
+        from hours_api_clickup_spark.streaming.refresh import (
+            streaming_refresh,
+        )
+        from tests.test_domain_semantics import _entry
+
+        t0 = 1700000000000
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "a.json", "w") as f:
+            f.write(json.dumps(_entry("e1", start_ms=t0, at_ms=t0)) + "\n")
+        fact = str(tmp_path / "fact")
+        S._acquire_lease(spark, f"{fact}__lock", "scheduled-refresh")
+        try:
+            q = streaming_refresh(
+                spark, str(src), fact, str(tmp_path / "ckpt"),
+                dt.date(2023, 11, 20),
+            )
+            with pytest.raises(Exception, match="[Ll]ease"):
+                q.awaitTermination(300)
+                if q.exception() is not None:
+                    raise q.exception()
+            import os
+
+            assert not os.path.exists(fact)  # nothing half-written
+        finally:
+            S._release_lease(spark, f"{fact}__lock")
+        # released: a fresh stream (same checkpoint) lands the batch
+        q2 = streaming_refresh(
+            spark, str(src), fact, str(tmp_path / "ckpt"),
+            dt.date(2023, 11, 20),
+        )
+        q2.awaitTermination(300)
+        assert spark.read.parquet(fact).count() == 1
+
+
 class TestCompactSmallFilesSafety:
     """The generic layout compactor swaps the WHOLE directory, so —
     unlike the index compactors, whose consumed-snapshot protocol lets
