@@ -221,3 +221,81 @@ class TestTakedownLifecycleSoak:
         doc_neardup_index_write(final_live, "doc_id", "text", fresh)
         assert got == pairs(fresh)
         assert len(got) > 0, "probe must exercise real near-dup pairs"
+
+
+def test_streaming_ivfpq_lifecycle_equals_fresh_build(spark, tmp_path):
+    """The IVFADC lifecycle driven through the STREAMING ingest (r9's
+    new wrapper) instead of batch appends: stream initial+batch1 →
+    takedown → rebuild-compact (consumes the streamed logs AND the
+    tombstones transactionally) → stream batch2 over a fresh
+    checkpoint → probe equals a from-scratch build on the converged
+    corpus. Pins seq bookkeeping when seqs come from streaming
+    batch_ids rather than _next_seq."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hours_api_clickup_spark.datapipe.similarity as S
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_ivfpq_ingest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    initial, b1, b2, doomed, final_live = _slices(emb, "vec_id")
+    cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=8)
+    cb = S.pq_seed_codebooks(emb, "embedding", "vec_id")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+
+    def probe(path):
+        return [
+            tuple(r)
+            for r in S.ivfpq_probe_topk(
+                spark, path, "embedding", "vec_id", qv, cents, cb,
+                k=10, nprobe=8, n_candidates=64, exclude_id=1,
+            ).collect()
+        ]
+
+    def drain(df, stage_name, ckpt_name, idx):
+        stage = str(tmp_path / stage_name)
+        df.coalesce(1).write.parquet(stage)
+        q = streaming_ivfpq_ingest(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            idx,
+            str(tmp_path / ckpt_name),
+            cents,
+            cb,
+        )
+        q.awaitTermination(300)
+
+    p = str(tmp_path / "ivfpq")
+    drain(initial, "s0", "c0", p)  # batch 0 bootstraps via the write core
+    drain(b1, "s1", "c1", p)
+    S.ivf_index_delete(spark, p, "vec_id", doomed)
+    assert not {r[0] for r in probe(p)} & set(doomed)
+
+    # the family's compaction: rebuild on the live view — under the
+    # lease, consuming the streamed log/codes_log and the tombstones
+    live_mid = initial.unionByName(b1).filter(~F.col("vec_id").isin(doomed))
+    S.ivfpq_index_write(live_mid, "embedding", "vec_id", p, cents, cb)
+    import os
+
+    for tier in ("log", "codes_log", "tombstones"):
+        assert not os.path.exists(f"{p}/{tier}"), tier
+
+    drain(b2, "s2", "c2", p)  # re-ingest via a fresh stream
+    got = probe(p)
+
+    fresh = str(tmp_path / "fresh")
+    S.ivfpq_index_write(final_live, "embedding", "vec_id", fresh, cents, cb)
+    assert got == probe(fresh) and len(got) == 10
+
+    # and a compact racing a live streamed batch refuses loudly: the
+    # lease the wrapper holds per batch is the same one the rebuild takes
+    S._acquire_lease(spark, p, "simulated-streaming-batch")
+    try:
+        with pytest.raises(S.MaintenanceLeaseHeld, match="lease"):
+            S.ivfpq_index_write(final_live, "embedding", "vec_id", p, cents, cb)
+    finally:
+        S._release_lease(spark, p)
