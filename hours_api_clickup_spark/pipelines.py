@@ -629,7 +629,13 @@ def run_maintenance(spark: SparkSession, targets: list[str]) -> list[dict]:
     results: list[dict] = []
     for spec in targets:
         family, _, rest = spec.partition("=")
-        path, _, opt = rest.partition(":")
+        # the option is the LAST ':'-segment, and only when it isn't
+        # part of the path itself — index paths are Hadoop URIs
+        # (s3a://bucket/idx, file:/tmp/idx), so a first-colon split
+        # would mangle every URI target into family="s3a"-style garbage
+        path, sep, opt = rest.rpartition(":")
+        if not sep or "/" in opt:
+            path, opt = rest, ""
         out = {"target": spec, "family": family, "path": path}
         try:
             if not path:

@@ -382,3 +382,20 @@ def test_cli_maintain_sweeps_indexes_and_defers_on_lease(
     assert rc == 1
     assert [r["status"] for r in out] == ["error", "ok"]
     assert not os.path.exists(f"{lsh}/log")
+
+    # URI targets parse whole (index paths are Hadoop URIs; a
+    # first-colon split would mangle file:/s3a:// paths) — with and
+    # without a trailing option
+    cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=4)
+    ivfp = str(tmp_path / "ivf")
+    S.ivf_index_write(emb, "embedding", "vec_id", ivfp, cents)
+    S.ivf_index_append(emb.limit(3), "embedding", "vec_id", ivfp, cents)
+    S.lsh_index_append(emb.limit(3), "embedding", "vec_id", lsh, dim=64)
+    rc = cli(["--mode", "maintain", "--index", f"lsh=file:{lsh}",
+              "--index", f"ivf=file:{ivfp}:vec_id"])
+    out = _out(capsys)
+    assert rc == 0
+    assert [r["status"] for r in out] == ["ok", "ok"]
+    assert [r["path"] for r in out] == [f"file:{lsh}", f"file:{ivfp}"]
+    assert not os.path.exists(f"{lsh}/log")
+    assert not os.path.exists(f"{ivfp}/log")
