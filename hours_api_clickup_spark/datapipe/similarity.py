@@ -789,11 +789,41 @@ def _maintenance_lease(
     (tests/test_scale_techniques.py::test_streaming_ingest_vs_compact_
     race_fails_loudly). Maintenance sections that legitimately nest —
     an ingest's bootstrap falling back to a full build, an upsert
-    folding the log first — call the ``*_unlocked`` cores instead."""
+    folding the log first — call the ``*_unlocked`` cores instead.
+
+    A heartbeat thread re-touches the lease every ttl/4 while the
+    section runs: staleness is mtime-based, and without the refresh a
+    LEGITIMATE maintenance pass outlasting the ttl (an O(corpus)
+    compact at real scale easily exceeds an hour) would have its lease
+    silently stolen mid-run by the next maintainer — the exact
+    two-writers state the lease exists to prevent. A heartbeat that
+    finds the lease file gone stops quietly (released, or a >ttl host
+    PAUSE let a taker claim it — at which point this holder has
+    already lost; best-effort, as documented on ``_acquire_lease``)."""
+    import threading
+    import time as _time
+
     _acquire_lease(spark, path, owner, ttl_sec)
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        jvm = spark._jvm
+        lease = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LEASE_FILE}")
+        fs = lease.getFileSystem(spark._jsc.hadoopConfiguration())
+        while not stop.wait(max(ttl_sec / 4.0, 0.05)):
+            try:
+                fs.setTimes(lease, int(_time.time() * 1000), -1)
+            except Exception:
+                return  # lease gone: stop quietly
+
+    hb = threading.Thread(
+        target=_heartbeat, daemon=True, name=f"lease-heartbeat {owner}"
+    )
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
         _release_lease(spark, path)
 
 

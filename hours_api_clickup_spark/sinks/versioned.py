@@ -98,9 +98,28 @@ def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
         f.write(
             f"{owner} host={host} pid={os.getpid()} t={int(time.time())}"
         )
+    # heartbeat: re-touch every ttl/4 so a legitimate publish outlasting
+    # the ttl (a big bootstrap at real scale) is never stolen mid-run —
+    # see similarity._maintenance_lease for the full rationale
+    import threading
+
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.wait(max(ttl_sec / 4.0, 0.05)):
+            try:
+                os.utime(lease, None)
+            except OSError:
+                return  # lease gone: stop quietly
+
+    hb = threading.Thread(
+        target=_heartbeat, daemon=True, name=f"publish-heartbeat {owner}"
+    )
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
         try:
             os.unlink(lease)
         except FileNotFoundError:

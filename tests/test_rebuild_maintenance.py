@@ -304,6 +304,47 @@ class TestIvfpqRebuildConsumesTiers:
         assert 2 not in view_ids
 
 
+class TestLeaseHeartbeat:
+    """Staleness is mtime-based, so without a refresh a LEGITIMATE
+    maintenance pass outlasting the ttl (an O(corpus) compact at real
+    scale) had its lease silently stolen mid-run. The heartbeat thread
+    re-touches the lease every ttl/4 while the section runs."""
+
+    def test_long_section_is_not_stolen(self, spark, tmp_path):
+        import time
+
+        p = str(tmp_path / "idx")
+        with S._maintenance_lease(spark, p, "long-compact", ttl_sec=1):
+            # hold well past the ttl; a racer must refuse the WHOLE time
+            deadline = time.time() + 3.0
+            while time.time() < deadline:
+                with pytest.raises(S.MaintenanceLeaseHeld):
+                    S._acquire_lease(spark, p, "racer", ttl_sec=1)
+                time.sleep(0.4)
+        # released: the racer acquires immediately
+        S._acquire_lease(spark, p, "racer", ttl_sec=1)
+        S._release_lease(spark, p)
+
+    def test_publish_lease_heartbeat(self, tmp_path):
+        import time
+
+        from hours_api_clickup_spark.sinks.versioned import (
+            PublishLeaseHeld,
+            publish_lease,
+        )
+
+        p = str(tmp_path / "store")
+        with publish_lease(p, "long-publish", ttl_sec=1):
+            deadline = time.time() + 3.0
+            while time.time() < deadline:
+                with pytest.raises(PublishLeaseHeld):
+                    with publish_lease(p, "racer", ttl_sec=1):
+                        pass
+                time.sleep(0.4)
+        with publish_lease(p, "racer", ttl_sec=1):
+            pass
+
+
 class TestFactTableLock:
     """The fact-table read→merge→overwrite cycles (batch syncs AND the
     streaming refresh's foreachBatch) share a single-writer lease in a
