@@ -775,9 +775,42 @@ def _release_lease(spark, path: str) -> None:
     _fs_delete(spark, f"{path}/{_LEASE_FILE}")
 
 
+def _acquire_lease_with_retry(
+    spark,
+    path: str,
+    owner: str,
+    ttl_sec: int = LEASE_TTL_SEC,
+    wait_s: float = 0.0,
+    poll_s: float = 5.0,
+) -> None:
+    """``_acquire_lease`` with a bounded wait: retry a held lease every
+    ``poll_s`` until ``wait_s`` elapses, then re-raise. The streaming
+    ingests use this so a batch colliding with a scheduled compact or
+    batch refresh stalls briefly instead of killing the whole streaming
+    query (the deployment RUNS them side by side by design); a hold
+    outlasting the deadline still fails loudly — a stall that long is
+    the operator mistake the lease exists to surface."""
+    import time as _time
+
+    deadline = _time.monotonic() + max(wait_s, 0.0)
+    while True:
+        try:
+            _acquire_lease(spark, path, owner, ttl_sec)
+            return
+        except MaintenanceLeaseHeld:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                raise
+            _time.sleep(min(poll_s, remaining))
+
+
 @contextmanager
 def _maintenance_lease(
-    spark, path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC
+    spark,
+    path: str,
+    owner: str,
+    ttl_sec: int = LEASE_TTL_SEC,
+    wait_s: float = 0.0,
 ):
     """``with _maintenance_lease(spark, path, "lsh_index_compact"): ...``
     — acquire around every mutating maintenance section; released on
@@ -803,7 +836,7 @@ def _maintenance_lease(
     import threading
     import time as _time
 
-    _acquire_lease(spark, path, owner, ttl_sec)
+    _acquire_lease_with_retry(spark, path, owner, ttl_sec, wait_s=wait_s)
     stop = threading.Event()
 
     def _heartbeat() -> None:

@@ -126,18 +126,23 @@ def sync_refresh(
     )
 
 
-def _table_lock(spark: SparkSession, path: str, owner: str):
+def _table_lock(
+    spark: SparkSession, path: str, owner: str, wait_s: float = 0.0
+):
     """Single-writer lease for a plain parquet table's read-modify-write
     cycle, held in a ``{path}__lock`` SIBLING (the cycle swaps the table
     directory itself, so a lease inside it would ride out with the
     swap — the ``compact_small_files`` convention). Shared by the batch
     syncs and the streaming refresh's foreachBatch, so any two of them
-    racing one table exclude each other loudly."""
+    racing one table exclude each other loudly. ``wait_s`` bounds a
+    poll-and-retry before the refusal — the streaming side uses it so a
+    collision with the scheduled refresh stalls the batch instead of
+    killing the query."""
     from hours_api_clickup_spark.datapipe.similarity import (
         _maintenance_lease,
     )
 
-    return _maintenance_lease(spark, f"{path}__lock", owner)
+    return _maintenance_lease(spark, f"{path}__lock", owner, wait_s=wait_s)
 
 
 def sync_refresh_partitioned(

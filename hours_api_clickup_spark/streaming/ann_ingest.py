@@ -45,11 +45,19 @@ def streaming_lsh_ingest(
     planes: int = DEFAULT_PLANES,
     tables: int = DEFAULT_TABLES,
     dim: int | None = None,
+    lock_wait_s: float = 600.0,
 ):
     """Drain a (id, vector) stream into the LSH index's append log,
     one sorted log file per micro-batch, ``seq = batch_id``. Returns
     the started StreamingQuery (availableNow trigger — production runs
-    swap in a processing-time trigger)."""
+    swap in a processing-time trigger).
+
+    ``lock_wait_s`` (shared by every streaming ingest here): a batch
+    colliding with a scheduled compact waits up to this long for the
+    maintenance lease (poll + bounded retry) instead of killing the
+    streaming query — the compaction cadence RUNS alongside the stream
+    by design. Past the deadline the batch fails loudly and replays
+    from the checkpoint on restart."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -58,7 +66,10 @@ def streaming_lsh_ingest(
         # #2): a compact racing this batch gets a loud refusal instead
         # of folding a half-committed batch out of the index
         with _maintenance_lease(
-            batch_df.sparkSession, index_path, f"streaming_lsh b{batch_id}"
+            batch_df.sparkSession,
+            index_path,
+            f"streaming_lsh b{batch_id}",
+            wait_s=lock_wait_s,
         ):
             lsh_index_append(
                 batch_df,
@@ -86,6 +97,7 @@ def streaming_ivf_ingest(
     centroids,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lock_wait_s: float = 600.0,
 ):
     """Drain a (id, vector) stream into the IVF index's append log —
     the cluster-partitioned twin of ``streaming_lsh_ingest``: one
@@ -101,7 +113,10 @@ def streaming_ivf_ingest(
             return
         # lease for the batch's mutation — see streaming_lsh_ingest
         with _maintenance_lease(
-            batch_df.sparkSession, index_path, f"streaming_ivf b{batch_id}"
+            batch_df.sparkSession,
+            index_path,
+            f"streaming_ivf b{batch_id}",
+            wait_s=lock_wait_s,
         ):
             ivf_index_append(
                 batch_df,
@@ -128,6 +143,7 @@ def streaming_ivfpq_ingest(
     codebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lock_wait_s: float = 600.0,
 ):
     """Drain a (id, vector) stream into the IVFADC index: one
     assignment GEMM + one PQ-encode pass per micro-batch, committed as
@@ -149,6 +165,7 @@ def streaming_ivfpq_ingest(
             batch_df.sparkSession,
             index_path,
             f"streaming_ivfpq b{batch_id}",
+            wait_s=lock_wait_s,
         ):
             ivfpq_index_append(
                 batch_df,
@@ -176,6 +193,7 @@ def streaming_doc_neardup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    lock_wait_s: float = 600.0,
 ):
     """Continuous near-duplicate detection at document-ingest time: each
     micro-batch is shingled once (O(batch)), checked against the
@@ -378,6 +396,7 @@ def streaming_doc_neardup_ingest(
             batch_df.sparkSession,
             index_path,
             f"streaming_doc_neardup b{int(batch_id)}",
+            wait_s=lock_wait_s,
         ):
             _apply_locked(batch_df, batch_id)
 
@@ -395,6 +414,7 @@ def streaming_text_index_ingest(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lock_wait_s: float = 600.0,
 ):
     """Continuous document ingest into the persisted inverted text
     index (datapipe/textindex.py): each micro-batch is tokenized once
@@ -414,7 +434,10 @@ def streaming_text_index_ingest(
             return
         # lease for the batch's mutation — see streaming_lsh_ingest
         with _maintenance_lease(
-            batch_df.sparkSession, index_path, f"streaming_text b{batch_id}"
+            batch_df.sparkSession,
+            index_path,
+            f"streaming_text b{batch_id}",
+            wait_s=lock_wait_s,
         ):
             inverted_index_append(
                 batch_df, text_col, id_col, index_path, seq=int(batch_id)

@@ -59,9 +59,13 @@ def streaming_refresh(
     checkpoint_dir: str,
     today_oslo: dt.date,
     days: int = 60,
+    lock_wait_s: float = 600.0,
 ):
     """Stream raw-entry JSON files into the fact table via per-batch
-    windowed merge. Returns the StreamingQuery (availableNow trigger)."""
+    windowed merge. Returns the StreamingQuery (availableNow trigger).
+    ``lock_wait_s``: how long a batch waits for the table lock when it
+    collides with the scheduled batch refresh (they run side by side
+    by design) before failing the query loudly."""
     raw = (
         spark.readStream.schema(RAW_TIME_ENTRY_SCHEMA)
         .option("maxFilesPerTrigger", 16)
@@ -86,11 +90,17 @@ def streaming_refresh(
         # deployment runs this stream ALONGSIDE the scheduled batch
         # refresh ("deletes reconcile in the scheduled batch refresh"),
         # and an unguarded race between this read→merge→swap and that
-        # one silently erases whichever lands first. Under the lock the
-        # loser fails loudly (this batch errors and the stream retries
-        # it on restart; a scheduler-dispatched sync defers per its
-        # per-job isolation).
-        with _table_lock(spark, fact_path, f"streaming_refresh b{batch_id}"):
+        # one silently erases whichever lands first. The batch WAITS a
+        # bounded time for the lock (the common collision is a
+        # seconds-long scheduled sync — a stall, not a stream kill);
+        # past the deadline it errors loudly and replays from the
+        # checkpoint on restart.
+        with _table_lock(
+            spark,
+            fact_path,
+            f"streaming_refresh b{batch_id}",
+            wait_s=lock_wait_s,
+        ):
             _fs_recover_swap(spark, fact_path)  # roll back mid-swap crash
             # reject edits outside the refresh window (the reference's
             # MERGE source prefilter, fetch_clickup_data.py:1280-1282 —

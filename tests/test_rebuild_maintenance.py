@@ -410,9 +410,11 @@ class TestFactTableLock:
         fact = str(tmp_path / "fact")
         S._acquire_lease(spark, f"{fact}__lock", "scheduled-refresh")
         try:
+            # lock_wait_s=0: immediate loud refusal (the bounded-wait
+            # default is exercised in the stall test below)
             q = streaming_refresh(
                 spark, str(src), fact, str(tmp_path / "ckpt"),
-                dt.date(2023, 11, 20),
+                dt.date(2023, 11, 20), lock_wait_s=0,
             )
             with pytest.raises(Exception, match="[Ll]ease"):
                 q.awaitTermination(300)
@@ -429,6 +431,42 @@ class TestFactTableLock:
             dt.date(2023, 11, 20),
         )
         q2.awaitTermination(300)
+        assert spark.read.parquet(fact).count() == 1
+
+    def test_streaming_batch_waits_out_a_short_hold(self, spark, tmp_path):
+        """The common collision — a seconds-long scheduled sync holding
+        the table lock — stalls the streaming batch (bounded poll)
+        instead of killing the query: the batch lands once the hold
+        releases."""
+        import datetime as dt
+        import json
+        import threading
+
+        from hours_api_clickup_spark.streaming.refresh import (
+            streaming_refresh,
+        )
+        from tests.test_domain_semantics import _entry
+
+        t0 = 1700000000000
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "a.json", "w") as f:
+            f.write(json.dumps(_entry("e1", start_ms=t0, at_ms=t0)) + "\n")
+        fact = str(tmp_path / "fact")
+        S._acquire_lease(spark, f"{fact}__lock", "scheduled-refresh")
+        releaser = threading.Timer(
+            3.0, lambda: S._release_lease(spark, f"{fact}__lock")
+        )
+        releaser.start()
+        try:
+            q = streaming_refresh(
+                spark, str(src), fact, str(tmp_path / "ckpt"),
+                dt.date(2023, 11, 20), lock_wait_s=60,
+            )
+            assert q.awaitTermination(300)
+            assert q.exception() is None
+        finally:
+            releaser.cancel()
         assert spark.read.parquet(fact).count() == 1
 
 
