@@ -299,3 +299,61 @@ def test_streaming_ivfpq_lifecycle_equals_fresh_build(spark, tmp_path):
             S.ivfpq_index_write(final_live, "embedding", "vec_id", p, cents, cb)
     finally:
         S._release_lease(spark, p)
+
+
+def test_streaming_lsh_lifecycle_equals_fresh_build(spark, tmp_path):
+    """The LSH lifecycle driven through the streaming ingest: stream
+    initial+batch1 (seq = batch_id) → takedown → compact (folds the
+    streamed log, consumes the tombstones) → stream batch2 over a
+    fresh checkpoint → probe equals a from-scratch build. The delete
+    seq interacts with streaming batch ids here, not _next_seq — the
+    seam where the r8 delete-seq collision lived."""
+    from pyspark.sql import functions as F
+
+    import hours_api_clickup_spark.datapipe.similarity as S
+    from hours_api_clickup_spark.plans.registry import load_table
+    from hours_api_clickup_spark.streaming.ann_ingest import (
+        streaming_lsh_ingest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    initial, b1, b2, doomed, final_live = _slices(emb, "vec_id")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+
+    def probe(path):
+        return [
+            tuple(r)
+            for r in S.lsh_probe_topk(
+                spark, path, qv, k=10, exclude_id=1
+            ).collect()
+        ]
+
+    def drain(df, stage_name, ckpt_name, idx):
+        stage = str(tmp_path / stage_name)
+        df.coalesce(1).write.parquet(stage)
+        q = streaming_lsh_ingest(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            idx,
+            str(tmp_path / ckpt_name),
+            dim=64,
+        )
+        q.awaitTermination(300)
+
+    p = str(tmp_path / "lsh")
+    drain(initial, "s0", "c0", p)  # batch 0 bootstraps the base
+    drain(b1, "s1", "c1", p)
+    S.lsh_index_delete(spark, p, doomed)
+    assert not {r[0] for r in probe(p)} & set(doomed)
+    S.lsh_index_compact(spark, p)
+    import os
+
+    assert not os.path.exists(f"{p}/log")
+    assert not os.path.exists(f"{p}/tombstones")
+    drain(b2, "s2", "c2", p)
+    got = probe(p)
+
+    fresh = str(tmp_path / "fresh")
+    S.lsh_index_write(final_live, "embedding", "vec_id", fresh, dim=64)
+    assert got == probe(fresh) and len(got) == 10
