@@ -1036,7 +1036,49 @@ def _doc_index_recover(spark, path: str) -> None:
     is closed: readers now see either the old generation or the new,
     never a mix. A staged dir WITHOUT the marker is an abandoned write
     (crash before commit) — left alone; the next rebuild/compact
-    overwrites it."""
+    overwrites it.
+
+    Recovery is itself MAINTENANCE and runs under the maintenance
+    lease (ADVICE r9 high, the ivfpq twin): the commit marker exists
+    during every LIVE rebuild's commit window, not only after a crash,
+    so an unleased append/probe rolling it forward would interleave
+    destructive renames with the live holder's own commit sequence. A
+    thread already holding the lease recovers directly; otherwise,
+    when recovery work is actually pending, claim the lease
+    non-blocking and SKIP on refusal."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        MaintenanceLeaseHeld,
+        _acquire_lease,
+        _fs_exists,
+        _held_leases,
+        _lease_held_by_this_thread,
+        _release_lease,
+    )
+
+    if _lease_held_by_this_thread(path):
+        _doc_index_recover_unlocked(spark, path)
+        return
+    if not (
+        _fs_exists(spark, f"{path}/sig__old")
+        or _fs_exists(spark, f"{path}/bands__old")
+        or _fs_exists(spark, f"{path}/{_REBUILD_MARKER}")
+    ):
+        return  # clean: the common read path costs three exists() calls
+    try:
+        token = _acquire_lease(spark, path, "doc_index_recover")
+    except MaintenanceLeaseHeld:
+        return  # a live maintainer owns this path's commit/recovery
+    _held_leases()[path] = token
+    try:
+        _doc_index_recover_unlocked(spark, path)
+    finally:
+        _held_leases().pop(path, None)
+        _release_lease(spark, path, token)
+
+
+def _doc_index_recover_unlocked(spark, path: str) -> None:
+    """``_doc_index_recover`` body for the thread that owns maintenance
+    on ``path`` (holds the lease, or just claimed it for recovery)."""
     from hours_api_clickup_spark.datapipe.similarity import (
         _fs_delete,
         _fs_exists,

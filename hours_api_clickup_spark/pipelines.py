@@ -631,16 +631,26 @@ def run_maintenance(spark: SparkSession, targets: list[str]) -> list[dict]:
         prune_snapshots,
     )
 
+    # families whose spec accepts a ':'-suffix option; everything else
+    # takes the WHOLE rest as the path — a ':'-suffix on a no-option
+    # family is part of the path (authority-only URIs like
+    # hdfs://nn:8020 are legal), never a silently-ignored option
+    # (ADVICE r9: lsh=hdfs://nn:8020 used to parse as path=hdfs://nn)
+    opt_families = {"ivf", "store", "snapshots"}
     results: list[dict] = []
     for spec in targets:
         family, _, rest = spec.partition("=")
-        # the option is the LAST ':'-segment, and only when it isn't
-        # part of the path itself — index paths are Hadoop URIs
-        # (s3a://bucket/idx, file:/tmp/idx), so a first-colon split
-        # would mangle every URI target into family="s3a"-style garbage
-        path, sep, opt = rest.rpartition(":")
-        if not sep or "/" in opt:
-            path, opt = rest, ""
+        path, opt = rest, ""
+        if family in opt_families:
+            # the option is the LAST ':'-segment, and only when it
+            # isn't part of the path itself — index paths are Hadoop
+            # URIs (s3a://bucket/idx, file:/tmp/idx), so a first-colon
+            # split would mangle every URI target; an authority-only
+            # URI target needs the option spelled explicitly
+            # (ivf=hdfs://nn:8020/:vec_id)
+            cand_path, sep, cand_opt = rest.rpartition(":")
+            if sep and "/" not in cand_opt:
+                path, opt = cand_path, cand_opt
         out = {"target": spec, "family": family, "path": path}
         try:
             if not path:

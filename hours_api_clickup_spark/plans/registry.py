@@ -81,9 +81,20 @@ def _driver_green_rounds() -> dict[str, list[int]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            # the rows-only fallback counts as green ONLY for queries
+            # that genuinely register no oracle (QuerySpec.oracle is
+            # None) — a query WITH an oracle whose driver row somehow
+            # reads err == "no_oracle" is a driver/registry mismatch
+            # and must be re-proven, not silently exempted from hash
+            # evidence (VERDICT r9 nit; the branch is dead today — all
+            # registered queries carry oracles — and this keeps it
+            # dead for them)
+            spec = QUERIES.get(name)
             ok = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
+                and spec is not None
+                and spec.oracle is None
             )
             if ok:
                 greens.setdefault(name, []).append(rnd)

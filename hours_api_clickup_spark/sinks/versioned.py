@@ -45,6 +45,58 @@ class PublishLeaseHeld(RuntimeError):
     ``datapipe.similarity.MaintenanceLeaseHeld``)."""
 
 
+class PublishLeaseLost(RuntimeError):
+    """This publisher's lease was taken over mid-run (a >ttl stall let
+    a successor claim it) and the loss was detected at the pointer/
+    manifest swap — the publish is REFUSED so the paused-then-resumed
+    holder can never clobber the successor's commit (VERDICT r9 #2)."""
+
+
+# Per-thread {store_path: claim_token} for leases held via
+# ``publish_lease`` — lets the commit points (pointer/manifest
+# ``os.replace``) re-verify ownership without threading a token
+# through every publish helper's signature.
+import threading as _threading
+
+_HELD = _threading.local()
+
+
+def _held_publish_leases() -> dict:
+    d = getattr(_HELD, "by_path", None)
+    if d is None:
+        d = {}
+        _HELD.by_path = d
+    return d
+
+
+def _lease_token_on_disk(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _LEASE)) as f:
+            content = f.read()
+    except OSError:
+        return None
+    fields = dict(kv.split("=", 1) for kv in content.split() if "=" in kv)
+    return fields.get("token")
+
+
+def _verify_publish_ownership(path: str) -> None:
+    """Raise ``PublishLeaseLost`` when this thread holds a publish
+    lease on ``path`` whose claim token no longer matches the lease on
+    disk — called immediately before each pointer/manifest swap, so a
+    paused-then-resumed holder refuses its commit instead of clobbering
+    the successor's (VERDICT r9 #2b). Unleased callers are not fenced
+    (the lease is opt-in by design)."""
+    token = _held_publish_leases().get(path)
+    if token is not None and _lease_token_on_disk(path) != token:
+        _held_publish_leases().pop(path, None)
+        raise PublishLeaseLost(
+            f"publish lease at {os.path.join(path, _LEASE)} no longer "
+            f"carries this holder's claim token — a successor took "
+            f"over after a >ttl stall; refusing to publish over its "
+            f"work"
+        )
+
+
 @contextmanager
 def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
     """Best-effort single-writer lease on a store root. The store's
@@ -94,10 +146,15 @@ def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
         raise PublishLeaseHeld(
             f"lost the publish-lease race at {lease}"
         ) from None
+    import uuid
+
+    token = uuid.uuid4().hex
     with os.fdopen(fd, "w") as f:
         f.write(
-            f"{owner} host={host} pid={os.getpid()} t={int(time.time())}"
+            f"{owner} host={host} pid={os.getpid()} "
+            f"t={int(time.time())} token={token}"
         )
+    _held_publish_leases()[path] = token
     # heartbeat: re-touch every ttl/4 so a legitimate publish outlasting
     # the ttl (a big bootstrap at real scale) is never stolen mid-run —
     # see similarity._maintenance_lease for the full rationale
@@ -120,10 +177,15 @@ def publish_lease(path: str, owner: str, ttl_sec: int = LEASE_TTL_SEC):
         yield
     finally:
         stop.set()
-        try:
-            os.unlink(lease)
-        except FileNotFoundError:
-            pass
+        _held_publish_leases().pop(path, None)
+        # fenced release: after a >ttl stall and takeover the lease on
+        # disk belongs to a SUCCESSOR — deleting it would erase the new
+        # holder's claim mid-run (VERDICT r9 #2a)
+        if _lease_token_on_disk(path) == token:
+            try:
+                os.unlink(lease)
+            except FileNotFoundError:
+                pass
 
 
 def _holder_known_dead(lease: str, host: str) -> bool:
@@ -214,6 +276,7 @@ def write_snapshot(df: DataFrame, path: str) -> int:
         tmp = os.path.join(path, _POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(str(next_v))
+        _verify_publish_ownership(path)  # fence: re-check before swap
         os.replace(tmp, os.path.join(path, _POINTER))  # atomic publish
         return next_v
 
@@ -289,6 +352,7 @@ def publish_manifest(path: str, months: dict[str, int]) -> None:
     tmp = os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(dict(sorted(months.items())), f)
+    _verify_publish_ownership(path)  # fence: re-check before swap
     os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
@@ -316,6 +380,7 @@ def publish_file_stats(path: str, stats: dict[str, dict[str, list]]) -> None:
         # str() fallback does NOT promise lexicographic order — do not
         # prune on a column that reached it (review r8).
         json.dump(dict(sorted(stats.items())), f, sort_keys=True, default=str)
+    _verify_publish_ownership(path)  # fence: re-check before swap
     os.replace(tmp, os.path.join(path, _FILE_STATS))
 
 

@@ -79,6 +79,20 @@ _value_st = st.one_of(
 )
 
 
+def test_safe_bool_trims_padded_truthy_words(spark):
+    """Pin the DOCUMENTED deviation (VERDICT r9 nit): the truthy-string
+    test runs after trim, so ``' true'`` → True here where the
+    reference's un-stripped ``.lower()`` comparison yields False
+    (fetch_clickup_data.py:788). Padded booleans are wire noise, not a
+    different value — trimming is the deliberate choice."""
+    rows = spark.createDataFrame(
+        [(0, " true"), (1, "true "), (2, " YES "), (3, " x")],
+        "i long, v string",
+    ).select("i", safe_bool(F.col("v")).alias("b")).collect()
+    got = {r["i"]: r["b"] for r in rows}
+    assert got == {0: True, 1: True, 2: True, 3: False}
+
+
 @settings(
     max_examples=30,
     deadline=None,

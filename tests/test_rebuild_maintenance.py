@@ -522,3 +522,211 @@ class TestCompactSmallFilesSafety:
         finally:
             S._release_lease(spark, f"{path}__lock")
         assert compact_small_files(spark, path, target_bytes=10**9) == 1
+
+
+class TestLeaseFencing:
+    """Claim-token fencing (VERDICT r9 #2): ownership is re-verified at
+    the two moments it matters — release, and the commit-point swap —
+    so a holder paused past the ttl and superseded by a taker refuses
+    its swap and never deletes the successor's lease."""
+
+    def test_paused_holder_takeover(self, spark, tmp_path):
+        """The verdict's exact scenario: freeze past the ttl (no
+        heartbeat — a paused process doesn't heartbeat), let a taker
+        claim, resume at the commit point."""
+        import os
+        import time
+
+        p = str(tmp_path / "idx")
+        staged = f"{p}/base__staged"
+        os.makedirs(staged)
+        old_token = S._acquire_lease(spark, p, "old-holder", ttl_sec=1)
+        S._held_leases()[p] = old_token
+        try:
+            time.sleep(1.2)  # the stall: lease goes stale by mtime
+            taker_token = S._acquire_lease(spark, p, "taker", ttl_sec=1)
+            # old holder resumes at its commit point: the swap re-reads
+            # the lease, sees the successor's token, refuses loudly
+            with pytest.raises(S.MaintenanceLeaseLost, match="successor"):
+                S._fs_swap_dir(spark, f"{p}/base", staged)
+            assert os.path.exists(staged)  # nothing was clobbered
+            # ...and the old holder's release spares the taker's lease
+            S._release_lease(spark, p, old_token)
+            assert os.path.exists(f"{p}/{S._LEASE_FILE}")
+            assert S._read_lease_token(spark, p) == taker_token
+        finally:
+            S._held_leases().pop(p, None)
+            S._release_lease(spark, p)
+
+    def test_maintenance_section_fences_its_swap(self, spark, tmp_path):
+        """End-to-end through the contextmanager: a takeover mid-section
+        makes the section's own swap refuse, and exit leaves the
+        successor's lease intact."""
+        import os
+
+        p = str(tmp_path / "idx")
+        staged = f"{p}/base__staged"
+        os.makedirs(staged)
+        with S._maintenance_lease(spark, p, "old-holder"):
+            # simulate a successful takeover after a stall the way a
+            # real taker does it: delete the stale lease + re-claim
+            # (a Python-side file rewrite would desync Hadoop's local
+            # .crc sidecar and read as unreadable, which also refuses —
+            # but the assertion below wants the successor's token)
+            S._fs_delete(spark, f"{p}/{S._LEASE_FILE}")
+            succ_token = S._acquire_lease(spark, p, "taker")
+            with pytest.raises(S.MaintenanceLeaseLost, match="successor"):
+                S._fs_swap_dir(spark, f"{p}/base", staged)
+        # the finally-release saw a foreign token and left it alone
+        assert S._read_lease_token(spark, p) == succ_token
+        S._release_lease(spark, p)  # cleanup
+
+    def test_matching_token_swaps_normally(self, spark, tmp_path):
+        import os
+
+        p = str(tmp_path / "idx")
+        staged = f"{p}/base__staged"
+        os.makedirs(staged)
+        with open(f"{staged}/data.txt", "w") as f:
+            f.write("x")
+        with S._maintenance_lease(spark, p, "holder"):
+            S._fs_swap_dir(spark, f"{p}/base", staged)
+        assert os.path.exists(f"{p}/base/data.txt")
+        assert not os.path.exists(f"{p}/{S._LEASE_FILE}")  # released
+
+    def test_publish_lease_takeover(self, tmp_path):
+        """The versioned store's twin: pointer/manifest swaps re-verify
+        the claim token, and release spares the successor's lease."""
+        import os
+
+        import hours_api_clickup_spark.sinks.versioned as V
+
+        p = str(tmp_path / "store")
+        with V.publish_lease(p, "old-holder"):
+            with open(os.path.join(p, V._LEASE), "w") as f:
+                f.write("taker host=elsewhere pid=1 t=0 token=succtok")
+            with pytest.raises(V.PublishLeaseLost, match="successor"):
+                V.publish_manifest(p, {"2024-01": 0})
+            assert not os.path.exists(os.path.join(p, V._MANIFEST))
+        assert V._lease_token_on_disk(p) == "succtok"  # spared
+        os.unlink(os.path.join(p, V._LEASE))
+        # unfenced again: the same publish goes through
+        V.publish_manifest(p, {"2024-01": 0})
+        assert V.read_manifest(p) == {"2024-01": 0}
+
+    def test_unleased_callers_are_not_fenced(self, spark, tmp_path):
+        """The lease is opt-in: a bare _fs_swap_dir with no held lease
+        (recovery roll-forwards run this way pre-claim) still works."""
+        import os
+
+        p = str(tmp_path / "idx")
+        staged = f"{p}/base__staged"
+        os.makedirs(staged)
+        S._fs_swap_dir(spark, f"{p}/base", staged)
+        assert os.path.exists(f"{p}/base")
+
+
+class TestRecoveryIsLeased:
+    """Recovery roll-forward is maintenance (ADVICE r9 high): the
+    rebuild commit marker exists during every LIVE rebuild's commit
+    window, so an unleased probe must not roll it forward concurrently
+    with the holder's own commit sequence. Recovery defers to a live
+    lease and claims it otherwise."""
+
+    def test_ivfpq_recover_defers_to_live_maintainer(self, spark, tmp_path):
+        import os
+
+        p = str(tmp_path / "ivfpq")
+        os.makedirs(p)
+        marker = f"{p}/{S._IVFPQ_REBUILD_MARKER}"
+        S._fs_write_file_atomic(spark, marker, "{}")
+        S._acquire_lease(spark, p, "live-maintainer")  # our pid: live
+        try:
+            S._ivfpq_recover(spark, p)  # skips: the holder owns this
+            assert os.path.exists(marker)
+        finally:
+            S._release_lease(spark, p)
+        S._ivfpq_recover(spark, p)  # no lease: claims, rolls forward
+        assert not os.path.exists(marker)
+        assert not os.path.exists(f"{p}/{S._LEASE_FILE}")  # released
+
+    def test_doc_index_recover_defers_to_live_maintainer(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import hours_api_clickup_spark.datapipe.dedup as D
+
+        p = str(tmp_path / "neardup")
+        os.makedirs(p)
+        marker = f"{p}/{D._REBUILD_MARKER}"
+        S._fs_touch(spark, marker)
+        S._acquire_lease(spark, p, "live-maintainer")
+        try:
+            D._doc_index_recover(spark, p)
+            assert os.path.exists(marker)
+        finally:
+            S._release_lease(spark, p)
+        D._doc_index_recover(spark, p)
+        assert not os.path.exists(marker)
+        assert not os.path.exists(f"{p}/{S._LEASE_FILE}")
+
+
+class TestAppendBootstrapLeased:
+    """The append APIs' bootstrap rebuild takes the maintenance lease
+    for bare (non-streaming) callers (ADVICE r9): two racing
+    first-batch writers must not rebuild both tiers unprotected."""
+
+    def _refuses_bootstrap(self, spark, path, op):
+        S._acquire_lease(spark, path, "simulated-maintainer")
+        try:
+            with pytest.raises(S.MaintenanceLeaseHeld, match="lease"):
+                op()
+        finally:
+            S._release_lease(spark, path)
+        op()  # released: the same bootstrap goes through
+
+    def test_lsh_append_bootstrap(self, spark, tmp_path):
+        emb = _emb(spark).limit(8)
+        p = str(tmp_path / "lsh")
+        self._refuses_bootstrap(
+            spark, p,
+            lambda: S.lsh_index_append(
+                emb, "embedding", "vec_id", p, dim=64
+            ),
+        )
+
+    def test_ivf_append_bootstrap(self, spark, tmp_path):
+        emb = _emb(spark).limit(8)
+        cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=2)
+        p = str(tmp_path / "ivf")
+        self._refuses_bootstrap(
+            spark, p,
+            lambda: S.ivf_index_append(emb, "embedding", "vec_id", p, cents),
+        )
+
+    def test_ivfpq_append_bootstrap(self, spark, tmp_path):
+        emb = _emb(spark).limit(8)
+        cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=2)
+        cb = S.pq_seed_codebooks(
+            emb, "embedding", "vec_id", n_subspaces=4, n_codes=4
+        )
+        p = str(tmp_path / "ivfpq")
+        self._refuses_bootstrap(
+            spark, p,
+            lambda: S.ivfpq_index_append(
+                emb, "embedding", "vec_id", p, cents, cb
+            ),
+        )
+
+    def test_text_append_bootstrap(self, spark, tmp_path):
+        from hours_api_clickup_spark.datapipe.textindex import (
+            inverted_index_append,
+        )
+
+        docs = _docs(spark).limit(8)
+        p = str(tmp_path / "text")
+        self._refuses_bootstrap(
+            spark, p,
+            lambda: inverted_index_append(docs, "text", "doc_id", p),
+        )
