@@ -66,6 +66,18 @@ def main(argv: list[str] | None = None) -> int:
         "stage (refuses if parameters or input changed)",
     )
     p.add_argument(
+        "--lock-wait-s", type=float, default=0.0,
+        help="how long a sync waits for the fact/dim table lock when it "
+        "collides with another writer's hold (streaming batch, racing "
+        "sync) before refusing loudly; 0 = refuse immediately",
+    )
+    p.add_argument(
+        "--lease-ttl-s", type=int, default=None,
+        help="staleness ttl for the table lock (seconds); default "
+        "similarity.LEASE_TTL_SEC (3600). A holder past the ttl with no "
+        "heartbeat is presumed crashed and taken over",
+    )
+    p.add_argument(
         "--index", action="append", default=[], metavar="FAMILY=PATH[:OPT]",
         help="maintain: compaction/GC target, repeatable — "
         "lsh=/p | ivf=/p[:id_col] | text=/p | docneardup=/p | "
@@ -93,12 +105,18 @@ def main(argv: list[str] | None = None) -> int:
         import os
 
         from hours_api_clickup_spark.scheduler import (
+            ALL_JOBS,
             OSLO,
+            REFERENCE_JOBS,
             SchedulerState,
             due_jobs,
             run_pending,
         )
         from hours_api_clickup_spark.server import ServerConfig
+
+        # --index targets opt the tick into the weekly compaction/GC
+        # sweep job on top of the reference's six
+        jobs = ALL_JOBS if args.index else REFERENCE_JOBS
 
         if not args.entries or not args.tasks or not args.state:
             p.error("--entries, --tasks and --state are required "
@@ -140,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
             os.replace(tmp, args.state)
 
-        if not due_jobs(state, now):
+        if not due_jobs(state, now, jobs=jobs):
             _persist_state()  # create/refresh the watermark file
             print(json.dumps({"ticked_at": now.isoformat(), "ran": []}))
             return 0
@@ -157,8 +175,11 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 refresh_days=args.days,
+                maintenance_targets=tuple(args.index),
+                lock_wait_s=args.lock_wait_s,
+                lease_ttl_s=args.lease_ttl_s,
             )
-            ran = run_pending(cfg, state, now)
+            ran = run_pending(cfg, state, now, jobs=jobs)
             _persist_state()
             print(json.dumps({"ticked_at": now.isoformat(), "ran": ran}))
             return 0

@@ -196,6 +196,26 @@ REFERENCE_JOBS: tuple[Job, ...] = (
     Job("apps-sync-daily", "0 6 * * *", "/sync/apps", "apps daily 6 AM"),
 )
 
+#: The seventh job is OURS, not the reference's (its ops story has no
+#: persisted indexes to compact): the weekly compaction/GC sweep over
+#: ``ServerConfig.maintenance_targets`` (VERDICT r9 #6 — `--mode
+#: maintain` existed but nothing scheduled it). Sunday 01:30 Oslo sits
+#: off the dim window (03-06), off the */6 refresh boundaries (00/06/
+#: 12/18) and off the quarterly reindex (02:00 on the 1st); per-target
+#: defer/error isolation means a sweep colliding with a live ingest
+#: lease defers that target to the next week's tick instead of failing
+#: the job.
+MAINTENANCE_JOB = Job(
+    "index-maintenance-weekly",
+    "30 1 * * 0",
+    "/maintain",
+    "compaction/GC sweep over the configured index/store targets",
+)
+
+#: REFERENCE_JOBS stays the reference's six verbatim (parity-pinned);
+#: deployments that run persisted indexes schedule ALL_JOBS instead.
+ALL_JOBS: tuple[Job, ...] = REFERENCE_JOBS + (MAINTENANCE_JOB,)
+
 
 @dataclass
 class SchedulerState:
