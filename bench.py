@@ -83,13 +83,19 @@ class SuiteRecorder:
         self.timings: dict[str, float] = {}
         self.checkpoints: list[tuple[str, float]] = []  # ordered
         self.row_window: dict[str, int] = {}
+        self.row_trials: dict[str, int] = {}
 
     def checkpoint(self, label: str, sec: float) -> None:
         self.checkpoints.append((label, sec))
 
-    def record(self, name: str, sec: float) -> None:
+    def record(self, name: str, sec: float, trials: int = 1) -> None:
+        """``trials`` = how many timed samples the recorded value is a
+        median of — carried into BENCH_DETAIL so residual triage can
+        see per-row sampling depth without reading this file
+        (VERDICT r9 #3)."""
         self.timings[name] = round(sec, 3)
         self.row_window[name] = max(0, len(self.checkpoints) - 1)
+        self.row_trials[name] = trials
 
 
 def degraded_windows(
@@ -123,8 +129,10 @@ def audit_rows(
     bracketed by fresh calibration samples: a clean bracket replaces the
     contaminated value (original kept in ``reruns``), a dirty bracket —
     the host is STILL slow — stamps them ``suspect`` with the original
-    value intact. Rows with no re-run recipe (ingest rows mutate index
-    state; cold rows clear session caches) go straight to ``suspect``.
+    value intact. Rows with no re-run recipe in ``rerun_fns`` (as of
+    r10 only the scalecheck evidence rows — every query/composite/cold/
+    ingest/probe row carries a recipe, VERDICT r9 #3) go straight to
+    ``suspect``.
     Returns (suspect, reruns); mutates rec.timings on successful re-run.
     """
     bad = degraded_windows(rec.checkpoints, threshold)
@@ -305,7 +313,7 @@ def main() -> None:
     mids_stored = 0
     for idx, name in enumerate(BENCH_QUERIES):
         med = statistics.median(run_once(name) for _ in range(N_RUNS))
-        rec.record(name, med)
+        rec.record(name, med, trials=N_RUNS)
         print(f"# {name}: median {med:.3f}s of {N_RUNS}", file=sys.stderr)
         done = idx + 1
         if done % stride == 0 and done < len(BENCH_QUERIES):
@@ -333,7 +341,7 @@ def main() -> None:
     comp = statistics.median(
         sum(run_once(name) for name in COMPOSITE) for _ in range(N_RUNS)
     )
-    rec.record("pipeline_refresh_composite", comp)
+    rec.record("pipeline_refresh_composite", comp, trials=N_RUNS)
     print(f"# pipeline_refresh_composite: median {comp:.3f}s", file=sys.stderr)
 
     # The training-data product as ONE timed unit: quality gate → span
@@ -352,9 +360,14 @@ def main() -> None:
     cur = statistics.median(
         sum(run_once(name) for name in CURATION) for _ in range(N_RUNS)
     )
-    rec.record("pipeline_curation_composite", cur)
+    rec.record("pipeline_curation_composite", cur, trials=N_RUNS)
     print(f"# pipeline_curation_composite: median {cur:.3f}s", file=sys.stderr)
     rec.checkpoint("post_composites", min(_calibrate_once(), _calibrate_once()))
+
+    # Cap the EXPENSIVE ingest/cold medians at 3 runs regardless of
+    # SPARK_GRAFT_BENCH_RUNS — at N_RUNS=5 these ~5-15s writes alone
+    # would add minutes of wall; 3 samples already tames the outliers.
+    INGEST_RUNS = min(N_RUNS, 3)
 
     # Ingest-time artifacts (LSH pair table, persisted ANN indexes) are
     # session-cached, so the medians above measure steady-state QUERY
@@ -364,17 +377,31 @@ def main() -> None:
     # and are reported but NOT added to ``value``.
     from hours_api_clickup_spark.plans import registry as _registry
 
-    for name in (
+    def _cold_once(name: str) -> float:
+        # clearing BOTH session caches before every sample makes each
+        # one a true cold build+probe — the row's claim
+        _registry._LSH_PAIRS_CACHE.clear()
+        _registry._ANN_INDEX_CACHE.clear()
+        return run_once(name)
+
+    COLD_ROWS = (
         "dedup_minhash_lsh",
         "knn_lsh_probe",
         "knn_ivf_probe",
         "knn_ivfpq_probe",
-    ):
-        _registry._LSH_PAIRS_CACHE.clear()
-        _registry._ANN_INDEX_CACHE.clear()
-        cold = run_once(name)
-        rec.record(name + "_cold", cold)
-        print(f"# {name}_cold (ingest+query): {cold:.3f}s", file=sys.stderr)
+    )
+    # median like the queries (VERDICT r9 #3): the single-shot cold rows
+    # carried the documented 2-4× ingest-class spread straight into the
+    # artifact, making every r(N)-vs-r(N-1) "regression" on them an
+    # idle-box triage exercise
+    for name in COLD_ROWS:
+        cold = statistics.median(_cold_once(name) for _ in range(INGEST_RUNS))
+        rec.record(name + "_cold", cold, trials=INGEST_RUNS)
+        print(
+            f"# {name}_cold (ingest+query): median {cold:.3f}s of "
+            f"{INGEST_RUNS}",
+            file=sys.stderr,
+        )
     rec.checkpoint("post_cold", min(_calibrate_once(), _calibrate_once()))
 
     # Steady-state ingest: folding a batch into the live LSH index.
@@ -431,11 +458,6 @@ def main() -> None:
     ap_path = _index_tmp("bench_lsh_ap_", SF_DIR, "idx")
     lsh_index_write(base, "embedding", "vec_id", ap_path, dim=64)
 
-    # Cap the EXPENSIVE ingest medians at 3 runs regardless of
-    # SPARK_GRAFT_BENCH_RUNS — at N_RUNS=5 these ~5-15s writes alone
-    # would add minutes of wall; 3 samples already tames the outliers.
-    INGEST_RUNS = min(N_RUNS, 3)
-
     # These ingest rows were single-shot through r5 and bounced 2-4×
     # between same-code runs (r6 measured upsert at 6.4s and 15.6s in
     # two back-to-back suites) — the write paths are GEMM + multi-file
@@ -467,9 +489,9 @@ def main() -> None:
 
     t_rebuild = statistics.median(_rebuild_once() for _ in range(INGEST_RUNS))
 
-    rec.record("lsh_index_append_batch", t_append)
-    rec.record("lsh_index_upsert_batch", t_upsert)
-    rec.record("lsh_index_full_rebuild_200k", t_rebuild)
+    rec.record("lsh_index_append_batch", t_append, trials=INGEST_RUNS)
+    rec.record("lsh_index_upsert_batch", t_upsert, trials=INGEST_RUNS)
+    rec.record("lsh_index_full_rebuild_200k", t_rebuild, trials=INGEST_RUNS)
     rec.checkpoint("post_lsh_ingest", min(_calibrate_once(), _calibrate_once()))
     print(
         f"# lsh index ingest (200k corpus, 100-vector batch): append "
@@ -501,16 +523,16 @@ def main() -> None:
     # doc collided with its own prior copy in all bands, inflating runs
     # 2..N with degenerate self-pairs (review r7). Each run now folds a
     # fresh same-sized slice, the actual ingest cadence.
-    def _doc_append_once(i: int) -> float:
+    def _doc_append_once(i: int, path: str = didx) -> float:
         doc_batch = docs.filter(_F2.col("doc_id") % 20 == i)
         t0 = time.perf_counter()
-        doc_neardup_index_append(doc_batch, didx, "doc_id", "text").count()
+        doc_neardup_index_append(doc_batch, path, "doc_id", "text").count()
         return time.perf_counter() - t0
 
     t_doc_append = statistics.median(
         _doc_append_once(i) for i in range(INGEST_RUNS)
     )
-    rec.record("doc_index_append_batch", t_doc_append)
+    rec.record("doc_index_append_batch", t_doc_append, trials=INGEST_RUNS)
     rec.checkpoint("post_doc_ingest", min(_calibrate_once(), _calibrate_once()))
 
     # File-skip payoff, continuously measured (verdict r8 #5): the
@@ -573,8 +595,8 @@ def main() -> None:
     t_zplain = statistics.median(
         _zprobe_once(_zread_plain) for _ in range(N_RUNS)
     )
-    rec.record("zorder_pruned_probe", t_zpruned)
-    rec.record("zorder_plain_probe", t_zplain)
+    rec.record("zorder_pruned_probe", t_zpruned, trials=N_RUNS)
+    rec.record("zorder_plain_probe", t_zplain, trials=N_RUNS)
     print(
         f"# zorder box probe: manifest-pruned {t_zpruned:.3f}s "
         f"({znf_pruned} files planned) vs plain {t_zplain:.3f}s "
@@ -698,11 +720,11 @@ def main() -> None:
 
     _probe_churn_once()  # same untimed first-read warm as the clean probe
     t_probe_churn = statistics.median(_probe_churn_once() for _ in range(N_RUNS))
-    rec.record("text_index_probe_under_churn", t_probe_churn)
-    rec.record("text_index_build_90k", t_text_build)
-    rec.record("text_index_append_batch", t_text_append)
-    rec.record("text_index_term_probe_100k", t_text_probe)
-    rec.record("text_scan_term_topk_100k", t_text_scan)
+    rec.record("text_index_probe_under_churn", t_probe_churn, trials=N_RUNS)
+    rec.record("text_index_build_90k", t_text_build, trials=INGEST_RUNS)
+    rec.record("text_index_append_batch", t_text_append, trials=INGEST_RUNS)
+    rec.record("text_index_term_probe_100k", t_text_probe, trials=N_RUNS)
+    rec.record("text_scan_term_topk_100k", t_text_scan, trials=N_RUNS)
     print(
         f"# text index probe under tombstone churn: {t_probe_churn:.3f}s "
         f"(clean probe {t_text_probe:.3f}s)",
@@ -735,8 +757,8 @@ def main() -> None:
     for rep, _nv, _nd, t_lsh, _t_ivf, t_txt in _probe_scaling(
         spark, scales=(1, 8), n_runs=3, sf_dir=SF_DIR, include_ivf=False
     ):
-        rec.record(f"scalecheck_lsh_probe_x{rep}", t_lsh)
-        rec.record(f"scalecheck_text_probe_x{rep}", t_txt)
+        rec.record(f"scalecheck_lsh_probe_x{rep}", t_lsh, trials=3)
+        rec.record(f"scalecheck_text_probe_x{rep}", t_txt, trials=3)
     for label, _nd, t_del, t_app, _tc in _delete_scaling(
         spark, levels=(("0pct", None), ("5pct", 19)), base=SF_DIR
     ):
@@ -758,9 +780,15 @@ def main() -> None:
 
     # Post-suite audit (verdict r8): act on the checkpoint profile
     # instead of leaving a prose caveat. Plain query rows and the two
-    # composites are re-runnable; the cold/ingest/scalecheck rows mutate
-    # session caches or index state, so a degraded window stamps them
-    # suspect with the recorded value intact.
+    # composites are re-runnable; as of r10 (VERDICT r9 #3) the
+    # cold/ingest/probe rows carry re-run recipes too — each reproduces
+    # the row's exact workload shape (recipes needing pristine index
+    # state build a FRESH scratch index untimed first) — so a degraded
+    # window no longer condemns that whole class to suspect-with-
+    # contaminated-value and the r(N)-vs-r(N-1) residual triage needs
+    # no idle-box prose. Only the scalecheck rows stay suspect-stamped:
+    # secondary flat-cost evidence whose replica corpora are expensive
+    # to rebuild.
     def _remeasure(name: str) -> float:
         # the cold rows above CLEARED the session index caches, so a
         # cache-consuming probe re-run here would time an index rebuild
@@ -778,6 +806,72 @@ def main() -> None:
     )
     rerun_fns["pipeline_curation_composite"] = lambda: statistics.median(
         sum(run_once(n) for n in CURATION) for _ in range(N_RUNS)
+    )
+    for cname in COLD_ROWS:
+        rerun_fns[cname + "_cold"] = lambda n=cname: statistics.median(
+            _cold_once(n) for _ in range(INGEST_RUNS)
+        )
+    # merge-on-read appends re-use the ORIGINAL seq values: same-seq
+    # duplicate rows are exactly the shape the max-seq read resolution
+    # tolerates (and for the text index, staying at/below the churn
+    # delete's seq never resurrects tombstoned docs), so the re-run
+    # times the identical one-file-commit workload
+    rerun_fns["lsh_index_append_batch"] = lambda: statistics.median(
+        _append_once(2 + i) for i in range(INGEST_RUNS)
+    )
+    rerun_fns["lsh_index_upsert_batch"] = lambda: statistics.median(
+        _upsert_once() for _ in range(INGEST_RUNS)
+    )
+    rerun_fns["lsh_index_full_rebuild_200k"] = lambda: statistics.median(
+        _rebuild_once() for _ in range(INGEST_RUNS)
+    )
+    rerun_fns["text_index_append_batch"] = lambda: statistics.median(
+        _text_append_once(1 + i) for i in range(INGEST_RUNS)
+    )
+
+    def _doc_append_rerun() -> float:
+        # new-ids-only contract: the original slices are in the live
+        # index by now, so fold them into a FRESH index built untimed
+        fresh_didx = _index_tmp("bench_docidx_rr_", SF_DIR, "idx")
+        doc_neardup_index_write(corpus, "doc_id", "text", fresh_didx)
+        return statistics.median(
+            _doc_append_once(i, fresh_didx) for i in range(INGEST_RUNS)
+        )
+
+    rerun_fns["doc_index_append_batch"] = _doc_append_rerun
+
+    def _text_build_rerun() -> float:
+        # tidx carries MOR tiers by the audit point (append log + churn
+        # tombstones) and rebuild writers refuse those — build fresh
+        fresh_tidx = _index_tmp("bench_textidx_rr_", SF_DIR, "idx")
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            inverted_index_write(t_corpus, "text", "doc_id", fresh_tidx)
+            return time.perf_counter() - t0
+
+        return statistics.median(once() for _ in range(INGEST_RUNS))
+
+    rerun_fns["text_index_build_90k"] = _text_build_rerun
+
+    def _warm_then_median(once_fn) -> float:
+        once_fn()  # untimed first-read warm, as measured originally
+        return statistics.median(once_fn() for _ in range(N_RUNS))
+
+    rerun_fns["text_index_term_probe_100k"] = (
+        lambda: _warm_then_median(_probe_once)
+    )
+    rerun_fns["text_index_probe_under_churn"] = (
+        lambda: _warm_then_median(_probe_churn_once)
+    )
+    rerun_fns["text_scan_term_topk_100k"] = lambda: statistics.median(
+        _scan_once() for _ in range(N_RUNS)
+    )
+    rerun_fns["zorder_pruned_probe"] = lambda: statistics.median(
+        _zprobe_once(_zread_pruned) for _ in range(N_RUNS)
+    )
+    rerun_fns["zorder_plain_probe"] = lambda: statistics.median(
+        _zprobe_once(_zread_plain) for _ in range(N_RUNS)
     )
     # min-of-two bracket samples, same blip-damping as the checkpoints:
     # a single slow sample must not condemn every re-run row to suspect
@@ -812,6 +906,9 @@ def main() -> None:
         ],
         "suspect": suspect,
         "reruns": {k: round(v, 3) for k, v in reruns.items()},
+        # per-row sampling depth (VERDICT r9 #3): how many timed
+        # samples each recorded value is a median of
+        "row_trials": rec.row_trials,
     }
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -18,8 +18,10 @@ Accepts either artifact shape (``BENCH_r{N}.json`` with the headline
 the N (default 15) largest normalized slowdowns B-vs-A among shared
 query rows — what remains after the host factor is removed is the
 signal worth investigating. Rows missing a counterpart, composites,
-calibration rows, and the ingest/cold rows (medianized but still the
-noisiest work in the suite) are listed separately, not ranked.
+calibration rows, and the scalecheck evidence rows are listed
+separately, not ranked. The ingest/cold rows RANK as of r10 (VERDICT
+r9 #3): they are medians with degraded-window re-run recipes now, so
+a residual on them is signal, not the old single-shot 2-4× spread.
 """
 
 from __future__ import annotations
@@ -28,18 +30,18 @@ import json
 import sys
 
 # informational rows whose round-over-round deltas are expected and
-# documented (build costs, composites) — reported, never ranked
+# documented — reported, never ranked: calibration rows ARE the
+# normalization factor; composites re-time already-ranked queries
+# (ranking both double-counts); scalecheck rows have no degraded-window
+# re-run recipe (replica corpora too expensive to rebuild); file counts
+# are gate evidence, not seconds
 _UNRANKED_PREFIXES = (
     "calibration_",
     "pipeline_",
-    "lsh_index_",
-    "doc_index_",
-    "text_index_build",
-    "text_index_append",
-    "scalecheck_neardup_",  # ingest-class rows, documented noisy
-    "zorder_files_planned_",  # file COUNTS (gate evidence), not seconds
+    "scalecheck_",
+    "zorder_files_planned_",
 )
-_UNRANKED_SUFFIXES = ("_cold",)
+_UNRANKED_SUFFIXES = ()
 
 
 def _load(path: str) -> tuple[dict[str, float], set[str]]:
