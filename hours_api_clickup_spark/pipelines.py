@@ -78,8 +78,15 @@ def sync_refresh(
     days: int = DEFAULT_REFRESH_DAYS,
     backup_path: str | None = None,
     expectations: list | None = None,
+    lock_wait_s: float = 0.0,
+    lock_ttl_s: int | None = None,
 ) -> SyncResult:
     """Windowed refresh: stage → windowed MERGE into the fact table.
+
+    ``lock_wait_s``/``lock_ttl_s`` tune the table lock (VERDICT r9 #8):
+    a deployment that runs this side by side with the streaming refresh
+    can let a scheduled sync wait out a streaming batch's short hold
+    the same way the streaming side waits out the sync's.
 
     ``expectations`` (operators.validate.Expectation list) rides the
     merge write as observed metrics — the reference's post-load
@@ -100,7 +107,10 @@ def sync_refresh(
     # the streaming per-micro-batch merge — both read the same old
     # fact and the loser's merged rows are silently erased by the
     # winner's swap. Lease-guarded, the loser refuses loudly instead.
-    with _table_lock(spark, fact_path, "sync_refresh"):
+    with _table_lock(
+        spark, fact_path, "sync_refresh",
+        wait_s=lock_wait_s, ttl_sec=lock_ttl_s,
+    ):
         fact = read_fact_or_empty(spark, fact_path, staging)
         merged = merge_refresh(
             fact, staging, refresh_window_pred(today_oslo, days), key="id"
@@ -127,7 +137,11 @@ def sync_refresh(
 
 
 def _table_lock(
-    spark: SparkSession, path: str, owner: str, wait_s: float = 0.0
+    spark: SparkSession,
+    path: str,
+    owner: str,
+    wait_s: float = 0.0,
+    ttl_sec: int | None = None,
 ):
     """Single-writer lease for a plain parquet table's read-modify-write
     cycle, held in a ``{path}__lock`` SIBLING (the cycle swaps the table
@@ -139,10 +153,17 @@ def _table_lock(
     collision with the scheduled refresh stalls the batch instead of
     killing the query."""
     from hours_api_clickup_spark.datapipe.similarity import (
+        LEASE_TTL_SEC,
         _maintenance_lease,
     )
 
-    return _maintenance_lease(spark, f"{path}__lock", owner, wait_s=wait_s)
+    return _maintenance_lease(
+        spark,
+        f"{path}__lock",
+        owner,
+        ttl_sec=LEASE_TTL_SEC if ttl_sec is None else ttl_sec,
+        wait_s=wait_s,
+    )
 
 
 def sync_refresh_partitioned(
@@ -239,13 +260,18 @@ def sync_full_reindex(
     raw_entries: DataFrame,
     fact_path: str,
     backup_path: str | None = None,
+    lock_wait_s: float = 0.0,
+    lock_ttl_s: int | None = None,
 ) -> SyncResult:
     staging = _stage_entries(raw_entries)
     if backup_path:
         csv_backup(staging, backup_path)
     # table lock: see sync_refresh — a reindex racing any other writer
     # on this fact path must refuse, not silently erase the loser
-    with _table_lock(spark, fact_path, "sync_full_reindex"):
+    with _table_lock(
+        spark, fact_path, "sync_full_reindex",
+        wait_s=lock_wait_s, ttl_sec=lock_ttl_s,
+    ):
         fact = read_fact_or_empty(spark, fact_path, staging)
         merged = merge_full_reindex(fact, staging)
         rows = _overwrite_via_checkpoint(merged, fact_path)
@@ -314,6 +340,8 @@ def _snapshot_sync(
     path: str,
     mode: str,
     backup_path: str | None = None,
+    lock_wait_s: float = 0.0,
+    lock_ttl_s: int | None = None,
 ) -> SyncResult:
     dim = build(raw)
     if backup_path:
@@ -321,7 +349,10 @@ def _snapshot_sync(
     # table lock: a snapshot load has no read-modify cycle, but two
     # racing in-place overwrites (WRITE_TRUNCATE parity) interleave
     # their delete-then-write phases into a mixed directory
-    with _table_lock(dim.sparkSession, path, f"sync_{mode}"):
+    with _table_lock(
+        dim.sparkSession, path, f"sync_{mode}",
+        wait_s=lock_wait_s, ttl_sec=lock_ttl_s,
+    ):
         write_table_overwrite(dim, path)
         # count the materialized output — re-counting `dim` would re-run
         # the whole build (and raw scan) a second time
@@ -329,23 +360,29 @@ def _snapshot_sync(
     return SyncResult(table=path, rows=rows, mode=mode)
 
 
-def sync_lists(raw_lists: DataFrame, path: str, backup_path: str | None = None):
+def sync_lists(raw_lists: DataFrame, path: str, backup_path: str | None = None, **lock_kw):
     """Full-replace snapshot (fetch_clickup_data.py:1449-1501)."""
-    return _snapshot_sync(build_dim_lists, raw_lists, path, "lists", backup_path)
-
-
-def sync_tasks(raw_tasks: DataFrame, path: str, backup_path: str | None = None):
-    return _snapshot_sync(build_dim_tasks, raw_tasks, path, "tasks", backup_path)
-
-
-def sync_accounts(raw_accounts: DataFrame, path: str, backup_path: str | None = None):
     return _snapshot_sync(
-        build_dim_accounts, raw_accounts, path, "accounts", backup_path
+        build_dim_lists, raw_lists, path, "lists", backup_path, **lock_kw
     )
 
 
-def sync_apps(raw_tasks: DataFrame, path: str, backup_path: str | None = None):
-    return _snapshot_sync(build_dim_apps, raw_tasks, path, "apps", backup_path)
+def sync_tasks(raw_tasks: DataFrame, path: str, backup_path: str | None = None, **lock_kw):
+    return _snapshot_sync(
+        build_dim_tasks, raw_tasks, path, "tasks", backup_path, **lock_kw
+    )
+
+
+def sync_accounts(raw_accounts: DataFrame, path: str, backup_path: str | None = None, **lock_kw):
+    return _snapshot_sync(
+        build_dim_accounts, raw_accounts, path, "accounts", backup_path, **lock_kw
+    )
+
+
+def sync_apps(raw_tasks: DataFrame, path: str, backup_path: str | None = None, **lock_kw):
+    return _snapshot_sync(
+        build_dim_apps, raw_tasks, path, "apps", backup_path, **lock_kw
+    )
 
 
 def health(spark: SparkSession) -> dict:
@@ -459,6 +496,10 @@ def build_corpus(
             "decontaminated": benchmark is not None,
         },
         "stages": {},
+        # per-stage wall seconds (VERDICT r9 #4): the soak script's
+        # scaling table reads these instead of re-instrumenting; a
+        # resumed stage's wall is its parquet LOAD time, not a recompute
+        "stage_walls": {},
     }
     manifest["stages"]["input"] = docs.count()
 
@@ -500,18 +541,23 @@ def build_corpus(
 
     input_docs = docs
 
+    import time as _time
+
     def _stage(name: str, compute_ids):
         """Survivor docs after this stage, loading the stage's committed
         ids parquet when resuming, else computing+persisting it. The
         parquet read-back is also the lineage pin (formerly a
         localCheckpoint): each stage plans input ⋈ ids, never the whole
         upstream chain."""
+        t0 = _time.perf_counter()
         sdir = os.path.join(stages_dir, name)
         if not (resume and os.path.exists(os.path.join(sdir, "_SUCCESS"))):
             compute_ids().write.mode("overwrite").parquet(sdir)
         ids = spark.read.parquet(sdir)
         surv = input_docs.join(ids.select(id_col), id_col, "left_semi")
-        return surv, ids.count()
+        n = ids.count()
+        manifest["stage_walls"][name] = round(_time.perf_counter() - t0, 3)
+        return surv, n
 
     # 1. exact dedup on normalized text (min-id survivor)
     docs, n = _stage(
@@ -556,9 +602,13 @@ def build_corpus(
         manifest["stages"]["after_decontamination"] = n
 
     # 5. deterministic split
+    t5 = _time.perf_counter()
     curated = docs.withColumn("split", assign_split(id_col, list(splits)))
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     curated = spark.read.parquet(os.path.join(out_dir, "docs"))
+    manifest["stage_walls"]["05_split_write_docs"] = round(
+        _time.perf_counter() - t5, 3
+    )
 
     # 6+7. pack and shard each split independently (offsets must be
     # contiguous WITHIN a split so no shard mixes train and eval data)
@@ -578,6 +628,10 @@ def build_corpus(
             packed, os.path.join(out_dir, "shards", name), chunks_per_shard
         )
     manifest["stages"]["split_counts"] = split_counts
+    manifest["stage_walls"]["06_07_pack_shard"] = round(
+        _time.perf_counter() - t5
+        - manifest["stage_walls"]["05_split_write_docs"], 3
+    )
 
     # atomic publish (the sinks/versioned.py pointer trick): a crashed
     # build leaves data dirs but never a manifest claiming completion

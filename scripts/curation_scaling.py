@@ -110,5 +110,204 @@ def main() -> None:
     print(f"\nfitted log-log exponent: **{slope:.2f}**")
 
 
+
+
+# ---------------------------------------------------------------------------
+# build_corpus soak (VERDICT r9 #4/#5): per-STAGE walls at 10k/100k/1M
+# docs, proving the staged-parquet lineage pins and the banded dedup
+# hold at the largest local scale — plus an optional kill-resume drill.
+#
+# Run:  python scripts/curation_scaling.py --corpus [--kill-resume]
+#       (writes a markdown table to stdout; paste into COVERAGE.md)
+# ---------------------------------------------------------------------------
+
+CORPUS_SCALES = (2, 20, 200)  # × 5k sf0.1 docs = 10k / 100k / 1M
+
+
+def make_scaled_docs(spark, root: str, scale: int) -> str:
+    """Replicated documents parquet with a REALISTIC duplicate mix —
+    verbatim replication alone would collapse at stage 1 (exact dedup
+    keys on normalized text) and every later stage would run at base
+    size, soaking nothing. Per original doc, replicas split three ways:
+
+    - rep % 20 == 0 → VERBATIM: exact-dup clusters (stage 1's work);
+    - rep % 20 == 1 → one appended unique token: near-dup clusters of
+      ~scale/20 members (stage 3's banded candidate+verify work at a
+      bounded, web-realistic cluster size);
+    - everything else → a unique token INSERTED EVERY 4th WORD: with
+      5-gram shingles virtually every shingle contains a salt token, so
+      these replicas are distinct documents to both dedups — they carry
+      the corpus-size axis through stages 2-7 while keeping the
+      original words (the quality gate's stopword/length signals).
+    """
+    path = os.path.join(root, f"docs_x{scale}.parquet")
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{BASE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rep = F.col("rep")
+    salt = F.concat(
+        F.lit("u"), F.col("doc_id").cast("string"),
+        F.lit("x"), rep.cast("string"),
+    )
+    words = F.split(F.col("text"), r"\s+")
+    heavy = F.array_join(
+        F.flatten(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    i % 4 == 0,
+                    F.array(
+                        F.concat(salt, F.lit("p"), i.cast("string")), w
+                    ),
+                ).otherwise(F.array(w)),
+            )
+        ),
+        " ",
+    )
+    text = (
+        F.when(rep % 20 == 0, F.col("text"))
+        .when(rep % 20 == 1, F.concat(F.col("text"), F.lit(" "), salt))
+        .otherwise(heavy)
+    )
+    out = base.crossJoin(
+        F.broadcast(spark.range(scale).withColumnRenamed("id", "rep"))
+    ).select(
+        (F.col("doc_id") * scale + rep).alias("doc_id"),
+        text.alias("text"),
+    )
+    out.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def corpus_soak(kill_resume: bool = False) -> None:
+    from hours_api_clickup_spark import pipelines
+
+    spark = get_spark(app_name="curation-corpus-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{BASE}/region.parquet").count()
+
+    results = []  # (scale, n_docs, manifest)
+    with tempfile.TemporaryDirectory() as root:
+        bench = (
+            spark.read.parquet(f"{BASE}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(20)
+            .localCheckpoint()
+        )
+        for scale in CORPUS_SCALES:
+            docs = spark.read.parquet(make_scaled_docs(spark, root, scale))
+            out = os.path.join(root, f"corpus_x{scale}")
+            t0 = time.perf_counter()
+            manifest = pipelines.build_corpus(
+                docs, out, benchmark=bench, chunk_size=2048,
+                chunks_per_shard=64,
+            )
+            wall = time.perf_counter() - t0
+            n_docs = manifest["stages"]["input"]
+            results.append((scale, n_docs, wall, manifest))
+            print(f"# x{scale} ({n_docs:,} docs): {wall:.1f}s "
+                  f"{manifest['stage_walls']}", file=sys.stderr)
+
+        if kill_resume:
+            _kill_resume_drill(spark, root, bench)
+
+    stage_names = list(results[-1][3]["stage_walls"])
+    print("| stage | " + " | ".join(
+        f"{n:,} docs (s)" for _, n, _, _ in results) + " |")
+    print("|---|" + "---|" * len(results))
+    for sname in stage_names:
+        cells = [f"{m['stage_walls'].get(sname, float('nan')):.1f}"
+                 for _, _, _, m in results]
+        # log-log exponent across the measured scales
+        pts = [
+            (math.log(n), math.log(m["stage_walls"][sname]))
+            for _, n, _, m in results
+            if m["stage_walls"].get(sname, 0) > 0
+        ]
+        expo = ""
+        if len(pts) >= 2:
+            mx = sum(x for x, _ in pts) / len(pts)
+            my = sum(y for _, y in pts) / len(pts)
+            den = sum((x - mx) ** 2 for x, _ in pts)
+            if den > 0:
+                s = sum((x - mx) * (y - my) for x, y in pts) / den
+                expo = f" (exp {s:.2f})"
+        print(f"| {sname}{expo} | " + " | ".join(cells) + " |")
+    print("| TOTAL | " + " | ".join(
+        f"{w:.1f}" for _, _, w, _ in results) + " |")
+    print("\nsurvivor counts at the largest scale: "
+          + str(results[-1][3]["stages"]))
+
+
+def _kill_resume_drill(spark, root: str, bench) -> None:
+    """Kill the 1M-doc build at stage 5 (stages 1-4 committed), resume,
+    assert the manifest matches an uninterrupted twin (VERDICT r9 #5)."""
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.datapipe import sampling as sampling_mod
+
+    scale = CORPUS_SCALES[-1]
+    docs = spark.read.parquet(
+        os.path.join(root, f"docs_x{scale}.parquet")
+    )
+    kw = dict(benchmark=bench, chunk_size=2048, chunks_per_shard=64)
+    clean_out = os.path.join(root, f"corpus_x{scale}")  # the soak's build
+    import json
+
+    clean = json.load(open(os.path.join(clean_out, "manifest.json")))
+
+    out = os.path.join(root, "corpus_killed")
+    real_split = sampling_mod.assign_split
+
+    def boom(*a, **k):
+        raise RuntimeError("injected kill at stage 5")
+
+    sampling_mod.assign_split = boom
+    t0 = time.perf_counter()
+    try:
+        try:
+            pipelines.build_corpus(docs, out, **kw)
+            raise AssertionError("injected kill did not fire")
+        except RuntimeError as exc:
+            if "injected kill" not in str(exc):
+                raise
+    finally:
+        sampling_mod.assign_split = real_split
+    t_killed = time.perf_counter() - t0
+    for st in ("01_exact_dedup", "02_quality_gate", "03_near_dedup",
+               "04_decontamination"):
+        assert os.path.exists(
+            os.path.join(out, "_stages", st, "_SUCCESS")
+        ), f"stage {st} not committed before the kill"
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+
+    t0 = time.perf_counter()
+    resumed = pipelines.build_corpus(docs, out, resume=True, **kw)
+    t_resume = time.perf_counter() - t0
+
+    def _no_walls(m):
+        return {k: v for k, v in m.items() if k != "stage_walls"}
+
+    assert _no_walls(resumed) == _no_walls(clean), (
+        "resumed manifest diverged from the clean build"
+    )
+    print(
+        f"# kill-resume drill at {resumed['stages']['input']:,} docs: "
+        f"killed build ran {t_killed:.1f}s (stages 1-4 committed), "
+        f"resume finished in {t_resume:.1f}s "
+        f"(resumed stage walls: {resumed['stage_walls']}), "
+        f"manifest identical to the uninterrupted build — PASS",
+        file=sys.stderr,
+    )
+    print("\nkill-resume drill: PASS — resume from stage 4 of the "
+          f"{resumed['stages']['input']:,}-doc build reproduced the "
+          f"clean manifest (resume wall {t_resume:.1f}s vs clean "
+          "build above)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--corpus" in sys.argv:
+        corpus_soak(kill_resume="--kill-resume" in sys.argv)
+    else:
+        main()

@@ -282,9 +282,14 @@ def test_build_corpus_crash_resume_matches_clean_build(spark, tmp_path):
         resumed = pipelines.build_corpus(
             docs, out, chunk_size=64, chunks_per_shard=4, resume=True
         )
-    assert resumed == clean
+
+    # identical CONTENT; stage walls are run metadata and always differ
+    def _no_walls(m: dict) -> dict:
+        return {k: v for k, v in m.items() if k != "stage_walls"}
+
+    assert _no_walls(resumed) == _no_walls(clean)
     disk = _json.load(open(os.path.join(out, "manifest.json")))
-    assert disk == clean
+    assert _no_walls(disk) == _no_walls(clean)
 
     # a fresh (non-resume) rebuild wipes the stage state and restamps
     rebuilt = pipelines.build_corpus(
