@@ -504,6 +504,23 @@ def build_corpus(
     manifest["stages"]["input"] = docs.count()
 
     spark = docs.sparkSession
+    # Volume-proportional shuffle granularity (r10 soak finding): with
+    # a fixed shuffle.partitions, per-partition volume grows with the
+    # corpus and crosses the executor spill threshold — the Gopher
+    # gate's gram aggregation at 1M docs ran 415s at 32 initial
+    # partitions vs 226s at 512. Start fine-grained (~1 partition per
+    # 4k docs, capped at 1024) and let AQE coalesce DOWN; at small
+    # inputs the target equals shuffle.partitions and this is a no-op.
+    # Restored before return; a crashed build may leak the setting into
+    # the session, which is harmless (AQE coalescing keeps small plans
+    # small) and the next build resets it.
+    _ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    _shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    _ipn_prev = spark.conf.get(_ipn_key)  # None when unset (optional conf)
+    spark.conf.set(
+        _ipn_key,
+        str(max(_shuffle_n, min(1024, manifest["stages"]["input"] // 4000))),
+    )
     stages_dir = os.path.join(out_dir, "_stages")
     run_path = os.path.join(stages_dir, "run.json")
     run_stamp = {
@@ -632,6 +649,13 @@ def build_corpus(
         _time.perf_counter() - t5
         - manifest["stage_walls"]["05_split_write_docs"], 3
     )
+
+    # restore the caller's shuffle-granularity setting (see the set
+    # above — deliberately not a try/finally, rationale there)
+    if _ipn_prev is None:
+        spark.conf.unset(_ipn_key)
+    else:
+        spark.conf.set(_ipn_key, _ipn_prev)
 
     # atomic publish (the sinks/versioned.py pointer trick): a crashed
     # build leaves data dirs but never a manifest claiming completion

@@ -50,12 +50,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT set by default: spark.sql.adaptive.coalescePartitions.
+        # initialPartitionNum. Measured trade (r10 curation soak, 1M
+        # docs): 512 initial partitions halved the Gopher gate's gram
+        # aggregation (415s → 226s — fixed 32-partition shuffles cross
+        # the spill threshold as volume grows), but added ~0.1-0.3s of
+        # task overhead to EVERY sub-second query at bench scale.
+        # Volume-proportional sizing is therefore done per-operator
+        # where the input size is known (pipelines.build_corpus); a
+        # deployment can force it globally via SPARK_INITIAL_PARTITIONS.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if os.environ.get("SPARK_INITIAL_PARTITIONS"):
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ["SPARK_INITIAL_PARTITIONS"],
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

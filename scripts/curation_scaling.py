@@ -130,15 +130,29 @@ def make_scaled_docs(spark, root: str, scale: int) -> str:
     keys on normalized text) and every later stage would run at base
     size, soaking nothing. Per original doc, replicas split three ways:
 
-    - rep % 20 == 0 → VERBATIM: exact-dup clusters (stage 1's work);
-    - rep % 20 == 1 → one appended unique token: near-dup clusters of
-      ~scale/20 members (stage 3's banded candidate+verify work at a
-      bounded, web-realistic cluster size);
-    - everything else → a unique token INSERTED EVERY 4th WORD: with
-      5-gram shingles virtually every shingle contains a salt token, so
-      these replicas are distinct documents to both dedups — they carry
-      the corpus-size axis through stages 2-7 while keeping the
-      original words (the quality gate's stopword/length signals).
+    - rep % 20 == 0 → VERBATIM: exact-dup clusters growing with scale
+      (stage 1's hash-groupBy work is linear, so this is safe to
+      scale);
+    - rep == 1 (exactly ONE per original at every scale) → one appended
+      unique token: a near-dup partner for stage 3. Capped at one
+      because the base table carries INTRINSIC near-dup families up to
+      ~300 members (264k banded candidate pairs at 5k docs, measured):
+      any similarity-preserving replication multiplies those families
+      and the candidate count grows as C(family·replicas, 2) —
+      measured 1.29M candidates at 100k docs with per-original light
+      replicas, the quadratic blowup that OOMed the first 1M attempt.
+      Real corpora grow VOLUME, not family size; capping keeps the
+      near-dup structure constant while the corpus-size axis grows.
+    - everything else → a 6-char HASH salt before EVERY word. Shingles
+      are CHARACTER 5-grams (dedup.char_shingles), so salts must be
+      dense (every boundary) and mutually dissimilar (hash-derived —
+      structured salts share their own grams: "u{doc}x{rep}p{i}" left
+      replica-vs-replica J ≈ 0.77); measured J ≈ 0.06 → per-band
+      collision ≈ 1e-5 → bounded random-pair candidates even across
+      the intrinsic families. 6 chars, not 16: a full hex64 token
+      pushed mean word length past Gopher's 10.0 cap and the gate
+      rejected 98% of heavy docs; at 6 chars the mix keeps the
+      original stopwords and sits at ~5.4 mean word length.
     """
     path = os.path.join(root, f"docs_x{scale}.parquet")
     from pyspark.sql import functions as F
@@ -156,19 +170,22 @@ def make_scaled_docs(spark, root: str, scale: int) -> str:
         F.flatten(
             F.transform(
                 words,
-                lambda w, i: F.when(
-                    i % 4 == 0,
-                    F.array(
-                        F.concat(salt, F.lit("p"), i.cast("string")), w
+                lambda w, i: F.array(
+                    F.substring(
+                        F.lower(F.hex(F.xxhash64(
+                            F.col("doc_id"), rep, i
+                        ))),
+                        1, 6,
                     ),
-                ).otherwise(F.array(w)),
+                    w,
+                ),
             )
         ),
         " ",
     )
     text = (
         F.when(rep % 20 == 0, F.col("text"))
-        .when(rep % 20 == 1, F.concat(F.col("text"), F.lit(" "), salt))
+        .when(rep == 1, F.concat(F.col("text"), F.lit(" "), salt))
         .otherwise(heavy)
     )
     out = base.crossJoin(

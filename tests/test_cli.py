@@ -404,3 +404,36 @@ def test_cli_maintain_sweeps_indexes_and_defers_on_lease(
     assert [r["path"] for r in out] == [f"file:{lsh}", f"file:{ivfp}"]
     assert not os.path.exists(f"{lsh}/log")
     assert not os.path.exists(f"{ivfp}/log")
+
+
+def test_build_corpus_restores_shuffle_granularity_conf(spark, tmp_path):
+    """r10 soak finding: build_corpus sizes AQE's initialPartitionNum to
+    its input (~1 partition / 4k docs) and restores the caller's value
+    on the way out; at fixture scale the target equals
+    shuffle.partitions (a no-op for the plans)."""
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    # caller had no setting → unset again afterwards
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+    pipelines.build_corpus(
+        docs, str(tmp_path / "c1"), chunk_size=64, chunks_per_shard=4
+    )
+    # pyspark conf.get returns None for an unset optional conf
+    assert spark.conf.get(key) is None
+
+    # caller's explicit setting survives the build
+    spark.conf.set(key, "77")
+    try:
+        pipelines.build_corpus(
+            docs, str(tmp_path / "c2"), chunk_size=64, chunks_per_shard=4
+        )
+        assert spark.conf.get(key) == "77"
+    finally:
+        spark.conf.unset(key)
