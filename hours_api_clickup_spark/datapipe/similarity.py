@@ -3260,7 +3260,13 @@ def _ivfpq_recover(spark, path: str) -> None:
     maintainer); otherwise, when recovery work is actually pending,
     claim the lease non-blocking and SKIP on refusal — a live holder
     finishes (or re-runs) its own commit, and two concurrent
-    recovering probes resolve to one worker."""
+    recovering probes resolve to one worker. Stated trade: after a
+    FOREIGN-host crash the lease looks live until its ttl lapses, so a
+    mid-swap crash can fail probes loudly (missing live dir) for up to
+    the ttl before recovery is permitted — the pre-r10 behavior
+    recovered instantly but could corrupt a LIVE rebuild's commit
+    (ADVICE r9 high); loud-and-late beats silent-and-wrong. Same-host
+    crashes recover immediately (dead-pid staleness)."""
     if _lease_held_by_this_thread(path):
         _ivfpq_recover_unlocked(spark, path)
         return
