@@ -244,6 +244,9 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 refresh_days=args.days,
+                maintenance_targets=tuple(args.index),
+                lock_wait_s=args.lock_wait_s,
+                lease_ttl_s=args.lease_ttl_s,
             )
             srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(cfg))
             print(json.dumps({"serving": f"0.0.0.0:{srv.server_address[1]}"}))

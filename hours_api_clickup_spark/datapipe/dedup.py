@@ -1048,11 +1048,9 @@ def _doc_index_recover(spark, path: str) -> None:
     non-blocking and SKIP on refusal."""
     from hours_api_clickup_spark.datapipe.similarity import (
         MaintenanceLeaseHeld,
-        _acquire_lease,
         _fs_exists,
-        _held_leases,
         _lease_held_by_this_thread,
-        _release_lease,
+        _maintenance_lease,
     )
 
     if _lease_held_by_this_thread(path):
@@ -1064,16 +1062,13 @@ def _doc_index_recover(spark, path: str) -> None:
         or _fs_exists(spark, f"{path}/{_REBUILD_MARKER}")
     ):
         return  # clean: the common read path costs three exists() calls
+    # the full leased section (not a bare claim): heartbeat + token-
+    # fenced release, same as the ivfpq twin (review r10)
     try:
-        token = _acquire_lease(spark, path, "doc_index_recover")
+        with _maintenance_lease(spark, path, "doc_index_recover"):
+            _doc_index_recover_unlocked(spark, path)
     except MaintenanceLeaseHeld:
         return  # a live maintainer owns this path's commit/recovery
-    _held_leases()[path] = token
-    try:
-        _doc_index_recover_unlocked(spark, path)
-    finally:
-        _held_leases().pop(path, None)
-        _release_lease(spark, path, token)
 
 
 def _doc_index_recover_unlocked(spark, path: str) -> None:

@@ -735,15 +735,44 @@ def _covering_held_lease(target: str):
     return None
 
 
+def _parse_lease_fields(content: str) -> dict:
+    """``k=v`` fields of a lease file body — the ONE parser for the
+    lease wire format (shared with sinks/versioned.py's publish lease)."""
+    return dict(kv.split("=", 1) for kv in content.split() if "=" in kv)
+
+
+#: Sentinel returned when a lease file EXISTS but cannot be read. It
+#: never equals a real token, so a commit-point ownership check refuses
+#: (the safe direction) and a fenced release skips its delete — the
+#: stopped heartbeat then lets the ttl expire the orphan, bounding the
+#: damage of a persistently unreadable lease to one ttl.
+LEASE_UNREADABLE = "__unreadable__"
+
+
 def _read_lease_token(spark, path: str) -> str | None:
-    """The ``token=`` field of the live lease file, or None when the
-    lease is absent/unreadable/tokenless."""
-    try:
-        content = _fs_read_file(spark, f"{path}/{_LEASE_FILE}")
-    except Exception:
-        return None
-    fields = dict(kv.split("=", 1) for kv in content.split() if "=" in kv)
-    return fields.get("token")
+    """The ``token=`` field of the live lease file; None when the lease
+    is ABSENT; ``LEASE_UNREADABLE`` when it exists but cannot be read.
+    A transient I/O hiccup is retried before concluding — without the
+    retry, one failed read at a commit point discarded a whole
+    multi-hour maintenance pass as a phantom takeover (review r10)."""
+    import time as _time
+
+    lease = f"{path}/{_LEASE_FILE}"
+    content = None
+    for attempt in range(3):
+        try:
+            content = _fs_read_file(spark, lease)
+            break
+        except Exception:
+            try:
+                if not _fs_exists(spark, lease):
+                    return None  # genuinely absent (released/taken)
+            except Exception:
+                pass  # even the probe failed: retry, then give up
+            if attempt == 2:
+                return LEASE_UNREADABLE
+            _time.sleep(0.1)
+    return _parse_lease_fields(content).get("token")
 
 
 def _acquire_lease(
@@ -830,9 +859,7 @@ def _lease_holder_known_dead(jvm, fs, lease, host: str) -> bool:
             )
         finally:
             stream.close()
-        fields = dict(
-            kv.split("=", 1) for kv in content.split() if "=" in kv
-        )
+        fields = _parse_lease_fields(content)
         if fields.get("host") != host:
             return False
         pid = int(fields["pid"])
@@ -970,6 +997,30 @@ def _refuse_stale_mor_tiers(
         )
 
 
+def _verify_swap_ownership(spark, target: str) -> None:
+    """The commit-point ownership fence (VERDICT r9 #2b): when the
+    calling thread holds a maintenance lease covering ``target``,
+    re-read the lease and raise ``MaintenanceLeaseLost`` on a claim-
+    token mismatch — a successor took over after a >ttl stall and this
+    holder must not publish over its work. Called by ``_fs_swap_dir``
+    before the destructive rename, and by the in-place table overwrites
+    (``pipelines._overwrite_via_checkpoint``, the dim snapshot loads)
+    whose commit never goes through a swap (review r10). Unleased
+    callers are not fenced — the lease is opt-in by design."""
+    held = _covering_held_lease(target)
+    if held is None:
+        return
+    lease_path, token = held
+    if _read_lease_token(spark, lease_path) != token:
+        _held_leases().pop(lease_path, None)  # lost: stop fencing it
+        raise MaintenanceLeaseLost(
+            f"maintenance lease at {lease_path}/{_LEASE_FILE} no "
+            f"longer carries this holder's claim token — a "
+            f"successor took over after a >ttl stall; refusing to "
+            f"publish {target} over its work"
+        )
+
+
 def _fs_swap_dir(spark, live: str, staged: str) -> None:
     """Replace directory ``live`` with ``staged`` via two renames (the
     closest a filesystem sink gets to an atomic pointer flip; the
@@ -989,17 +1040,7 @@ def _fs_swap_dir(spark, live: str, staged: str) -> None:
     ``MaintenanceLeaseLost`` instead of clobbering the successor's
     commit. This shrinks the paused-holder split-brain window from the
     whole maintenance duration to the read→rename gap (milliseconds)."""
-    held = _covering_held_lease(live)
-    if held is not None:
-        lease_path, token = held
-        if _read_lease_token(spark, lease_path) != token:
-            _held_leases().pop(lease_path, None)  # lost: stop fencing it
-            raise MaintenanceLeaseLost(
-                f"maintenance lease at {lease_path}/{_LEASE_FILE} no "
-                f"longer carries this holder's claim token — a "
-                f"successor took over after a >ttl stall; refusing to "
-                f"swap {live} over its work"
-            )
+    _verify_swap_ownership(spark, live)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     live_p = jvm.org.apache.hadoop.fs.Path(live)
@@ -3276,16 +3317,14 @@ def _ivfpq_recover(spark, path: str) -> None:
         or _fs_exists(spark, f"{path}/{_IVFPQ_REBUILD_MARKER}")
     ):
         return  # clean: the common read path costs three exists() calls
+    # the full leased section (not a bare claim): the heartbeat keeps
+    # a recovery outlasting the ttl (object-store renames) from being
+    # stolen mid-roll-forward, and release is token-fenced (review r10)
     try:
-        token = _acquire_lease(spark, path, "ivfpq_recover")
+        with _maintenance_lease(spark, path, "ivfpq_recover"):
+            _ivfpq_recover_unlocked(spark, path)
     except MaintenanceLeaseHeld:
         return  # a live maintainer owns this path's commit/recovery
-    _held_leases()[path] = token
-    try:
-        _ivfpq_recover_unlocked(spark, path)
-    finally:
-        _held_leases().pop(path, None)
-        _release_lease(spark, path, token)
 
 
 def _ivfpq_recover_unlocked(spark, path: str) -> None:

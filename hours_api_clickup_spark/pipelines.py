@@ -201,6 +201,14 @@ def sync_refresh_partitioned(
     # partitions and dynamic-overwrites them, the same read-modify-write
     # cycle with the same racing-writer lost-update mode
     with _table_lock(spark, fact_path, "sync_refresh_partitioned"):
+        # ownership fence before the IN-PLACE dynamic partition
+        # overwrite (review r10) — this commit never goes through
+        # _fs_swap_dir; see _snapshot_sync for the rationale
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _verify_swap_ownership,
+        )
+
+        _verify_swap_ownership(spark, fact_path)
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(fact_path)):
             # first run: bootstrap the layout
             write_fact_partitioned(
@@ -353,6 +361,15 @@ def _snapshot_sync(
         dim.sparkSession, path, f"sync_{mode}",
         wait_s=lock_wait_s, ttl_sec=lock_ttl_s,
     ):
+        # ownership fence before the IN-PLACE overwrite (review r10):
+        # this commit never goes through _fs_swap_dir, so without the
+        # explicit re-verify a holder paused past the ttl would
+        # silently truncate-and-replace its successor's published dim
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _verify_swap_ownership,
+        )
+
+        _verify_swap_ownership(dim.sparkSession, path)
         write_table_overwrite(dim, path)
         # count the materialized output — re-counting `dim` would re-run
         # the whole build (and raw scan) a second time

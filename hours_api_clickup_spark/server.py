@@ -154,9 +154,26 @@ def _dispatch_sync(cfg: ServerConfig, route: str, body: dict) -> dict:
         # defer/error isolation lives in pipelines.run_maintenance — a
         # target whose lease is held by a live ingest reports
         # "deferred" and the next weekly tick retries it, so the sweep
-        # itself (and the scheduler job) always succeeds
-        targets = body.get("targets") or list(cfg.maintenance_targets)
-        results = pipelines.run_maintenance(spark, [str(t) for t in targets])
+        # itself (and the scheduler job) always succeeds.
+        # body targets may only SELECT among the configured set — the
+        # sweep runs destructive prune/compact operations, and an
+        # unauthenticated request body must never widen the blast
+        # radius beyond what the operator configured (review r10); a
+        # non-list body (a bare string iterates per character) is a
+        # malformed request, not a target list
+        targets = list(cfg.maintenance_targets)
+        if "targets" in body:
+            req = body["targets"]
+            if not isinstance(req, list):
+                raise ValueError("targets must be a JSON array of strings")
+            allowed = set(cfg.maintenance_targets)
+            bad = [t for t in req if t not in allowed]
+            if bad:
+                raise ValueError(
+                    f"targets not in the configured maintenance set: {bad}"
+                )
+            targets = [str(t) for t in req]
+        results = pipelines.run_maintenance(spark, targets)
         return {
             "status": "success",
             "mode": "maintain",

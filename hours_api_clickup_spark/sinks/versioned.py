@@ -70,13 +70,29 @@ def _held_publish_leases() -> dict:
 
 
 def _lease_token_on_disk(path: str) -> str | None:
-    try:
-        with open(os.path.join(path, _LEASE)) as f:
-            content = f.read()
-    except OSError:
-        return None
-    fields = dict(kv.split("=", 1) for kv in content.split() if "=" in kv)
-    return fields.get("token")
+    """Token of the on-disk lease; None when ABSENT; the shared
+    ``LEASE_UNREADABLE`` sentinel when it exists but can't be read
+    (commit points then refuse — the safe direction — and the fenced
+    release skips its delete; the ttl expires the orphan). Same
+    semantics and parser as the index maintenance lease (review r10)."""
+    import time
+
+    from hours_api_clickup_spark.datapipe.similarity import (
+        LEASE_UNREADABLE,
+        _parse_lease_fields,
+    )
+
+    lease = os.path.join(path, _LEASE)
+    for attempt in range(3):
+        try:
+            with open(lease) as f:
+                return _parse_lease_fields(f.read()).get("token")
+        except FileNotFoundError:
+            return None
+        except OSError:
+            if attempt == 2:
+                return LEASE_UNREADABLE
+            time.sleep(0.1)
 
 
 def _verify_publish_ownership(path: str) -> None:

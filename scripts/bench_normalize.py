@@ -43,8 +43,27 @@ _UNRANKED_PREFIXES = (
 )
 _UNRANKED_SUFFIXES = ()
 
+# the formerly single-shot ingest/cold class: ranked ONLY when both
+# artifacts prove median sampling for the row (row_trials >= 2, emitted
+# since r10) — a pre-r10 side's value is a single shot with the
+# documented 2-4x spread, and ranking it floods the top-N with known
+# sampling noise (review r10)
+_MEDIANIZED_PREFIXES = (
+    "lsh_index_",
+    "doc_index_",
+    "text_index_",
+    "text_scan_",
+)
+_MEDIANIZED_SUFFIXES = ("_cold",)
 
-def _load(path: str) -> tuple[dict[str, float], set[str]]:
+
+def _needs_trial_proof(name: str) -> bool:
+    return name.startswith(_MEDIANIZED_PREFIXES) or name.endswith(
+        _MEDIANIZED_SUFFIXES
+    )
+
+
+def _load(path: str) -> tuple[dict[str, float], set[str], dict[str, int]]:
     blob = json.load(open(path))
     # three shapes: driver BENCH_r{N}.json wraps the stdout line under
     # "parsed"; bench.py's own line / BENCH_DETAIL.json carry "queries"
@@ -56,9 +75,15 @@ def _load(path: str) -> tuple[dict[str, float], set[str]]:
     # recorded seconds are known-contaminated by a host window, so they
     # must never rank as residual slowdowns
     suspect = {str(s) for s in blob.get("suspect", [])}
+    trials = {
+        str(k): int(v)
+        for k, v in (blob.get("row_trials") or {}).items()
+        if isinstance(v, (int, float))
+    }
     return (
         {k: float(v) for k, v in q.items() if isinstance(v, (int, float))},
         suspect,
+        trials,
     )
 
 
@@ -72,7 +97,7 @@ def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    (a, sus_a), (b, sus_b) = _load(sys.argv[1]), _load(sys.argv[2])
+    (a, sus_a, tr_a), (b, sus_b, tr_b) = _load(sys.argv[1]), _load(sys.argv[2])
     suspect = sus_a | sus_b
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 
@@ -124,8 +149,14 @@ def main() -> int:
 
     shared = sorted(set(a) & set(b))
     rows = []
+    legacy_noise = []
     for name in shared:
         if not _ranked(name) or a[name] <= 0 or name in suspect:
+            continue
+        if _needs_trial_proof(name) and (
+            tr_a.get(name, 1) < 2 or tr_b.get(name, 1) < 2
+        ):
+            legacy_noise.append(name)
             continue
         # conservative residual: normalize by whichever factor forgives
         # more — what survives is a slowdown NEITHER drift class explains
@@ -143,6 +174,15 @@ def main() -> int:
     print(f"{'query':<42} {'A s':>8} {'B s':>8} {'ratio':>7} {'ratio_lo':>9}")
     for ratio, ratio_lo, name, ta, tb in rows[:top_n]:
         print(f"{name:<42} {ta:>8.3f} {tb:>8.3f} {ratio:>7.2f} {ratio_lo:>9.2f}")
+
+    if legacy_noise:
+        print(
+            f"\ningest/cold rows unranked ({len(legacy_noise)}) — one "
+            "side is a pre-r10 single-shot value (no row_trials proof), "
+            "documented 2-4x spread:"
+        )
+        for name in legacy_noise:
+            print(f"  {name}: A {a[name]:.3f}s  B {b[name]:.3f}s")
 
     flagged = sorted(n for n in shared if n in suspect and _ranked(n))
     if flagged:

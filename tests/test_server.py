@@ -175,3 +175,50 @@ def test_post_non_object_json_is_400(server):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert b"JSON object" in e.read()
+
+
+def test_maintain_route_restricted_to_configured_targets(spark, tmp_path):
+    """POST /maintain runs destructive prune/compact sweeps, so the
+    request body may only SELECT among the operator-configured targets
+    — an unauthenticated body must never widen the blast radius
+    (review r10); non-list bodies are rejected before any work."""
+    import hours_api_clickup_spark.datapipe.similarity as S
+    from hours_api_clickup_spark.plans.registry import load_table
+    from tests.conftest import SF_DIR_SMOKE
+
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings").limit(8)
+    idx = str(tmp_path / "lsh")
+    S.lsh_index_write(emb, "embedding", "vec_id", idx, dim=64)
+    S.lsh_index_append(emb.limit(2), "embedding", "vec_id", idx, dim=64)
+    cfg = ServerConfig(
+        spark=spark,
+        entries_path=str(tmp_path / "unused.json"),
+        tasks_path=str(tmp_path / "unused.json"),
+        warehouse=str(tmp_path / "wh"),
+        maintenance_targets=(f"lsh={idx}",),
+    )
+    srv = start_server(cfg)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # no body targets → sweep the configured set
+        st, out = _post(f"{base}/maintain")
+        assert st == 200 and out["mode"] == "maintain"
+        assert [r["status"] for r in out["results"]] == ["ok"]
+        # body selecting the configured target → allowed
+        st, out = _post(f"{base}/maintain", {"targets": [f"lsh={idx}"]})
+        assert st == 200 and out["results"][0]["status"] == "ok"
+        # body naming an UNconfigured path → refused, nothing runs
+        victim = str(tmp_path / "victim")
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/maintain", {"targets": [f"snapshots={victim}:0"]})
+        assert ei.value.code == 500
+        assert "not in the configured" in json.loads(ei.value.read())["error"]
+        # a bare string (iterates per character) is malformed, not a list
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/maintain", {"targets": f"lsh={idx}"})
+        assert ei.value.code == 500
+        assert "JSON array" in json.loads(ei.value.read())["error"]
+    finally:
+        srv.shutdown()
