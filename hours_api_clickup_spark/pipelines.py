@@ -528,9 +528,8 @@ def build_corpus(
     # partitions vs 226s at 512. Start fine-grained (~1 partition per
     # 4k docs, capped at 1024) and let AQE coalesce DOWN; at small
     # inputs the target equals shuffle.partitions and this is a no-op.
-    # Restored before return; a crashed build may leak the setting into
-    # the session, which is harmless (AQE coalescing keeps small plans
-    # small) and the next build resets it.
+    # Restored in the finally below, so even a mid-build failure cannot
+    # leak the widened setting into a long-lived serving session.
     _ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     _shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     _ipn_prev = spark.conf.get(_ipn_key)  # None when unset (optional conf)
@@ -538,141 +537,145 @@ def build_corpus(
         _ipn_key,
         str(max(_shuffle_n, min(1024, manifest["stages"]["input"] // 4000))),
     )
-    stages_dir = os.path.join(out_dir, "_stages")
-    run_path = os.path.join(stages_dir, "run.json")
-    run_stamp = {
-        "params": manifest["params"],
-        "input_count": manifest["stages"]["input"],
-        # a resume must not silently reuse stage 04 against a DIFFERENT
-        # eval set of the same presence: the count is a cheap drift
-        # tripwire (eval suites are tiny; a same-count content swap
-        # still slips through — a content digest would close that at
-        # the cost of hashing the benchmark text every build)
-        "benchmark_count": benchmark.count() if benchmark is not None else None,
-    }
-    if resume and os.path.exists(run_path):
-        with open(run_path) as f:
-            prev = json.load(f)
-        if prev != run_stamp:
-            raise ValueError(
-                f"cannot resume: persisted stage state at {stages_dir} "
-                f"was built with different parameters or a different "
-                f"input ({prev} vs {run_stamp}); rerun without resume "
-                f"to rebuild from scratch"
-            )
-    else:
-        # fresh build: stale stage debris from a prior (possibly
-        # differently-parameterized) run must not be mistaken for
-        # progress by a LATER --resume
-        import shutil
+    try:
+        stages_dir = os.path.join(out_dir, "_stages")
+        run_path = os.path.join(stages_dir, "run.json")
+        run_stamp = {
+            "params": manifest["params"],
+            "input_count": manifest["stages"]["input"],
+            # a resume must not silently reuse stage 04 against a DIFFERENT
+            # eval set of the same presence: the count is a cheap drift
+            # tripwire (eval suites are tiny; a same-count content swap
+            # still slips through — a content digest would close that at
+            # the cost of hashing the benchmark text every build)
+            "benchmark_count": benchmark.count() if benchmark is not None else None,
+        }
+        if resume and os.path.exists(run_path):
+            with open(run_path) as f:
+                prev = json.load(f)
+            if prev != run_stamp:
+                raise ValueError(
+                    f"cannot resume: persisted stage state at {stages_dir} "
+                    f"was built with different parameters or a different "
+                    f"input ({prev} vs {run_stamp}); rerun without resume "
+                    f"to rebuild from scratch"
+                )
+        else:
+            # fresh build: stale stage debris from a prior (possibly
+            # differently-parameterized) run must not be mistaken for
+            # progress by a LATER --resume
+            import shutil
 
-        shutil.rmtree(stages_dir, ignore_errors=True)
-        os.makedirs(stages_dir, exist_ok=True)
-        tmp = run_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(run_stamp, f, sort_keys=True)
-        os.replace(tmp, run_path)
+            shutil.rmtree(stages_dir, ignore_errors=True)
+            os.makedirs(stages_dir, exist_ok=True)
+            tmp = run_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(run_stamp, f, sort_keys=True)
+            os.replace(tmp, run_path)
 
-    input_docs = docs
+        input_docs = docs
 
-    import time as _time
+        import time as _time
 
-    def _stage(name: str, compute_ids):
-        """Survivor docs after this stage, loading the stage's committed
-        ids parquet when resuming, else computing+persisting it. The
-        parquet read-back is also the lineage pin (formerly a
-        localCheckpoint): each stage plans input ⋈ ids, never the whole
-        upstream chain."""
-        t0 = _time.perf_counter()
-        sdir = os.path.join(stages_dir, name)
-        if not (resume and os.path.exists(os.path.join(sdir, "_SUCCESS"))):
-            compute_ids().write.mode("overwrite").parquet(sdir)
-        ids = spark.read.parquet(sdir)
-        surv = input_docs.join(ids.select(id_col), id_col, "left_semi")
-        n = ids.count()
-        manifest["stage_walls"][name] = round(_time.perf_counter() - t0, 3)
-        return surv, n
+        def _stage(name: str, compute_ids):
+            """Survivor docs after this stage, loading the stage's committed
+            ids parquet when resuming, else computing+persisting it. The
+            parquet read-back is also the lineage pin (formerly a
+            localCheckpoint): each stage plans input ⋈ ids, never the whole
+            upstream chain."""
+            t0 = _time.perf_counter()
+            sdir = os.path.join(stages_dir, name)
+            if not (resume and os.path.exists(os.path.join(sdir, "_SUCCESS"))):
+                compute_ids().write.mode("overwrite").parquet(sdir)
+            ids = spark.read.parquet(sdir)
+            surv = input_docs.join(ids.select(id_col), id_col, "left_semi")
+            n = ids.count()
+            manifest["stage_walls"][name] = round(_time.perf_counter() - t0, 3)
+            return surv, n
 
-    # 1. exact dedup on normalized text (min-id survivor)
-    docs, n = _stage(
-        "01_exact_dedup",
-        lambda: normalized_exact_dedup(docs, text_col, id_col).select(
-            F.col("keep_id").alias(id_col)
-        ),
-    )
-    manifest["stages"]["after_exact_dedup"] = n
-
-    # 2. quality gate
-    docs, n = _stage(
-        "02_quality_gate",
-        lambda: gopher_quality_filter(docs, id_col, text_col)
-        .filter(F.col("keep"))
-        .select(id_col),
-    )
-    manifest["stages"]["after_quality_gate"] = n
-
-    # 3. near-dup clusters, min-id representative survives
-    def _near_dedup_ids():
-        pairs = minhash_lsh_pairs(
-            docs, id_col, text_col, k=5, num_hashes=64, bands=16,
-            threshold=minhash_threshold,
-        ).select("id_a", "id_b")
-        clusters = resolve_dup_clusters(docs.select(id_col), pairs, id_col)
-        return clusters.filter(F.col("is_survivor")).select(id_col)
-
-    docs, n = _stage("03_near_dedup", _near_dedup_ids)
-    manifest["stages"]["after_near_dedup"] = n
-
-    # 4. benchmark decontamination (optional)
-    if benchmark is not None:
+        # 1. exact dedup on normalized text (min-id survivor)
         docs, n = _stage(
-            "04_decontamination",
-            lambda: decontaminate(
-                docs, benchmark, id_col, text_col, n=decontam_n
-            )
-            .filter(~F.col("contaminated"))
+            "01_exact_dedup",
+            lambda: normalized_exact_dedup(docs, text_col, id_col).select(
+                F.col("keep_id").alias(id_col)
+            ),
+        )
+        manifest["stages"]["after_exact_dedup"] = n
+
+        # 2. quality gate
+        docs, n = _stage(
+            "02_quality_gate",
+            lambda: gopher_quality_filter(docs, id_col, text_col)
+            .filter(F.col("keep"))
             .select(id_col),
         )
-        manifest["stages"]["after_decontamination"] = n
+        manifest["stages"]["after_quality_gate"] = n
 
-    # 5. deterministic split
-    t5 = _time.perf_counter()
-    curated = docs.withColumn("split", assign_split(id_col, list(splits)))
-    curated.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-    curated = spark.read.parquet(os.path.join(out_dir, "docs"))
-    manifest["stage_walls"]["05_split_write_docs"] = round(
-        _time.perf_counter() - t5, 3
-    )
+        # 3. near-dup clusters, min-id representative survives
+        def _near_dedup_ids():
+            pairs = minhash_lsh_pairs(
+                docs, id_col, text_col, k=5, num_hashes=64, bands=16,
+                threshold=minhash_threshold,
+            ).select("id_a", "id_b")
+            clusters = resolve_dup_clusters(docs.select(id_col), pairs, id_col)
+            return clusters.filter(F.col("is_survivor")).select(id_col)
 
-    # 6+7. pack and shard each split independently (offsets must be
-    # contiguous WITHIN a split so no shard mixes train and eval data)
-    n_tokens = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-    split_counts: dict = {}
-    for name, _w in splits:
-        part = curated.filter(F.col("split") == name).withColumn(
-            "n_tokens", n_tokens
+        docs, n = _stage("03_near_dedup", _near_dedup_ids)
+        manifest["stages"]["after_near_dedup"] = n
+
+        # 4. benchmark decontamination (optional)
+        if benchmark is not None:
+            docs, n = _stage(
+                "04_decontamination",
+                lambda: decontaminate(
+                    docs, benchmark, id_col, text_col, n=decontam_n
+                )
+                .filter(~F.col("contaminated"))
+                .select(id_col),
+            )
+            manifest["stages"]["after_decontamination"] = n
+
+        # 5. deterministic split
+        t5 = _time.perf_counter()
+        curated = docs.withColumn("split", assign_split(id_col, list(splits)))
+        curated.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+        curated = spark.read.parquet(os.path.join(out_dir, "docs"))
+        manifest["stage_walls"]["05_split_write_docs"] = round(
+            _time.perf_counter() - t5, 3
         )
-        split_counts[name] = part.count()
-        if split_counts[name] == 0:
-            continue
-        packed = pack_into_chunks(part, id_col, "n_tokens", chunk_size)
-        write_training_shards(
-            packed, os.path.join(out_dir, "shards", name), chunks_per_shard
-        )
-    manifest["stages"]["split_counts"] = split_counts
-    manifest["stage_walls"]["06_07_pack_shard"] = round(
-        _time.perf_counter() - t5
-        - manifest["stage_walls"]["05_split_write_docs"], 3
-    )
 
-    # restore the caller's shuffle-granularity setting (see the set
-    # above — deliberately not a try/finally, rationale there)
-    if _ipn_prev is None:
-        spark.conf.unset(_ipn_key)
-    else:
-        spark.conf.set(_ipn_key, _ipn_prev)
+        # 6+7. pack and shard each split independently (offsets must be
+        # contiguous WITHIN a split so no shard mixes train and eval data)
+        n_tokens = F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        split_counts: dict = {}
+        for name, _w in splits:
+            part = curated.filter(F.col("split") == name).withColumn(
+                "n_tokens", n_tokens
+            )
+            split_counts[name] = part.count()
+            if split_counts[name] == 0:
+                continue
+            packed = pack_into_chunks(part, id_col, "n_tokens", chunk_size)
+            write_training_shards(
+                packed, os.path.join(out_dir, "shards", name), chunks_per_shard
+            )
+        manifest["stages"]["split_counts"] = split_counts
+        manifest["stage_walls"]["06_07_pack_shard"] = round(
+            _time.perf_counter() - t5
+            - manifest["stage_walls"]["05_split_write_docs"], 3
+        )
+
+    finally:
+        # restore the caller's shuffle-granularity setting even on a
+        # mid-build failure: in a long-lived server session a leaked
+        # 1024-wide initial partitioning taxes every sub-second query
+        # ~0.1-0.3s until the next successful build (ADVICE r10)
+        if _ipn_prev is None:
+            spark.conf.unset(_ipn_key)
+        else:
+            spark.conf.set(_ipn_key, _ipn_prev)
 
     # atomic publish (the sinks/versioned.py pointer trick): a crashed
     # build leaves data dirs but never a manifest claiming completion
@@ -731,9 +734,14 @@ def run_maintenance(spark: SparkSession, targets: list[str]) -> list[dict]:
     # family is part of the path (authority-only URIs like
     # hdfs://nn:8020 are legal), never a silently-ignored option
     # (ADVICE r9: lsh=hdfs://nn:8020 used to parse as path=hdfs://nn)
+    import logging
+    import time as _time
+
+    _log = logging.getLogger(__name__)
     opt_families = {"ivf", "store", "snapshots"}
     results: list[dict] = []
     for spec in targets:
+        _t0 = _time.perf_counter()
         family, _, rest = spec.partition("=")
         path, opt = rest, ""
         if family in opt_families:
@@ -778,5 +786,15 @@ def run_maintenance(spark: SparkSession, targets: list[str]) -> list[dict]:
         except Exception as exc:  # noqa: BLE001 — per-target isolation
             out["status"] = "error"
             out["error"] = f"{type(exc).__name__}: {exc}"
+        out["duration_s"] = round(_time.perf_counter() - _t0, 3)
+        if out["status"] != "ok":
+            # a target deferred EVERY week (stuck lease) or erroring
+            # must be visible in the scheduler/server log, not only in
+            # a response payload nobody reads on a cron tick (VERDICT
+            # r10 #6)
+            _log.warning(
+                "maintenance target %s %s: %s",
+                spec, out["status"], out.get("reason") or out.get("error"),
+            )
         results.append(out)
     return results

@@ -95,6 +95,16 @@ SCHEDULE = {
 }
 
 
+class BadRequest(ValueError):
+    """A malformed request body: routes raise it to get a 400, not a 500.
+
+    The repo's route contract (review r6) is 400 for anything wrong with
+    the REQUEST (non-object body, bad targets list) and 500 only for
+    genuine failures while RUNNING the sync/sweep — a dedicated class
+    keeps the two apart without guessing from ValueError text (ADVICE r10).
+    """
+
+
 @dataclass
 class ServerConfig:
     spark: SparkSession
@@ -165,19 +175,25 @@ def _dispatch_sync(cfg: ServerConfig, route: str, body: dict) -> dict:
         if "targets" in body:
             req = body["targets"]
             if not isinstance(req, list):
-                raise ValueError("targets must be a JSON array of strings")
+                raise BadRequest("targets must be a JSON array of strings")
             allowed = set(cfg.maintenance_targets)
             bad = [t for t in req if t not in allowed]
             if bad:
-                raise ValueError(
+                raise BadRequest(
                     f"targets not in the configured maintenance set: {bad}"
                 )
             targets = [str(t) for t in req]
         results = pipelines.run_maintenance(spark, targets)
+        # headline defer/error counts so a stuck-lease target is visible
+        # without scanning the per-target rows (VERDICT r10 #6); the
+        # sweep itself still reports success — deferral is the designed
+        # collision outcome, retried next tick
         return {
             "status": "success",
             "mode": "maintain",
             "targets": len(results),
+            "deferred": sum(1 for r in results if r["status"] == "deferred"),
+            "errors": sum(1 for r in results if r["status"] == "error"),
             "results": results,
         }
 
@@ -277,6 +293,12 @@ def make_handler(cfg: ServerConfig) -> type[BaseHTTPRequestHandler]:
                 # concurrently; only syncs serialize.
                 with _SYNC_LOCK:
                     payload = _dispatch_sync(cfg, self.path, body)
+            except BadRequest as exc:
+                # the request itself was malformed (e.g. /maintain targets
+                # not a list, or outside the configured set) — 400, same
+                # contract as the non-object-body check above (ADVICE r10)
+                self._json(400, {"status": "error", "error": str(exc)})
+                return
             except Exception as exc:  # route contract: errors → 500 JSON
                 self._json(500, {"status": "error", "error": str(exc)})
                 return

@@ -51,10 +51,13 @@ _UNRANKED_SUFFIXES = ()
 _MEDIANIZED_PREFIXES = (
     "lsh_index_",
     "doc_index_",
-    "text_index_",
-    "text_scan_",
+    "text_index_build",
+    "text_index_append",
 )
 _MEDIANIZED_SUFFIXES = ("_cold",)
+# NOT in the list (ADVICE r10): text_index_*_probe* / text_scan_* rows
+# were N_RUNS-medians long before r10 added row_trials — demoting them
+# on a pre-r10 artifact would drop real residual coverage, not noise.
 
 
 def _needs_trial_proof(name: str) -> bool:

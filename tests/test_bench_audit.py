@@ -183,6 +183,33 @@ class TestBenchNormalizeSuspectExclusion:
         assert "beta" in ranked  # healthy rows still rank
 
 
+class TestTrialProofScope:
+    """Only formerly-single-shot ingest/cold rows need row_trials proof
+    to rank; probe/scan rows were N_RUNS-medians before r10 and must
+    keep ranking against pre-r10 artifacts (ADVICE r10)."""
+
+    def test_ingest_rows_need_proof(self):
+        from scripts.bench_normalize import _needs_trial_proof
+
+        for name in (
+            "text_index_build_90k", "text_index_append_batch",
+            "lsh_index_full_rebuild_200k", "lsh_index_upsert_batch",
+            "doc_index_append_batch", "knn_lsh_probe_cold",
+            "dedup_minhash_lsh_cold",
+        ):
+            assert _needs_trial_proof(name), name
+
+    def test_probe_and_scan_medians_stay_ranked(self):
+        from scripts.bench_normalize import _needs_trial_proof
+
+        for name in (
+            "text_index_term_probe", "text_index_term_probe_100k",
+            "text_index_phrase_probe", "text_index_probe_under_churn",
+            "text_index_tombstone_probe", "text_scan_term_topk_100k",
+        ):
+            assert not _needs_trial_proof(name), name
+
+
 class TestBenchWiring:
     """The module-level pieces main() relies on must stay consistent."""
 

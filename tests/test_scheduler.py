@@ -470,6 +470,10 @@ def test_maintenance_sweep_tick_end_to_end(spark, tmp_path):
         assert by_path[ok_idx]["status"] == "ok"
         assert by_path[held_idx]["status"] == "deferred"
         assert "lease" in by_path[held_idx]["reason"]
+        # VERDICT r10 #6: the deferred target is visible as a headline
+        # count and every row carries its duration
+        assert sweep["deferred"] == 1 and sweep["errors"] == 0
+        assert all(r["duration_s"] >= 0 for r in sweep["results"])
         # the ok target really compacted: its log tier is gone
         import os
 
@@ -497,6 +501,23 @@ def test_maintenance_route_rejects_unknown_family(spark, tmp_path):
     )
     assert [r["status"] for r in out] == ["error", "error", "ok"]
     assert "unknown maintenance family" in out[0]["error"]
+
+
+def test_maintenance_non_ok_targets_logged(spark, tmp_path, caplog):
+    """VERDICT r10 #6: a deferred/error target must reach the process
+    log (the scheduler tick's only always-read channel), so a stuck
+    lease deferring the same target every week is visible."""
+    import logging
+
+    from hours_api_clickup_spark.pipelines import run_maintenance
+
+    with caplog.at_level(logging.WARNING, "hours_api_clickup_spark.pipelines"):
+        out = run_maintenance(spark, ["bogus=/nowhere"])
+    assert out[0]["status"] == "error"
+    assert any(
+        "bogus=/nowhere" in r.getMessage() and "error" in r.getMessage()
+        for r in caplog.records
+    )
 
 
 def test_maintenance_target_parse_authority_uri(spark):

@@ -213,12 +213,14 @@ def test_maintain_route_restricted_to_configured_targets(spark, tmp_path):
 
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(f"{base}/maintain", {"targets": [f"snapshots={victim}:0"]})
-        assert ei.value.code == 500
+        # malformed REQUEST → 400, same as the non-object-body check;
+        # 500 stays reserved for genuine sweep failures (ADVICE r10)
+        assert ei.value.code == 400
         assert "not in the configured" in json.loads(ei.value.read())["error"]
         # a bare string (iterates per character) is malformed, not a list
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(f"{base}/maintain", {"targets": f"lsh={idx}"})
-        assert ei.value.code == 500
+        assert ei.value.code == 400
         assert "JSON array" in json.loads(ei.value.read())["error"]
     finally:
         srv.shutdown()
