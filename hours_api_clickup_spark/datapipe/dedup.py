@@ -1051,17 +1051,25 @@ def _doc_index_recover(spark, path: str) -> None:
         _fs_exists,
         _lease_held_by_this_thread,
         _maintenance_lease,
+        _recovery_mark_clean,
+        _recovery_verdict_cached,
     )
 
     if _lease_held_by_this_thread(path):
         _doc_index_recover_unlocked(spark, path)
         return
+    if _recovery_verdict_cached(spark, path):
+        return  # proven clean this session, no lease claim since
     if not (
         _fs_exists(spark, f"{path}/sig__old")
         or _fs_exists(spark, f"{path}/bands__old")
         or _fs_exists(spark, f"{path}/{_REBUILD_MARKER}")
     ):
-        return  # clean: the common read path costs three exists() calls
+        # clean: cache the verdict so the session's next probe skips
+        # the three exists() rounds (VERDICT r10 #3); any lease claim
+        # on this path invalidates it
+        _recovery_mark_clean(spark, path)
+        return
     # the full leased section (not a bare claim): heartbeat + token-
     # fenced release, same as the ivfpq twin (review r10)
     try:

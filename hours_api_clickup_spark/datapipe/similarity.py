@@ -717,6 +717,46 @@ def _lease_held_by_this_thread(path: str) -> bool:
     return path in _held_leases()
 
 
+# "No recovery pending" verdicts proven THIS session, keyed per live
+# SparkSession → set of index paths whose marker/__old probe came back
+# clean (VERDICT r10 #3): the joint-recovery preamble on every probe/
+# append costs three fs exists() rounds, pure overhead once an index is
+# known clean. The verdict is invalidated on EVERY lease claim in this
+# session (``_acquire_lease`` is the chokepoint for all maintenance:
+# rebuilds, compacts, leased bootstraps, recovery itself), so the full
+# check re-runs on first touch and after any lease section. Stated
+# trade: a FOREIGN process crashing mid-maintenance on the same path is
+# not seen until this session's own next lease touch — but that state
+# is lease-ttl-guarded anyway, and a mid-swap crash fails probes LOUDLY
+# (missing live dir), never silently stale.
+import weakref as _weakref
+
+_RECOVERY_CLEAN: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_RECOVERY_CLEAN_LOCK = _threading.Lock()
+
+
+def _recovery_verdict_cached(spark, path: str) -> bool:
+    paths = _RECOVERY_CLEAN.get(spark)
+    return paths is not None and path in paths
+
+
+def _recovery_mark_clean(spark, path: str) -> None:
+    with _RECOVERY_CLEAN_LOCK:
+        paths = _RECOVERY_CLEAN.get(spark)
+        if paths is None:
+            paths = set()
+            _RECOVERY_CLEAN[spark] = paths
+        paths.add(path)
+
+
+def _recovery_invalidate(path: str) -> None:
+    # every session's verdict for this path drops — cheaper than
+    # plumbing spark through, and claims are rare next to probes
+    with _RECOVERY_CLEAN_LOCK:
+        for paths in _RECOVERY_CLEAN.values():
+            paths.discard(path)
+
+
 def _covering_held_lease(target: str):
     """The (lease_path, token) this thread holds that covers ``target``
     — the lease root itself, any path under it, or the sibling
@@ -841,6 +881,10 @@ def _acquire_lease(
         f"t={int(_time.time())} token={token}".encode()
     ))
     out.close()
+    # a claimed lease means maintenance is about to mutate this path:
+    # cached "no recovery pending" verdicts are void until the next
+    # full probe proves clean again (VERDICT r10 #3)
+    _recovery_invalidate(path)
     return token
 
 
@@ -3311,12 +3355,18 @@ def _ivfpq_recover(spark, path: str) -> None:
     if _lease_held_by_this_thread(path):
         _ivfpq_recover_unlocked(spark, path)
         return
+    if _recovery_verdict_cached(spark, path):
+        return  # proven clean this session, no lease claim since
     if not (
         _fs_exists(spark, f"{path}/base__old")
         or _fs_exists(spark, f"{path}/codes__old")
         or _fs_exists(spark, f"{path}/{_IVFPQ_REBUILD_MARKER}")
     ):
-        return  # clean: the common read path costs three exists() calls
+        # clean: cache the verdict so the session's next probe skips
+        # the three exists() rounds (VERDICT r10 #3); any lease claim
+        # on this path invalidates it
+        _recovery_mark_clean(spark, path)
+        return
     # the full leased section (not a bare claim): the heartbeat keeps
     # a recovery outlasting the ttl (object-store renames) from being
     # stolen mid-roll-forward, and release is token-fenced (review r10)

@@ -672,6 +672,71 @@ class TestRecoveryIsLeased:
         assert not os.path.exists(f"{p}/{S._LEASE_FILE}")
 
 
+class TestRecoveryVerdictCache:
+    """VERDICT r10 #3: after one full clean probe, the session caches
+    the 'no recovery pending' verdict per (SparkSession, path) — one
+    exists() round per session per clean index — and any lease claim
+    on the path voids it so the full check re-runs after maintenance."""
+
+    def _count_exists(self, monkeypatch):
+        calls = {"n": 0}
+        real = S._fs_exists
+
+        def counting(spark, p):
+            calls["n"] += 1
+            return real(spark, p)
+
+        monkeypatch.setattr(S, "_fs_exists", counting)
+        return calls
+
+    def test_clean_verdict_cached_then_voided_by_lease(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        p = str(tmp_path / "ivfpq")
+        os.makedirs(p)
+        calls = self._count_exists(monkeypatch)
+        S._ivfpq_recover(spark, p)  # full probe, proves clean
+        first = calls["n"]
+        assert first >= 3
+        S._ivfpq_recover(spark, p)  # cached: zero fs rounds
+        assert calls["n"] == first
+        # a lease claim (any maintenance) voids the verdict
+        S._release_lease(spark, p, S._acquire_lease(spark, p, "compact"))
+        S._ivfpq_recover(spark, p)
+        assert calls["n"] > first
+
+    def test_pending_recovery_is_never_cached(self, spark, tmp_path):
+        import os
+
+        p = str(tmp_path / "ivfpq")
+        os.makedirs(p)
+        marker = f"{p}/{S._IVFPQ_REBUILD_MARKER}"
+        S._fs_write_file_atomic(spark, marker, "{}")
+        S._ivfpq_recover(spark, p)  # claims, rolls forward
+        assert not os.path.exists(marker)
+        # the roll-forward's own lease claim voided any verdict; a new
+        # marker (fresh crash) must be seen by the next probe
+        S._fs_write_file_atomic(spark, marker, "{}")
+        S._ivfpq_recover(spark, p)
+        assert not os.path.exists(marker)
+
+    def test_doc_index_verdict_cached(self, spark, tmp_path, monkeypatch):
+        import os
+
+        import hours_api_clickup_spark.datapipe.dedup as D
+
+        p = str(tmp_path / "neardup")
+        os.makedirs(p)
+        calls = self._count_exists(monkeypatch)
+        D._doc_index_recover(spark, p)
+        first = calls["n"]
+        assert first >= 3
+        D._doc_index_recover(spark, p)
+        assert calls["n"] == first
+
+
 class TestAppendBootstrapLeased:
     """The append APIs' bootstrap rebuild takes the maintenance lease
     for bare (non-streaming) callers (ADVICE r9): two racing
