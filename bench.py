@@ -28,6 +28,17 @@ checkpoint is DEGRADED, and rows measured inside it are either re-run
 (when re-runnable and the re-run's own calibration bracket is clean) or
 stamped into the artifact's top-level ``suspect`` list.
 bench_normalize.py excludes suspect rows from residual ranking.
+
+Two further layers (VERDICT r10 #1 — the r10 driver run recorded
+streaming rows 2-6× an idle box under a CLEAN JVM profile):
+- the streaming_* block gets its own calibration profile (constant
+  availableNow micro-batch work) and the same window audit on it;
+- when the committed BENCH_DETAIL.json carries a matching code
+  fingerprint, every row is cross-checked against its committed
+  median (``crosscheck_rows``): >2× re-runs via the row's recipe,
+  dirty bracket stamps suspect. COMMIT ORDERING MATTERS: the
+  end-of-round bench run must be the last source-touching commit, or
+  the fingerprint mismatch disables the driver-side cross-check.
 """
 
 from __future__ import annotations
@@ -156,6 +167,116 @@ def audit_rows(
     return sorted(suspect), reruns
 
 
+#: Cross-check vs the committed same-HEAD run (VERDICT r10 #1b): a row
+#: whose value exceeds this multiple of its committed BENCH_DETAIL
+#: median gets its recipe re-run; a dirty calibration bracket stamps it
+#: suspect. 2× sits above every documented same-code sampling spread
+#: (the ingest class bounced up to 2× BETWEEN medians-of-3) and below
+#: the r10 contamination it exists to catch (streaming rows 2-6×).
+CROSSCHECK_RATIO = 2.0
+#: Rows below this many seconds are skipped — a 0.2s row tripling is
+#: scheduler noise, not a contaminated window.
+CROSSCHECK_FLOOR = 0.75
+
+
+def crosscheck_rows(
+    rec: SuiteRecorder,
+    committed: dict,
+    rerun_fns: dict,
+    calibrate,
+    base: float,
+    skip: set | frozenset = frozenset(),
+    ratio: float = CROSSCHECK_RATIO,
+    floor: float = CROSSCHECK_FLOOR,
+    threshold: float = DEGRADE_THRESHOLD,
+) -> tuple[list[str], dict[str, float], list[str]]:
+    """The within-run window audit is blind to contamination that slows
+    a query CLASS but not the calibration work (r10: streaming rows
+    recorded 2-6× an idle box with a clean JVM-calibration profile).
+    When the committed BENCH_DETAIL was produced by the SAME code (the
+    caller checks the fingerprint), each row also has a cross-round
+    reference: values beyond ``ratio``× the committed median re-run via
+    their existing recipe inside a calibration bracket — clean bracket
+    adopts the re-measure, dirty bracket (the host is still slow by the
+    bracket's own measure) stamps ``suspect``.
+
+    Returns (suspect, reruns, flagged); mutates rec.timings on adoption.
+    """
+    flagged = sorted(
+        n
+        for n, v in rec.timings.items()
+        if n not in skip
+        and committed.get(n, 0) > 0
+        and v > max(ratio * committed[n], floor)
+    )
+    suspect = [n for n in flagged if n not in rerun_fns]
+    to_rerun = [n for n in flagged if n in rerun_fns]
+    reruns: dict[str, float] = {}
+    if to_rerun:
+        pre = calibrate()
+        fresh = {n: rerun_fns[n]() for n in to_rerun}
+        post = calibrate()
+        if max(pre, post) <= threshold * base:
+            for n, v in fresh.items():
+                reruns[n] = rec.timings[n]
+                rec.timings[n] = round(v, 3)
+        else:
+            suspect += to_rerun
+    return sorted(suspect), reruns, flagged
+
+
+def code_fingerprint() -> str:
+    """SHA-256 over bench.py + every package .py, repo-relative paths
+    included — "same code" for the cross-check means byte-identical
+    measurement code AND measured code, no git state consulted (a
+    doc/test-only commit between the builder's run and the driver's
+    must not disable the check)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = [os.path.join(root, "bench.py")]
+    for dirpath, dirnames, filenames in os.walk(
+        os.path.join(root, "hours_api_clickup_spark")
+    ):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        files += [
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".py")
+        ]
+    h = hashlib.sha256()
+    for p in sorted(files):
+        h.update(os.path.relpath(p, root).encode())
+        h.update(b"\0")
+        with open(p, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def load_committed_detail() -> dict:
+    """The committed BENCH_DETAIL.json (HEAD version when git has one —
+    this run overwrites the working-tree file, and a second run in the
+    same session must still compare against the committed record)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd=root, capture_output=True, timeout=30,
+        )
+        if out.returncode == 0 and out.stdout:
+            return json.loads(out.stdout)
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(root, "BENCH_DETAIL.json")) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_match = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
@@ -261,6 +382,50 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming-machinery calibration (VERDICT r10 #1a): the JVM and
+    # python rows are blind to contamination in what the streaming_*
+    # class spends its time on — micro-batch planning, state-store
+    # init/commit, offset/commit-log fsyncs on the checkpoint dir. r10
+    # recorded streaming rows 2-6× an idle box under a CLEAN fixed-work
+    # profile. This row is CONSTANT streaming work: one availableNow
+    # micro-batch over a fixed 600k-row parquet source → 509-group
+    # stateful rollup → noop sink, fresh checkpoint dir per sample.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _scal_root = _tempfile.mkdtemp(prefix="bench_streamcal_")
+    _scal_src = os.path.join(_scal_root, "src")
+    (
+        spark.range(600_000)
+        .select(
+            (F.col("id") % 509).alias("k"), (F.col("id") % 8191).alias("v")
+        )
+        .repartition(8)
+        .write.parquet(_scal_src)
+    )
+
+    def _calibrate_streaming_once() -> float:
+        ckpt = _tempfile.mkdtemp(prefix="ckpt_", dir=_scal_root)
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema("k long, v long")
+            .parquet(_scal_src)
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = time.perf_counter() - t0
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        return sec
+
+    _calibrate_streaming_once()  # untimed: first streaming query of a
+    # session pays one-off state-store/provider class loading (~2×)
+
     # Ingest-time caches (the LSH pair table and every persisted
     # ANN/text index) build lazily inside their FIRST consumer — with
     # the fixed alphabetical order that made knn_ivf_probe's timed row
@@ -311,9 +476,52 @@ def main() -> None:
     third = max(1, len(BENCH_QUERIES) // 3)
     stride = max(1, len(BENCH_QUERIES) // 12)
     mids_stored = 0
+    # The streaming_* rows (alphabetically contiguous) get their OWN
+    # calibration profile (VERDICT r10 #1a): checkpoints of streaming
+    # fixed work bound the block and land every 4 streaming rows, and
+    # the post-suite audit runs on THIS profile for them — the JVM
+    # profile stays blind to streaming-path contamination. Their
+    # row_window in the main recorder is parked at -1 so the JVM-window
+    # audit never double-handles them.
+    srec = SuiteRecorder()
+    s_since_ckpt = 0
     for idx, name in enumerate(BENCH_QUERIES):
+        is_streaming = name.startswith("streaming_")
+        if is_streaming and not srec.checkpoints:
+            s_entry = min(
+                _calibrate_streaming_once(), _calibrate_streaming_once()
+            )
+            srec.checkpoint("s_entry", s_entry)
+            timings["calibration_streaming_work"] = round(s_entry, 3)
+            print(
+                f"# calibration_streaming_work (block entry): "
+                f"{s_entry:.3f}s",
+                file=sys.stderr,
+            )
         med = statistics.median(run_once(name) for _ in range(N_RUNS))
         rec.record(name, med, trials=N_RUNS)
+        if is_streaming:
+            srec.record(name, med, trials=N_RUNS)
+            rec.row_window[name] = -1  # audited by the streaming profile
+            s_since_ckpt += 1
+            more = any(
+                n.startswith("streaming_") for n in BENCH_QUERIES[idx + 1:]
+            )
+            if s_since_ckpt >= 4 or not more:
+                s_ck = min(
+                    _calibrate_streaming_once(), _calibrate_streaming_once()
+                )
+                srec.checkpoint(f"s_{name}", s_ck)
+                s_since_ckpt = 0
+                if not more:
+                    timings["calibration_streaming_work_end"] = round(
+                        s_ck, 3
+                    )
+                print(
+                    f"# calibration_streaming_work checkpoint: "
+                    f"{s_ck:.3f}s",
+                    file=sys.stderr,
+                )
         print(f"# {name}: median {med:.3f}s of {N_RUNS}", file=sys.stderr)
         done = idx + 1
         if done % stride == 0 and done < len(BENCH_QUERIES):
@@ -887,6 +1095,119 @@ def main() -> None:
     else:
         print("# degraded-window audit: clean profile", file=sys.stderr)
 
+    # The same audit on the STREAMING profile (VERDICT r10 #1a): the
+    # streaming rows' windows are bounded by streaming-machinery
+    # samples, so contamination the JVM profile can't see flags here.
+    _scal2 = lambda: min(  # noqa: E731
+        _calibrate_streaming_once(), _calibrate_streaming_once()
+    )
+    s_suspect, s_reruns = audit_rows(
+        srec,
+        {n: rerun_fns[n] for n in srec.timings if n in rerun_fns},
+        _scal2,
+    )
+    for n in s_reruns:
+        timings[n] = srec.timings[n]  # adopt the clean re-measure
+    suspect = sorted(set(suspect) | set(s_suspect))
+    reruns.update(s_reruns)
+    if s_suspect or s_reruns:
+        print(
+            f"# streaming-window audit: {len(s_reruns)} rows re-run "
+            f"clean, {len(s_suspect)} stamped suspect: {s_suspect}",
+            file=sys.stderr,
+        )
+    else:
+        print("# streaming-window audit: clean profile", file=sys.stderr)
+
+    # Cross-check vs the committed same-code run (VERDICT r10 #1b):
+    # within-run windows are blind when the WHOLE run is slow or when
+    # the contamination never touches the calibration work; the
+    # committed BENCH_DETAIL median is the cross-round reference. Only
+    # byte-identical code (bench.py + package) compares — a code change
+    # makes the committed value the WRONG expectation for a row.
+    committed = load_committed_detail()
+    fingerprint = code_fingerprint()
+    # same code AND same scale factor: a committed sf0.1 median is the
+    # wrong expectation for an sf0.01 run even under identical code
+    cc_match = (
+        committed.get("code_fingerprint") == fingerprint
+        and committed.get("sf") == sf
+    )
+    cc_flagged: list[str] = []
+    if cc_match:
+        cq = committed.get("queries", {})
+        handled = (
+            set(suspect)
+            | set(reruns)
+            | {
+                n
+                for n in timings
+                if n.startswith(("calibration_", "zorder_files_planned_"))
+            }
+        )
+        streaming_names = {n for n in timings if n.startswith("streaming_")}
+        base_jvm = statistics.median(s for _, s in rec.checkpoints)
+        cs, cr, cf = crosscheck_rows(
+            rec,
+            cq,
+            rerun_fns,
+            lambda: min(_calibrate_once(), _calibrate_once()),
+            base_jvm,
+            skip=handled | streaming_names,
+        )
+        # streaming rows bracket with streaming samples against the
+        # COMMITTED streaming calibration when available — a box that
+        # slows only the streaming path must not self-certify with its
+        # own inflated within-run base
+        s_committed_cal = min(
+            (
+                cq[k]
+                for k in (
+                    "calibration_streaming_work",
+                    "calibration_streaming_work_end",
+                )
+                if cq.get(k, 0) > 0
+            ),
+            default=0,
+        )
+        base_s = s_committed_cal or statistics.median(
+            [s for _, s in srec.checkpoints] or [0]
+        )
+        cs2, cr2, cf2 = ([], {}, [])
+        if base_s > 0:
+            cs2, cr2, cf2 = crosscheck_rows(
+                rec,
+                cq,
+                rerun_fns,
+                _scal2,
+                base_s,
+                skip=handled | (set(timings) - streaming_names),
+            )
+        cc_flagged = sorted(cf + cf2)
+        suspect = sorted(set(suspect) | set(cs) | set(cs2))
+        reruns.update(cr)
+        reruns.update(cr2)
+        if cc_flagged:
+            print(
+                f"# committed cross-check: flagged {cc_flagged}, "
+                f"{len(cr) + len(cr2)} re-run clean, "
+                f"{len(cs) + len(cs2)} stamped suspect",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                "# committed cross-check: all rows within 2x of the "
+                "committed same-code medians",
+                file=sys.stderr,
+            )
+    else:
+        print(
+            "# committed cross-check: skipped (no committed same-code "
+            "BENCH_DETAIL)",
+            file=sys.stderr,
+        )
+    _shutil.rmtree(_scal_root, ignore_errors=True)
+
     total = sum(timings[name] for name in BENCH_QUERIES)
 
     # The driver tail-captures only the last ~2 KB of stdout; round 2's
@@ -909,6 +1230,17 @@ def main() -> None:
         # per-row sampling depth (VERDICT r9 #3): how many timed
         # samples each recorded value is a median of
         "row_trials": rec.row_trials,
+        # streaming-class calibration profile (VERDICT r10 #1a) and the
+        # committed-run cross-check record (#1b): the fingerprint lets
+        # the NEXT same-code run compare its rows against this one's
+        "streaming_calibration_profile": [
+            {"label": lbl, "sec": round(s, 3)} for lbl, s in srec.checkpoints
+        ],
+        "code_fingerprint": fingerprint,
+        "crosscheck": {
+            "committed_match": cc_match,
+            "flagged": cc_flagged,
+        },
     }
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -938,6 +1270,7 @@ def main() -> None:
                 "n_queries": len(BENCH_QUERIES),
                 "suspect_rows": len(suspect),
                 "rerun_rows": len(reruns),
+                "crosschecked": cc_match,
                 "detail": "BENCH_DETAIL.json",
             }
         )

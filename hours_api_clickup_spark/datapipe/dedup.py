@@ -259,7 +259,18 @@ def _sig_frame(
     min-aggregates + the distinct gram-hash set through ONE shuffle."""
     consts = affine_constants(num_hashes, MINHASH_SALT)
     texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
-    grams = (
+    grams = _gram_rows(texts, k)
+    min_aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(M31))).alias(f"m{s}")
+        for s, (a, b) in enumerate(consts)
+    ]
+    return grams.groupBy("did").agg(*min_aggs, F.collect_set("h").alias("gset"))
+
+
+def _gram_rows(texts: DataFrame, k: int) -> DataFrame:
+    """(did, h) gram-hash rows from a (did, txt) frame — offsets
+    exploded, no shingle strings materialized."""
+    return (
         texts.filter(F.length("txt") >= k)
         .select(
             "did",
@@ -268,11 +279,23 @@ def _sig_frame(
         )
         .select("did", portable_gram_hash(F.col("txt"), F.col("i"), k).alias("h"))
     )
+
+
+def _sig_frame_thin(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """``_sig_frame`` without the gram-set column: the signing shuffle
+    carries K longs per doc instead of K longs + the distinct gram-hash
+    set (≈ the text itself). The rejoin verification path
+    (``minhash_lsh_pairs(rejoin_grams=True)``) uses this and re-derives
+    gram sets for CANDIDATE docs only."""
+    consts = affine_constants(num_hashes, MINHASH_SALT)
+    texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
     min_aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(M31))).alias(f"m{s}")
         for s, (a, b) in enumerate(consts)
     ]
-    return grams.groupBy("did").agg(*min_aggs, F.collect_set("h").alias("gset"))
+    return _gram_rows(texts, k).groupBy("did").agg(*min_aggs)
 
 
 def _band_frame(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -308,6 +331,7 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.7,
+    rejoin_grams: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH, verified with exact Jaccard.
 
@@ -345,9 +369,24 @@ def minhash_lsh_pairs(
     # hashes. (Re-joining gram sets only for post-prefilter candidates
     # would shrink this shuffle but re-scan + re-shingle the corpus; at
     # sf0.1 the one-shuffle form benches faster.)
-    sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint(
-        eager=False
-    )
+    #
+    # ``rejoin_grams=True`` flips that trade for LARGE corpora (VERDICT
+    # r10 #4): the signing shuffle carries only the K minhash longs per
+    # doc (~0.5 KB vs the text-sized gram set — at the 1M-doc soak the
+    # shipped form pushed ≈25 GB of gram rows through one shuffle +
+    # checkpoint), and gram sets are re-derived by ONE extra corpus
+    # scan semi-joined to the post-prefilter candidate ids — O(corpus)
+    # scan but O(candidates) shuffle. Output is IDENTICAL (same gram
+    # hashes, same Jaccard, same oracle); only the physical plan moves.
+    # build_corpus flips it automatically past NEAR_DEDUP_REJOIN_MIN_DOCS.
+    if rejoin_grams:
+        sig = _sig_frame_thin(
+            df, id_col, text_col, k, num_hashes
+        ).localCheckpoint(eager=False)
+    else:
+        sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint(
+            eager=False
+        )
     banded = _band_frame(sig, num_hashes, bands)
 
     a = banded.alias("a")
@@ -363,7 +402,46 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    return _verified_pairs(sig, cand, num_hashes, threshold)
+    if not rejoin_grams:
+        return _verified_pairs(sig, cand, num_hashes, threshold)
+    return _rejoin_verified_pairs(
+        df, id_col, text_col, k, sig, cand, num_hashes, threshold
+    )
+
+
+def _rejoin_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    sig: DataFrame,
+    cand: DataFrame,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """The ``rejoin_grams`` verification tail shared by the one-corpus
+    and cross-corpus pair queries: sketch-prefilter on the thin
+    signature frame, then re-derive gram sets for candidate docs only
+    (one corpus scan semi-joined to the candidate ids)."""
+    # checkpoint the prefiltered pairs: consumed twice (candidate-id
+    # seed + the verify join) and cheap (two ids per row)
+    cand_est = _sketch_prefilter(sig, cand, num_hashes, threshold).localCheckpoint(
+        eager=False
+    )
+    cand_ids = (
+        cand_est.select(F.col("id_a").alias("did"))
+        .unionByName(cand_est.select(F.col("id_b").alias("did")))
+        .distinct()
+    )
+    texts = spread(df).select(
+        _c(id_col).alias("did"), _c(text_col).alias("txt")
+    )
+    gsets = (
+        _gram_rows(texts.join(cand_ids, "did", "left_semi"), k)
+        .groupBy("did")
+        .agg(F.collect_set("h").alias("gset"))
+    )
+    return _jaccard_verify(cand_est, gsets, threshold)
 
 
 def _verified_pairs(
@@ -380,6 +458,18 @@ def _verified_pairs(
     collisions is discarded without ever shipping their gram sets.
     The cutoff is an integer count of matching components (never a
     float compare), so the oracle reproduces it exactly."""
+    return _jaccard_verify(
+        _sketch_prefilter(sig, cand, num_hashes, threshold),
+        sig.select("did", "gset"),
+        threshold,
+    )
+
+
+def _sketch_prefilter(
+    sig: DataFrame, cand: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Minhash-component match-count prefilter over candidate pairs —
+    the first half of ``_verified_pairs`` (docstring there)."""
     min_matches = _min_matches(threshold, num_hashes)
     sig_arr = sig.select(
         "did", F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa")
@@ -392,15 +482,21 @@ def _verified_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    cand_est = (
+    return (
         cand.join(sig_arr.select(F.col("did").alias("id_a"), F.col("sa").alias("sa_a")), "id_a")
         .join(sig_arr.select(F.col("did").alias("id_b"), F.col("sa").alias("sa_b")), "id_b")
         .filter(matches >= F.lit(min_matches))
         .select("id_a", "id_b")
     )
 
-    gs_a = sig.select(F.col("did").alias("id_a"), F.col("gset").alias("gs_a"))
-    gs_b = sig.select(F.col("did").alias("id_b"), F.col("gset").alias("gs_b"))
+
+def _jaccard_verify(
+    cand_est: DataFrame, gset_frame: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of prefiltered pairs against a
+    (did, gset) frame — the second half of ``_verified_pairs``."""
+    gs_a = gset_frame.select(F.col("did").alias("id_a"), F.col("gset").alias("gs_a"))
+    gs_b = gset_frame.select(F.col("did").alias("id_b"), F.col("gset").alias("gs_b"))
     return (
         cand_est.join(gs_a, "id_a")
         .join(gs_b, "id_b")
@@ -422,6 +518,7 @@ def minhash_cross_corpus_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.7,
+    rejoin_grams: bool = False,
 ) -> DataFrame:
     """Near-dup pairs ACROSS a corpus boundary only — the train-vs-
     held-out form of MinHash dedup (Lee et al. ACL 2022 §4: benchmark
@@ -436,10 +533,20 @@ def minhash_cross_corpus_pairs(
     bulk of a self-joined corpus — never become candidates, never hit
     the sketch prefilter, never fetch gram sets. At 100 TB train × a
     fixed benchmark set this makes the pair join's probe side the
-    benchmark's banded rows (tiny), broadcastable by the planner."""
-    sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint(
-        eager=False
-    )
+    benchmark's banded rows (tiny), broadcastable by the planner.
+
+    ``rejoin_grams`` as on ``minhash_lsh_pairs`` — here the candidate
+    set is train×benchmark only, so the rejoined gram scan touches a
+    vanishing doc fraction while the signing shuffle drops from
+    corpus-sized to 64 longs/doc."""
+    if rejoin_grams:
+        sig = _sig_frame_thin(
+            df, id_col, text_col, k, num_hashes
+        ).localCheckpoint(eager=False)
+    else:
+        sig = _sig_frame(df, id_col, text_col, k, num_hashes).localCheckpoint(
+            eager=False
+        )
     banded = _band_frame(sig, num_hashes, bands)
     a = banded.filter(~bench_pred(F.col("did"))).alias("a")
     b = banded.filter(bench_pred(F.col("did"))).alias("b")
@@ -452,7 +559,11 @@ def minhash_cross_corpus_pairs(
         .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verified_pairs(sig, cand, num_hashes, threshold)
+    if not rejoin_grams:
+        return _verified_pairs(sig, cand, num_hashes, threshold)
+    return _rejoin_verified_pairs(
+        df, id_col, text_col, k, sig, cand, num_hashes, threshold
+    )
 
 
 def _minhash_oracle_ctes(
@@ -1079,6 +1190,17 @@ def _doc_index_recover(spark, path: str) -> None:
         return  # a live maintainer owns this path's commit/recovery
 
 
+def _read_doc_tier(spark, path: str, tier: str) -> DataFrame:
+    """Doc-index live-tier read with the cached-recovery fallback —
+    ``similarity._read_tier_with_recovery`` bound to this family's
+    joint recovery (rationale there, review r11)."""
+    from hours_api_clickup_spark.datapipe.similarity import (
+        _read_tier_with_recovery,
+    )
+
+    return _read_tier_with_recovery(spark, path, tier, _doc_index_recover)
+
+
 def _doc_index_recover_unlocked(spark, path: str) -> None:
     """``_doc_index_recover`` body for the thread that owns maintenance
     on ``path`` (holds the lease, or just claimed it for recovery)."""
@@ -1226,7 +1348,7 @@ def doc_neardup_index_append(
     ).localCheckpoint()
     bband = bband.localCheckpoint()
 
-    old_bands = spark.read.parquet(f"{path}/bands")
+    old_bands = _read_doc_tier(spark, path, "bands")
     tomb = _doc_tombstones(spark, path)
     if tomb is not None:
         # tombstoned documents stop producing candidates — the delete
@@ -1298,7 +1420,7 @@ def _verify_candidate_pairs(
     candidate id is already indexed. Returns the verified pairs,
     localCheckpointed (so the caller may grow the index files without
     the plan re-reading them)."""
-    old_sig = spark.read.parquet(f"{path}/sig")
+    old_sig = _read_doc_tier(spark, path, "sig")
     all_sa = old_sig.select("did", "sa")
     if extra is not None:
         all_sa = all_sa.unionByName(extra.select("did", "sa"))
@@ -1335,7 +1457,7 @@ def _verify_candidate_pairs(
         .dropDuplicates()
         .localCheckpoint()
     )
-    gsets = spark.read.parquet(f"{path}/sig").select("did", "gset")
+    gsets = _read_doc_tier(spark, path, "sig").select("did", "gset")
     if surv_id_df.count() <= 200_000:
         surv_ids = [r[0] for r in surv_id_df.collect()]
         gsets = gsets.filter(F.col("did").isin(surv_ids))
@@ -1380,7 +1502,7 @@ def doc_neardup_index_pairs_for_ids(
     # joint publish first (review r7, ADVICE r8)
     _doc_index_recover(spark, path)
     min_matches = _min_matches(threshold, num_hashes)
-    bands = spark.read.parquet(f"{path}/bands")
+    bands = _read_doc_tier(spark, path, "bands")
     tomb = _doc_tombstones(spark, path)
     if tomb is not None:
         bands = bands.join(F.broadcast(tomb), "did", "left_anti")
@@ -1488,7 +1610,7 @@ def doc_neardup_index_compact(spark, path: str) -> None:
             .dropDuplicates()
             .localCheckpoint(eager=True)  # read once, reused twice
         )
-        live_sig = spark.read.parquet(f"{path}/sig").join(
+        live_sig = _read_doc_tier(spark, path, "sig").join(
             F.broadcast(tomb), "did", "left_anti"
         )
         staged = f"{path}/sig__staged"
@@ -1496,7 +1618,7 @@ def doc_neardup_index_compact(spark, path: str) -> None:
             "did"
         ).write.mode("overwrite").parquet(staged)
         _fs_swap_dir(spark, f"{path}/sig", staged)
-        live_bands = spark.read.parquet(f"{path}/bands").join(
+        live_bands = _read_doc_tier(spark, path, "bands").join(
             F.broadcast(tomb), "did", "left_anti"
         )
         staged = f"{path}/bands__staged"

@@ -44,6 +44,16 @@ from hours_api_clickup_spark.sinks.writers import (
 
 DEFAULT_REFRESH_DAYS = 60  # deploy.sh:70 (REFRESH_DAYS=60, 6-hourly job)
 
+#: build_corpus stage-03 crossover (VERDICT r10 #4): at or above this
+#: many gate-surviving docs the near-dedup signing pass stops shipping
+#: text-sized gram sets through its shuffle and re-derives them for
+#: candidate docs only (``minhash_lsh_pairs(rejoin_grams=True)``).
+#: Measured A/B on the soak's replica mix (identical survivors at every
+#: point): 6.9k docs shipped 11.7s / rejoin 13.1s; 14.5k 15.1/14.3;
+#: 29.6k 21.7/21.6; 75k 48.0/39.5; 722k 494.0/429.2 — crossover in the
+#: 10-30k band, ≤1.4s apart below it (COVERAGE.md stage-03 A/B table).
+NEAR_DEDUP_REJOIN_MIN_DOCS = 30_000
+
 
 @dataclass
 class SyncResult:
@@ -616,6 +626,10 @@ def build_corpus(
             pairs = minhash_lsh_pairs(
                 docs, id_col, text_col, k=5, num_hashes=64, bands=16,
                 threshold=minhash_threshold,
+                # past the crossover the signing shuffle must not carry
+                # text-sized gram sets (VERDICT r10 #4): rejoin derives
+                # them for candidate docs only via one extra corpus scan
+                rejoin_grams=n >= NEAR_DEDUP_REJOIN_MIN_DOCS,
             ).select("id_a", "id_b")
             clusters = resolve_dup_clusters(docs.select(id_col), pairs, id_col)
             return clusters.filter(F.col("is_survivor")).select(id_col)

@@ -95,6 +95,83 @@ class TestAuditRows:
         assert reruns == {"qa": 5.0}
 
 
+class TestCrosscheckRows:
+    """VERDICT r10 #1b: rows beyond 2× their committed same-code median
+    re-run via their recipe; a dirty bracket stamps suspect. This is the
+    defense the within-run windows can't mount — contamination that
+    slows a query class but not the calibration work."""
+
+    def _rec(self, rows):
+        rec = SuiteRecorder()
+        for name, sec in rows.items():
+            rec.timings[name] = sec
+        return rec
+
+    def test_inflated_row_rerun_and_adopted_on_clean_bracket(self):
+        rec = self._rec({"sa": 8.0, "sb": 2.0})
+        committed = {"sa": 3.0, "sb": 2.1}
+        sus, rer, flagged = bench.crosscheck_rows(
+            rec, committed, {"sa": lambda: 3.1}, lambda: 0.6, base=0.6
+        )
+        assert flagged == ["sa"] and sus == [] and rer == {"sa": 8.0}
+        assert rec.timings["sa"] == 3.1  # adopted
+        assert rec.timings["sb"] == 2.0  # within 2x: untouched
+
+    def test_dirty_bracket_stamps_suspect(self):
+        rec = self._rec({"sa": 8.0})
+        sus, rer, flagged = bench.crosscheck_rows(
+            rec, {"sa": 3.0}, {"sa": lambda: 3.1}, lambda: 1.2, base=0.6
+        )
+        assert sus == ["sa"] and rer == {} and flagged == ["sa"]
+        assert rec.timings["sa"] == 8.0  # original kept, stamped
+
+    def test_floor_spares_tiny_rows(self):
+        # 0.2s → 0.6s is 3× but under the floor: scheduler noise
+        rec = self._rec({"tiny": 0.6})
+        sus, rer, flagged = bench.crosscheck_rows(
+            rec, {"tiny": 0.2}, {}, lambda: 0.6, base=0.6
+        )
+        assert flagged == [] and sus == [] and rer == {}
+
+    def test_skip_set_and_unknown_rows_ignored(self):
+        rec = self._rec({"handled": 9.0, "new_row": 9.0})
+        sus, rer, flagged = bench.crosscheck_rows(
+            rec,
+            {"handled": 1.0},  # new_row has no committed median
+            {},
+            lambda: 0.6,
+            base=0.6,
+            skip={"handled"},
+        )
+        assert flagged == [] and sus == [] and rer == {}
+
+    def test_no_recipe_goes_straight_to_suspect(self):
+        rec = self._rec({"scalecheck_x": 9.0})
+        sus, rer, flagged = bench.crosscheck_rows(
+            rec, {"scalecheck_x": 1.0}, {}, lambda: 0.6, base=0.6
+        )
+        assert sus == ["scalecheck_x"] and rer == {}
+
+    def test_genuine_regression_keeps_rerun_value(self):
+        # the re-run reproduces the slow value on a CLEAN bracket: not
+        # contamination — the new value stands (and is NOT suspect)
+        rec = self._rec({"sa": 8.0})
+        sus, rer, flagged = bench.crosscheck_rows(
+            rec, {"sa": 3.0}, {"sa": lambda: 7.9}, lambda: 0.6, base=0.6
+        )
+        assert sus == [] and rer == {"sa": 8.0}
+        assert rec.timings["sa"] == 7.9
+
+
+class TestCodeFingerprint:
+    def test_stable_within_session(self):
+        assert bench.code_fingerprint() == bench.code_fingerprint()
+
+    def test_committed_detail_loads(self):
+        d = bench.load_committed_detail()
+        assert isinstance(d, dict) and "queries" in d
+
+
 class TestSleepInjectedEndToEnd:
     """Drive the real loop shape with injected sleeps: a host window
     slows both the queries and the calibration samples mid-suite; the

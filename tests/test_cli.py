@@ -211,6 +211,28 @@ def test_build_corpus_rejects_non_integral_id(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "corpus"))
 
 
+def test_build_corpus_rejoin_crossover_same_manifest(spark, tmp_path):
+    """VERDICT r10 #4: past NEAR_DEDUP_REJOIN_MIN_DOCS stage 03 signs
+    without shipping gram sets (rejoin form) — forcing the crossover to
+    1 doc must leave every stage count identical (physical-only)."""
+    import pytest
+
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = pipelines.build_corpus(
+        docs, str(tmp_path / "shipped"), chunk_size=64, chunks_per_shard=4
+    )
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(pipelines, "NEAR_DEDUP_REJOIN_MIN_DOCS", 1)
+        rejoined = pipelines.build_corpus(
+            docs, str(tmp_path / "rejoined"), chunk_size=64,
+            chunks_per_shard=4,
+        )
+    assert rejoined["stages"] == base["stages"]
+
+
 def test_build_corpus_crash_resume_matches_clean_build(spark, tmp_path):
     """Verdict r8 #7: a build killed mid-stage resumes from its last
     committed stage-id parquet and produces an identical manifest to an
