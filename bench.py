@@ -234,7 +234,13 @@ def code_fingerprint() -> str:
     import hashlib
 
     root = os.path.dirname(os.path.abspath(__file__))
-    files = [os.path.join(root, "bench.py")]
+    files = [
+        os.path.join(root, "bench.py"),
+        # imported by main() for the scalecheck rows — measurement
+        # code, so part of "same code" even though they live in scripts/
+        os.path.join(root, "scripts", "ann_probe_scaling.py"),
+        os.path.join(root, "scripts", "neardup_delete_scaling.py"),
+    ]
     for dirpath, dirnames, filenames in os.walk(
         os.path.join(root, "hours_api_clickup_spark")
     ):
