@@ -726,9 +726,11 @@ def _lease_held_by_this_thread(path: str) -> bool:
 # rebuilds, compacts, leased bootstraps, recovery itself), so the full
 # check re-runs on first touch and after any lease section. Stated
 # trade: a FOREIGN process crashing mid-maintenance on the same path is
-# not seen until this session's own next lease touch — but that state
-# is lease-ttl-guarded anyway, and a mid-swap crash fails probes LOUDLY
-# (missing live dir), never silently stale.
+# not seen by the cached preamble — but a mid-swap crash surfaces as a
+# missing live dir, and ``_read_tier_with_recovery`` voids the verdict
+# and self-heals on that read failure, so the only deferred case is the
+# consistent-but-stale one (committed marker, old generation still
+# readable), already bounded by the lease ttl.
 import weakref as _weakref
 
 _RECOVERY_CLEAN: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
