@@ -736,6 +736,41 @@ class TestRecoveryVerdictCache:
         D._doc_index_recover(spark, p)
         assert calls["n"] == first
 
+    def test_doc_probe_self_heals_past_cached_verdict(self, spark, tmp_path):
+        """The cache's foreign-crash trade (review r11): a probe that
+        cached 'clean' must still SELF-HEAL when a foreign maintainer's
+        mid-swap crash lands afterwards — the live-tier read failure
+        voids the verdict and recovers, it never becomes a persistent
+        path-not-found."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.dedup import (
+            doc_neardup_index_pairs_for_ids,
+            doc_neardup_index_write,
+        )
+        from hours_api_clickup_spark.plans.registry import load_table
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, SF_DIR, "documents").limit(200)
+        path = str(tmp_path / "didx")
+        doc_neardup_index_write(docs, "doc_id", "text", path)
+        ids = docs.select(F.col("doc_id").alias("did")).limit(20)
+        want = {
+            (r.id_a, r.id_b)
+            for r in doc_neardup_index_pairs_for_ids(spark, path, ids).collect()
+        }  # this probe proved clean and CACHED the verdict
+        assert S._recovery_verdict_cached(spark, path)
+        os.rename(f"{path}/sig", f"{path}/sig__old")  # foreign crash
+        got = {
+            (r.id_a, r.id_b)
+            for r in doc_neardup_index_pairs_for_ids(spark, path, ids).collect()
+        }
+        assert got == want
+        assert os.path.isdir(f"{path}/sig")
+        assert not os.path.exists(f"{path}/sig__old")
+
 
 class TestAppendBootstrapLeased:
     """The append APIs' bootstrap rebuild takes the maintenance lease
