@@ -147,13 +147,27 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "definition, bit-identical on this data) plus booleans asserting "
     "each sketch lands within its documented tolerance — the oracle "
     "emits literal TRUE, so a sketch drifting out of tolerance fails "
-    "the hash match. Measured drift: HLL (rsd 0.014) <=0.4%, quantiles "
-    "<=0.33% across sf0.001-0.1 vs 2%/1% gates. Extra accuracy gates "
-    "live in tests/test_datapipe_quality.py.",
+    "the hash match. The quantile contract is value-within-1% OR "
+    "within the exact values at p±2/accuracy: the rank bound is the "
+    "sketch's actual guarantee, and at small n (sf0.001 ~1000 rows) "
+    "adjacent order statistics differ >1% in value, making a pure "
+    "value gate fail on a correctly-operating sketch. Measured drift "
+    "at sf0.01-0.1: HLL (rsd 0.014) <=0.4%, quantiles <=0.33%. Extra "
+    "accuracy gates live in tests/test_datapipe_quality.py.",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     qs = [0.5, 0.95, 0.99]
+    # the sketch's own guarantee is a RANK bound (±1/accuracy), not a
+    # value bound: at n=1000 (sf0.001) adjacent order statistics near
+    # p95 differ >1% in VALUE, so a fixed 1%-of-value boolean fails on
+    # small draws while the sketch is operating exactly as specified
+    # (observed on a regenerated sf0.001; review r11). The contract
+    # booleans are therefore value-within-1% OR within the exact values
+    # at p±2·(1/accuracy) — the strong claim where value tolerance is
+    # meaningful, the algorithmic bracket where n makes it vacuous.
+    eps2 = 2.0 / 1000  # 2× the sketch's 1/accuracy rank error
+    br = [b for p in qs for b in (max(p - eps2, 0.0), min(p + eps2, 1.0))]
     # COUNT(DISTINCT) is kept OUT of the sketch aggregate: mixing a
     # distinct aggregate with the object-hash sketch functions forces an
     # Expand (input ×2) through a non-codegen ObjectHashAggregate —
@@ -168,6 +182,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured drift ≤0.4% at sf0.01-0.1; HLL is deterministic).
         F.approx_count_distinct("user_id", rsd=0.014).alias("_hll"),
         F.percentile("value", F.lit(qs)).alias("_qex"),
+        F.percentile("value", F.lit(br)).alias("_qbr"),
         # accuracy 1000 (rank error 0.1%) is 10× under the 1% value
         # contract on this distribution; 10000 bought nothing but a
         # bigger KLL merge buffer (the r2 regression).
@@ -179,6 +194,14 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _within(approx: Column, exact: Column, tol: float) -> Column:
         return F.abs(approx - exact) <= tol * F.greatest(F.abs(exact), F.lit(1.0))
 
+    def _q_ok(i: int) -> Column:
+        approx, exact = F.element_at("_qap", i), F.element_at("_qex", i)
+        lo = F.element_at("_qbr", 2 * i - 1)
+        hi = F.element_at("_qbr", 2 * i)
+        return _within(approx, exact, 0.01) | approx.between(
+            F.least(lo, hi), F.greatest(lo, hi)
+        )
+
     return agg.select(
         "n_events",
         "exact_users",
@@ -188,15 +211,9 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("_qex", 1), 4).alias("q50"),
         F.round(F.element_at("_qex", 2), 4).alias("q95"),
         F.round(F.element_at("_qex", 3), 4).alias("q99"),
-        _within(F.element_at("_qap", 1), F.element_at("_qex", 1), 0.01).alias(
-            "q50_within_1pct"
-        ),
-        _within(F.element_at("_qap", 2), F.element_at("_qex", 2), 0.01).alias(
-            "q95_within_1pct"
-        ),
-        _within(F.element_at("_qap", 3), F.element_at("_qex", 3), 0.01).alias(
-            "q99_within_1pct"
-        ),
+        _q_ok(1).alias("q50_within_1pct"),
+        _q_ok(2).alias("q95_within_1pct"),
+        _q_ok(3).alias("q99_within_1pct"),
     )
 
 
