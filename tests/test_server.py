@@ -204,6 +204,9 @@ def test_maintain_route_restricted_to_configured_targets(spark, tmp_path):
         st, out = _post(f"{base}/maintain")
         assert st == 200 and out["mode"] == "maintain"
         assert [r["status"] for r in out["results"]] == ["ok"]
+        # headline counts + per-row duration (VERDICT r10 #6)
+        assert out["deferred"] == 0 and out["errors"] == 0
+        assert all(r["duration_s"] >= 0 for r in out["results"])
         # body selecting the configured target → allowed
         st, out = _post(f"{base}/maintain", {"targets": [f"lsh={idx}"]})
         assert st == 200 and out["results"][0]["status"] == "ok"
