@@ -163,6 +163,60 @@ class TestCrosscheckRows:
         assert rec.timings["sa"] == 7.9
 
 
+class TestCrosscheckProperties:
+    """Hypothesis invariants for crosscheck_rows: no value within
+    ratio× its committed median is ever touched; every mutated value is
+    a clean-bracket re-run; suspect rows keep their original value."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        rows=st.dictionaries(
+            st.text(
+                alphabet="abcdefgh_", min_size=1, max_size=8
+            ).filter(lambda s: not s.startswith("_")),
+            st.tuples(
+                st.floats(0.01, 50.0),  # committed median
+                st.floats(0.01, 200.0),  # this run's value
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        bracket_dirty=st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_invariants(self, rows, bracket_dirty):
+        rec = SuiteRecorder()
+        committed = {}
+        for name, (med, val) in rows.items():
+            committed[name] = round(med, 3)
+            rec.timings[name] = round(val, 3)
+        before = dict(rec.timings)
+        rerun_val = 0.123
+        fns = {n: (lambda: rerun_val) for n in rows}
+        cal = (lambda: 10.0) if bracket_dirty else (lambda: 0.5)
+        suspect, reruns, flagged = bench.crosscheck_rows(
+            rec, committed, fns, cal, base=0.6
+        )
+        for name in rows:
+            over = before[name] > max(
+                bench.CROSSCHECK_RATIO * committed[name],
+                bench.CROSSCHECK_FLOOR,
+            )
+            if not over:
+                # within contract: untouched, never flagged
+                assert name not in flagged
+                assert rec.timings[name] == before[name]
+            elif bracket_dirty:
+                assert name in suspect
+                assert rec.timings[name] == before[name]  # value intact
+            else:
+                assert reruns[name] == before[name]  # original recorded
+                assert rec.timings[name] == rerun_val  # adoption
+        assert set(flagged) == set(suspect) | set(reruns)
+
+
 class TestCodeFingerprint:
     def test_stable_within_session(self):
         assert bench.code_fingerprint() == bench.code_fingerprint()
