@@ -1162,6 +1162,7 @@ def _doc_index_recover(spark, path: str) -> None:
         _fs_exists,
         _lease_held_by_this_thread,
         _maintenance_lease,
+        _recovery_gen,
         _recovery_mark_clean,
         _recovery_verdict_cached,
     )
@@ -1171,6 +1172,7 @@ def _doc_index_recover(spark, path: str) -> None:
         return
     if _recovery_verdict_cached(spark, path):
         return  # proven clean this session, no lease claim since
+    gen = _recovery_gen(path)  # snapshot BEFORE the probes (TOCTOU)
     if not (
         _fs_exists(spark, f"{path}/sig__old")
         or _fs_exists(spark, f"{path}/bands__old")
@@ -1178,8 +1180,9 @@ def _doc_index_recover(spark, path: str) -> None:
     ):
         # clean: cache the verdict so the session's next probe skips
         # the three exists() rounds (VERDICT r10 #3); any lease claim
-        # on this path invalidates it
-        _recovery_mark_clean(spark, path)
+        # on this path invalidates it — including one that landed
+        # DURING the probes (the gen snapshot refuses the stale mark)
+        _recovery_mark_clean(spark, path, gen)
         return
     # the full leased section (not a bare claim): heartbeat + token-
     # fenced release, same as the ivfpq twin (review r10)

@@ -735,6 +735,18 @@ import weakref as _weakref
 
 _RECOVERY_CLEAN: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 _RECOVERY_CLEAN_LOCK = _threading.Lock()
+#: Per-path invalidation generation (ADVICE r11 TOCTOU): a concurrent
+#: thread's lease claim can land BETWEEN this thread's clean exists()
+#: probes and its mark_clean — snapshotting the generation before the
+#: probes and refusing the mark when any invalidation bumped it since
+#: closes the window where a stale 'clean' verdict is re-cached while
+#: maintenance is mutating the path.
+_RECOVERY_GEN: dict = {}
+
+
+def _recovery_gen(path: str) -> int:
+    with _RECOVERY_CLEAN_LOCK:
+        return _RECOVERY_GEN.get(path, 0)
 
 
 def _recovery_verdict_cached(spark, path: str) -> bool:
@@ -742,8 +754,10 @@ def _recovery_verdict_cached(spark, path: str) -> bool:
     return paths is not None and path in paths
 
 
-def _recovery_mark_clean(spark, path: str) -> None:
+def _recovery_mark_clean(spark, path: str, gen: int | None = None) -> None:
     with _RECOVERY_CLEAN_LOCK:
+        if gen is not None and _RECOVERY_GEN.get(path, 0) != gen:
+            return  # invalidated since the caller's probes: stale verdict
         paths = _RECOVERY_CLEAN.get(spark)
         if paths is None:
             paths = set()
@@ -755,25 +769,37 @@ def _recovery_invalidate(path: str) -> None:
     # every session's verdict for this path drops — cheaper than
     # plumbing spark through, and claims are rare next to probes
     with _RECOVERY_CLEAN_LOCK:
+        _RECOVERY_GEN[path] = _RECOVERY_GEN.get(path, 0) + 1
         for paths in _RECOVERY_CLEAN.values():
             paths.discard(path)
 
 
-def _read_tier_with_recovery(spark, index_path: str, tier: str, recover):
-    """``spark.read.parquet`` on a swap-managed live tier with the
-    cached-verdict fallback (review r11): the per-session "no recovery
-    pending" verdict is OPTIMISTIC — a foreign maintainer crashing
-    mid-swap after this session cached clean leaves the live dir
-    missing. The eager parquet read throws path-not-found; voiding the
-    verdict, running the family's full recovery, and retrying once
-    restores the self-healing guarantee every reader had before the
-    cache (review r8) at zero cost on the clean path."""
+def _read_view_with_recovery(spark, index_path: str, read_fn, recover):
+    """Run ``read_fn`` (an eager index read) with the cached-verdict
+    fallback (review r11): the per-session "no recovery pending"
+    verdict is OPTIMISTIC — a foreign maintainer crashing mid-swap
+    after this session cached clean leaves the live dir missing. The
+    eager parquet read throws path-not-found; voiding the verdict,
+    running the family's full recovery, and retrying once restores the
+    self-healing guarantee every reader had before the cache
+    (review r8) at zero cost on the clean path."""
     try:
-        return spark.read.parquet(f"{index_path}/{tier}")
+        return read_fn()
     except Exception:
         _recovery_invalidate(index_path)
         recover(spark, index_path)
-        return spark.read.parquet(f"{index_path}/{tier}")
+        return read_fn()
+
+
+def _read_tier_with_recovery(spark, index_path: str, tier: str, recover):
+    """``spark.read.parquet`` on a swap-managed live tier via
+    ``_read_view_with_recovery`` (rationale there)."""
+    return _read_view_with_recovery(
+        spark,
+        index_path,
+        lambda: spark.read.parquet(f"{index_path}/{tier}"),
+        recover,
+    )
 
 
 def _covering_held_lease(target: str):
@@ -3376,6 +3402,7 @@ def _ivfpq_recover(spark, path: str) -> None:
         return
     if _recovery_verdict_cached(spark, path):
         return  # proven clean this session, no lease claim since
+    gen = _recovery_gen(path)  # snapshot BEFORE the probes (TOCTOU)
     if not (
         _fs_exists(spark, f"{path}/base__old")
         or _fs_exists(spark, f"{path}/codes__old")
@@ -3383,8 +3410,9 @@ def _ivfpq_recover(spark, path: str) -> None:
     ):
         # clean: cache the verdict so the session's next probe skips
         # the three exists() rounds (VERDICT r10 #3); any lease claim
-        # on this path invalidates it
-        _recovery_mark_clean(spark, path)
+        # on this path invalidates it — including one that landed
+        # DURING the probes (the gen snapshot refuses the stale mark)
+        _recovery_mark_clean(spark, path, gen)
         return
     # the full leased section (not a bare claim): the heartbeat keeps
     # a recovery outlasting the ttl (object-store renames) from being
@@ -3541,9 +3569,22 @@ def ivfpq_probe_topk(
         F.col("seq").cast("long").alias("seq"),
     )
     if _fs_exists(spark, f"{index_path}/codes_log"):
-        codes = codes.unionByName(
-            spark.read.parquet(f"{index_path}/codes_log").select(*codes.columns)
+        # the exists()→read window races a rebuild consuming the log
+        # (ADVICE r11): on failure void the verdict, recover, and only
+        # re-read if the log is still there (a completed roll-forward
+        # legitimately dropped it into the new base generation)
+        def _read_codes_log():
+            if _fs_exists(spark, f"{index_path}/codes_log"):
+                return spark.read.parquet(
+                    f"{index_path}/codes_log"
+                ).select(*codes.columns)
+            return None
+
+        log_df = _read_view_with_recovery(
+            spark, index_path, _read_codes_log, _ivfpq_recover
         )
+        if log_df is not None:
+            codes = codes.unionByName(log_df)
     codes = codes.filter(F.col("cluster_id").isin(probes))
     # tombstones must filter the CODES tier too, not only the base
     # fetch: a deleted vid that still ADC-scores occupies a
@@ -3568,9 +3609,17 @@ def ivfpq_probe_topk(
         .limit(n_candidates)
         .select(F.col("vid").alias("__pq_cand_id"))
     )
-    base = ivf_index_read(spark, index_path).filter(
-        F.col("cluster_id").isin(probes)
-    )
+    # the base/log tiers go through the same self-heal wrap as codes
+    # (ADVICE r11): a foreign maintainer's mid-swap crash AFTER this
+    # session cached a clean verdict must not leave the probe throwing
+    # persistent path-not-found — the failed read voids the verdict,
+    # runs the family's joint recovery, and retries once
+    base = _read_view_with_recovery(
+        spark,
+        index_path,
+        lambda: ivf_index_read(spark, index_path),
+        _ivfpq_recover,
+    ).filter(F.col("cluster_id").isin(probes))
     base = base.withColumn(
         "_bmx", F.max("seq").over(Window.partitionBy(id_col))
     ).filter(F.col("seq") == F.col("_bmx"))

@@ -132,9 +132,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(value, 0.5), 4)  AS q50,
            ROUND(quantile_cont(value, 0.95), 4) AS q95,
            ROUND(quantile_cont(value, 0.99), 4) AS q99,
-           TRUE AS q50_within_1pct,
-           TRUE AS q95_within_1pct,
-           TRUE AS q99_within_1pct
+           TRUE AS q50_in_contract,
+           TRUE AS q95_in_contract,
+           TRUE AS q99_in_contract
     FROM events
     """,
     survey_ids="A5-scale,datapipe:sketches",
@@ -211,9 +211,9 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("_qex", 1), 4).alias("q50"),
         F.round(F.element_at("_qex", 2), 4).alias("q95"),
         F.round(F.element_at("_qex", 3), 4).alias("q99"),
-        _q_ok(1).alias("q50_within_1pct"),
-        _q_ok(2).alias("q95_within_1pct"),
-        _q_ok(3).alias("q99_within_1pct"),
+        _q_ok(1).alias("q50_in_contract"),
+        _q_ok(2).alias("q95_in_contract"),
+        _q_ok(3).alias("q99_in_contract"),
     )
 
 

@@ -85,6 +85,17 @@ class TestAuditRows:
         assert suspect == ["qa"] and reruns == {}
         assert rec.timings["qa"] == 5.0
 
+    def test_rerun_above_original_keeps_original(self):
+        # VERDICT r11 #1b: a degraded window can only INFLATE a row, so
+        # when the post-suite re-measure lands ABOVE the original (aged
+        # session), the original is the honest value — adopt the min
+        rec = self._rec(_cps(0.6, 2.0, 0.6), {"qa": (0.654, 0)})
+        suspect, reruns = audit_rows(
+            rec, {"qa": lambda: 2.144}, lambda: 0.6
+        )
+        assert suspect == [] and reruns == {"qa": 0.654}
+        assert rec.timings["qa"] == 0.654
+
     def test_non_rerunnable_rows_go_straight_to_suspect(self):
         rec = self._rec(
             _cps(0.6, 2.0, 0.6),
@@ -152,15 +163,30 @@ class TestCrosscheckRows:
         )
         assert sus == ["scalecheck_x"] and rer == {}
 
-    def test_genuine_regression_keeps_rerun_value(self):
-        # the re-run reproduces the slow value on a CLEAN bracket: not
-        # contamination — the new value stands (and is NOT suspect)
+    def test_genuine_regression_adopts_min_and_stays_stamped(self):
+        # the re-run reproduces the slow value on a CLEAN bracket: the
+        # LOWER of the two measurements stands (VERDICT r11 #1b), and
+        # because the final value is still beyond the flag line the row
+        # is stamped suspect — the artifact invariant is "no row >2×
+        # its committed same-code median unless stamped" (r11 #1c)
         rec = self._rec({"sa": 8.0})
         sus, rer, flagged = bench.crosscheck_rows(
             rec, {"sa": 3.0}, {"sa": lambda: 7.9}, lambda: 0.6, base=0.6
         )
-        assert sus == [] and rer == {"sa": 8.0}
+        assert sus == ["sa"] and rer == {"sa": 8.0}
         assert rec.timings["sa"] == 7.9
+
+    def test_rerun_above_original_adopts_original(self):
+        # VERDICT r11 #1b: r11's post-suite re-runs in an aged session
+        # re-measured ABOVE the originals (asof_join 0.654→2.144s) and
+        # the higher value was adopted — now min(original, re-measure)
+        rec = self._rec({"sa": 8.0})
+        sus, rer, flagged = bench.crosscheck_rows(
+            rec, {"sa": 3.0}, {"sa": lambda: 11.0}, lambda: 0.6, base=0.6
+        )
+        assert rec.timings["sa"] == 8.0  # the lower (original) value
+        assert rer == {"sa": 8.0}
+        assert sus == ["sa"]  # still over the line → stamped
 
 
 class TestCrosscheckProperties:
@@ -224,6 +250,111 @@ class TestCodeFingerprint:
     def test_committed_detail_loads(self):
         d = bench.load_committed_detail()
         assert isinstance(d, dict) and "queries" in d
+
+
+class TestCommittedReference:
+    """load_committed_detail must compare against COMMITTED state only
+    (ADVICE r11: the working-tree fallback made a second run in a
+    git-less environment cross-check against its own previous output),
+    and prefers the merged multi-run BENCH_REFERENCE.json (VERDICT r11
+    #4) over the single-run BENCH_DETAIL.json."""
+
+    def test_git_failure_skips_crosscheck(self, monkeypatch):
+        import subprocess
+
+        def boom(*a, **k):
+            raise OSError("git missing")
+
+        monkeypatch.setattr(subprocess, "run", boom)
+        assert bench.load_committed_detail() == {}
+
+    def test_uncommitted_refs_skip_not_working_tree(self, monkeypatch):
+        import subprocess
+
+        class R:
+            returncode = 128
+            stdout = b""
+
+        monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+        # BENCH_DETAIL.json exists in the working tree; it must NOT be
+        # read when git says neither reference is committed
+        assert bench.load_committed_detail() == {}
+
+    def test_reference_preferred_over_detail(self, monkeypatch):
+        import subprocess
+
+        payloads = {
+            "HEAD:BENCH_REFERENCE.json": {"n_reference_runs": 3, "queries": {}},
+            "HEAD:BENCH_DETAIL.json": {"queries": {"x": 1.0}},
+        }
+
+        def fake_run(cmd, **k):
+            class R:
+                returncode = 0
+                stdout = json.dumps(payloads[cmd[-1]]).encode()
+
+            return R()
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        assert bench.load_committed_detail()["n_reference_runs"] == 3
+
+
+class TestBenchReferenceMerge:
+    """scripts/bench_reference.py: per-row medians across ≥2
+    same-fingerprint runs; suspect values excluded per-run."""
+
+    def _run(self, queries, suspect=(), fp="f1", sf=0.1):
+        return {
+            "code_fingerprint": fp,
+            "sf": sf,
+            "queries": queries,
+            "suspect": list(suspect),
+        }
+
+    def test_median_across_runs(self):
+        from scripts.bench_reference import merge
+
+        ref = merge(
+            [
+                self._run({"a": 1.0, "b": 5.0}),
+                self._run({"a": 3.0, "b": 5.2}),
+                self._run({"a": 2.0, "b": 9.9}),
+            ]
+        )
+        assert ref["queries"] == {"a": 2.0, "b": 5.2}
+        assert ref["n_reference_runs"] == 3
+        assert ref["row_samples"] == {"a": 3, "b": 3}
+
+    def test_suspect_values_excluded(self):
+        from scripts.bench_reference import merge
+
+        ref = merge(
+            [
+                self._run({"a": 1.0}, suspect=["a"]),
+                self._run({"a": 2.0}),
+                self._run({"a": 4.0}),
+            ]
+        )
+        assert ref["queries"]["a"] == 3.0  # median of the clean pair
+        assert ref["row_samples"]["a"] == 2
+
+    def test_fingerprint_mismatch_refuses(self):
+        from scripts.bench_reference import merge
+
+        with pytest.raises(SystemExit, match="fingerprint"):
+            merge([self._run({}), self._run({}, fp="f2")])
+
+    def test_sf_mismatch_refuses(self):
+        from scripts.bench_reference import merge
+
+        with pytest.raises(SystemExit, match="sf"):
+            merge([self._run({}), self._run({}, sf=0.01)])
+
+    def test_single_run_refuses(self):
+        from scripts.bench_reference import merge
+
+        with pytest.raises(SystemExit, match=">=2"):
+            merge([self._run({})])
 
 
 class TestSleepInjectedEndToEnd:

@@ -231,7 +231,7 @@ def test_approx_stats_accuracy(spark):
     exact_users = events.select("user_id").distinct().count()
     assert row["exact_users"] == exact_users
     assert row["hll_within_2pct"]
-    assert row["q50_within_1pct"] and row["q95_within_1pct"] and row["q99_within_1pct"]
+    assert row["q50_in_contract"] and row["q95_in_contract"] and row["q99_in_contract"]
     q50, q95, q99 = row["q50"], row["q95"], row["q99"]
     exact_q = events.approxQuantile("value", [0.5, 0.95, 0.99], 0.0)
     assert abs(q50 - exact_q[0]) < 1.0

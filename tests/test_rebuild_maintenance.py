@@ -736,6 +736,64 @@ class TestRecoveryVerdictCache:
         D._doc_index_recover(spark, p)
         assert calls["n"] == first
 
+    def test_ivfpq_probe_self_heals_past_cached_verdict(
+        self, spark, tmp_path
+    ):
+        """ADVICE r11 (medium): the self-heal wrap must cover the BASE
+        tier too, not only codes — a foreign maintainer's mid-swap
+        crash on base after this session cached 'clean' must not leave
+        every probe throwing persistent path-not-found."""
+        import os
+
+        emb = _emb(spark)
+        cents = S.seed_centroids(emb, "embedding", "vec_id", n_clusters=4)
+        cb = S.pq_seed_codebooks(
+            emb, "embedding", "vec_id", n_subspaces=4, n_codes=16
+        )
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]
+        ]
+        p = str(tmp_path / "ivfpq")
+        S.ivfpq_index_write(emb, "embedding", "vec_id", p, cents, cb)
+
+        def probe():
+            return [
+                tuple(r)
+                for r in S.ivfpq_probe_topk(
+                    spark, p, "embedding", "vec_id", qv, cents, cb,
+                    k=5, nprobe=4, exclude_id=1,
+                ).collect()
+            ]
+
+        want = probe()  # proves clean and caches the verdict
+        assert S._recovery_verdict_cached(spark, p)
+        os.rename(f"{p}/base", f"{p}/base__old")  # foreign crash
+        assert probe() == want  # self-heals: read fails → recover → retry
+        assert os.path.isdir(f"{p}/base")
+        assert not os.path.exists(f"{p}/base__old")
+
+    def test_mark_clean_refused_after_concurrent_invalidation(
+        self, spark, tmp_path
+    ):
+        """ADVICE r11 (low, TOCTOU): a lease claim landing BETWEEN a
+        thread's clean exists() probes and its mark_clean must void
+        that mark — the generation snapshot taken before the probes
+        refuses a stale 'clean' verdict."""
+        import os
+
+        p = str(tmp_path / "ivfpq")
+        os.makedirs(p)
+        gen = S._recovery_gen(p)
+        # simulate: another thread claims (and releases) the lease
+        # while this thread is mid-probe
+        S._release_lease(spark, p, S._acquire_lease(spark, p, "compact"))
+        S._recovery_mark_clean(spark, p, gen)  # stale gen: refused
+        assert not S._recovery_verdict_cached(spark, p)
+        # with the CURRENT gen the mark lands
+        S._recovery_mark_clean(spark, p, S._recovery_gen(p))
+        assert S._recovery_verdict_cached(spark, p)
+
     def test_doc_probe_self_heals_past_cached_verdict(self, spark, tmp_path):
         """The cache's foreign-crash trade (review r11): a probe that
         cached 'clean' must still SELF-HEAL when a foreign maintainer's
