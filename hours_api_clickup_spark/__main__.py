@@ -54,6 +54,21 @@ def main(argv: list[str] | None = None) -> int:
         "(same doc_id/text schema); omit to skip decontamination",
     )
     p.add_argument(
+        "--embeddings",
+        help="curate mode: per-doc embeddings parquet (doc_id + "
+        "embedding array) — enables the SemDeDup semantic-dedup stage",
+    )
+    p.add_argument(
+        "--benchmark-embeddings",
+        help="curate mode: eval-set embeddings parquet to decontaminate "
+        "against in embedding space (requires --embeddings)",
+    )
+    p.add_argument(
+        "--media",
+        help="curate mode: per-doc media parquet (doc_id + fmt + "
+        "content binary) — enables the multimodal decode gate",
+    )
+    p.add_argument(
         "--chunk-size", type=int, default=2048, help="curate: tokens/chunk"
     )
     p.add_argument(
@@ -208,6 +223,19 @@ def main(argv: list[str] | None = None) -> int:
                 chunk_size=args.chunk_size,
                 chunks_per_shard=args.chunks_per_shard,
                 resume=args.resume,
+                embeddings=(
+                    spark.read.parquet(args.embeddings)
+                    if args.embeddings
+                    else None
+                ),
+                benchmark_embeddings=(
+                    spark.read.parquet(args.benchmark_embeddings)
+                    if args.benchmark_embeddings
+                    else None
+                ),
+                media=(
+                    spark.read.parquet(args.media) if args.media else None
+                ),
             )
             print(json.dumps(manifest, sort_keys=True))
             return 0

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -527,6 +528,66 @@ def decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+DECODE_GATE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("fmt", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def decode_gate(media: DataFrame) -> DataFrame:
+    """TOLERANT decode pass for corpus gating (VERDICT r11 #3):
+    ``decode_stats`` raises on the first undecodable payload — right
+    for an oracle query over known-good fixtures, wrong for a pipeline
+    gate where one corrupt file among billions must not kill the build.
+    One output row per media row: decoded dims with ``ok=true``, or
+    ``ok=false`` + the error class with dims null. Same Arrow-batched
+    ``mapInPandas`` plumbing as every decode stage (one Python crossing
+    per batch; partition-streaming, nothing materialized)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: dict = {k: [] for k in (
+                "media_id", "fmt", "ok", "width", "height", "err"
+            )}
+            for mid, fmt, raw in zip(
+                pdf["media_id"], pdf["fmt"], pdf["content"]
+            ):
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                try:
+                    px = decode_media(raw, fmt)
+                    h, w, _ = px.shape
+                    out["ok"].append(True)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 — the gate's job
+                    out["ok"].append(False)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["err"].append(type(exc).__name__)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "fmt": out["fmt"],
+                    "ok": out["ok"],
+                    "width": pd.array(out["width"], dtype="Int64"),
+                    "height": pd.array(out["height"], dtype="Int64"),
+                    "err": out["err"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODE_GATE_SCHEMA)
 
 
 def resize_nearest(pixels, out_w: int, out_h: int):

@@ -433,6 +433,13 @@ def build_corpus(
     chunks_per_shard: int = 64,
     minhash_threshold: float = 0.7,
     resume: bool = False,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    semantic_clusters: int = 16,
+    semantic_threshold: float = 0.4,
+    benchmark_embeddings: DataFrame | None = None,
+    embedding_decontam_threshold: float = 0.6,
+    media: DataFrame | None = None,
 ) -> dict:
     """End-to-end training-corpus build (verdict r7 #6): the curation
     stages that were individually green as registry queries, wired as
@@ -440,16 +447,36 @@ def build_corpus(
 
     Stages (each a pure DataFrame transform; counts land in the
     manifest):
-      1. normalized exact dedup — min-id survivor per canonicalized text
-      2. Gopher/MassiveText quality gate (docs with zero tokens drop
-         here by construction — they have no gram rows)
-      3. MinHash+LSH near-dup clustering — min-id survivor per cluster
-      4. n-gram decontamination against ``benchmark`` (skipped if None)
-      5. deterministic train/val/test split (Knuth multiplicative hash)
-      6. per-split sequence packing: whitespace token counts → global
-         prefix offsets → fixed ``chunk_size`` chunk spans
-      7. shard write (one task per ``chunks_per_shard`` group) + curated
-         docs parquet + atomically-published JSON manifest
+      1.  normalized exact dedup — min-id survivor per canonicalized text
+      2.  Gopher/MassiveText quality gate (docs with zero tokens drop
+          here by construction — they have no gram rows)
+      2b. multimodal decode gate (``media`` rows keyed by ``id_col``
+          with fmt/content): a doc drops when ANY of its media payloads
+          fails the tolerant decoder; docs with no media rows pass
+          (skipped when ``media`` is None)
+      3.  MinHash+LSH near-dup clustering — min-id survivor per cluster
+      3b. SemDeDup semantic dedup over ``embeddings`` (rows keyed by
+          ``id_col`` with an ``embedding_col`` vector): cluster-scoped
+          cosine, min-id survivor; docs with no embedding row pass
+          (skipped when ``embeddings`` is None)
+      4.  n-gram decontamination against ``benchmark`` (skipped if None)
+      4b. embedding-space decontamination against
+          ``benchmark_embeddings`` (cosine ≥ threshold to ANY eval
+          vector drops the doc; embedding-less docs pass; requires
+          ``embeddings``)
+      5.  deterministic train/val/test split (Knuth multiplicative hash)
+      6.  per-split sequence packing: whitespace token counts → global
+          prefix offsets → fixed ``chunk_size`` chunk spans
+      7.  shard write (one task per ``chunks_per_shard`` group) + curated
+          docs parquet + atomically-published JSON manifest
+
+    The embedding/media stages keep every scale invariant of the text
+    stages (VERDICT r11 #3): SemDeDup is Σ|cluster|² via one
+    cluster-keyed shuffle (never all-pairs), embedding decontamination
+    broadcasts the tiny eval matrix (corpus never shuffles), the media
+    gate is one Arrow-batched streaming decode pass — and each commits
+    the same survivor-id parquet under ``_stages/`` so ``--resume``
+    covers them identically.
 
     Output layout::
 
@@ -510,6 +537,12 @@ def build_corpus(
             f"zipWithIndex) — split hashing and cluster resolution key "
             f"on the id numerically."
         )
+    if benchmark_embeddings is not None and embeddings is None:
+        raise ValueError(
+            "benchmark_embeddings requires embeddings: embedding-space "
+            "decontamination scores the CORPUS embeddings against the "
+            "eval vectors — pass the per-doc embeddings DataFrame too"
+        )
 
     manifest: dict = {
         "params": {
@@ -521,6 +554,13 @@ def build_corpus(
             "chunks_per_shard": chunks_per_shard,
             "minhash_threshold": minhash_threshold,
             "decontaminated": benchmark is not None,
+            "embedding_col": embedding_col,
+            "semantic_clusters": semantic_clusters,
+            "semantic_threshold": semantic_threshold,
+            "embedding_decontam_threshold": embedding_decontam_threshold,
+            "semantic_deduped": embeddings is not None,
+            "embedding_decontaminated": benchmark_embeddings is not None,
+            "media_gated": media is not None,
         },
         "stages": {},
         # per-stage wall seconds (VERDICT r9 #4): the soak script's
@@ -559,6 +599,14 @@ def build_corpus(
             # still slips through — a content digest would close that at
             # the cost of hashing the benchmark text every build)
             "benchmark_count": benchmark.count() if benchmark is not None else None,
+            # same drift tripwires for the embedding/media side inputs
+            "embeddings_count": embeddings.count()
+            if embeddings is not None
+            else None,
+            "benchmark_embeddings_count": benchmark_embeddings.count()
+            if benchmark_embeddings is not None
+            else None,
+            "media_count": media.count() if media is not None else None,
         }
         if resume and os.path.exists(run_path):
             with open(run_path) as f:
@@ -621,6 +669,35 @@ def build_corpus(
         )
         manifest["stages"]["after_quality_gate"] = n
 
+        # 2b. multimodal decode gate (optional): one tolerant
+        # Arrow-batched decode pass over the surviving docs' media rows;
+        # a doc with ANY undecodable payload drops, media-less docs pass
+        if media is not None:
+            from hours_api_clickup_spark.datapipe.multimodal import (
+                decode_gate,
+            )
+
+            def _media_gate_ids():
+                mine = media.select(
+                    F.col(id_col).cast("long").alias("media_id"),
+                    "fmt",
+                    "content",
+                ).join(
+                    docs.select(F.col(id_col).cast("long").alias("media_id")),
+                    "media_id",
+                    "left_semi",
+                )
+                bad = (
+                    decode_gate(mine)
+                    .filter(~F.col("ok"))
+                    .select(F.col("media_id").alias(id_col))
+                    .distinct()
+                )
+                return docs.select(id_col).join(bad, id_col, "left_anti")
+
+            docs, n = _stage("02b_media_gate", _media_gate_ids)
+            manifest["stages"]["after_media_gate"] = n
+
         # 3. near-dup clusters, min-id representative survives
         def _near_dedup_ids():
             pairs = minhash_lsh_pairs(
@@ -637,6 +714,41 @@ def build_corpus(
         docs, n = _stage("03_near_dedup", _near_dedup_ids)
         manifest["stages"]["after_near_dedup"] = n
 
+        # 3b. SemDeDup semantic dedup (optional): cluster-scoped cosine
+        # over the surviving docs' embeddings — Σ|cluster|² pairwise
+        # work via ONE cluster-keyed shuffle, min-id survivor; docs
+        # without an embedding row cannot be semantic dups and pass
+        if embeddings is not None:
+            from hours_api_clickup_spark.datapipe.similarity import (
+                semantic_dedup,
+            )
+
+            def _semantic_ids():
+                mine = embeddings.select(
+                    F.col(id_col).cast("long").alias(id_col),
+                    embedding_col,
+                ).join(docs.select(id_col), id_col, "left_semi")
+                keep = (
+                    semantic_dedup(
+                        mine,
+                        embedding_col,
+                        id_col,
+                        n_clusters=semantic_clusters,
+                        threshold=semantic_threshold,
+                    )
+                    .filter(~F.col("semantic_dup"))
+                    .select(id_col)
+                )
+                no_emb = docs.select(id_col).join(
+                    embeddings.select(F.col(id_col).cast("long").alias(id_col)),
+                    id_col,
+                    "left_anti",
+                )
+                return keep.unionByName(no_emb)
+
+            docs, n = _stage("03b_semantic_dedup", _semantic_ids)
+            manifest["stages"]["after_semantic_dedup"] = n
+
         # 4. benchmark decontamination (optional)
         if benchmark is not None:
             docs, n = _stage(
@@ -648,6 +760,43 @@ def build_corpus(
                 .select(id_col),
             )
             manifest["stages"]["after_decontamination"] = n
+
+        # 4b. embedding-space decontamination (optional): the semantic
+        # complement of the n-gram pass — broadcast eval matrix, one
+        # GEMM per Arrow batch, corpus never shuffles; embedding-less
+        # docs cannot hit an eval vector and pass
+        if benchmark_embeddings is not None:
+            from hours_api_clickup_spark.datapipe.curation import (
+                decontaminate_embeddings,
+            )
+
+            def _embedding_decontam_ids():
+                mine = embeddings.select(
+                    F.col(id_col).cast("long").alias(id_col),
+                    embedding_col,
+                ).join(docs.select(id_col), id_col, "left_semi")
+                keep = (
+                    decontaminate_embeddings(
+                        mine,
+                        benchmark_embeddings,
+                        embedding_col,
+                        id_col,
+                        threshold=embedding_decontam_threshold,
+                    )
+                    .filter(~F.col("contaminated"))
+                    .select(id_col)
+                )
+                no_emb = docs.select(id_col).join(
+                    embeddings.select(F.col(id_col).cast("long").alias(id_col)),
+                    id_col,
+                    "left_anti",
+                )
+                return keep.unionByName(no_emb)
+
+            docs, n = _stage(
+                "04b_embedding_decontamination", _embedding_decontam_ids
+            )
+            manifest["stages"]["after_embedding_decontamination"] = n
 
         # 5. deterministic split
         t5 = _time.perf_counter()

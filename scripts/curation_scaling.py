@@ -198,7 +198,65 @@ def make_scaled_docs(spark, root: str, scale: int) -> str:
     return path
 
 
-def corpus_soak(kill_resume: bool = False) -> None:
+def make_scaled_embeddings(spark, root: str, scale: int, docs_path: str) -> str:
+    """Deterministic dim-32 embeddings for the scaled corpus: docs in
+    the same ``doc_id div 4`` group share an IDENTICAL vector (cos 1 —
+    bounded semantic-dup families, ≤4 members at every scale, mirroring
+    the near-dup cap rationale above), distinct groups get independent
+    hash-derived signed vectors (pairwise cos ≪ 0.9). Docs with
+    ``doc_id % 5 == 0`` have NO embedding row, exercising the
+    pass-through path at scale."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(root, f"emb_x{scale}.parquet")
+    (
+        spark.read.parquet(docs_path)
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 31), j -> "
+                "(pmod(xxhash64(doc_id div 4, j), 2001) - 1000) / 1000.0)"
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def make_scaled_media(spark, root: str, scale: int, docs_path: str) -> str:
+    """Media rows for 1/3 of the scaled corpus (real BMP/PPM payloads
+    through the actual encoders) plus CORRUPT payloads for
+    ``doc_id % 997 == 0`` — the tolerant gate must drop exactly those
+    docs while streaming every payload through the decoder once."""
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        synthesize_coded_media,
+    )
+
+    path = os.path.join(root, f"media_x{scale}.parquet")
+    docs = spark.read.parquet(docs_path)
+    good = synthesize_coded_media(
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 997 != 0)),
+        "doc_id",
+    ).withColumnRenamed("media_id", "doc_id")
+    bad = docs.filter(F.col("doc_id") % 997 == 0).select(
+        "doc_id",
+        F.lit("bmp").alias("fmt"),
+        F.lit(b"corrupt payload").alias("content"),
+    )
+    good.unionByName(bad).repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def corpus_soak(
+    kill_resume: bool = False,
+    scales: tuple = CORPUS_SCALES,
+    full_families: bool = False,
+) -> None:
     from hours_api_clickup_spark import pipelines
 
     spark = get_spark(app_name="curation-corpus-soak")
@@ -213,14 +271,32 @@ def corpus_soak(kill_resume: bool = False) -> None:
             .limit(20)
             .localCheckpoint()
         )
-        for scale in CORPUS_SCALES:
-            docs = spark.read.parquet(make_scaled_docs(spark, root, scale))
+        for scale in scales:
+            docs_path = make_scaled_docs(spark, root, scale)
+            docs = spark.read.parquet(docs_path)
+            kw = dict(benchmark=bench, chunk_size=2048, chunks_per_shard=64)
+            if full_families:
+                emb = spark.read.parquet(
+                    make_scaled_embeddings(spark, root, scale, docs_path)
+                )
+                n_docs_est = 5000 * scale
+                kw.update(
+                    embeddings=emb,
+                    semantic_threshold=0.9,
+                    # SemDeDup's own sizing rule: |cluster|² doubles per
+                    # task must fit an executor — ~1k-row clusters keep
+                    # the GEMM block at ~8 MB regardless of corpus size
+                    semantic_clusters=max(16, n_docs_est // 1000),
+                    # eval embeddings = 20 group vectors from the live
+                    # id range: embedding decontamination must bite
+                    benchmark_embeddings=emb.limit(20).select("embedding"),
+                    media=spark.read.parquet(
+                        make_scaled_media(spark, root, scale, docs_path)
+                    ),
+                )
             out = os.path.join(root, f"corpus_x{scale}")
             t0 = time.perf_counter()
-            manifest = pipelines.build_corpus(
-                docs, out, benchmark=bench, chunk_size=2048,
-                chunks_per_shard=64,
-            )
+            manifest = pipelines.build_corpus(docs, out, **kw)
             wall = time.perf_counter() - t0
             n_docs = manifest["stages"]["input"]
             results.append((scale, n_docs, wall, manifest))
@@ -228,7 +304,7 @@ def corpus_soak(kill_resume: bool = False) -> None:
                   f"{manifest['stage_walls']}", file=sys.stderr)
 
         if kill_resume:
-            _kill_resume_drill(spark, root, bench)
+            _kill_resume_drill(spark, root, bench, scale=scales[-1])
 
     stage_names = list(results[-1][3]["stage_walls"])
     print("| stage | " + " | ".join(
@@ -258,13 +334,15 @@ def corpus_soak(kill_resume: bool = False) -> None:
           + str(results[-1][3]["stages"]))
 
 
-def _kill_resume_drill(spark, root: str, bench) -> None:
-    """Kill the 1M-doc build at stage 5 (stages 1-4 committed), resume,
-    assert the manifest matches an uninterrupted twin (VERDICT r9 #5)."""
+def _kill_resume_drill(spark, root: str, bench, scale: int = None) -> None:
+    """Kill the largest-scale build at stage 5 (id stages committed),
+    resume, assert the manifest matches an uninterrupted twin
+    (VERDICT r9 #5)."""
     from hours_api_clickup_spark import pipelines
     from hours_api_clickup_spark.datapipe import sampling as sampling_mod
 
-    scale = CORPUS_SCALES[-1]
+    if scale is None:
+        scale = CORPUS_SCALES[-1]
     docs = spark.read.parquet(
         os.path.join(root, f"docs_x{scale}.parquet")
     )
@@ -324,7 +402,19 @@ def _kill_resume_drill(spark, root: str, bench) -> None:
 
 
 if __name__ == "__main__":
-    if "--corpus" in sys.argv:
+    if "--full" in sys.argv:
+        # VERDICT r11 #3: the text+embedding+media pipeline as ONE
+        # build_corpus call, stage walls at 10k/100k/1M docs
+        corpus_soak(
+            kill_resume="--kill-resume" in sys.argv, full_families=True
+        )
+    elif "--corpus2m" in sys.argv:
+        # VERDICT r11 #5: the INTEGRATED pipeline at 1M and 2M docs
+        # (fresh session) — per-stage exponents across the single-box
+        # memory-regime shift, plus the kill-resume drill at 2M
+        corpus_soak(kill_resume="--kill-resume" in sys.argv,
+                    scales=(200, 400))
+    elif "--corpus" in sys.argv:
         corpus_soak(kill_resume="--kill-resume" in sys.argv)
     else:
         main()

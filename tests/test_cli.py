@@ -190,6 +190,169 @@ def test_cli_curate_builds_corpus_end_to_end(cli, tmp_path, capsys, spark):
     )
 
 
+def test_build_corpus_text_embedding_media_one_call(spark, tmp_path):
+    """VERDICT r11 #3: the embedding and multimodal families run as
+    stages of ONE build_corpus call — SemDeDup semantic dedup after the
+    near-dup stage, embedding decontamination beside the n-gram pass,
+    and a tolerant multimodal decode gate — with the same per-stage
+    parquet commit / resume / manifest discipline as the text stages.
+    Stage outputs are verified against driver-side recomputation from
+    the committed stage-id parquets (one-hot embeddings make the
+    expected survivor sets exact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hours_api_clickup_spark import pipelines
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        synthesize_coded_media,
+    )
+    from hours_api_clickup_spark.plans.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    # one-hot dim-8 embeddings for docs with doc_id % 5 != 0 (the rest
+    # have NO embedding row and must pass the embedding stages): docs
+    # sharing doc_id % 8 have IDENTICAL vectors (cos 1), distinct
+    # positions are orthogonal (cos 0) — the semantic-dup rule becomes
+    # exactly "min id per position survives"
+    emb = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 7), j -> CASE WHEN j = "
+                "CAST(doc_id % 8 AS INT) THEN 1.0D ELSE 0.0D END)"
+            ).alias("embedding"),
+        )
+    )
+    # eval embedding = one-hot at position 3: every embedded doc at
+    # position 3 is contaminated (cos 1 >= 0.6)
+    bench_emb = spark.createDataFrame(
+        [([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0],)], ["embedding"]
+    )
+    # media: valid codec payloads for doc_id % 7 == 0, CORRUPT payloads
+    # for doc_id % 11 == 0 (overlap gets both rows: any bad row drops
+    # the doc); all other docs have no media and must pass the gate
+    good_media = synthesize_coded_media(
+        docs.filter(F.col("doc_id") % 7 == 0), "doc_id"
+    ).withColumnRenamed("media_id", "doc_id")
+    bad_media = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            "doc_id",
+            F.lit("bmp").alias("fmt"),
+            F.lit(b"not an image at all").alias("content"),
+        )
+    )
+    media = good_media.unionByName(bad_media)
+
+    out = str(tmp_path / "corpus")
+    manifest = pipelines.build_corpus(
+        docs,
+        out,
+        benchmark=None,
+        chunk_size=64,
+        chunks_per_shard=4,
+        embeddings=emb,
+        semantic_threshold=0.95,
+        benchmark_embeddings=bench_emb,
+        media=media,
+    )
+    st = manifest["stages"]
+    assert (
+        st["after_quality_gate"]
+        >= st["after_media_gate"]
+        >= st["after_near_dedup"]
+        >= st["after_semantic_dedup"]
+        >= st["after_embedding_decontamination"]
+        > 0
+    )
+    for stage in (
+        "02b_media_gate", "03b_semantic_dedup",
+        "04b_embedding_decontamination",
+    ):
+        assert os.path.exists(
+            os.path.join(out, "_stages", stage, "_SUCCESS")
+        ), stage
+    assert manifest["params"]["semantic_deduped"] is True
+    assert manifest["params"]["media_gated"] is True
+    assert manifest["params"]["embedding_decontaminated"] is True
+
+    def stage_ids(name):
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(out, "_stages", name)
+            ).collect()
+        }
+
+    # media gate: exactly the corrupt-payload docs drop
+    after_quality = stage_ids("02_quality_gate")
+    assert stage_ids("02b_media_gate") == {
+        d for d in after_quality if d % 11 != 0
+    }
+
+    # semantic dedup: among embedded survivors, min id per one-hot
+    # position survives; embedding-less docs (doc_id % 5 == 0) all pass
+    after_near = stage_ids("03_near_dedup")
+    embedded = {d for d in after_near if d % 5 != 0}
+    keep_min = {
+        min(g)
+        for g in (
+            {d for d in embedded if d % 8 == p} for p in range(8)
+        )
+        if g
+    }
+    expect_sem = keep_min | {d for d in after_near if d % 5 == 0}
+    assert stage_ids("03b_semantic_dedup") == expect_sem
+
+    # embedding decontamination: embedded survivors at position 3 drop
+    expect_dec = {d for d in expect_sem if d % 5 == 0 or d % 8 != 3}
+    assert stage_ids("04b_embedding_decontamination") == expect_dec
+    assert st["after_embedding_decontamination"] == len(expect_dec)
+    assert st["after_embedding_decontamination"] == sum(
+        st["split_counts"].values()
+    )
+    # every new stage reported a wall
+    for stage in (
+        "02b_media_gate", "03b_semantic_dedup",
+        "04b_embedding_decontamination",
+    ):
+        assert manifest["stage_walls"][stage] >= 0
+
+    # resume reloads every committed stage (including the new ones) and
+    # reproduces the identical manifest counts
+    resumed = pipelines.build_corpus(
+        docs,
+        out,
+        benchmark=None,
+        chunk_size=64,
+        chunks_per_shard=4,
+        embeddings=emb,
+        semantic_threshold=0.95,
+        benchmark_embeddings=bench_emb,
+        media=media,
+        resume=True,
+    )
+    assert resumed["stages"] == manifest["stages"]
+
+
+def test_build_corpus_benchmark_embeddings_require_embeddings(
+    spark, tmp_path
+):
+    import pytest
+
+    from hours_api_clickup_spark import pipelines
+
+    docs = spark.createDataFrame([(1, "text one")], ["doc_id", "text"])
+    bench_emb = spark.createDataFrame([([1.0, 0.0],)], ["embedding"])
+    with pytest.raises(ValueError, match="requires embeddings"):
+        pipelines.build_corpus(
+            docs, str(tmp_path / "c"), benchmark_embeddings=bench_emb
+        )
+
+
 def test_build_corpus_rejects_non_integral_id(spark, tmp_path):
     """ADVICE r8: a string id would hash NULL in assign_split (100% of
     rows in the last split) and drop every row in the cluster
