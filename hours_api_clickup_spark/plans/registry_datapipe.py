@@ -650,6 +650,53 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_gate",
+    """
+    -- the gate's verdict is closed-form: ids at doc_id % 11 == 0 carry
+    -- a corrupt payload (ok false, dims null, ValueError), every other
+    -- id decodes to the synthesized gradient image's dimensions
+    WITH p AS (
+        SELECT doc_id,
+               doc_id % 13 + 4 AS w,
+               doc_id % 7 + 3 AS h
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           (doc_id % 11 != 0) AS ok,
+           CASE WHEN doc_id % 11 != 0 THEN CAST(w AS BIGINT) END AS width,
+           CASE WHEN doc_id % 11 != 0 THEN CAST(h AS BIGINT) END AS height,
+           CASE WHEN doc_id % 11 = 0 THEN 'ValueError' END AS err
+    FROM p
+    """,
+    survey_ids="datapipe:multimodal-gate",
+    doc="Tolerant decode gate (VERDICT r11 #3): the pipeline-facing "
+    "complement of multimodal_decode — every payload streams through "
+    "the REAL decoder once (Arrow-batched mapInPandas), but a corrupt "
+    "payload yields ok=false + the error class instead of killing the "
+    "job, which is what a 100 TB build needs (one bad file among "
+    "billions must quarantine, not crash). Ids at doc_id%11==0 get "
+    "garbage bytes; the oracle pins the verdict, the decoded dims of "
+    "every healthy row, and the error class of every corrupt one. "
+    "build_corpus stage 02b drops docs through this gate.",
+)
+def q_multimodal_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hours_api_clickup_spark.datapipe.multimodal import (
+        decode_gate,
+        synthesize_coded_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_coded_media(docs, "doc_id").withColumn(
+        "content",
+        F.when(
+            F.col("media_id") % 11 == 0, F.lit(b"corrupt payload")
+        ).otherwise(F.col("content")),
+    )
+    return decode_gate(media)
+
+
+@register(
     "knn_ivf_probe_tombstone",
     ivf_topk_oracle_sql(
         k=10, n_clusters=16, nprobe=6, query_id=0,
