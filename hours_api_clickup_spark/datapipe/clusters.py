@@ -80,6 +80,10 @@ def connected_components(
         node_ids.withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # the frame whose localCheckpoint blocks back ``labels`` — kept so
+    # _free_checkpoint always sees the bare LogicalRDD (a projection on
+    # top would hide it from the reflection path)
+    labels_ckpt = labels
 
     def _free_checkpoint(df: DataFrame) -> None:
         """Best-effort release of a superseded localCheckpoint's cached
@@ -98,23 +102,37 @@ def connected_components(
         # neighbor v's current component flows to u …
         msgs = sym.join(
             labels, sym["v"] == labels["node"], "inner"
-        ).select(F.col("u").alias("node"), F.col("component"))
-        # … and each node keeps the min over {self} ∪ neighbors
+        ).select(
+            F.col("u").alias("node"),
+            F.col("component"),
+            F.lit(False).alias("is_self"),
+        )
+        # … and each node keeps the min over {self} ∪ neighbors. The
+        # convergence test rides the SAME aggregation: a node changed
+        # iff some neighbor label beat its own (min < self), so tagging
+        # the self row lets one groupBy deliver both the new label and
+        # the changed flag — the per-round labels⋈new_labels join that
+        # used to re-shuffle both label sets just to detect convergence
+        # is gone (r12: 2 shuffles/round → 1).
         new_labels = (
-            labels.select("node", "component")
+            labels.select(
+                "node", "component", F.lit(True).alias("is_self")
+            )
             .union(msgs)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                (
+                    F.min("component")
+                    < F.max(F.when(F.col("is_self"), F.col("component")))
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-        )
-        done = changed.isEmpty()
-        _free_checkpoint(labels)
-        labels = new_labels
+        done = new_labels.filter(F.col("changed")).isEmpty()
+        _free_checkpoint(labels_ckpt)
+        labels_ckpt = new_labels
+        labels = new_labels.select("node", "component")
         if done:
             _free_checkpoint(sym)
             return labels

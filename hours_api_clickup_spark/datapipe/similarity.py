@@ -2604,20 +2604,42 @@ def random_project(
 
 
 def random_project_fold(
-    df: DataFrame, vec_col: str, id_col: str, out_dim: int = 16
+    df: DataFrame, vec_col: str, id_col: str, out_dim: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Oracle-exact form of ``random_project``: each output dim is a
     SEQUENTIAL left fold of sign-weighted components (the same
     evaluation order as the DuckDB oracle's list_reduce), so doubles
     round identically and the driver's value-hash matches. out_dim=16
     makes the 1/sqrt scale exactly 0.25 — no irrational literal to
-    round differently per engine."""
+    round differently per engine.
+
+    When ``dim`` (the input vector length, constant across rows) is
+    given, the ±1 signs — which depend only on (row index, output dim),
+    never on the data — are baked in as literal arrays and applied with
+    one ``zip_with`` multiply per output dim, instead of re-deriving
+    each sign per element per row through a pmod/when expression chain
+    (r12: 16×64 modular hashes per row → 0; multiplying by a literal
+    ±1.0 is exact, so the fold order and every double are unchanged).
+    """
     from hours_api_clickup_spark.datapipe.dedup import affine_constants
 
-    consts = affine_constants(out_dim, PROJ_SALT)
     v = _c(vec_col)
     cols = [_c(id_col).alias(id_col)]
     scale = 1.0 / np.sqrt(out_dim)
+    if dim is not None:
+        signs = projection_signs(dim, out_dim)
+        for j in range(out_dim):
+            sgn = F.array(*[F.lit(float(s)) for s in signs[j]])
+            signed = F.zip_with(
+                v, sgn, lambda x, s: x.cast("double") * s
+            )
+            acc = F.aggregate(
+                signed, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+            )
+            cols.append((acc * F.lit(scale)).alias(f"p{j}"))
+        return df.select(*cols)
+    consts = affine_constants(out_dim, PROJ_SALT)
     def _signed_term(a: int, b: int):
         # long literals: a < 2^31 times i would overflow int32 under ANSI
         return lambda i: F.element_at(v, i).cast("double") * F.when(

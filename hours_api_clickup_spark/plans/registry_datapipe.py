@@ -1599,7 +1599,7 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return random_project_fold(emb, "embedding", "vec_id", out_dim=16)
+    return random_project_fold(emb, "embedding", "vec_id", out_dim=16, dim=64)
 
 
 @register(
