@@ -106,8 +106,9 @@ def main() -> None:
         sys.exit(2)
 
     os.makedirs(EVDIR, exist_ok=True)
+    import shutil
     for old in glob.glob(f"{EVDIR}/*"):
-        os.remove(old)
+        shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
 
     from hours_api_clickup_spark.plans.registry import QUERIES
     from hours_api_clickup_spark.session import get_spark
@@ -117,6 +118,11 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVDIR}",
+            # Spark 4 defaults to the rolling (directory) event log,
+            # which the single-file reader below cannot open
+            "spark.eventLog.rolling.enabled": "false",
+            # ... and to compressing the log (zstd), which open() can't read
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
