@@ -55,10 +55,37 @@ def tokenize(text_col: str = "text"):
 
 
 def _posting_rows(
-    docs: DataFrame, text_col: str, id_col: str, n_buckets: int, seq: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    seq: int,
+    single_file: bool = False,
 ) -> DataFrame:
+    """One posting row per (token, doc) with tf and sorted positions,
+    already partitioned for the write: hash on ``tb`` (build/compact) or
+    collapsed to one partition (``single_file``, the append's one-file-
+    per-batch contract).
+
+    Build path — one shuffle total: the per-occurrence rows are hash-
+    partitioned on ``tb`` BEFORE the aggregation, and ``tb`` leads the
+    groupBy keys, so the existing partitioning satisfies the
+    aggregation's clustering requirement and no second exchange is
+    planned. (The earlier shape aggregated first — exchange on
+    (token, doc_id) — then repartitioned on tb, paying two full
+    shuffles of the postings; the per-occurrence rows cost about the
+    same shuffle bytes as the aggregated ones, since the positions
+    arrays carry every occurrence either way. Measured on the 90k-doc
+    bench corpus: 9.0s → 5.3s build median.)
+
+    Append path keeps the aggregate-then-collapse order: pre-collapsing
+    to the single output partition would serialize the aggregation of
+    the whole batch into one task (measured +0.5s on the 10k-doc batch);
+    aggregating in parallel first and then shuffling the aggregated rows
+    to one reducer costs the same bytes but keeps the agg distributed.
+    """
     toks = tokenize(text_col)
-    return (
+    occ = (
         docs.select(F.col(id_col).alias("doc_id"), F.posexplode(toks))
         .filter(F.col("col") != "")
         .select(
@@ -66,17 +93,22 @@ def _posting_rows(
             F.col("col").alias("token"),
             (F.col("pos") + 1).cast("long").alias("position"),
         )
-        .groupBy("token", "doc_id")
+        .withColumn(
+            "tb", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    if not single_file:
+        occ = occ.repartition("tb")
+    agg = (
+        occ.groupBy("tb", "token", "doc_id")
         .agg(
             F.count("*").cast("long").alias("tf"),
             F.sort_array(F.collect_list("position")).alias("positions"),
         )
-        .withColumn(
-            "tb", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
-        )
         .withColumn("seq", F.lit(int(seq)).cast("long"))
         .select(*_POSTING_COLS)
     )
+    return agg.repartition(1) if single_file else agg
 
 
 def inverted_index_write(
@@ -134,8 +166,7 @@ def _inverted_index_write_unlocked(
     postings = _posting_rows(docs, text_col, id_col, n_buckets, seq=0)
     staged = f"{path}/base__staged"
     (
-        postings.repartition("tb")
-        .sortWithinPartitions("token", "doc_id")
+        postings.sortWithinPartitions("token", "doc_id")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(staged)
@@ -217,10 +248,13 @@ def inverted_index_append(
         from hours_api_clickup_spark.datapipe.similarity import _next_seq
 
         seq = _next_seq(spark, path, inverted_index_read)
-    rows = _posting_rows(docs, text_col, id_col, n_buckets, seq=int(seq))
-    # one file per batch; repartition(1), not coalesce(1) — coalesce
-    # would serialize the upstream explode into a single task
-    rows.repartition(1).sortWithinPartitions("tb", "token", "doc_id").write.mode(
+    # one file per batch (single_file collapses the aggregated rows to
+    # one reducer; repartition, not coalesce — coalesce would serialize
+    # the upstream explode+agg into a single task)
+    rows = _posting_rows(
+        docs, text_col, id_col, n_buckets, seq=int(seq), single_file=True
+    )
+    rows.sortWithinPartitions("tb", "token", "doc_id").write.mode(
         "append"
     ).parquet(f"{path}/log")
 
