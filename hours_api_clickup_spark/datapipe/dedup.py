@@ -246,6 +246,102 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _sign_batches(k: int, num_hashes: int, mode: str, vdim_cols):
+    """Factory for the Arrow-batched numpy signer shared by
+    ``_sig_frame`` / ``_sig_frame_thin`` / ``_gset_frame``.
+
+    Same integer algebra as the exploded-gram Catalyst form it replaced
+    (``portable_gram_hash`` + per-permutation pmod mins), evaluated
+    vectorized per document: code points via utf-32, the k-pass rolling
+    polynomial over the whole offset vector, one (K × distinct-grams)
+    broadcast multiply for the minhashes. The Catalyst form paid
+    k substring() calls PER GRAM (each an O(offset) code-point walk —
+    quadratic in doc length) plus K interpreted... rather codegen'd but
+    per-gram pmod chains; measured 29.7s task-time for the 5k-doc sf0.1
+    corpus vs ~1s vectorized (guide §4.2: hand whole batches to numpy).
+
+    ``mode``: 'full' → m0..m{K-1} + gset; 'thin' → mins only;
+    'gset' → gset only. Gram sets come out sorted (np.unique) — every
+    consumer treats them as sets (array_intersect/union, the DuckDB
+    list-set oracle), exactly as with collect_set's arbitrary order.
+    """
+    import numpy as np
+
+    consts = affine_constants(num_hashes, MINHASH_SALT)
+    A = np.array([c[0] for c in consts], dtype=np.int64)[:, None]
+    B = np.array([c[1] for c in consts], dtype=np.int64)[:, None]
+
+    def sign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            dids, mins_rows, gsets = [], [], []
+            for did, txt in zip(pdf["did"].values, pdf["txt"].values):
+                if txt is None or len(txt) < k:
+                    # same row-universe as the exploded form: docs with
+                    # no gram produce no signature row
+                    continue
+                codes = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes) - k + 1
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    h = (h * GRAM_BASE + codes[j : j + n]) % M31
+                gset = np.unique(h)
+                dids.append(did)
+                if mode != "gset":
+                    mins_rows.append(((gset[None, :] * A + B) % M31).min(axis=1))
+                if mode != "thin":
+                    gsets.append(gset.tolist())
+            if not dids:
+                continue
+            out = pd.DataFrame({"did": dids})
+            if mode != "gset":
+                m = np.stack(mins_rows)
+                for s in range(num_hashes):
+                    out[f"m{s}"] = m[:, s]
+            if mode != "thin":
+                out["gset"] = gsets
+            yield out
+
+    return sign
+
+
+def _sign_schema(texts: DataFrame, num_hashes: int, mode: str):
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    fields = [StructField("did", texts.schema["did"].dataType)]
+    if mode != "gset":
+        fields += [StructField(f"m{s}", LongType()) for s in range(num_hashes)]
+    if mode != "thin":
+        fields += [StructField("gset", ArrayType(LongType()))]
+    return StructType(fields)
+
+
+def _sign_texts(
+    texts: DataFrame, k: int, num_hashes: int, mode: str
+) -> DataFrame:
+    """Run the vectorized signer over a prepared (did, txt) frame."""
+    return texts.mapInPandas(
+        _sign_batches(k, num_hashes, mode, None),
+        schema=_sign_schema(texts, num_hashes, mode),
+    )
+
+
+def _signed(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int, mode: str
+) -> DataFrame:
+    texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
+    return _sign_texts(texts, k, num_hashes, mode)
+
+
 def _sig_frame(
     df: DataFrame,
     id_col: str,
@@ -253,18 +349,11 @@ def _sig_frame(
     k: int,
     num_hashes: int,
 ) -> DataFrame:
-    """(did, m0..m{K-1}, gset): the codegen'd shingle→minhash reduction
-    shared by the one-shot pair query and the persisted doc index —
-    grams exploded as offsets (no shingle arrays materialized), K
-    min-aggregates + the distinct gram-hash set through ONE shuffle."""
-    consts = affine_constants(num_hashes, MINHASH_SALT)
-    texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
-    grams = _gram_rows(texts, k)
-    min_aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(M31))).alias(f"m{s}")
-        for s, (a, b) in enumerate(consts)
-    ]
-    return grams.groupBy("did").agg(*min_aggs, F.collect_set("h").alias("gset"))
+    """(did, m0..m{K-1}, gset): the shingle→minhash reduction shared by
+    the one-shot pair query and the persisted doc index — one Arrow-
+    batched numpy pass (``_sign_batches``), no gram explode, no signing
+    shuffle at all (the old exploded form needed the groupBy exchange)."""
+    return _signed(df, id_col, text_col, k, num_hashes, "full")
 
 
 def _gram_rows(texts: DataFrame, k: int) -> DataFrame:
@@ -284,18 +373,13 @@ def _gram_rows(texts: DataFrame, k: int) -> DataFrame:
 def _sig_frame_thin(
     df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
 ) -> DataFrame:
-    """``_sig_frame`` without the gram-set column: the signing shuffle
-    carries K longs per doc instead of K longs + the distinct gram-hash
-    set (≈ the text itself). The rejoin verification path
-    (``minhash_lsh_pairs(rejoin_grams=True)``) uses this and re-derives
-    gram sets for CANDIDATE docs only."""
-    consts = affine_constants(num_hashes, MINHASH_SALT)
-    texts = spread(df).select(_c(id_col).alias("did"), _c(text_col).alias("txt"))
-    min_aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(M31))).alias(f"m{s}")
-        for s, (a, b) in enumerate(consts)
-    ]
-    return _gram_rows(texts, k).groupBy("did").agg(*min_aggs)
+    """``_sig_frame`` without the gram-set column — K longs per doc.
+    The rejoin verification path (``minhash_lsh_pairs(rejoin_grams=
+    True)``) uses this and re-derives gram sets for CANDIDATE docs
+    only."""
+    return _signed(df, id_col, text_col, k, num_hashes, "thin")
+
+
 
 
 def _band_frame(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -436,10 +520,8 @@ def _rejoin_verified_pairs(
     texts = spread(df).select(
         _c(id_col).alias("did"), _c(text_col).alias("txt")
     )
-    gsets = (
-        _gram_rows(texts.join(cand_ids, "did", "left_semi"), k)
-        .groupBy("did")
-        .agg(F.collect_set("h").alias("gset"))
+    gsets = _sign_texts(
+        texts.join(cand_ids, "did", "left_semi"), k, DEFAULT_NUM_HASHES, "gset"
     )
     return _jaccard_verify(cand_est, gsets, threshold)
 

@@ -53,29 +53,45 @@ def summarize(log_path: str, t_mark: float, t_end: float = float("inf")) -> None
             elif k == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sid = si["Stage ID"]
-                stages[sid] = {
-                    "name": si["Stage Name"].split("\n")[0][:70],
-                    "n_tasks": si["Number of Tasks"],
-                    "t0": si.get("Submission Time", 0),
-                    "t1": si.get("Completion Time", 0),
-                }
+                # merge, don't replace: TaskEnd events for this stage
+                # have already accumulated task_ms/shuffle bytes
+                stages.setdefault(sid, {}).update(
+                    {
+                        "name": si["Stage Name"].split("\n")[0][:70],
+                        "n_tasks": si["Number of Tasks"],
+                        "t0": si.get("Submission Time", 0),
+                        "t1": si.get("Completion Time", 0),
+                    }
+                )
             elif k == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
-                m = ev.get("Task Metrics") or {}
-                st["task_ms"] = st.get("task_ms", 0) + m.get(
-                    "Executor Run Time", 0
+                # Spark 4 event logs carry task metrics as
+                # internal.metrics.* accumulables under Task Info
+                acc = {
+                    a["Name"]: a.get("Update", 0)
+                    for a in (ev.get("Task Info") or {}).get(
+                        "Accumulables", []
+                    )
+                    if a["Name"].startswith("internal.metrics.")
+                }
+                p = "internal.metrics."
+                st["task_ms"] = st.get("task_ms", 0) + acc.get(
+                    p + "executorRunTime", 0
                 )
-                st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
-                sr = (m.get("Shuffle Read Metrics") or {})
+                st["gc_ms"] = st.get("gc_ms", 0) + acc.get(
+                    p + "jvmGCTime", 0
+                )
+                st["fetch_ms"] = st.get("fetch_ms", 0) + acc.get(
+                    p + "shuffle.read.fetchWaitTime", 0
+                )
                 st["sh_read"] = (
                     st.get("sh_read", 0)
-                    + sr.get("Remote Bytes Read", 0)
-                    + sr.get("Local Bytes Read", 0)
+                    + acc.get(p + "shuffle.read.remoteBytesRead", 0)
+                    + acc.get(p + "shuffle.read.localBytesRead", 0)
                 )
-                sw = (m.get("Shuffle Write Metrics") or {})
-                st["sh_write"] = st.get("sh_write", 0) + sw.get(
-                    "Shuffle Bytes Written", 0
+                st["sh_write"] = st.get("sh_write", 0) + acc.get(
+                    p + "shuffle.write.bytesWritten", 0
                 )
 
     for jid in sorted(jobs):
@@ -92,6 +108,8 @@ def summarize(log_path: str, t_mark: float, t_end: float = float("inf")) -> None
             print(
                 f"    stage {sid:3d} {swall:6.3f}s wall"
                 f" {s.get('task_ms', 0) / 1000.0:7.2f}s task"
+                f" gc {s.get('gc_ms', 0) / 1000.0:5.2f}s"
+                f" fw {s.get('fetch_ms', 0) / 1000.0:5.2f}s"
                 f" {s.get('n_tasks', 0):4d}t"
                 f" shR {s.get('sh_read', 0) / 1e6:7.2f}MB"
                 f" shW {s.get('sh_write', 0) / 1e6:7.2f}MB"
