@@ -1713,26 +1713,38 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("flag").orderBy("cents")
     w_all = Window.partitionBy("flag")
+    # Single-exchange form (r12, guide §2.4): the p05/p95 cuts are
+    # UNBOUNDED window aggregates over the same flag partitioning
+    # instead of groupBy + broadcast-join-back — the lineitem scan
+    # happens once and the ranking sort plus the final aggregate ride
+    # ONE hash exchange. min(CASE r = k) over the full partition is the
+    # identical nearest-rank statistic (oracle-pinned).
     ranked = c.select(
         "flag",
         "cents",
         F.row_number().over(w_rank).alias("r"),
         F.count("*").over(w_all).alias("n"),
     )
-    cuts = ranked.groupBy("flag").agg(
+    with_cuts = ranked.select(
+        "flag",
+        "cents",
+        "n",
         F.min(
             F.when(F.col("r") == F.expr("(n + 19) div 20"), F.col("cents"))
-        ).alias("lo"),
+        )
+        .over(w_all)
+        .alias("lo"),
         F.min(
             F.when(
                 F.col("r") == F.expr("(19 * n + 19) div 20"), F.col("cents")
             )
-        ).alias("hi"),
-        F.min("n").alias("n"),
+        )
+        .over(w_all)
+        .alias("hi"),
     )
     clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
     return (
-        c.join(F.broadcast(cuts), "flag")
+        with_cuts
         .groupBy("flag")
         .agg(
             F.min("n").alias("n_rows"),
@@ -1810,6 +1822,14 @@ _MAD_SQL = """
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # Single-exchange form (r12, guide §2.4): med and mad are attached
+    # as UNBOUNDED window aggregates over the same event_type
+    # partitioning instead of groupBy + broadcast-join-back, so the
+    # events scan happens once and the two ranking sorts plus the final
+    # aggregate all ride ONE hash exchange (was: 3 scans of the c
+    # subtree, 2 broadcast joins, 8 exchanges). min(CASE r = k) over
+    # the full partition selects the identical nearest-rank order
+    # statistic, so every output value is unchanged (oracle-pinned).
     c = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -1820,57 +1840,51 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("event_type").orderBy("cents")
     w_all = Window.partitionBy("event_type")
-    med = (
-        c.select(
-            "event_type",
-            "cents",
-            F.row_number().over(w_rank).alias("r"),
-            F.count("*").over(w_all).alias("n"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.min(
-                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
-            ).alias("med")
-        )
-    )
-    dev = c.join(F.broadcast(med), "event_type").select(
+    with_med = c.select(
         "event_type",
-        "med",
-        F.abs(F.col("cents") - F.col("med")).alias("d"),
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    ).select(
+        "event_type",
+        F.min(
+            F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .over(w_all)
+        .alias("med"),
+        F.abs(
+            F.col("cents")
+            - F.min(
+                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).over(w_all)
+        ).alias("d"),
+        "n",
     )
     w_rank_d = Window.partitionBy("event_type").orderBy("d")
-    mad = (
-        dev.select(
-            "event_type",
-            "med",
-            "d",
-            F.row_number().over(w_rank_d).alias("r"),
-            F.count("*").over(w_all).alias("n"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.min("med").alias("med"),
-            F.min(
-                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("d"))
-            ).alias("mad"),
-        )
+    with_mad = with_med.select(
+        "event_type",
+        "med",
+        "d",
+        F.row_number().over(w_rank_d).alias("rd"),
+        "n",
+    ).select(
+        "event_type",
+        "med",
+        "d",
+        F.min(F.when(F.col("rd") == F.expr("(n + 1) div 2"), F.col("d")))
+        .over(w_all)
+        .alias("mad"),
     )
     is_out = F.col("d") * 10000 > 44478 * F.col("mad")
-    return (
-        dev.drop("med")
-        .join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            (F.min("med").cast("double") / F.lit(100.0)).alias("median_value"),
-            (F.min("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
-            F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
-            (
-                F.count(F.when(is_out, 1)).cast("double")
-                / F.count("*").cast("double")
-            ).alias("outlier_rate"),
-        )
+    return with_mad.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.min("med").cast("double") / F.lit(100.0)).alias("median_value"),
+        (F.min("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
+        F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
+        (
+            F.count(F.when(is_out, 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("outlier_rate"),
     )
 
 
