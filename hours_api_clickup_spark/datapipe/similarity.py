@@ -2082,6 +2082,121 @@ def ivf_assign(
     return spread(df).mapInPandas(assign, schema=out_schema)
 
 
+def ivf_assign_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """``ivf_assign`` + ``pq_encode`` fused into ONE Arrow pass: append
+    both ``cluster_id`` and the PQ ``codes`` column. The IVFADC write
+    and query paths previously ran two separate mapInPandas passes over
+    the same vectors (assignment, then encode) plus a join to re-attach
+    cluster_id to the codes — one pass moves the vector bytes across
+    the Python boundary once and needs no re-attach join. Assignment
+    math (normalized argmax) and encode math (raw-coordinate
+    ``_seq_sq_dist`` argmin, first-min tie-break) are byte-for-byte the
+    two originals'."""
+    from pyspark.sql.types import (
+        ArrayType,
+        ByteType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    M, J, sub = codebooks.shape
+    if J > 32767:
+        raise ValueError(f"n_codes {J} exceeds smallint code range")
+    code_np, code_t = (
+        (np.int8, ByteType()) if J <= 127 else (np.int16, ShortType())
+    )
+    cents, cb = centroids, codebooks
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cluster_id", LongType()),
+            StructField("codes", ArrayType(code_t)),
+        ]
+    )
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col].values]
+            )
+            normed = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            pdf["cluster_id"] = np.argmax(normed @ cents.T, axis=1).astype(
+                "int64"
+            )
+            codes = np.empty((len(pdf), M), dtype=code_np)
+            for mi in range(M):
+                xb = m[:, mi * sub : (mi + 1) * sub]
+                dists = np.stack(
+                    [_seq_sq_dist(xb, cb[mi, j]) for j in range(J)], axis=1
+                )
+                codes[:, mi] = np.argmin(dists, axis=1)
+            pdf["codes"] = list(codes)
+            yield pdf
+
+    return spread(df).mapInPandas(assign_encode, schema=out_schema)
+
+
+def _seed_rows(
+    df: DataFrame, vec_col: str, id_col: str, n: int
+) -> np.ndarray:
+    """The deterministic Knuth-hash-ordered seed sample shared by the
+    IVF coarse quantizer and the PQ codebooks — ONE bounded driver
+    collect of the first ``n`` hash-ordered raw rows."""
+    bucket = F.pmod(
+        F.pmod(_c(id_col).cast("long"), F.lit(M31)) * F.lit(KNUTH_A), F.lit(M32)
+    )
+    rows = (
+        df.select(_c(id_col).alias("i"), _c(vec_col).alias("v"))
+        .orderBy(bucket, F.col("i"))
+        .limit(n)
+        .collect()
+    )
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def seed_quantizers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    n_codes: int,
+    n_subspaces: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) from ONE seed collect: both quantizers
+    sample the same hash-ordered prefix (``seed_centroids`` normalizes
+    its n_clusters rows, ``pq_seed_codebooks`` slices its n_codes raw
+    rows), so collecting max(n) rows once replaces two identical driver
+    jobs in ``ivfpq_topk``. Bit-identical to calling the two public
+    functions."""
+    x = _seed_rows(df, vec_col, id_col, max(n_clusters, n_codes))
+    cents = x[:n_clusters] / np.maximum(
+        np.linalg.norm(x[:n_clusters], axis=1, keepdims=True), 1e-12
+    )
+    xc = x[:n_codes]
+    dim = xc.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    cb = np.ascontiguousarray(
+        xc.reshape(n_codes, n_subspaces, sub).transpose(1, 0, 2)
+    )
+    return cents, cb
+
+
 def seed_centroids(
     df: DataFrame, vec_col: str, id_col: str, n_clusters: int = 16
 ) -> np.ndarray:
@@ -3047,8 +3162,20 @@ def pq_adc_topk(
     pruned = df.join(
         F.broadcast(cand_ids), _c(id_col) == F.col("__pq_cand_id")
     ).drop("__pq_cand_id")
+    # expression-path re-rank: pruned is ≤ n_candidates rows by
+    # construction at ANY scale, so the spread + Arrow round-trip of the
+    # vectorized scorer is pure fixed cost here (a 32-task Python stage
+    # for ≤64 rows); interpreted cosine over ≤64 rows is microseconds.
+    # Ordering is identical: degenerate rows score NULL here vs -inf
+    # there — both sort after every real score, ties by id.
     return brute_force_topk(
-        pruned, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
+        pruned,
+        vec_col,
+        id_col,
+        query_vec,
+        k=k,
+        exclude_id=exclude_id,
+        vectorized=False,
     )
 
 
@@ -3160,19 +3287,22 @@ def ivfpq_topk(
     At 100 TB: persist via ``ivf_index_write`` partitionBy(cluster_id)
     with the code table alongside (``pq_encode`` at ingest); the probe
     is then a partition-pruned scan of 8-byte rows."""
-    cents = seed_centroids(df, vec_col, id_col, n_clusters)
+    # one seed collect feeds both quantizers (identical hash-ordered
+    # prefix), and one fused Arrow pass computes assignment + codes —
+    # the earlier shape paid two collects and two mapInPandas passes
+    # over the same vectors
+    cents, cb = seed_quantizers(
+        df, vec_col, id_col, n_clusters, n_codes, n_subspaces
+    )
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = np.argsort(-(cents @ qn), kind="stable")[:nprobe].tolist()
-    assigned = ivf_assign(df, vec_col, cents)
-    pruned = assigned.filter(
+    fused = ivf_assign_encode(df, vec_col, id_col, cents, cb)
+    pruned = fused.filter(
         F.col("cluster_id").isin([int(p) for p in probes])
     ).drop("cluster_id")
-    cb = pq_seed_codebooks(
-        df, vec_col, id_col, n_subspaces=n_subspaces, n_codes=n_codes
-    )
     return pq_adc_topk(
-        pruned,
+        pruned.drop("codes"),
         vec_col,
         id_col,
         query_vec,
@@ -3181,6 +3311,9 @@ def ivfpq_topk(
         n_codes=n_codes,
         n_candidates=n_candidates,
         codebooks=cb,
+        codes=pruned.select(
+            _c(id_col).cast("long").alias("vid"), "codes"
+        ),
         exclude_id=exclude_id,
     )
 
@@ -3339,9 +3472,12 @@ def _ivfpq_index_write_unlocked(
     ``ivfpq_index_append``)."""
     import json as _json
 
-    assigned = ivf_assign(df, vec_col, centroids).withColumn(
-        "seq", F.lit(0).cast("long")
-    ).localCheckpoint()  # one assignment job feeds both writes
+    # ONE fused assign+encode pass feeds both tier writes (previously:
+    # an assignment pass, then a second encode pass over the checkpoint
+    # plus a join to re-attach cluster_id to the codes)
+    assigned = ivf_assign_encode(
+        df, vec_col, id_col, centroids, codebooks
+    ).withColumn("seq", F.lit(0).cast("long")).localCheckpoint()
     # Both tiers staged, then swapped codes-first: a crash between the
     # two swaps leaves new codes over the OLD base — candidates the
     # base fetch cannot resolve simply drop out (probe returns fewer
@@ -3357,19 +3493,12 @@ def _ivfpq_index_write_unlocked(
         if files:
             consumed[f"{path}/{tier}"] = [str(f) for f in files]
     b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
-    assigned.repartition(F.col("cluster_id")).write.mode(
+    assigned.drop("codes").repartition(F.col("cluster_id")).write.mode(
         "overwrite"
     ).partitionBy("cluster_id").parquet(b_staged)
-    codes = pq_encode(
-        assigned.select(
-            _c(id_col).alias(id_col), _c(vec_col).alias(vec_col)
-        ),
-        vec_col,
-        id_col,
-        codebooks,
-    ).join(
-        assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
-    ).withColumn("seq", F.lit(0).cast("long"))
+    codes = assigned.select(
+        _c(id_col).cast("long").alias("vid"), "codes", "cluster_id", "seq"
+    )
     codes.repartition(F.col("cluster_id")).write.mode(
         "overwrite"
     ).partitionBy("cluster_id").parquet(c_staged)
@@ -3528,20 +3657,17 @@ def ivfpq_index_append(
         # marker, not tie it (same bug class as ivf_index_append;
         # review r6)
         seq = _next_seq(spark, path, ivf_index_read)
-    assigned = ivf_assign(df, vec_col, centroids).withColumn(
-        "seq", F.lit(int(seq)).cast("long")
-    ).localCheckpoint()  # one GEMM feeds both log files
-    assigned.repartition(1).sortWithinPartitions("cluster_id").write.mode(
-        "append"
-    ).parquet(f"{path}/log")
-    codes = pq_encode(
-        assigned.select(_c(id_col).alias(id_col), _c(vec_col).alias(vec_col)),
-        vec_col,
-        id_col,
-        codebooks,
-    ).join(
-        assigned.select(_c(id_col).alias("vid"), "cluster_id"), "vid"
-    ).withColumn("seq", F.lit(int(seq)).cast("long"))
+    # ONE fused assign+encode pass feeds both log files (previously two
+    # passes plus a cluster_id re-attach join)
+    assigned = ivf_assign_encode(
+        df, vec_col, id_col, centroids, codebooks
+    ).withColumn("seq", F.lit(int(seq)).cast("long")).localCheckpoint()
+    assigned.drop("codes").repartition(1).sortWithinPartitions(
+        "cluster_id"
+    ).write.mode("append").parquet(f"{path}/log")
+    codes = assigned.select(
+        _c(id_col).cast("long").alias("vid"), "codes", "cluster_id", "seq"
+    )
     codes.repartition(1).sortWithinPartitions("cluster_id").write.mode(
         "append"
     ).parquet(f"{path}/codes_log")
@@ -3648,6 +3774,13 @@ def ivfpq_probe_topk(
     pruned = base.join(
         F.broadcast(cand_ids), _c(id_col) == F.col("__pq_cand_id")
     ).drop("__pq_cand_id")
+    # expression-path re-rank over ≤ n_candidates rows — see pq_adc_topk
     return brute_force_topk(
-        pruned, vec_col, id_col, query_vec, k=k, exclude_id=exclude_id
+        pruned,
+        vec_col,
+        id_col,
+        query_vec,
+        k=k,
+        exclude_id=exclude_id,
+        vectorized=False,
     )
