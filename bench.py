@@ -916,14 +916,20 @@ def main() -> None:
     t_text_probe = statistics.median(_probe_once() for _ in range(N_RUNS))
 
     def _scan_once() -> float:
+        # r12: one filter pass over the token array instead of two —
+        # the two-HOF form evaluated split() TWICE per row (no common-
+        # subexpression elimination across interpreted array lambdas;
+        # measured 5.0-5.8s → 2.79s, identical top-k). Same score:
+        # count(merge) + count(vector) ≡ count(x ∈ {merge, vector}).
         t0 = time.perf_counter()
         toks = tokenize("text")
         (
             bigdocs.select(
                 "doc_id",
-                (
-                    _F2.size(_F2.filter(toks, lambda x: x == "merge"))
-                    + _F2.size(_F2.filter(toks, lambda x: x == "vector"))
+                _F2.size(
+                    _F2.filter(
+                        toks, lambda x: (x == "merge") | (x == "vector")
+                    )
                 ).cast("bigint").alias("score"),
             )
             .filter(_F2.col("score") > 0)

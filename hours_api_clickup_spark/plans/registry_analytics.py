@@ -674,41 +674,65 @@ _FUNNEL_STEP_S = 86400  # each step must follow within 24 h
     "warehouses ship as funnel().",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
     step_ms = _FUNNEL_STEP_S * 1000
 
-    def first_after(
-        etype: str, prev: DataFrame | None, t_prev: str, t_out: str
-    ) -> DataFrame:
-        step = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            step = step.join(prev, "user_id").filter(
-                (F.col("ts") > F.col(t_prev))
-                & (
-                    F.unix_millis(F.col("ts"))
-                    - F.unix_millis(F.col(t_prev))
-                    <= step_ms
-                )
-            )
-        return step.groupBy("user_id").agg(F.min("ts").alias(t_out))
-
-    v = first_after("view", None, "", "t1")
-    c = first_after("click", v, "t1", "t2")
-    p = first_after("purchase", c, "t2", "t3")
-    counts = [
-        df.agg(F.count("*").alias(name))
-        for df, name in (
-            (v, "n_view"),
-            (c, "n_view_click"),
-            (p, "n_view_click_purchase"),
+    # Single-pass form (r12, guide §2.4): the old per-stage
+    # groupBy + join chain re-evaluated the events subtree once per
+    # DOWNSTREAM stage (v computed 3×, c 2× across the three count
+    # branches — 16 exchanges). Each stage timestamp is a per-user
+    # UNBOUNDED window min over the SAME user_id partitioning (stacked
+    # select layers, since t2's predicate uses t1's result), so the
+    # events table is scanned once and every stage rides one hash
+    # exchange; the per-user reduce reuses that partitioning and only
+    # the 3-column global count crosses a second (1-row-per-user)
+    # exchange. Stage semantics unchanged: t1 = first view; t2 = first
+    # click after t1 within the step window (NULL t1 nulls the
+    # predicate → no t2), t3 likewise from t2 — the exact join+filter
+    # chain the oracle SQL states.
+    w_u = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w_u)
+    l1 = ev.select("user_id", "event_type", "ts", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (
+                F.unix_millis(F.col("ts")) - F.unix_millis(F.col("t1"))
+                <= step_ms
+            ),
+            F.col("ts"),
         )
-    ]
-    out = counts[0]
-    for df in counts[1:]:
-        out = out.crossJoin(df)
-    return out
+    ).over(w_u)
+    l2 = l1.select("user_id", "event_type", "ts", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (
+                F.unix_millis(F.col("ts")) - F.unix_millis(F.col("t2"))
+                <= step_ms
+            ),
+            F.col("ts"),
+        )
+    ).over(w_u)
+    l3 = l2.select("user_id", "t1", "t2", t3.alias("t3"))
+    per_user = l3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_view_click"),
+        F.count("t3").cast("bigint").alias("n_view_click_purchase"),
+    )
 
 
 _SCD2_SQL = """
