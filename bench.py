@@ -55,6 +55,9 @@ from hours_api_clickup_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# mirrors session.get_spark's master default: the run's parallelism is
+# part of a timing's identity (see crosscheck_eligible)
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Everything except the deliberately-quadratic exact verifier, which is
 # the testing oracle for the LSH path, not a production query.
@@ -296,6 +299,28 @@ def load_committed_detail() -> dict:
         except Exception:
             pass
     return {}
+
+
+def crosscheck_eligible(
+    committed: dict, fingerprint: str, sf: float | None, cpus: int
+) -> bool:
+    """A committed per-row median is a valid expectation ONLY for a run
+    under the same conditions: byte-identical code (a code change makes
+    the committed value the wrong expectation), the same scale factor
+    (an sf0.1 median vs an sf0.01 run), and the SAME core count — the
+    driver also benches at a lower ``SPARK_GRAFT_CPUS`` to measure
+    scaling, and comparing that run against local[32] medians would
+    flag every CPU-parallel row at >2×, re-run it for nothing, and
+    stamp it ``suspect`` (a false contamination verdict: the row is
+    slower because it has fewer cores, not because the window was
+    dirty). A reference predating the cpus field (no ``cpus`` key)
+    never matches — conservative: skip the cross-check rather than
+    guess what parallelism produced it."""
+    return (
+        committed.get("code_fingerprint") == fingerprint
+        and committed.get("sf") == sf
+        and committed.get("cpus") == cpus
+    )
 
 
 def main() -> None:
@@ -1161,12 +1186,7 @@ def main() -> None:
     # makes the committed value the WRONG expectation for a row.
     committed = load_committed_detail()
     fingerprint = code_fingerprint()
-    # same code AND same scale factor: a committed sf0.1 median is the
-    # wrong expectation for an sf0.01 run even under identical code
-    cc_match = (
-        committed.get("code_fingerprint") == fingerprint
-        and committed.get("sf") == sf
-    )
+    cc_match = crosscheck_eligible(committed, fingerprint, sf, CPUS)
     cc_flagged: list[str] = []
     if cc_match:
         cq = committed.get("queries", {})
@@ -1287,6 +1307,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # part of a timing's identity: a median is only a valid
+        # expectation for a run at the same parallelism
+        "cpus": CPUS,
         "n_queries": len(BENCH_QUERIES),
         "calibration_profile": [
             {"label": lbl, "sec": round(s, 3)} for lbl, s in rec.checkpoints
@@ -1339,6 +1362,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf,
+                "cpus": CPUS,
                 "n_queries": len(BENCH_QUERIES),
                 "suspect_rows": len(suspect),
                 "rerun_rows": len(reruns),

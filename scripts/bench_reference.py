@@ -33,6 +33,14 @@ def merge(runs: list[dict]) -> dict:
     sfs = {r.get("sf") for r in runs}
     if len(sfs) != 1:
         raise SystemExit(f"sf mismatch across runs: {sfs}")
+    # same-parallelism medians only: a local[32] run and a local[8] run
+    # of identical code are different workload shapes, and the merged
+    # medians must carry the cpu count so bench.crosscheck_eligible can
+    # refuse to compare across core counts
+    cpu_set = {r.get("cpus") for r in runs}
+    if len(cpu_set) != 1:
+        raise SystemExit(f"cpus mismatch across runs: {cpu_set}")
+    cpus = cpu_set.pop()
     values: dict[str, list[float]] = {}
     for r in runs:
         bad = set(r.get("suspect", []))
@@ -43,7 +51,7 @@ def merge(runs: list[dict]) -> dict:
     queries = {
         name: round(statistics.median(vs), 3) for name, vs in values.items()
     }
-    return {
+    out = {
         "code_fingerprint": fps.pop(),
         "sf": sfs.pop(),
         "n_reference_runs": len(runs),
@@ -52,6 +60,9 @@ def merge(runs: list[dict]) -> dict:
         # is visible here instead of silently medianing fewer samples
         "row_samples": {name: len(vs) for name, vs in values.items()},
     }
+    if cpus is not None:
+        out["cpus"] = cpus
+    return out
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -303,10 +303,11 @@ class TestBenchReferenceMerge:
     """scripts/bench_reference.py: per-row medians across ≥2
     same-fingerprint runs; suspect values excluded per-run."""
 
-    def _run(self, queries, suspect=(), fp="f1", sf=0.1):
+    def _run(self, queries, suspect=(), fp="f1", sf=0.1, cpus=32):
         return {
             "code_fingerprint": fp,
             "sf": sf,
+            "cpus": cpus,
             "queries": queries,
             "suspect": list(suspect),
         }
@@ -355,6 +356,71 @@ class TestBenchReferenceMerge:
 
         with pytest.raises(SystemExit, match=">=2"):
             merge([self._run({})])
+
+    def test_cpus_mismatch_refuses(self):
+        # a local[32] and a local[8] run of identical code are different
+        # workload shapes — medians across them are meaningless
+        from scripts.bench_reference import merge
+
+        with pytest.raises(SystemExit, match="cpus"):
+            merge([self._run({}), self._run({}, cpus=8)])
+
+    def test_cpus_carried_into_reference(self):
+        from scripts.bench_reference import merge
+
+        ref = merge([self._run({"a": 1.0}), self._run({"a": 2.0})])
+        assert ref["cpus"] == 32
+
+    def test_legacy_runs_without_cpus_merge_but_omit_key(self):
+        from scripts.bench_reference import merge
+
+        runs = [self._run({"a": 1.0}), self._run({"a": 2.0})]
+        for r in runs:
+            del r["cpus"]
+        ref = merge(runs)
+        assert "cpus" not in ref
+
+
+class TestCrosscheckEligible:
+    """bench.crosscheck_eligible: a committed median is a valid
+    expectation only under identical code, scale factor AND core count
+    — the driver also benches at a lower SPARK_GRAFT_CPUS, and
+    comparing that run against local[32] medians would stamp every
+    CPU-parallel row a false ``suspect``."""
+
+    REF = {"code_fingerprint": "f1", "sf": 0.1, "cpus": 32}
+
+    def test_same_conditions_match(self):
+        import bench
+
+        assert bench.crosscheck_eligible(self.REF, "f1", 0.1, 32)
+
+    def test_fingerprint_mismatch_skips(self):
+        import bench
+
+        assert not bench.crosscheck_eligible(self.REF, "f2", 0.1, 32)
+
+    def test_sf_mismatch_skips(self):
+        import bench
+
+        assert not bench.crosscheck_eligible(self.REF, "f1", 0.01, 32)
+
+    def test_lower_core_run_skips(self):
+        import bench
+
+        assert not bench.crosscheck_eligible(self.REF, "f1", 0.1, 8)
+
+    def test_legacy_reference_without_cpus_skips(self):
+        # conservative: don't guess what parallelism produced it
+        import bench
+
+        legacy = {"code_fingerprint": "f1", "sf": 0.1}
+        assert not bench.crosscheck_eligible(legacy, "f1", 0.1, 32)
+
+    def test_empty_committed_skips(self):
+        import bench
+
+        assert not bench.crosscheck_eligible({}, "f1", 0.1, 32)
 
 
 class TestSleepInjectedEndToEnd:
