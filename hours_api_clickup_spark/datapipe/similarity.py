@@ -39,6 +39,80 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _mmh3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32 hash of an IntegerType value — the hash
+    HashPartitioning evaluates (seed 42, 4-byte finalization), exactly
+    ``F.hash(int32)``. Reimplemented on the driver so an exact
+    key→partition mapping can be planned with no data pass
+    (pinned against the JVM by test_plan_shapes)."""
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = (x & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k1 = (rotl(k1, 15) * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed & 0xFFFFFFFF) ^ k1
+    h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+#: pid→salt arrays are pure functions of the partition count: computed
+#: once per count, reused by every write (driver-side planning state,
+#: not data).
+_SALT_CACHE: dict[int, list[int]] = {}
+
+
+def _exact_partition_salts(n: int) -> list[int]:
+    """For each target partition p∈[0,n) find an int salt with
+    ``pmod(murmur3(salt), n) == p`` — an injective key→partition
+    assignment for ``repartition(n, salt_col)``. Expected search cost is
+    n·H(n) ≈ n·ln n murmur evaluations on the driver (~400 for n=96),
+    done once per n."""
+    cached = _SALT_CACHE.get(n)
+    if cached is not None:
+        return cached
+    salts: list[int | None] = [None] * n
+    remaining = n
+    x = 0
+    while remaining:
+        p = _mmh3_int(x) % n  # Python % is pmod for signed ints
+        if salts[p] is None:
+            salts[p] = x
+            remaining -= 1
+        x += 1
+    _SALT_CACHE[n] = salts  # type: ignore[assignment]
+    return salts  # type: ignore[return-value]
+
+
+def _balanced_dir_repartition(df: DataFrame, pid: Column, n_dirs: int) -> DataFrame:
+    """Exactly one shuffle partition per output directory (guide §2.5:
+    synthetic partitioning keys with too few distinct values).
+
+    The partitioned index writes repartition by their low-cardinality
+    directory key — 96 (t, sb) pairs or 16 cluster_ids hashed into 32
+    shuffle partitions. That collides ~1/e of the keys and AQE then
+    coalesces the remainder onto ~30 uneven tasks, so a handful of
+    straggler tasks each write several directories serially while most
+    cores idle (the measured residual of the LSH/IVF write reduce
+    stage, VERDICT r12 #1).
+
+    The dense directory id pid∈[0,n_dirs) is instead mapped through a
+    driver-computed salt array chosen so that
+    ``pmod(murmur3(salt[pid]), n_dirs) == pid``: the write exchange gets
+    exactly ``n_dirs`` tasks, each holding exactly one directory's rows
+    (signature bits are uniform, so directories are even), and still
+    one file per directory. Row placement is deterministic (guide
+    §2.5's retry-safety requirement)."""
+    salts = _exact_partition_salts(n_dirs)
+    return df.repartition(n_dirs, F.element_at(F.lit(salts), pid.cast("int") + 1))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -431,16 +505,22 @@ def _lsh_index_write_unlocked(
         "seq",
         F.lit(0).cast("long"),
     )
-    # cluster each (t, sb) directory into one task (one file per dir,
-    # no small-files blowup) and sort by sig inside it so row-group
+    # cluster each (t, sb) directory into its OWN task (one file per
+    # dir, no small-files blowup) and sort by sig inside it so row-group
     # min/max stats make the probe's sig filter skip whole row groups.
+    # The task↔directory assignment is exact (_balanced_dir_repartition,
+    # VERDICT r12 #1): hashing the 96 (t, sb) keys into 32 shuffle
+    # partitions collided keys and let AQE coalesce the write onto ~30
+    # skewed tasks, serializing several directories per straggler.
     # Staged + swapped (not in-place overwrite): a mid-write crash must
     # never leave a half-written dir where the live base was (the
     # textindex build's crash-safety protocol; review r6).
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
     staged = f"{path}/base__staged"
-    union.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+    n_sb = max(1, -(-(1 << planes) // LSH_COARSE))
+    pid = F.col("t").cast("int") * n_sb + F.col("sb").cast("int")
+    _balanced_dir_repartition(union, pid, tables * n_sb).sortWithinPartitions(
         "sig"
     ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
     _fs_swap_dir(spark, f"{path}/base", staged)
@@ -1381,7 +1461,11 @@ def _lsh_index_upsert_unlocked(
             F.lit(0).cast("long"),
         )
         staged = f"{path}/base__staged"
-        signed.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+        n_sb = max(1, -(-(1 << planes) // LSH_COARSE))
+        pid = F.col("t").cast("int") * n_sb + F.col("sb").cast("int")
+        _balanced_dir_repartition(
+            signed, pid, tables * n_sb
+        ).sortWithinPartitions(
             "sig"
         ).write.mode("overwrite").partitionBy("t", "sb").parquet(staged)
         _fs_swap_dir(spark, f"{path}/base", staged)
@@ -1441,7 +1525,14 @@ def _lsh_index_upsert_unlocked(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.repartition(F.col("t"), F.col("sb")).sortWithinPartitions(
+        # exact task↔directory assignment, same as the rebuild write:
+        # untouched pids simply produce empty tasks (cheap), touched
+        # dirs each get their own writer (VERDICT r12 #1)
+        n_sb = max(1, -(-(1 << planes) // LSH_COARSE))
+        pid = F.col("t").cast("int") * n_sb + F.col("sb").cast("int")
+        _balanced_dir_repartition(
+            merged, pid, tables * n_sb
+        ).sortWithinPartitions(
             "sig"
         ).write.mode("overwrite").partitionBy("t", "sb").parquet(f"{path}/base")
     finally:
@@ -2298,11 +2389,15 @@ def _ivf_index_write_unlocked(
     assigned = ivf_assign(df, vec_col, centroids).withColumn(
         "seq", F.lit(0).cast("long")
     )
-    # staged + swapped, same crash-safety protocol as lsh_index_write
+    # staged + swapped, same crash-safety protocol as lsh_index_write;
+    # exact task↔cluster-directory assignment (VERDICT r12 #1, see
+    # _balanced_dir_repartition)
     spark = df.sparkSession
     _fs_recover_swap(spark, f"{path}/base")
     staged = f"{path}/base__staged"
-    assigned.repartition(F.col("cluster_id")).write.mode(
+    _balanced_dir_repartition(
+        assigned, F.col("cluster_id"), len(centroids)
+    ).write.mode(
         "overwrite"
     ).partitionBy("cluster_id").parquet(staged)
     _fs_swap_dir(spark, f"{path}/base", staged)
@@ -2520,7 +2615,9 @@ def _ivf_index_upsert_unlocked(
             new_rows.withColumn("seq", F.lit(new_seq).cast("long"))
         )
         staged = f"{path}/base__staged"
-        merged.repartition(F.col("cluster_id")).write.mode(
+        _balanced_dir_repartition(
+            merged, F.col("cluster_id"), len(centroids)
+        ).write.mode(
             "overwrite"
         ).partitionBy("cluster_id").parquet(staged)
         _fs_swap_dir(spark, f"{path}/base", staged)
@@ -2564,7 +2661,9 @@ def _ivf_index_upsert_unlocked(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.repartition(F.col("cluster_id")).write.mode(
+        _balanced_dir_repartition(
+            merged, F.col("cluster_id"), len(centroids)
+        ).write.mode(
             "overwrite"
         ).partitionBy("cluster_id").parquet(f"{path}/base")
     finally:
@@ -3493,13 +3592,17 @@ def _ivfpq_index_write_unlocked(
         if files:
             consumed[f"{path}/{tier}"] = [str(f) for f in files]
     b_staged, c_staged = f"{path}/base__staged", f"{path}/codes__staged"
-    assigned.drop("codes").repartition(F.col("cluster_id")).write.mode(
+    # exact task↔cluster-directory assignment for both tier writes
+    # (VERDICT r12 #1, see _balanced_dir_repartition)
+    _balanced_dir_repartition(
+        assigned.drop("codes"), F.col("cluster_id"), len(centroids)
+    ).write.mode(
         "overwrite"
     ).partitionBy("cluster_id").parquet(b_staged)
     codes = assigned.select(
         _c(id_col).cast("long").alias("vid"), "codes", "cluster_id", "seq"
     )
-    codes.repartition(F.col("cluster_id")).write.mode(
+    _balanced_dir_repartition(codes, F.col("cluster_id"), len(centroids)).write.mode(
         "overwrite"
     ).partitionBy("cluster_id").parquet(c_staged)
     # commit point: both staged tiers are complete — from here a

@@ -1735,38 +1735,55 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    w_rank = Window.partitionBy("flag").orderBy("cents")
-    w_all = Window.partitionBy("flag")
-    # Single-exchange form (r12, guide §2.4): the p05/p95 cuts are
-    # UNBOUNDED window aggregates over the same flag partitioning
-    # instead of groupBy + broadcast-join-back — the lineitem scan
-    # happens once and the ranking sort plus the final aggregate ride
-    # ONE hash exchange. min(CASE r = k) over the full partition is the
-    # identical nearest-rank statistic (oracle-pinned).
-    ranked = c.select(
-        "flag",
-        "cents",
-        F.row_number().over(w_rank).alias("r"),
-        F.count("*").over(w_all).alias("n"),
+    # Count-table nearest-rank form (r13, guide §2.3 "aggregate before
+    # you shuffle" / VERDICT r12 #5): the r12 single-exchange window
+    # form still ROW_NUMBERed every row inside one task per flag — a
+    # full per-group sort that serializes at 100 TB. The k-th order
+    # statistic over integer cents only needs per-VALUE counts: the
+    # smallest cents whose cumulative count reaches k IS the rank-k
+    # value, and the winsorized sum is Σ clamp(cents, lo, hi)·cnt over
+    # the same table. So aggregate to distinct (flag, cents) first
+    # (map-side partial agg: the exchange carries distinct pairs, not
+    # rows) and run every window over the count table — per-task state
+    # is bounded by the price DOMAIN, never the row count, and no
+    # full-row sort exists anywhere in the plan. Values are identical
+    # (integer rank arithmetic unchanged; oracle-pinned).
+    counts = c.groupBy("flag", "cents").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_cuts = ranked.select(
+    w_all = Window.partitionBy("flag")
+    t = counts.select(
         "flag",
         "cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    with_cuts = t.select(
+        "flag",
+        "cents",
+        "cnt",
         "n",
         F.min(
-            F.when(F.col("r") == F.expr("(n + 19) div 20"), F.col("cents"))
+            F.when(F.col("cum") >= F.expr("(n + 19) div 20"), F.col("cents"))
         )
         .over(w_all)
         .alias("lo"),
         F.min(
             F.when(
-                F.col("r") == F.expr("(19 * n + 19) div 20"), F.col("cents")
+                F.col("cum") >= F.expr("(19 * n + 19) div 20"), F.col("cents")
             )
         )
         .over(w_all)
         .alias("hi"),
     )
-    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    clamped_sum = (
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+        * F.col("cnt")
+    )
     return (
         with_cuts
         .groupBy("flag")
@@ -1774,11 +1791,11 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").alias("n_rows"),
             (F.min("lo").cast("double") / F.lit(100.0)).alias("p05_cut"),
             (F.min("hi").cast("double") / F.lit(100.0)).alias("p95_cut"),
-            (F.sum(clamped).cast("double") / F.lit(100.0)).alias(
+            (F.sum(clamped_sum).cast("double") / F.lit(100.0)).alias(
                 "winsorized_sum"
             ),
             (
-                F.sum(clamped).cast("double")
+                F.sum(clamped_sum).cast("double")
                 / (F.lit(100.0) * F.min("n").cast("double"))
             ).alias("winsorized_mean"),
         )
@@ -1846,14 +1863,22 @@ _MAD_SQL = """
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # Single-exchange form (r12, guide §2.4): med and mad are attached
-    # as UNBOUNDED window aggregates over the same event_type
-    # partitioning instead of groupBy + broadcast-join-back, so the
-    # events scan happens once and the two ranking sorts plus the final
-    # aggregate all ride ONE hash exchange (was: 3 scans of the c
-    # subtree, 2 broadcast joins, 8 exchanges). min(CASE r = k) over
-    # the full partition selects the identical nearest-rank order
-    # statistic, so every output value is unchanged (oracle-pinned).
+    # Count-table nearest-rank form (r13, guide §2.3 / VERDICT r12 #5):
+    # the r12 single-exchange window form still ROW_NUMBERed every row
+    # TWICE inside one task per event_type (cents rank, then deviation
+    # rank) — full per-group sorts that serialize at 100 TB. Both order
+    # statistics only need per-VALUE counts: the smallest value whose
+    # cumulative count reaches (n+1)//2 IS the nearest-rank median, so
+    # aggregate to distinct (event_type, cents) once (map-side partial
+    # agg — the exchange carries distinct pairs, not rows), take the
+    # median from the cumulative count, fold the count table to
+    # per-DEVIATION counts (rows with equal |cents−med| merge; no
+    # second exchange — hashpartitioning(event_type) already clusters
+    # it), and read the MAD off the deviation cumsum. The outlier count
+    # is Σ cnt over deviations past the integer threshold. Per-task
+    # state is bounded by the value DOMAIN, never the row count; no
+    # full-row sort anywhere. Values identical (same integer rank
+    # arithmetic; oracle-pinned).
     c = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -1862,52 +1887,77 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
         )
     )
-    w_rank = Window.partitionBy("event_type").orderBy("cents")
+    counts = c.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     w_all = Window.partitionBy("event_type")
-    with_med = c.select(
+    t = counts.select(
         "event_type",
         "cents",
-        F.row_number().over(w_rank).alias("r"),
-        F.count("*").over(w_all).alias("n"),
-    ).select(
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    with_med = t.select(
         "event_type",
+        "cnt",
+        "n",
         F.min(
-            F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cents"))
         )
         .over(w_all)
         .alias("med"),
-        F.abs(
-            F.col("cents")
-            - F.min(
-                F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
-            ).over(w_all)
-        ).alias("d"),
-        "n",
-    )
-    w_rank_d = Window.partitionBy("event_type").orderBy("d")
-    with_mad = with_med.select(
-        "event_type",
-        "med",
-        "d",
-        F.row_number().over(w_rank_d).alias("rd"),
-        "n",
+        "cents",
     ).select(
         "event_type",
+        "cnt",
+        "n",
         "med",
+        F.abs(F.col("cents") - F.col("med")).alias("d"),
+    )
+    # distinct deviations: rides the existing event_type clustering
+    dcounts = with_med.groupBy("event_type", "d").agg(
+        F.sum("cnt").alias("cnt"), F.min("med").alias("med"), F.min("n").alias("n")
+    )
+    w_cum_d = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_mad = dcounts.select(
+        "event_type",
         "d",
-        F.min(F.when(F.col("rd") == F.expr("(n + 1) div 2"), F.col("d")))
+        "cnt",
+        "med",
+        "n",
+        F.sum("cnt").over(w_cum_d).alias("cumd"),
+    ).select(
+        "event_type",
+        "d",
+        "cnt",
+        "med",
+        "n",
+        F.min(F.when(F.col("cumd") >= F.expr("(n + 1) div 2"), F.col("d")))
         .over(w_all)
         .alias("mad"),
     )
-    is_out = F.col("d") * 10000 > 44478 * F.col("mad")
+    out_cnt = F.coalesce(
+        F.sum(
+            F.when(F.col("d") * 10000 > 44478 * F.col("mad"), F.col("cnt"))
+        ),
+        F.lit(0).cast("bigint"),
+    )
     return with_mad.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
         (F.min("med").cast("double") / F.lit(100.0)).alias("median_value"),
         (F.min("mad").cast("double") / F.lit(100.0)).alias("mad_value"),
-        F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
+        out_cnt.cast("bigint").alias("n_outliers"),
         (
-            F.count(F.when(is_out, 1)).cast("double")
-            / F.count("*").cast("double")
+            out_cnt.cast("double")
+            / F.sum("cnt").cast("double")
         ).alias("outlier_rate"),
     )
 

@@ -1,4 +1,6 @@
-"""Capture .explain('formatted') for registry queries into plans/r12/.
+"""Capture .explain('formatted') for registry queries into plans/<round>/.
+
+The output round directory defaults to r13; override with $PLANS_ROUND.
 
 Usage:
     python scripts/capture_plans.py before [name ...]
@@ -10,7 +12,7 @@ DataFrame is a memory-sink scan, so the captured plan records the sink
 read — the optimization evidence for those rows is the bench timing plus
 the streaming config described in OPTIMIZATION_r12.md. For plan-shape
 analysis the script also appends a one-line summary (Exchange count,
-join strategies, Python-eval nodes) to plans/r12/_summary_<tag>.tsv.
+join strategies, Python-eval nodes) to plans/<round>/_summary_<tag>.tsv.
 """
 
 from __future__ import annotations
@@ -24,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r13"),
 )
 
 

@@ -556,3 +556,27 @@ class TestBenchWiring:
         rec = SuiteRecorder()
         rec.record("r", 1.0)
         assert rec.row_window["r"] == 0
+
+
+class TestCpusParseAndDetailFile:
+    """ADVICE r12: a non-integer SPARK_GRAFT_CPUS (e.g. "*") must not
+    crash the bench at import; VERDICT r12 #7: the lower-cpus scaling
+    run must not overwrite the 32-core BENCH_DETAIL.json."""
+
+    def test_integer_cpus_parse(self):
+        assert bench.parse_cpus("32") == 32
+        assert bench.parse_cpus("8") == 8
+
+    def test_star_cpus_parses_to_raw_string(self):
+        assert bench.parse_cpus("*") == "*"
+
+    def test_star_cpus_never_matches_crosscheck(self):
+        ref = {"code_fingerprint": "f1", "sf": 0.1, "cpus": 32}
+        assert not bench.crosscheck_eligible(ref, "f1", 0.1, "*")
+
+    def test_default_cpus_writes_canonical_detail(self):
+        assert bench.detail_filename(32) == "BENCH_DETAIL.json"
+
+    def test_nondefault_cpus_writes_suffixed_detail(self):
+        assert bench.detail_filename(8) == "BENCH_DETAIL_c8.json"
+        assert bench.detail_filename("*") == "BENCH_DETAIL_c*.json"

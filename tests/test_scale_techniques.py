@@ -3234,3 +3234,51 @@ def test_index_lease_dead_same_host_holder_taken_over(spark, tmp_path):
         f.write(f"remote host=some-other-host pid={proc.pid} t=0")
     with pytest.raises(S.MaintenanceLeaseHeld):
         S._acquire_lease(spark, p, "racer")
+
+
+class TestBalancedDirRepartition:
+    """r13: the partitioned index writes assign each output directory
+    its own shuffle task via a driver-computed salt whose Murmur3 hash
+    lands exactly on partition pid — pinned here against the JVM hash
+    so a Spark upgrade that changed HashPartitioning would fail loudly
+    instead of silently skewing the write."""
+
+    def test_mmh3_matches_spark_hash(self, spark):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import _mmh3_int
+
+        vals = list(range(-8, 40)) + [2**31 - 1, -(2**31), 123456789]
+        df = spark.createDataFrame([(v,) for v in vals], "x int")
+        got = {r["x"]: r["h"] for r in df.select("x", F.hash("x").alias("h")).collect()}
+        assert all(got[v] == _mmh3_int(v) for v in vals)
+
+    def test_salts_are_injective(self):
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _exact_partition_salts,
+            _mmh3_int,
+        )
+
+        for n in (16, 96):
+            salts = _exact_partition_salts(n)
+            assert [_mmh3_int(s) % n for s in salts] == list(range(n))
+
+    def test_each_pid_gets_its_own_partition(self, spark):
+        from pyspark.sql import functions as F
+
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _balanced_dir_repartition,
+        )
+
+        n = 96
+        pids = spark.range(0, n * 20).select(
+            (F.col("id") % n).cast("int").alias("pid")
+        )
+        placed = (
+            _balanced_dir_repartition(pids, F.col("pid"), n)
+            .select("pid", F.spark_partition_id().alias("part"))
+            .distinct()
+            .collect()
+        )
+        assert len(placed) == n
+        assert all(r["pid"] == r["part"] for r in placed)
