@@ -251,60 +251,97 @@ def _sign_batches(k: int, num_hashes: int, mode: str, vdim_cols):
     ``_sig_frame`` / ``_sig_frame_thin`` / ``_gset_frame``.
 
     Same integer algebra as the exploded-gram Catalyst form it replaced
-    (``portable_gram_hash`` + per-permutation pmod mins), evaluated
-    vectorized per document: code points via utf-32, the k-pass rolling
-    polynomial over the whole offset vector, one (K × distinct-grams)
-    broadcast multiply for the minhashes. The Catalyst form paid
-    k substring() calls PER GRAM (each an O(offset) code-point walk —
-    quadratic in doc length) plus K interpreted... rather codegen'd but
-    per-gram pmod chains; measured 29.7s task-time for the 5k-doc sf0.1
-    corpus vs ~1s vectorized (guide §4.2: hand whole batches to numpy).
+    (``portable_gram_hash`` + per-permutation pmod mins). r12 made it a
+    per-document numpy pass (29.7 s task time → ~1 s at sf0.1); r13
+    (VERDICT r12 #8, guide §4.2) folds the per-document Python loop
+    into ONE flat segmented pass per Arrow batch: code points of every
+    doc concatenate into one array, the k-pass rolling polynomial runs
+    once over gather indices, per-doc sorted-unique gram sets come from
+    one lexsort + boundary mask, and the K minhash mins are K
+    ``np.minimum.reduceat`` passes over the flat unique-gram array. The
+    only remaining per-doc work is the utf-32 encode of each string.
+    Output leaves as Arrow — the gset column is built directly from the
+    flat values + offsets (``pa.ListArray.from_arrays``), never as
+    per-row Python lists (the old ``tolist()`` materialized millions of
+    Python ints per batch).
 
     ``mode``: 'full' → m0..m{K-1} + gset; 'thin' → mins only;
-    'gset' → gset only. Gram sets come out sorted (np.unique) — every
+    'gset' → gset only. Gram sets come out sorted-unique — every
     consumer treats them as sets (array_intersect/union, the DuckDB
     list-set oracle), exactly as with collect_set's arbitrary order.
     """
     import numpy as np
 
     consts = affine_constants(num_hashes, MINHASH_SALT)
-    A = np.array([c[0] for c in consts], dtype=np.int64)[:, None]
-    B = np.array([c[1] for c in consts], dtype=np.int64)[:, None]
+    A = np.array([c[0] for c in consts], dtype=np.int64)
+    B = np.array([c[1] for c in consts], dtype=np.int64)
 
     def sign(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            dids, mins_rows, gsets = [], [], []
-            for did, txt in zip(pdf["did"].values, pdf["txt"].values):
+        for rb in batches:
+            dids = rb.column(rb.schema.get_field_index("did"))
+            txts = rb.column(rb.schema.get_field_index("txt")).to_pylist()
+            # per-doc: only the utf-32 decode; everything after is flat
+            keep_idx, code_chunks, n_grams = [], [], []
+            for i, txt in enumerate(txts):
                 if txt is None or len(txt) < k:
                     # same row-universe as the exploded form: docs with
                     # no gram produce no signature row
                     continue
-                codes = np.frombuffer(
-                    txt.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                n = len(codes) - k + 1
-                h = np.zeros(n, dtype=np.int64)
-                for j in range(k):
-                    h = (h * GRAM_BASE + codes[j : j + n]) % M31
-                gset = np.unique(h)
-                dids.append(did)
-                if mode != "gset":
-                    mins_rows.append(((gset[None, :] * A + B) % M31).min(axis=1))
-                if mode != "thin":
-                    gsets.append(gset.tolist())
-            if not dids:
+                keep_idx.append(i)
+                code_chunks.append(
+                    np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+                )
+                n_grams.append(len(txt) - k + 1)
+            if not keep_idx:
                 continue
-            out = pd.DataFrame({"did": dids})
+            codes = np.concatenate(code_chunks).astype(np.int64)
+            n_grams = np.asarray(n_grams, dtype=np.int64)
+            doc_code_starts = np.concatenate(
+                ([0], np.cumsum([len(c) for c in code_chunks])[:-1])
+            ).astype(np.int64)
+            total = int(n_grams.sum())
+            # flat gram positions: doc i contributes code offsets
+            # [start_i, start_i + n_i)
+            gram_doc = np.repeat(np.arange(len(keep_idx)), n_grams)
+            gram_starts = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(gram_starts, n_grams)
+                + np.repeat(doc_code_starts, n_grams)
+            )
+            h = np.zeros(total, dtype=np.int64)
+            for j in range(k):
+                h = (h * GRAM_BASE + codes[pos + j]) % M31
+            # per-doc sorted unique: lexsort by (doc, hash), keep rows
+            # where either key changes
+            order = np.lexsort((h, gram_doc))
+            hs, ds = h[order], gram_doc[order]
+            first = np.empty(total, dtype=bool)
+            first[0] = True
+            first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+            uniq = hs[first]
+            uniq_doc = ds[first]
+            uniq_counts = np.bincount(uniq_doc, minlength=len(keep_idx))
+            uniq_starts = np.concatenate(([0], np.cumsum(uniq_counts)[:-1]))
+            out_cols: dict[str, pa.Array] = {
+                "did": dids.take(pa.array(keep_idx, type=pa.int32()))
+            }
             if mode != "gset":
-                m = np.stack(mins_rows)
                 for s in range(num_hashes):
-                    out[f"m{s}"] = m[:, s]
+                    v = (uniq * A[s] + B[s]) % M31
+                    out_cols[f"m{s}"] = pa.array(
+                        np.minimum.reduceat(v, uniq_starts), type=pa.int64()
+                    )
             if mode != "thin":
-                out["gset"] = gsets
-            yield out
+                offsets = np.concatenate(([0], np.cumsum(uniq_counts)))
+                out_cols["gset"] = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(uniq, type=pa.int64()),
+                )
+            yield pa.RecordBatch.from_pydict(out_cols)
 
     return sign
 
@@ -329,7 +366,7 @@ def _sign_texts(
     texts: DataFrame, k: int, num_hashes: int, mode: str
 ) -> DataFrame:
     """Run the vectorized signer over a prepared (did, txt) frame."""
-    return texts.mapInPandas(
+    return texts.mapInArrow(
         _sign_batches(k, num_hashes, mode, None),
         schema=_sign_schema(texts, num_hashes, mode),
     )
@@ -1425,13 +1462,17 @@ def doc_neardup_index_append(
     min_matches = _min_matches(threshold, num_hashes)
 
     bsig = _sig_frame(batch, id_col, text_col, k, num_hashes).localCheckpoint()
+    # bband / bsig_arr are cheap projections OF the bsig checkpoint —
+    # re-deriving them per consumer re-reads the checkpointed RDD, never
+    # the signer or the (growing) index files, so their own eager
+    # checkpoints bought nothing but two synchronous jobs per append
+    # (r13; the bench row is ~12 sequential job barriers at sf0.1).
     bband = _band_frame(bsig, num_hashes, bands)
     bsig_arr = bsig.select(
         "did",
         F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sa"),
         "gset",
-    ).localCheckpoint()
-    bband = bband.localCheckpoint()
+    )
 
     old_bands = _read_doc_tier(spark, path, "bands")
     tomb = _doc_tombstones(spark, path)
@@ -1540,11 +1581,15 @@ def _verify_candidate_pairs(
     surv_id_df = (
         survivors.select(F.explode(F.array("id_a", "id_b")).alias("did"))
         .dropDuplicates()
-        .localCheckpoint()
     )
     gsets = _read_doc_tier(spark, path, "sig").select("did", "gset")
-    if surv_id_df.count() <= 200_000:
-        surv_ids = [r[0] for r in surv_id_df.collect()]
+    # one bounded collect instead of count-then-collect (two jobs →
+    # one, r13): limit(cap+1) returns every row when under the cap, and
+    # the overflow fallback recomputes the id set from the survivors
+    # checkpoint (the rare adversarial all-duplicates path)
+    surv_head = surv_id_df.limit(200_001).collect()
+    if len(surv_head) <= 200_000:
+        surv_ids = [r[0] for r in surv_head]
         gsets = gsets.filter(F.col("did").isin(surv_ids))
     else:
         gsets = gsets.join(surv_id_df, "did", "semi")

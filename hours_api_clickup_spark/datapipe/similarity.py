@@ -1777,60 +1777,96 @@ def embedding_near_dup_pairs(
     This is the standard dense-scoring layout (vectorized C inner loop,
     Arrow-batched transfer); at corpus scale an LSH/IVF prefilter bounds
     which block pairs are scored at all — see lsh_bucketed_topk.
+
+    r13 transport rewrite (guide §4.2): the collect_list(struct(did, v))
+    packing shipped each block pair to Python as ONE nested cell, and
+    the scorer then paid per-ROW Python to unpack it (iterrows +
+    np.asarray per item — profiled at ~23 s task time for a 0.9 s-wall
+    stage at sf0.1, i.e. the whole stage was deserialization, not GEMM).
+    The block-pair memberships are now exploded JVM-side into FLAT
+    (pa, pb, is_a, did, v) rows — same bytes through the shuffle, each
+    unordered pair still scored exactly once — and the grouped Arrow
+    scorer reads its matrices straight off the list-array buffers
+    (reshape of the values buffer; zero per-row Python). Normalization
+    stays JVM-side and bit-identical; the input is spread() first so
+    the interpreted HOF normalize isn't serialized on the single scan
+    partition.
     """
-    base = df.select(
+    from hours_api_clickup_spark.datapipe.dedup import spread
+
+    base = spread(df.select(
         _c(id_col).cast("long").alias("did"),
         _c(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("n", l2_norm(F.col("v")))
+    )).withColumn("n", l2_norm(F.col("v")))
     normed = base.select(
         "did",
         F.transform("v", lambda x: x / F.col("n")).alias("v"),
         F.pmod(F.xxhash64("did"), F.lit(n_blocks)).alias("blk"),
     )
 
-    packed = normed.groupBy("blk").agg(
-        F.collect_list(F.struct("did", "v")).alias("items")
-    )
-    a = packed.select(
-        F.col("blk").alias("blk_a"), F.col("items").alias("items_a")
-    )
-    b = packed.select(
-        F.col("blk").alias("blk_b"), F.col("items").alias("items_b")
-    )
-    # one GEMM per block-pair row: repartition so each lands on its own
-    # core instead of AQE coalescing the tiny join output to one task
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
-        n_blocks * (n_blocks + 1) // 2
-    )
+    # block b's vectors are side A of pairs (b, q≥b) and side B of
+    # pairs (p≤b, b) — (b, b) gets them on both sides, as the packed
+    # join's items_a/items_b did
+    memberships = F.array(*[
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("pa"), F.lit(q).alias("pb"),
+                    F.lit(True).alias("is_a"),
+                )
+                for q in range(b, n_blocks)
+            ],
+            *[
+                F.struct(
+                    F.lit(p).alias("pa"), F.lit(b).alias("pb"),
+                    F.lit(False).alias("is_a"),
+                )
+                for p in range(b + 1)
+            ],
+        )
+        for b in range(n_blocks)
+    ])
+    sides = normed.select(
+        "did",
+        "v",
+        F.explode(F.element_at(memberships, F.col("blk").cast("int") + 1)).alias("m"),
+    ).select("did", "v", F.col("m.pa").alias("pa"), F.col("m.pb").alias("pb"), F.col("m.is_a").alias("is_a"))
 
     thr = float(threshold)
 
-    def score(batches):
+    def score(tbl):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            out_a, out_b = [], []
-            for _, row in pdf.iterrows():
-                ia = [it["did"] for it in row["items_a"]]
-                ib = [it["did"] for it in row["items_b"]]
-                ma = np.stack([np.asarray(it["v"]) for it in row["items_a"]])
-                mb = np.stack([np.asarray(it["v"]) for it in row["items_b"]])
-                sims = ma @ mb.T
-                same = row["blk_a"] == row["blk_b"]
-                for i, j in zip(*np.nonzero(sims >= thr)):
-                    x, y = ia[int(i)], ib[int(j)]
-                    if x == y:
-                        continue
-                    lo, hi = (x, y) if x < y else (y, x)
-                    if same and x > y:
-                        continue  # same-block pairs appear twice
-                    out_a.append(lo)
-                    out_b.append(hi)
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        ids = tbl.column("did").to_numpy()
+        is_a = tbl.column("is_a").to_numpy()
+        v = tbl.column("v").combine_chunks()
+        flat = v.flatten().to_numpy()
+        mat = flat.reshape(len(ids), -1)  # uniform dim, same contract np.stack had
+        ia, ma = ids[is_a], mat[is_a]
+        ib, mb = ids[~is_a], mat[~is_a]
+        if not len(ia) or not len(ib):
+            return pa.table(
+                {"id_a": pa.array([], "int64"), "id_b": pa.array([], "int64")}
+            )
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= thr)
+        x, y = ia[ii], ib[jj]
+        same = tbl.column("pa")[0].as_py() == tbl.column("pb")[0].as_py()
+        # same-block pairs appear twice (both sides hold the block):
+        # keep x < y; cross-block ids can never collide (blk is a
+        # function of did), so only order-normalize
+        keep = (x < y) if same else (x != y)
+        x, y = x[keep], y[keep]
+        return pa.table(
+            {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+        )
 
-    # each unordered pair is scored in exactly one block-pair row, so no
-    # dedup shuffle is needed afterwards
-    return pairs.mapInPandas(score, schema="id_a long, id_b long")
+    # each unordered pair is scored in exactly one block-pair group, so
+    # no dedup shuffle is needed afterwards
+    return sides.groupBy("pa", "pb").applyInArrow(
+        score, schema="id_a long, id_b long"
+    )
 
 
 def _pair_cosine_fn(va: pd.Series, vb: pd.Series) -> pd.Series:

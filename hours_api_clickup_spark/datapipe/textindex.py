@@ -97,10 +97,27 @@ def _posting_rows(
             "tb", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
         )
     )
+    group_keys = ["tb", "token", "doc_id"]
     if not single_file:
-        occ = occ.repartition("tb")
+        # exact task↔bucket-directory assignment (r13, same fix as the
+        # ANN index writes): repartition("tb") hashed 64 bucket keys
+        # into 32 shuffle partitions — collisions gave some tasks two
+        # directories and others none. The salt column makes partition
+        # pid hold exactly bucket pid; it LEADS the groupBy keys (it is
+        # a pure function of tb, so the groups are unchanged) so
+        # hashpartitioning(__p) still satisfies the aggregation's
+        # clustering and the build keeps its single exchange.
+        from hours_api_clickup_spark.datapipe.similarity import (
+            _exact_partition_salts,
+        )
+
+        salts = _exact_partition_salts(n_buckets)
+        occ = occ.withColumn(
+            "__p", F.element_at(F.lit(salts), F.col("tb") + 1)
+        ).repartition(n_buckets, F.col("__p"))
+        group_keys = ["__p", "tb", "token", "doc_id"]
     agg = (
-        occ.groupBy("tb", "token", "doc_id")
+        occ.groupBy(*group_keys)
         .agg(
             F.count("*").cast("long").alias("tf"),
             F.sort_array(F.collect_list("position")).alias("positions"),
