@@ -1869,23 +1869,6 @@ def embedding_near_dup_pairs(
     )
 
 
-def _pair_cosine_fn(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """Row-wise cosine of two vector columns — one numpy pass per Arrow
-    batch (the pair-verification hot path; interpreted zip_with/aggregate
-    cosine is ~5× slower at candidate volume)."""
-    a = np.stack([np.asarray(x, dtype=np.float64) for x in va.values])
-    b = np.stack([np.asarray(x, dtype=np.float64) for x in vb.values])
-    num = np.einsum("ij,ij->i", a, b)
-    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    return pd.Series(num / np.maximum(den, 1e-300))
-
-
-def _pair_cosine(va: Column, vb: Column) -> Column:
-    # built lazily: pandas_udf parses its DDL type via the ACTIVE session,
-    # so decorating at module import would require one to already exist
-    return pandas_udf(_pair_cosine_fn, "double")(va, vb)
-
-
 def lsh_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -1964,7 +1947,45 @@ def lsh_near_dup_pairs(
     vecs = sigs.select("did", "v")
     # verification is Arrow-batched numpy (row-wise dot over the joined
     # pair vectors): the candidate set is O(Σ bucket²) and interpreted
-    # array-HOF cosine over it dominated the query (~5× slower here)
+    # array-HOF cosine over it dominated the query (~5× slower here).
+    # r13: mapInArrow instead of the pandas_udf — the pandas hop turned
+    # each vector cell into its own numpy object and np.stack-ed them
+    # per row (profiled: the verify stage's task time was the
+    # conversion); the matrices now come straight off the list-array
+    # values buffers. Same float64 einsum/norm arithmetic on the same
+    # values, so every similarity (and the pair set) is bit-identical.
+    thr = float(threshold)
+
+    def verify(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            tbl = pa.table(
+                {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            )
+            va = tbl.column("v_a").combine_chunks()
+            vb = tbl.column("v_b").combine_chunks()
+            a = va.flatten().to_numpy().reshape(n, -1)
+            b = vb.flatten().to_numpy().reshape(n, -1)
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            sim = num / np.maximum(den, 1e-300)
+            keep = sim >= thr
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id_a": tbl.column("id_a").combine_chunks().filter(
+                        pa.array(keep)
+                    ),
+                    "id_b": tbl.column("id_b").combine_chunks().filter(
+                        pa.array(keep)
+                    ),
+                }
+            )
+
     return (
         cand.join(
             vecs.select(F.col("did").alias("id_a"), F.col("v").alias("v_a")),
@@ -1974,10 +1995,8 @@ def lsh_near_dup_pairs(
             vecs.select(F.col("did").alias("id_b"), F.col("v").alias("v_b")),
             "id_b",
         )
-        .filter(
-            _pair_cosine(F.col("v_a"), F.col("v_b")) >= F.lit(float(threshold))
-        )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "v_a", "v_b")
+        .mapInArrow(verify, schema="id_a long, id_b long")
     )
 
 
